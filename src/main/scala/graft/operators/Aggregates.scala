@@ -1,0 +1,214 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Aggregation operators (SURVEY.md §2.4): hash aggregate (partial+final),
+  * distinct aggregates, grouping sets/rollup/cube, statistical aggregates,
+  * approximate distinct, percentiles, collect.
+  *
+  * Doris runs these in [doris: be/src/vec/exec/vaggregation_node.cpp] with a
+  * streaming pre-aggregation before the shuffle; Spark's HashAggregateExec
+  * partial→final pair is the same two-phase shape and is planned
+  * automatically — the map-side partial agg collapses low-cardinality groups
+  * before any bytes hit the network, which is what makes these queries scale
+  * to 100 TB: shuffle volume is O(groups × partitions), not O(rows).
+  *
+  * Determinism: float aggregates are rounded on both the Spark and oracle
+  * sides so summation order can't flip the driver's hash compare.
+  */
+object Aggregates {
+
+  def queries: Map[String, QueryDef] = Map(
+    // TPC-H Q1-shaped hash aggregate: the flagship (SURVEY §7 minimum slice).
+    "q1_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_shipdate" <= lit("1998-09-02").cast("timestamp"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            round(sum($"l_quantity"), 2).as("sum_qty"),
+            round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("sum_disc_price"),
+            round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+            round(avg($"l_quantity"), 4).as("avg_qty"),
+            round(avg($"l_extendedprice"), 4).as("avg_price"),
+            round(avg($"l_discount"), 4).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Plain hash aggregate over a higher-cardinality key (shuffle on key).
+    "agg_hash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_suppkey")
+          .agg(
+            count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 2).as("total_price"),
+            round(min($"l_quantity"), 2).as("min_qty"),
+            round(max($"l_quantity"), 2).as("max_qty"))
+          .orderBy($"l_suppkey")
+      },
+      """SELECT l_suppkey, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+
+    // count(distinct) incl. multi-distinct (Catalyst RewriteDistinctAggregates
+    // plans the multi-phase expand — Doris' 3/4-phase distinct agg analogue).
+    "agg_count_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_partkey").as("nd_parts"),
+            countDistinct($"l_suppkey").as("nd_supps"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS nd_parts,
+        |  count(DISTINCT l_suppkey) AS nd_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // GROUPING SETS via rollup + grouping_id (Doris RepeatNode analogue:
+    // [doris: be/src/vec/exec/vrepeat_node.cpp] replays rows per set).
+    "agg_grouping_sets" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .rollup($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+            grouping_id().as("gid"))
+          .orderBy($"gid", $"l_returnflag".asc_nulls_first, $"l_linestatus".asc_nulls_first)
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  grouping(l_returnflag) * 2 + grouping(l_linestatus) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // CUBE over two dims.
+    "agg_cube" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .cube($"o_orderstatus", $"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
+
+    // Statistical aggregates: stddev/variance/corr/covar.
+    "agg_stats" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(stddev_samp($"l_quantity"), 4).as("sd_qty"),
+            round(stddev_pop($"l_quantity"), 4).as("sdp_qty"),
+            round(var_samp($"l_extendedprice"), 2).as("var_price"),
+            round(corr($"l_quantity", $"l_extendedprice"), 4).as("corr_qp"),
+            round(covar_samp($"l_quantity", $"l_extendedprice"), 2).as("cov_qp"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 4) AS sdp_qty,
+        |  round(var_samp(l_extendedprice), 2) AS var_price,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // group_concat -> sorted array_join(collect_list) for determinism.
+    "agg_group_concat" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .groupBy($"n_regionkey")
+          .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
+          .orderBy($"n_regionkey")
+      },
+      """SELECT n_regionkey,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
+    // Exact percentiles + median (Doris PERCENTILE / MEDIAN).
+    "agg_percentile" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    // collect_list/collect_set (ARRAY_AGG) — sorted for determinism.
+    "agg_collect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.supplier(s, dir)
+          .groupBy($"s_nationkey")
+          .agg(
+            array_sort(collect_set($"s_suppkey")).as("supp_keys"),
+            size(collect_list($"s_suppkey")).as("n_supps"))
+          .orderBy($"s_nationkey")
+      },
+      """SELECT s_nationkey,
+        |  list_sort(list_distinct(list(s_suppkey))) AS supp_keys,
+        |  count(s_suppkey) AS n_supps
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
+
+    // any_value/max_by/min_by.
+    "agg_minmax_by" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(
+            max_by($"o_orderkey", $"o_totalprice").as("top_order"),
+            min_by($"o_orderkey", $"o_totalprice").as("bottom_order"),
+            round(max($"o_totalprice"), 2).as("max_price"))
+          .orderBy($"o_orderstatus")
+      },
+      """SELECT o_orderstatus,
+        |  max_by(o_orderkey, o_totalprice) AS top_order,
+        |  min_by(o_orderkey, o_totalprice) AS bottom_order,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+  )
+}

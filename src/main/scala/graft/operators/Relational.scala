@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Core relational operators (SURVEY.md §2.1–§2.2, §2.6–§2.7): scan, project,
+  * filter, sort/top-k/limit, set ops.
+  *
+  * Doris executes these in its vectorized BE (e.g. scan
+  * [doris: be/src/vec/exec/scan/new_olap_scan_node.cpp], select node
+  * [doris: be/src/vec/exec/vselect_node.cpp], sort
+  * [doris: be/src/vec/exec/vsort_node.cpp], union
+  * [doris: be/src/vec/exec/vunion_node.cpp]). Spark-first mapping: declare the
+  * plan with DataFrame ops and let Catalyst push filters/projections into the
+  * Parquet scan (PushedFilters/ReadSchema), plan TopN as
+  * TakeOrderedAndProjectExec, and run everything under whole-stage codegen.
+  *
+  * Scale notes: every query here either avoids a shuffle entirely
+  * (scan+filter+project), or shuffles once on the declared key. Total sorts
+  * use Spark's range partitioner (sampling-based) which scales to arbitrary
+  * input; top-k never materializes more than k rows per partition.
+  */
+object Relational {
+
+  def queries: Map[String, QueryDef] = Map(
+    // Columnar scan + predicate & projection pushdown (OLAP scan analogue).
+    "scan_parquet" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .filter($"l_quantity" > 45.0 && $"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Projection with computed expressions (vectorized expr eval analogue).
+    "project_exprs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("net_price"),
+            round($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 4).as("gross_price"),
+            (($"l_quantity" > 25.0).cast("int")).as("bulk_flag"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price,
+        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS gross_price,
+        |  CAST(l_quantity > 25.0 AS INTEGER) AS bulk_flag
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Filter predicates: BETWEEN, IN-list, LIKE, IS NULL surface.
+    "filter_pred" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .filter($"o_totalprice".between(1000.0, 50000.0) &&
+            $"o_orderstatus".isin("O", "F") &&
+            $"o_orderpriority".like("%URGENT%") &&
+            $"o_custkey".isNotNull)
+          .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+        |WHERE o_totalprice BETWEEN 1000.0 AND 50000.0
+        |  AND o_orderstatus IN ('O', 'F')
+        |  AND o_orderpriority LIKE '%URGENT%'
+        |  AND o_custkey IS NOT NULL
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // CASE WHEN / IF / COALESCE / NULLIF conditional surface.
+    "case_when" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select(
+            $"o_orderkey",
+            when($"o_totalprice" > 100000.0, "big")
+              .when($"o_totalprice" > 10000.0, "mid")
+              .otherwise("small").as("price_band"),
+            coalesce(nullif($"o_orderstatus", lit("P")), lit("pending")).as("status_norm"),
+            expr("if(o_orderpriority like '1-%', 1, 0)").as("is_top_prio"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 100000.0 THEN 'big'
+        |       WHEN o_totalprice > 10000.0 THEN 'mid'
+        |       ELSE 'small' END AS price_band,
+        |  coalesce(nullif(o_orderstatus, 'P'), 'pending') AS status_norm,
+        |  CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END AS is_top_prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Full sort: range-partitioned total order (external sort w/ spill).
+    "sort_full" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_totalprice", $"o_orderdate")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      },
+      """SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC""".stripMargin),
+
+    // TopN: ORDER BY + LIMIT k -> TakeOrderedAndProjectExec (bounded heap,
+    // per-partition partial top-k then merge: Doris' two-phase TopN).
+    "sort_topk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+          .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+          .limit(100)
+      },
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin),
+
+    // LIMIT/OFFSET pagination without full sort semantics (order fixed first
+    // so the page is deterministic for the oracle).
+    "limit_offset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_totalprice")
+          .orderBy($"o_orderkey")
+          .offset(50)
+          .limit(20)
+      },
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey LIMIT 20 OFFSET 50""".stripMargin),
+
+    // UNION ALL + UNION DISTINCT.
+    "set_union" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val hi = o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+        val urgent = o.filter($"o_orderpriority".like("1-%")).select($"o_custkey")
+        hi.union(urgent).distinct().orderBy($"o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
+        |UNION
+        |SELECT o_custkey FROM orders WHERE o_orderpriority LIKE '1-%'
+        |ORDER BY o_custkey""".stripMargin),
+
+    // INTERSECT (distinct) — hash-based set op, one shuffle on the full row.
+    "set_intersect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val o = Tables.orders(s, dir)
+        val a = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        val b = o.filter($"o_totalprice" > 50000.0).select($"o_custkey")
+        a.intersect(b).orderBy($"o_custkey")
+      },
+      """SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_totalprice > 50000.0
+        |ORDER BY o_custkey""".stripMargin),
+
+    // EXCEPT (distinct).
+    "set_except" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val c = Tables.customer(s, dir).select($"c_custkey")
+        val o = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
+        c.except(o).orderBy($"c_custkey")
+      },
+      """SELECT c_custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin)
+  )
+}
