@@ -10,7 +10,9 @@ object SparkEntry {
   /** All operator coverage entries, keyed per SURVEY.md §2. */
   def defs: Map[String, QueryDef] =
     operators.Relational.queries ++
-      operators.Aggregates.queries
+      operators.Aggregates.queries ++
+      operators.Joins.queries ++
+      operators.Subqueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,204 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Join matrix (SURVEY.md §2.3).
+  *
+  * Doris separates join algorithm (hash [doris: be/src/vec/exec/join/
+  * vhash_join_node.cpp] / nested-loop [doris: .../vnested_loop_join_node.cpp])
+  * from distribution (broadcast / shuffle / bucket-shuffle / colocate, chosen
+  * in [doris: fe/.../planner/DistributedPlanner.java]). Spark mirrors this:
+  * BHJ/SHJ/SMJ/BNLJ × broadcast/shuffle exchanges, chosen by Catalyst + AQE.
+  *
+  * Scale notes (100 TB):
+  *  - fact⋈dim joins broadcast the dim side explicitly (`broadcast(dim)`) —
+  *    dimension tables stay KB–MB at any SF, so no shuffle of the fact side;
+  *  - fact⋈fact joins (lineitem⋈orders) shuffle both sides on the join key
+  *    once; AQE handles skew splitting;
+  *  - colocate join is modeled by pre-partitioning both sides on the key
+  *    (cluster equivalent: bucketed tables), so the join itself is
+  *    shuffle-free on repeated use;
+  *  - nested-loop joins are confined to broadcast-sized inputs (nation,
+  *    region) exactly as Doris confines NLJ to small right sides.
+  */
+object Joins {
+
+  def queries: Map[String, QueryDef] = Map(
+    // INNER hash join, broadcast distribution: TPC-H Q3-shaped 3-way join.
+    "join_inner" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
+        val ord = Tables.orders(s, dir)
+        val li = Tables.lineitem(s, dir)
+        li.join(broadcast(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_orderkey", $"o_orderdate")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"))
+          .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("orderdate"), $"revenue")
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(50)
+      },
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 50""".stripMargin),
+
+    // LEFT OUTER join: customers keep rows with no matching big order.
+    "join_left" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val big = Tables.orders(s, dir).filter($"o_totalprice" > 150000.0)
+        cust.join(big, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey")
+          .agg(count($"o_orderkey").as("n_big_orders"),
+            round(coalesce(sum($"o_totalprice"), lit(0.0)), 2).as("big_total"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS big_total
+        |FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 150000.0) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
+
+    // FULL OUTER join of two aggregates (nations with suppliers vs customers).
+    "join_full" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sup = Tables.supplier(s, dir).groupBy($"s_nationkey".as("nk"))
+          .agg(count(lit(1)).as("n_suppliers"))
+        val cus = Tables.customer(s, dir).groupBy($"c_nationkey".as("nk2"))
+          .agg(count(lit(1)).as("n_customers"))
+        sup.join(cus, $"nk" === $"nk2", "full")
+          .select(coalesce($"nk", $"nk2").as("nationkey"),
+            coalesce($"n_suppliers", lit(0L)).as("n_suppliers"),
+            coalesce($"n_customers", lit(0L)).as("n_customers"))
+          .orderBy($"nationkey")
+      },
+      """SELECT coalesce(s.nk, c.nk2) AS nationkey,
+        |  coalesce(n_suppliers, 0) AS n_suppliers,
+        |  coalesce(n_customers, 0) AS n_customers
+        |FROM (SELECT s_nationkey AS nk, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |FULL JOIN (SELECT c_nationkey AS nk2, count(*) AS n_customers FROM customer GROUP BY 1) c
+        |  ON s.nk = c.nk2
+        |ORDER BY nationkey""".stripMargin),
+
+    // LEFT SEMI join (EXISTS): customers with >=1 urgent order.
+    "join_semi" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val urgent = Tables.orders(s, dir).filter($"o_orderpriority".like("1-%"))
+        cust.join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+          .select($"c_custkey", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority LIKE '1-%')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // LEFT ANTI join (NOT EXISTS): customers with no finished order.
+    "join_anti" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val cust = Tables.customer(s, dir)
+        val fin = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+        cust.join(fin, $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_acctbal")
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // NOT IN — null-aware anti join (Catalyst NAAJ, Doris null-aware flag).
+    "join_not_in" -> QueryDef(
+      (s, dir) => {
+        s.read.parquet(s"$dir/orders.parquet").createOrReplaceTempView("v_orders")
+        s.read.parquet(s"$dir/customer.parquet").createOrReplaceTempView("v_customer")
+        s.sql(
+          """SELECT o_orderkey, o_custkey FROM v_orders
+            |WHERE o_custkey NOT IN
+            |  (SELECT c_custkey FROM v_customer WHERE c_acctbal < 0.0)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_custkey FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal < 0.0)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Theta (non-equi) join -> broadcast nested loop; confined to dims.
+    "join_theta" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n1 = Tables.nation(s, dir).select($"n_nationkey".as("k1"), $"n_regionkey".as("r1"))
+        val n2 = Tables.nation(s, dir).select($"n_nationkey".as("k2"), $"n_regionkey".as("r2"))
+        n1.join(n2, $"k1" < $"k2" && $"r1" === $"r2")
+          .groupBy($"r1".as("regionkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy($"regionkey")
+      },
+      """SELECT n1.n_regionkey AS regionkey, count(*) AS n_pairs
+        |FROM nation n1 JOIN nation n2
+        |  ON n1.n_nationkey < n2.n_nationkey AND n1.n_regionkey = n2.n_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // CROSS join (small dims only).
+    "join_cross" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+          .select($"r_regionkey", $"n_nationkey")
+          .orderBy($"r_regionkey", $"n_nationkey")
+      },
+      """SELECT r_regionkey, n_nationkey FROM region CROSS JOIN nation
+        |ORDER BY r_regionkey, n_nationkey""".stripMargin),
+
+    // Forced shuffle (sort-merge) join: the fact⋈fact path at 100 TB where
+    // neither side broadcasts; both sides hash-partition on the key once.
+    "join_shuffle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val li = Tables.lineitem(s, dir).hint("merge")
+        val ord = Tables.orders(s, dir).hint("merge")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_extendedprice"), 2).as("total_price"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Colocate join: both sides pre-partitioned on the join key (cluster
+    // equivalent: bucketBy tables → zero-shuffle repeated joins).
+    "join_colocate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val n = s.conf.get("spark.sql.shuffle.partitions").toInt
+        val li = Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_quantity").repartition(n, $"l_orderkey")
+        val ord = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderstatus").repartition(n, $"o_orderkey")
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderstatus")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"o_orderstatus")
+      },
+      """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  )
+}

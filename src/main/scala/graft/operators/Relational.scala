@@ -163,17 +163,18 @@ object Relational {
         |SELECT o_custkey FROM orders WHERE o_totalprice > 50000.0
         |ORDER BY o_custkey""".stripMargin),
 
-    // EXCEPT (distinct).
+    // EXCEPT (distinct): big-spender customers who never had an 'F' order.
     "set_except" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val c = Tables.customer(s, dir).select($"c_custkey")
-        val o = Tables.orders(s, dir).select($"o_custkey".as("c_custkey"))
-        c.except(o).orderBy($"c_custkey")
+        val o = Tables.orders(s, dir)
+        val big = o.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+        val fin = o.filter($"o_orderstatus" === "F").select($"o_custkey")
+        big.except(fin).orderBy($"o_custkey")
       },
-      """SELECT c_custkey FROM customer
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
         |EXCEPT
-        |SELECT o_custkey AS c_custkey FROM orders
-        |ORDER BY c_custkey""".stripMargin)
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin)
   )
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+
+/** Subquery shapes (SURVEY.md §2.10). Doris rewrites these in the FE
+  * ([doris: fe/.../rewrite/StmtRewriter.java]) to joins + AssertNumRows
+  * ([doris: be/src/vec/exec/vassert_num_rows_node.cpp]); Catalyst performs the
+  * same decorrelation (RewriteCorrelatedScalarSubquery, RewritePredicateSubquery)
+  * so we declare the subquery and let the optimizer plan the join.
+  *
+  * Expressed via spark.sql over registered views — the declarative SQL is
+  * identical on the oracle side, and Catalyst's decorrelated plan is the one
+  * that scales (a correlated scalar subquery becomes one aggregate + one join,
+  * never a per-row re-execution).
+  */
+object Subqueries {
+
+  private def withViews(s: SparkSession, dir: String, sql: String) = {
+    Tables.registerAll(s, dir)
+    s.sql(sql)
+  }
+
+  def queries: Map[String, QueryDef] = Map(
+    // Uncorrelated + correlated scalar subquery in one shape:
+    // orders above the global average that also beat their customer average.
+    "subq_scalar" -> QueryDef(
+      (s, dir) => withViews(s, dir,
+        """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+          |FROM orders o
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+          |  AND o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+          |                      WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin),
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |  AND o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // IN subquery + correlated EXISTS -> semi joins after decorrelation.
+    "subq_in_exists" -> QueryDef(
+      (s, dir) => withViews(s, dir,
+        """SELECT c_custkey, c_mktsegment
+          |FROM customer c
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+          |                      WHERE n_regionkey IN (0, 1))
+          |  AND EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey
+          |                AND o.o_totalprice > 100000.0)
+          |ORDER BY c_custkey""".stripMargin),
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation
+        |                      WHERE n_regionkey IN (0, 1))
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  )
+}
