@@ -12,7 +12,9 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.Aggregates.queries ++
       operators.Joins.queries ++
-      operators.Subqueries.queries
+      operators.Subqueries.queries ++
+      operators.Windows.queries ++
+      operators.Functions.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

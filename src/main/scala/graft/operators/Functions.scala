@@ -1,0 +1,374 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.DorisFunctions
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scalar function families (SURVEY.md §2.8). One key exercises a
+  * representative batch per family; Doris spellings Spark lacks live in
+  * [[graft.functions.DorisFunctions]].
+  *
+  * Everything here is a built-in Catalyst expression (codegen'd, no UDFs), so
+  * per-row cost is the vectorized-expression cost Doris pays in
+  * [doris: be/src/vec/functions/] and scans stay in one WholeStageCodegen span.
+  * Floating-point outputs are rounded on both engine sides (oracle parity).
+  */
+object Functions {
+
+  def queries: Map[String, QueryDef] = Map(
+    "fn_math" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .select(
+            $"l_orderkey", $"l_linenumber",
+            abs($"l_quantity" - 25.0).as("abs_v"),
+            ceil($"l_quantity" / 7.0).as("ceil_v"),
+            floor($"l_quantity" / 7.0).as("floor_v"),
+            round($"l_extendedprice" / 3.0, 2).as("round_v"),
+            ($"l_orderkey" % 7).as("mod_v"),
+            round(pow($"l_quantity", 2.0), 2).as("pow_v"),
+            round(sqrt($"l_extendedprice"), 6).as("sqrt_v"),
+            round(exp($"l_discount"), 6).as("exp_v"),
+            round(log($"l_extendedprice"), 6).as("ln_v"),
+            round(log10($"l_extendedprice"), 6).as("log10_v"),
+            round(log2($"l_quantity" + 1.0), 6).as("log2_v"),
+            signum($"l_quantity" - 25.0).cast("int").as("sign_v"),
+            greatest($"l_quantity", $"l_discount" * 100.0).as("greatest_v"),
+            least($"l_tax", $"l_discount").as("least_v"),
+            round(radians($"l_quantity"), 6).as("radians_v"),
+            conv($"l_orderkey".cast("string"), 10, 16).as("hex_str"),
+            bin($"l_linenumber").as("bin_str"))
+          .orderBy($"l_orderkey", $"l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber,
+        |  abs(l_quantity - 25.0) AS abs_v,
+        |  ceil(l_quantity / 7.0) AS ceil_v,
+        |  floor(l_quantity / 7.0) AS floor_v,
+        |  round(l_extendedprice / 3.0, 2) AS round_v,
+        |  l_orderkey % 7 AS mod_v,
+        |  round(pow(l_quantity, 2.0), 2) AS pow_v,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_v,
+        |  round(exp(l_discount), 6) AS exp_v,
+        |  round(ln(l_extendedprice), 6) AS ln_v,
+        |  round(log10(l_extendedprice), 6) AS log10_v,
+        |  round(log2(l_quantity + 1.0), 6) AS log2_v,
+        |  CAST(sign(l_quantity - 25.0) AS INTEGER) AS sign_v,
+        |  greatest(l_quantity, l_discount * 100.0) AS greatest_v,
+        |  least(l_tax, l_discount) AS least_v,
+        |  round(radians(l_quantity), 6) AS radians_v,
+        |  upper(to_base(l_orderkey, 16)) AS hex_str,
+        |  bin(l_linenumber) AS bin_str
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    "fn_string" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select(
+            $"c_custkey",
+            length($"c_name").as("len_v"),
+            lower($"c_name").as("lower_v"),
+            upper($"c_mktsegment").as("upper_v"),
+            lpad($"c_custkey".cast("string"), 8, "0").as("lpad_v"),
+            rpad($"c_mktsegment", 12, "*").as("rpad_v"),
+            trim(concat(lit("  "), $"c_name", lit("  "))).as("trim_v"),
+            concat_ws("-", $"c_mktsegment", $"c_custkey".cast("string")).as("concat_ws_v"),
+            substring($"c_name", 1, 8).as("substr_v"),
+            DorisFunctions.strleft($"c_name", 4).as("left_v"),
+            DorisFunctions.strright($"c_name", 4).as("right_v"),
+            instr($"c_name", "#").as("instr_v"),
+            regexp_replace($"c_name", "0", "o").as("replace_v"),
+            repeat($"c_mktsegment", 2).as("repeat_v"),
+            reverse($"c_mktsegment").as("reverse_v"),
+            element_at(split($"c_name", "#"), 2).as("split_part_v"),
+            $"c_name".startsWith("Customer").cast("int").as("startswith_v"),
+            $"c_mktsegment".endsWith("RY").cast("int").as("endswith_v"),
+            ascii($"c_mktsegment").as("ascii_v"),
+            initcap(lower($"c_mktsegment")).as("initcap_v"),
+            DorisFunctions.append_trailing_char_if_absent($"c_mktsegment", "G").as("append_v"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  length(c_name) AS len_v,
+        |  lower(c_name) AS lower_v,
+        |  upper(c_mktsegment) AS upper_v,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS lpad_v,
+        |  rpad(c_mktsegment, 12, '*') AS rpad_v,
+        |  trim('  ' || c_name || '  ') AS trim_v,
+        |  c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS concat_ws_v,
+        |  substring(c_name, 1, 8) AS substr_v,
+        |  left(c_name, 4) AS left_v,
+        |  right(c_name, 4) AS right_v,
+        |  strpos(c_name, '#') AS instr_v,
+        |  replace(c_name, '0', 'o') AS replace_v,
+        |  repeat(c_mktsegment, 2) AS repeat_v,
+        |  reverse(c_mktsegment) AS reverse_v,
+        |  split_part(c_name, '#', 2) AS split_part_v,
+        |  CAST(starts_with(c_name, 'Customer') AS INTEGER) AS startswith_v,
+        |  CAST(c_mktsegment LIKE '%RY' AS INTEGER) AS endswith_v,
+        |  ascii(c_mktsegment) AS ascii_v,
+        |  upper(c_mktsegment[1:1]) || lower(substring(c_mktsegment, 2)) AS initcap_v,
+        |  CASE WHEN c_mktsegment LIKE '%G' THEN c_mktsegment
+        |       ELSE c_mktsegment || 'G' END AS append_v
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "fn_regex" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select(
+            $"c_custkey",
+            $"c_name".rlike("[0-9]{9}$").cast("int").as("rlike_v"),
+            regexp_extract($"c_name", "#([0-9]+)", 1).as("extract_v"),
+            regexp_replace($"c_name", "[05]", "_").as("regex_replace_v"),
+            array_join(expr("regexp_extract_all(c_name, '[0-9]', 0)"), "").as("extract_all_v"),
+            (!$"c_mktsegment".rlike("^A")).cast("int").as("not_rlike_v"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  CAST(regexp_matches(c_name, '[0-9]{9}$') AS INTEGER) AS rlike_v,
+        |  regexp_extract(c_name, '#([0-9]+)', 1) AS extract_v,
+        |  regexp_replace(c_name, '[05]', '_', 'g') AS regex_replace_v,
+        |  array_to_string(regexp_extract_all(c_name, '[0-9]', 0), '') AS extract_all_v,
+        |  CAST(NOT regexp_matches(c_mktsegment, '^A') AS INTEGER) AS not_rlike_v
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    "fn_date" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select(
+            $"o_orderkey",
+            year($"o_orderdate").as("year_v"),
+            quarter($"o_orderdate").as("quarter_v"),
+            month($"o_orderdate").as("month_v"),
+            dayofmonth($"o_orderdate").as("day_v"),
+            (dayofweek($"o_orderdate") - 1).as("dow_v"),
+            dayofyear($"o_orderdate").as("doy_v"),
+            to_date($"o_orderdate").as("date_v"),
+            date_add(to_date($"o_orderdate"), 31).as("date_add_v"),
+            date_sub(to_date($"o_orderdate"), 7).as("date_sub_v"),
+            datediff(lit("1999-01-01").cast("date"), to_date($"o_orderdate")).as("datediff_v"),
+            date_trunc("month", $"o_orderdate").cast("date").as("trunc_month_v"),
+            last_day($"o_orderdate").as("last_day_v"),
+            unix_timestamp($"o_orderdate").as("epoch_v"),
+            DorisFunctions.date_format_mysql($"o_orderdate", "%Y-%m").as("fmt_ym"),
+            DorisFunctions.date_format_mysql($"o_orderdate", "%d/%m/%Y %T").as("fmt_dmy"),
+            make_date(year($"o_orderdate"), month($"o_orderdate"), lit(1)).as("month_start_v"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS year_v,
+        |  quarter(o_orderdate) AS quarter_v,
+        |  month(o_orderdate) AS month_v,
+        |  day(o_orderdate) AS day_v,
+        |  CAST(date_part('dow', o_orderdate) AS INTEGER) AS dow_v,
+        |  CAST(date_part('doy', o_orderdate) AS INTEGER) AS doy_v,
+        |  CAST(o_orderdate AS DATE) AS date_v,
+        |  CAST(o_orderdate AS DATE) + 31 AS date_add_v,
+        |  CAST(o_orderdate AS DATE) - 7 AS date_sub_v,
+        |  date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS datediff_v,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS trunc_month_v,
+        |  last_day(CAST(o_orderdate AS DATE)) AS last_day_v,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_v,
+        |  strftime(o_orderdate, '%Y-%m') AS fmt_ym,
+        |  strftime(o_orderdate, '%d/%m/%Y %H:%M:%S') AS fmt_dmy,
+        |  make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start_v
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // MySQL-ish cast semantics: bad input → NULL (ANSI off), TRY_CAST oracle.
+    "fn_cast" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.ansi.enabled", "false")
+        Tables.part(s, dir)
+          .select(
+            $"p_partkey",
+            $"p_partkey".cast("string").as("int_to_str"),
+            lit("123").cast("int").as("str_to_int"),
+            $"p_name".cast("int").as("bad_to_int"),
+            lit("3.25").cast("double").as("str_to_dbl"),
+            $"p_size".cast("double").as("int_to_dbl"),
+            $"p_retailprice".cast("bigint").as("dbl_to_long"),
+            lit("2024-06-15").cast("date").as("str_to_date"),
+            $"p_size".cast("boolean").cast("int").as("int_to_bool"))
+          .orderBy($"p_partkey")
+      },
+      """SELECT p_partkey,
+        |  CAST(p_partkey AS VARCHAR) AS int_to_str,
+        |  TRY_CAST('123' AS INTEGER) AS str_to_int,
+        |  TRY_CAST(p_name AS INTEGER) AS bad_to_int,
+        |  TRY_CAST('3.25' AS DOUBLE) AS str_to_dbl,
+        |  CAST(p_size AS DOUBLE) AS int_to_dbl,
+        |  CAST(trunc(p_retailprice) AS BIGINT) AS dbl_to_long,
+        |  TRY_CAST('2024-06-15' AS DATE) AS str_to_date,
+        |  CAST(CAST(p_size AS BOOLEAN) AS INTEGER) AS int_to_bool
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    "fn_json" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select(
+            $"event_id",
+            get_json_object($"props", "$.k").as("k_str"),
+            get_json_object($"props", "$.k").cast("int").as("k_int"),
+            (get_json_object($"props", "$.k").cast("int") * 2).as("k_doubled"),
+            get_json_object($"props", "$.missing").as("k_missing"),
+            from_json($"props", org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("k",
+                org.apache.spark.sql.types.IntegerType)))).getField("k").as("k_struct"),
+            to_json(struct($"event_id".as("id"))).as("json_obj"))
+          .orderBy($"event_id")
+      },
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) * 2 AS k_doubled,
+        |  json_extract_string(props, '$.missing') AS k_missing,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_struct,
+        |  '{"id":' || CAST(event_id AS VARCHAR) || '}' AS json_obj
+        |FROM events ORDER BY event_id""".stripMargin),
+
+    "fn_array" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .select(
+            $"vec_id",
+            size($"embedding").as("dim"),
+            round(element_at($"embedding", 1).cast("double"), 6).as("first_v"),
+            round(element_at($"embedding", 64).cast("double"), 6).as("last_v"),
+            round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6).as("sum_v"),
+            round(array_max($"embedding").cast("double"), 6).as("max_v"),
+            round(array_min($"embedding").cast("double"), 6).as("min_v"),
+            expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))").as("head3"),
+            expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
+            expr("CAST(exists(embedding, x -> x > 0.5) AS INT)").as("has_big"),
+            round(expr("aggregate(zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 6).as("self_dot"))
+          .orderBy($"vec_id")
+      },
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+        |  round(CAST(embedding[64] AS DOUBLE), 6) AS last_v,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_v,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
+        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+        |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
+        |  CAST(len(list_filter(embedding, x -> x > 0.5)) > 0 AS INTEGER) AS has_big,
+        |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS self_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin),
+
+    // Map + struct construction and access; oracle recomputes the scalars.
+    "fn_map" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select(
+            $"n_nationkey",
+            element_at(map(lit("nk"), $"n_nationkey", lit("rk"), $"n_regionkey"), "nk").as("map_get_v"),
+            size(map(lit("nk"), $"n_nationkey", lit("rk"), $"n_regionkey")).as("map_size_v"),
+            array_join(map_keys(map(lit("a"), $"n_nationkey", lit("b"), $"n_regionkey")), ",").as("map_keys_v"),
+            struct($"n_name".as("name"), $"n_regionkey".as("rk")).getField("name").as("struct_get_v"),
+            named_struct(lit("k"), $"n_nationkey", lit("r"), $"n_regionkey").getField("r").as("named_struct_v"))
+          .orderBy($"n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  n_nationkey AS map_get_v,
+        |  2 AS map_size_v,
+        |  'a,b' AS map_keys_v,
+        |  n_name AS struct_get_v,
+        |  n_regionkey AS named_struct_v
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // Hash/encode functions DuckDB shares: md5, sha256, hex, base64, bit ops.
+    "fn_hash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select(
+            $"c_custkey",
+            md5($"c_name").as("md5_v"),
+            sha2($"c_name", 256).as("sha256_v"),
+            hex($"c_custkey").as("hex_v"),
+            base64($"c_name".cast("binary")).as("b64_v"),
+            bit_count($"c_custkey").as("bitcount_v"),
+            shiftleft($"c_nationkey", 2).as("shl_v"),
+            shiftright($"c_nationkey", 1).as("shr_v"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  md5(c_name) AS md5_v,
+        |  sha256(c_name) AS sha256_v,
+        |  upper(to_base(c_custkey, 16)) AS hex_v,
+        |  to_base64(CAST(c_name AS BLOB)) AS b64_v,
+        |  bit_count(c_custkey) AS bitcount_v,
+        |  c_nationkey << 2 AS shl_v,
+        |  c_nationkey >> 1 AS shr_v
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Spark-native hashes DuckDB lacks — driver records rows-only check.
+    "fn_hash_native" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select(
+            $"c_custkey",
+            xxhash64($"c_name").as("xxh64_v"),
+            hash($"c_name").as("murmur3_v"),
+            crc32($"c_name".cast("binary")).as("crc32_v"),
+            sha1($"c_name".cast("binary")).as("sha1_v"))
+          .orderBy($"c_custkey")
+      },
+      None),
+
+    // URL parsing; oracle recomputes parts from the construction.
+    "fn_url" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val url = concat(lit("https://shop.example.com/seg/"),
+          lower($"c_mktsegment"), lit("?cust="), $"c_custkey".cast("string"), lit("&page=2"))
+        Tables.customer(s, dir)
+          .select(
+            $"c_custkey",
+            parse_url(url, lit("HOST")).as("host_v"),
+            parse_url(url, lit("PROTOCOL")).as("proto_v"),
+            parse_url(url, lit("PATH")).as("path_v"),
+            parse_url(url, lit("QUERY")).as("query_v"),
+            parse_url(url, lit("QUERY"), lit("cust")).as("param_v"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  'shop.example.com' AS host_v,
+        |  'https' AS proto_v,
+        |  '/seg/' || lower(c_mktsegment) AS path_v,
+        |  'cust=' || CAST(c_custkey AS VARCHAR) || '&page=2' AS query_v,
+        |  CAST(c_custkey AS VARCHAR) AS param_v
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Doris-spelling shim round-trip: inet, money_format, find_in_set,
+    // str_to_date (MySQL fmt), split_by_string.
+    "fn_doris_shim" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ip = concat_ws(".", lit(10), $"n_regionkey", $"n_nationkey", lit(1))
+        Tables.nation(s, dir)
+          .select(
+            $"n_nationkey",
+            DorisFunctions.inet_aton(ip).as("inet_aton_v"),
+            DorisFunctions.inet_ntoa(DorisFunctions.inet_aton(ip)).as("inet_roundtrip_v"),
+            DorisFunctions.money_format($"n_nationkey" * 1234567.891).as("money_v"),
+            DorisFunctions.find_in_set($"n_name", lit("NATION_1,NATION_3,NATION_5")).as("fis_v"),
+            DorisFunctions.str_to_date(lit("2024-06-15 10:30:00"), "%Y-%m-%d %H:%i:%s")
+              .cast("date").as("std_v"),
+            size(DorisFunctions.split_by_string($"n_name", "A")).as("sbs_v"),
+            DorisFunctions.null_safe_eq($"n_regionkey", lit(0)).cast("int").as("nse_v"))
+          .orderBy($"n_nationkey")
+      },
+      None)
+  )
+}

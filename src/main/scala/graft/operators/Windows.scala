@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window / analytic functions (SURVEY.md §2.5).
+  *
+  * Doris evaluates these in a single AnalyticEvalNode
+  * ([doris: be/src/vec/exec/vanalytic_eval_node.cpp]) with frame analysis in
+  * [doris: fe/.../analysis/AnalyticWindow.java]. Spark's WindowExec covers the
+  * whole surface; we only declare PARTITION BY / ORDER BY / frame.
+  *
+  * Scale notes: a window = one shuffle on the partition key + per-partition
+  * sort. Partition keys here (returnflag, suppkey, user_id) have enough
+  * cardinality to spread across a cluster; none of the frames require
+  * buffering an unbounded partition in memory except the running-total frame,
+  * which Spark streams incrementally. ORDER BY carries unique tiebreakers so
+  * row_number/ntile are deterministic for the oracle.
+  */
+object Windows {
+
+  def queries: Map[String, QueryDef] = Map(
+    // Ranking family: row_number/rank/dense_rank/percent_rank/cume_dist/ntile.
+    // Determinism note: testdata keys are not unique (duplicate
+    // (l_orderkey, l_linenumber) pairs exist), so row_number/ntile run over a
+    // fully tiebroken unique order (o_totalprice, o_orderkey) while
+    // rank/dense_rank/percent_rank/cume_dist run over a coarse key with real
+    // peer groups — their results are order-insensitive within peers.
+    "win_rank" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val coarse = (floor($"o_totalprice" / 1000.0) * 1000.0).desc
+        val wPeers = Window.partitionBy($"o_orderstatus").orderBy(coarse)
+        val wUnique = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables.orders(s, dir)
+          .select(
+            $"o_orderkey", $"o_orderstatus",
+            row_number().over(wUnique).as("rn"),
+            rank().over(wPeers).as("rk"),
+            dense_rank().over(wPeers).as("drk"),
+            round(percent_rank().over(wPeers), 6).as("prk"),
+            round(cume_dist().over(wPeers), 6).as("cd"),
+            ntile(4).over(wUnique).as("quartile"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |  row_number() OVER wu AS rn,
+        |  rank() OVER wp AS rk,
+        |  dense_rank() OVER wp AS drk,
+        |  round(percent_rank() OVER wp, 6) AS prk,
+        |  round(cume_dist() OVER wp, 6) AS cd,
+        |  ntile(4) OVER wu AS quartile
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_orderstatus
+        |              ORDER BY floor(o_totalprice / 1000.0) * 1000.0 DESC),
+        |       wu AS (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Offset family: lag/lead with defaults, first_value/last_value.
+    "win_offset" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, dir)
+          .select(
+            $"user_id", $"event_id",
+            lag($"value", 1, -1.0).over(w).as("prev_value"),
+            lead($"value", 1, -1.0).over(w).as("next_value"),
+            lag($"event_type", 2).over(w).as("prev2_type"),
+            first_value($"event_id").over(wRun).as("first_event"),
+            last_value($"event_id").over(wRun).as("latest_event"))
+          .orderBy($"user_id", $"event_id")
+      },
+      """SELECT user_id, event_id,
+        |  lag(value, 1, -1.0) OVER w AS prev_value,
+        |  lead(value, 1, -1.0) OVER w AS next_value,
+        |  lag(event_type, 2) OVER w AS prev2_type,
+        |  first_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_event,
+        |  last_value(event_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS latest_event
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin),
+
+    // Aggregate-over-ROWS-frame: running totals + moving averages.
+    // Runs over orders (o_orderkey unique) so the ROWS frame content is
+    // deterministic cross-engine.
+    "win_frame" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+        Tables.orders(s, dir)
+          .select(
+            $"o_orderkey", $"o_orderstatus",
+            round(sum($"o_totalprice").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+            round(avg($"o_totalprice").over(
+              w.rowsBetween(-2, Window.currentRow)), 4).as("mv3_price"),
+            count(lit(1)).over(
+              w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("remaining"))
+          .orderBy($"o_orderstatus", $"o_orderkey")
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv3_price,
+        |  count(*) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin),
+
+    // RANGE frame on a numeric order key: peers by value distance, not rows.
+    // (DataFrame rangeBetween only accepts integral offsets, so the
+    // fractional-range frame is declared in SQL — same Catalyst plan.)
+    "win_range_frame" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("v_orders_wrf")
+        s.sql(
+          """SELECT o_orderkey, o_orderstatus,
+            |  count(*) OVER w AS n_within_5k,
+            |  round(sum(o_totalprice) OVER w, 2) AS sum_within_5k
+            |FROM v_orders_wrf
+            |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+            |             RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
+            |ORDER BY o_orderkey""".stripMargin)
+      },
+      """SELECT o_orderkey, o_orderstatus,
+        |  count(*) OVER w AS n_within_5k,
+        |  round(sum(o_totalprice) OVER w, 2) AS sum_within_5k
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
+        |             RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
+        |ORDER BY o_orderkey""".stripMargin)
+  )
+}
