@@ -14,7 +14,10 @@ object SparkEntry {
       operators.Joins.queries ++
       operators.Subqueries.queries ++
       operators.Windows.queries ++
-      operators.Functions.queries
+      operators.Functions.queries ++
+      operators.TableFunctions.queries ++
+      operators.Sketches.queries ++
+      operators.KeyModels.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

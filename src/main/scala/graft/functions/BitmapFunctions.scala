@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+/** BITMAP type emulation (SURVEY.md §2.4/§2.8).
+  *
+  * Doris stores exact-distinct sets as RoaringBitmap columns
+  * ([doris: be/src/util/bitmap_value.h]) with BITMAP_UNION aggregation and
+  * scalar set ops. Here a bitmap is a serialized Roaring64NavigableMap in a
+  * BinaryType column (64-bit value domain — keys at 100 TB scale exceed int32).
+  * The org.roaringbitmap jar ships with Spark itself (/opt/spark/jars).
+  *
+  * Scale notes: BitmapUnionAgg is a typed Aggregator, planned as
+  * ObjectHashAggregate with partial aggregation — each partition unions its
+  * values into one bitmap before the shuffle, so shuffle volume is
+  * O(groups × compressed-bitmap), not O(rows). Scalar ops run on the already
+  * aggregated (small) side. Serialization cost is paid only at partial/final
+  * boundaries, not per row.
+  */
+object BitmapFunctions {
+
+  def serialize(bm: Roaring64NavigableMap): Array[Byte] = {
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    bos.toByteArray
+  }
+
+  def deserialize(bytes: Array[Byte]): Roaring64NavigableMap = {
+    val bm = new Roaring64NavigableMap()
+    bm.deserialize(new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  /** BITMAP_UNION(expr): long values -> serialized roaring bitmap. */
+  class BitmapUnionAgg extends Aggregator[java.lang.Long, Roaring64NavigableMap, Array[Byte]] {
+    override def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
+    override def reduce(b: Roaring64NavigableMap, v: java.lang.Long): Roaring64NavigableMap = {
+      if (v != null) b.addLong(v)
+      b
+    }
+    override def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = {
+      a.or(b); a
+    }
+    override def finish(b: Roaring64NavigableMap): Array[Byte] = serialize(b)
+    override def bufferEncoder = Encoders.javaSerialization(classOf[Roaring64NavigableMap])
+    override def outputEncoder = Encoders.BINARY
+  }
+
+  private lazy val unionUdaf =
+    functions.udaf(new BitmapUnionAgg, Encoders.LONG)
+
+  // ---- Column API (Doris names) ------------------------------------------
+  def bitmap_union(c: Column): Column = unionUdaf(c)
+
+  def bitmap_union_count(c: Column): Column =
+    bitmap_count(bitmap_union(c))
+
+  private val countUdf = functions.udf((b: Array[Byte]) =>
+    if (b == null) 0L else deserialize(b).getLongCardinality)
+  def bitmap_count(c: Column): Column = countUdf(c)
+
+  private val andUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val m = deserialize(a); m.and(deserialize(b)); serialize(m)
+  })
+  def bitmap_and(a: Column, b: Column): Column = andUdf(a, b)
+
+  private val orUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val m = deserialize(a); m.or(deserialize(b)); serialize(m)
+  })
+  def bitmap_or(a: Column, b: Column): Column = orUdf(a, b)
+
+  private val xorUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val m = deserialize(a); m.xor(deserialize(b)); serialize(m)
+  })
+  def bitmap_xor(a: Column, b: Column): Column = xorUdf(a, b)
+
+  private val containsUdf = functions.udf((b: Array[Byte], v: Long) =>
+    deserialize(b).contains(v))
+  def bitmap_contains(b: Column, v: Column): Column = containsUdf(b, v)
+
+  private val hasAnyUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val m = deserialize(a); m.and(deserialize(b)); !m.isEmpty
+  })
+  def bitmap_has_any(a: Column, b: Column): Column = hasAnyUdf(a, b)
+
+  private val toArrayUdf = functions.udf((b: Array[Byte]) =>
+    deserialize(b).toArray)
+  def bitmap_to_array(c: Column): Column = toArrayUdf(c)
+
+  private val toBitmapUdf = functions.udf((v: java.lang.Long) => {
+    val m = new Roaring64NavigableMap()
+    if (v != null) m.addLong(v)
+    serialize(m)
+  })
+  def to_bitmap(c: Column): Column = toBitmapUdf(c)
+
+  private val fromStringUdf = functions.udf((s: String) => {
+    val m = new Roaring64NavigableMap()
+    if (s != null && s.nonEmpty) s.split(",").foreach(x => m.addLong(x.trim.toLong))
+    serialize(m)
+  })
+  def bitmap_from_string(c: Column): Column = fromStringUdf(c)
+
+  private val toStringUdf = functions.udf((b: Array[Byte]) =>
+    deserialize(b).toArray.mkString(","))
+  def bitmap_to_string(c: Column): Column = toStringUdf(c)
+
+  /** Register SQL names (Doris spellings) on a session. */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.udf.register("bitmap_union", functions.udaf(new BitmapUnionAgg, Encoders.LONG))
+    spark.udf.register("bitmap_count", (b: Array[Byte]) =>
+      if (b == null) 0L else deserialize(b).getLongCardinality)
+    spark.udf.register("to_bitmap", (v: java.lang.Long) => {
+      val m = new Roaring64NavigableMap(); if (v != null) m.addLong(v); serialize(m)
+    })
+    spark.udf.register("bitmap_contains", (b: Array[Byte], v: Long) => deserialize(b).contains(v))
+  }
+}

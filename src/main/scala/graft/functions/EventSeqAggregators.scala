@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions
+import scala.collection.mutable.ArrayBuffer
+
+/** Event-sequence aggregates (SURVEY.md §2.4): WINDOW_FUNNEL and
+  * SEQUENCE_MATCH, Doris' per-group behavioral-analytics functions
+  * ([doris: be/src/vec/aggregate_functions/aggregate_function_window_funnel.h],
+  * [doris: .../aggregate_function_sequence_match.h]).
+  *
+  * Semantics implemented (documented because engines differ in corner cases):
+  *  - window_funnel(window, steps): max L such that events e_1 < ... < e_L
+  *    exist in ts order with step(e_i) = i and ts(e_L) - ts(e_1) <= window.
+  *    Exact: every step-1 event is tried as chain start with greedy forward
+  *    matching (greedy is optimal for a fixed start).
+  *  - sequence_match(steps): true iff the step sequence occurs as a
+  *    subsequence of the ts-ordered events (greedy scan — optimal for
+  *    subsequence existence).
+  *
+  * Scale notes: typed Aggregators run as ObjectHashAggregate with map-side
+  * partial aggregation; the shuffled state per group is the (ts, step) list of
+  * *relevant* events only — callers pre-filter to the funnel's event types, so
+  * state is bounded by per-user funnel activity, not total event volume. For
+  * pathological groups (one user = billions of events) pre-bucket by
+  * (user, time-bucket) first.
+  */
+object EventSeqAggregators {
+
+  case class TsStep(ts: Long, step: Int)
+
+  /** Doris window_funnel(window, 'default', ts, e1, ..., eN). */
+  class WindowFunnelAgg(windowMicros: Long, numSteps: Int)
+      extends Aggregator[TsStep, ArrayBuffer[TsStep], Int] {
+    override def zero: ArrayBuffer[TsStep] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[TsStep], e: TsStep): ArrayBuffer[TsStep] = {
+      if (e.step >= 1 && e.step <= numSteps) b += e
+      b
+    }
+    override def merge(a: ArrayBuffer[TsStep], b: ArrayBuffer[TsStep]): ArrayBuffer[TsStep] = a ++= b
+    override def finish(buf: ArrayBuffer[TsStep]): Int = {
+      val ev = buf.sortBy(e => (e.ts, e.step)).toArray
+      var best = 0
+      var i = 0
+      while (i < ev.length && best < numSteps) {
+        if (ev(i).step == 1) {
+          val limit = ev(i).ts + windowMicros
+          var lvl = 1
+          var j = i + 1
+          while (j < ev.length && ev(j).ts <= limit && lvl < numSteps) {
+            if (ev(j).step == lvl + 1) lvl += 1
+            j += 1
+          }
+          if (lvl > best) best = lvl
+        }
+        i += 1
+      }
+      best
+    }
+    override def bufferEncoder = Encoders.kryo[ArrayBuffer[TsStep]]
+    override def outputEncoder = Encoders.scalaInt
+  }
+
+  /** Doris sequence_match('(?1)...(?N)', ts, e1, ..., eN) — subsequence form. */
+  class SequenceMatchAgg(numSteps: Int)
+      extends Aggregator[TsStep, ArrayBuffer[TsStep], Boolean] {
+    override def zero: ArrayBuffer[TsStep] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[TsStep], e: TsStep): ArrayBuffer[TsStep] = {
+      if (e.step >= 1 && e.step <= numSteps) b += e
+      b
+    }
+    override def merge(a: ArrayBuffer[TsStep], b: ArrayBuffer[TsStep]): ArrayBuffer[TsStep] = a ++= b
+    override def finish(buf: ArrayBuffer[TsStep]): Boolean = {
+      val ev = buf.sortBy(e => (e.ts, e.step)).toArray
+      var want = 1
+      var i = 0
+      while (i < ev.length && want <= numSteps) {
+        if (ev(i).step == want) want += 1
+        i += 1
+      }
+      want > numSteps
+    }
+    override def bufferEncoder = Encoders.kryo[ArrayBuffer[TsStep]]
+    override def outputEncoder = Encoders.scalaBoolean
+  }
+
+  /** Column API: window_funnel over (tsMicros, step) columns. */
+  def window_funnel(windowMicros: Long, numSteps: Int)(ts: Column, step: Column): Column =
+    functions.udaf(new WindowFunnelAgg(windowMicros, numSteps),
+      Encoders.product[TsStep]).apply(ts, step)
+
+  def sequence_match(numSteps: Int)(ts: Column, step: Column): Column =
+    functions.udaf(new SequenceMatchAgg(numSteps),
+      Encoders.product[TsStep]).apply(ts, step)
+}

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.functions.{BitmapFunctions => BF, EventSeqAggregators => ESA}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sketch & behavioral aggregates (SURVEY.md §2.4 custom rows, M4): NDV/HLL,
+  * RoaringBitmap exact-distinct, TOPN, RETENTION, WINDOW_FUNNEL,
+  * SEQUENCE_MATCH.
+  *
+  * HLL maps to Spark's built-in DataSketches HLL functions (hll_sketch_agg /
+  * hll_union_agg / hll_sketch_estimate) — re-aggregable sketch columns exactly
+  * like Doris' HLL_UNION family ([doris: be/src/olap/hll.cpp]). Bitmap and
+  * event-sequence aggs are custom (graft.functions.*).
+  *
+  * Oracle notes: estimates (HLL/NDV) are not bit-exact across engines, so
+  * those keys are rows-only checked here and bound-tested in ScalaTest;
+  * bitmap ops are EXACT distinct, so they oracle against count(DISTINCT ...)
+  * set algebra.
+  */
+object Sketches {
+
+  def queries: Map[String, QueryDef] = Map(
+    // NDV / approx_count_distinct (HLL++), alongside the exact value.
+    "agg_ndv" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey").as("ndv_parts"),
+            countDistinct($"l_partkey").as("exact_parts"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // Re-aggregable HLL sketch column: per-group sketches, unioned and
+    // estimated at a coarser level (HLL_UNION / HLL_UNION_AGG / HLL_CARDINALITY).
+    "agg_hll_sketch" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val perFlag = Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(hll_sketch_agg($"l_suppkey").as("sketch"))
+        perFlag
+          .groupBy($"l_returnflag")
+          .agg(hll_sketch_estimate(hll_union_agg($"sketch")).as("est_supps"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // BITMAP_UNION_COUNT == exact count(distinct): oracled.
+    "agg_bitmap_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(BF.bitmap_union_count($"user_id").as("nd_users"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Bitmap set algebra on two audience bitmaps (signup vs purchase users):
+    // AND/OR/XOR counts are exact and oracled against DuckDB set ops.
+    "fn_bitmap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        val bitmaps = ev.agg(
+          BF.bitmap_union(when($"event_type" === "signup", $"user_id")).as("bm_signup"),
+          BF.bitmap_union(when($"event_type" === "purchase", $"user_id")).as("bm_purchase"))
+        bitmaps.select(
+          BF.bitmap_count($"bm_signup").as("n_signup"),
+          BF.bitmap_count($"bm_purchase").as("n_purchase"),
+          BF.bitmap_count(BF.bitmap_and($"bm_signup", $"bm_purchase")).as("n_and"),
+          BF.bitmap_count(BF.bitmap_or($"bm_signup", $"bm_purchase")).as("n_or"),
+          BF.bitmap_count(BF.bitmap_xor($"bm_signup", $"bm_purchase")).as("n_xor"),
+          BF.bitmap_contains($"bm_signup", lit(1L)).cast("int").as("has_user1"),
+          BF.bitmap_count(BF.bitmap_from_string(lit("1,2,3,2"))).as("n_parsed"))
+      },
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
+        |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'purchase') AS n_purchase,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t) AS n_and,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     UNION SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t) AS n_or,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |     UNION
+        |     (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |      EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')) t) AS n_xor,
+        |  (SELECT CAST(count(*) > 0 AS INTEGER) FROM events
+        |   WHERE event_type = 'signup' AND user_id = 1) AS has_user1,
+        |  3 AS n_parsed""".stripMargin),
+
+    // TOPN(col, k): exact top-k most frequent values per group, as Spark-first
+    // composition (groupBy count -> ranked window -> ordered string_agg).
+    "agg_topn_values" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val counts = Tables.events(s, dir)
+          .groupBy($"event_type", $"user_id")
+          .agg(count(lit(1)).as("c"))
+        val ranked = counts.withColumn("rn",
+          row_number().over(Window.partitionBy($"event_type")
+            .orderBy($"c".desc, $"user_id".asc)))
+        ranked.filter($"rn" <= 3)
+          .groupBy($"event_type")
+          .agg(array_join(
+            transform(
+              array_sort(collect_list(struct($"rn", $"user_id", $"c"))),
+              x => concat(x.getField("user_id"), lit(":"), x.getField("c"))),
+            ",").as("top_users"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type,
+        |  string_agg(CAST(user_id AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+        |             ORDER BY rn) AS top_users
+        |FROM (
+        |  SELECT event_type, user_id, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) AS rn
+        |  FROM (SELECT event_type, user_id, count(*) AS c
+        |        FROM events GROUP BY 1, 2) t
+        |) r WHERE rn <= 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // RETENTION(cond1, cond2, cond3): per-user gated booleans — Spark-first
+    // composition with max(when(...)), no custom aggregate needed.
+    "agg_retention" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+        ev.groupBy($"user_id")
+          .agg(
+            max(($"event_type" === "signup").cast("int")).as("c1"),
+            max(($"event_type" === "click").cast("int")).as("c2"),
+            max(($"event_type" === "purchase").cast("int")).as("c3"))
+          .select($"user_id",
+            $"c1".as("r1"),
+            ($"c1" * $"c2").as("r2"),
+            ($"c1" * $"c3").as("r3"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS r1,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS r2,
+        |  max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+        |    * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS r3
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // WINDOW_FUNNEL(12 hours, view -> click -> purchase): per-user max step,
+    // reported as a funnel histogram (12 h chosen so all three levels occur in
+    // testdata). Cross-engine SQL is not expressible — rows-only here,
+    // brute-force-verified in ScalaTest.
+    "agg_window_funnel" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val steps = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin(steps.keys.toSeq: _*))
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            when($"event_type" === "view", 1)
+              .when($"event_type" === "click", 2)
+              .otherwise(3).as("step"))
+        ev.groupBy($"user_id")
+          .agg(ESA.window_funnel(12L * 3600 * 1000000L, 3)($"ts_us", $"step").as("funnel_level"))
+          .groupBy($"funnel_level")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"funnel_level")
+      },
+      None),
+
+    // SEQUENCE_MATCH('(?1)(?2)'): signup then purchase, per user — greedy
+    // subsequence existence, oracled via cascaded-min SQL (equivalent).
+    "agg_sequence_match" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin("signup", "purchase"))
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            when($"event_type" === "signup", 1).otherwise(2).as("step"))
+        ev.groupBy($"user_id")
+          .agg(ESA.sequence_match(2)($"ts_us", $"step").cast("int").as("matched"))
+          .orderBy($"user_id")
+      },
+      """SELECT user_id,
+        |  CAST(coalesce((
+        |    SELECT min(p.ts) FROM events p
+        |    WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+        |      AND p.ts > (SELECT min(s.ts) FROM events s
+        |                  WHERE s.user_id = e.user_id AND s.event_type = 'signup')
+        |  ) IS NOT NULL, false) AS INTEGER) AS matched
+        |FROM (SELECT DISTINCT user_id FROM events
+        |      WHERE event_type IN ('signup', 'purchase')) e
+        |ORDER BY user_id""".stripMargin)
+  )
+}

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, IntegerType}
+
+/** Table functions / lateral view (SURVEY.md §2.9).
+  *
+  * Doris: VTableFunctionNode [doris: be/src/vec/exec/vtable_function_node.cpp]
+  * with functions under [doris: be/src/vec/exec/table_function/]. Spark:
+  * generator expressions (explode/posexplode/inline) planned as GenerateExec —
+  * fully distributed, no shuffle introduced by the generator itself.
+  */
+object TableFunctions {
+
+  def queries: Map[String, QueryDef] = Map(
+    // explode + posexplode over tokenized text (explode_split analogue).
+    "tf_explode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 50)
+          .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "tok")))
+          .orderBy($"doc_id", $"pos")
+      },
+      """SELECT doc_id,
+        |  generate_subscripts(tl, 1) - 1 AS pos,
+        |  unnest(tl) AS tok
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tl
+        |      FROM documents WHERE doc_id < 50) s
+        |ORDER BY doc_id, pos""".stripMargin),
+
+    // explode_json_array_int analogue: per-row JSON array -> rows.
+    "tf_explode_json" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .filter($"event_id" < 200)
+          .select($"event_id",
+            get_json_object($"props", "$.k").cast("int").as("k"))
+          .filter($"k" > 0)
+          .select($"event_id",
+            explode(from_json(
+              concat(lit("["), $"k", lit(","), $"k" * 2, lit("]")),
+              ArrayType(IntegerType))).as("v"))
+          .orderBy($"event_id", $"v")
+      },
+      """SELECT event_id, u.v AS v
+        |FROM (SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |      FROM events WHERE event_id < 200) s,
+        |     unnest([k, k * 2]) u(v)
+        |WHERE k > 0
+        |ORDER BY event_id, v""".stripMargin),
+
+    // numbers()/range TVF + explode(sequence(...)).
+    "tf_numbers" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.range(0, 100).toDF("id")
+          .select($"id", ($"id" * $"id").as("sq"),
+            size(sequence(lit(0), $"id" % 5)).as("seq_len"))
+          .orderBy($"id")
+      },
+      """SELECT range AS id, range * range AS sq,
+        |  CAST(range % 5 + 1 AS INTEGER) AS seq_len
+        |FROM range(0, 100) ORDER BY id""".stripMargin)
+  )
+}
