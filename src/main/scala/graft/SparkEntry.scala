@@ -17,7 +17,10 @@ object SparkEntry {
       operators.Functions.queries ++
       operators.TableFunctions.queries ++
       operators.Sketches.queries ++
-      operators.KeyModels.queries
+      operators.KeyModels.queries ++
+      operators.LlmDedup.queries ++
+      operators.LlmSimilarity.queries ++
+      operators.LlmText.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,127 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines (SURVEY.md §2.11):
+  * exact, exact-Jaccard via inverted shingle index, MinHash-LSH, SimHash.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *  - exact dedup: one hash-shuffle on sha256(text) — O(rows), no pairs.
+  *  - jaccard: inverted index on 3-token shingles. Join fan-out is
+  *    sum(n_s^2) over shingle posting lists — shingles are selective
+  *    (measured 2.8M candidate rows for 5k docs at sf0.1), unlike raw tokens
+  *    whose posting lists would explode. At larger scale add prefix filtering
+  *    (only the k rarest shingles per doc) — same plan shape.
+  *  - MinHash-LSH: signature is 16 mins of seeded xxhash64 (per-row, no
+  *    shuffle), banded 4×4; candidates = self-join on (band, key) — only
+  *    near-dups collide, so the join output is O(true pairs), the property
+  *    that makes MinHash the 100 TB path.
+  *  - SimHash: 64-bit signature per doc; candidate pairs via 4×16-bit chunk
+  *    equality (pigeonhole: hamming<=3 guarantees a matching chunk), then
+  *    exact hamming filter. Join on chunk values only — no n² scan.
+  */
+object LlmDedup {
+
+  def queries: Map[String, QueryDef] = Map(
+    // Exact dedup over content hash: corpus-level stats + per-group merge.
+    "llm_dedup_exact" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .groupBy(sha2($"text", 256).as("h"))
+          .agg(count(lit(1)).as("n"), min($"doc_id").as("keep_id"))
+          .agg(
+            count(lit(1)).as("n_distinct_texts"),
+            sum($"n").as("n_docs"),
+            sum(when($"n" > 1, $"n" - 1).otherwise(0L)).as("n_removed"),
+            count(when($"n" > 1, 1)).as("n_dup_groups"))
+      },
+      """SELECT count(*) AS n_distinct_texts,
+        |  sum(n) AS n_docs,
+        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_removed,
+        |  count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
+        |FROM (SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |      FROM documents GROUP BY 1) g""".stripMargin),
+
+    // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index.
+    "llm_dedup_jaccard" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+          .select($"doc_id", explode(TextOps.shingles($"text", 3)).as("s"))
+        val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("common"))
+        pairs
+          .join(sizes.as("x"), $"i" === $"x.doc_id")
+          .join(sizes.as("y"), $"j" === $"y.doc_id")
+          .select($"i", $"j",
+            round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
+          .filter($"jaccard" >= 0.6)
+          .orderBy($"i", $"j")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+        |WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6
+        |ORDER BY i, j""".stripMargin),
+
+    // MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows).
+    // xxhash64 seeds are Spark-internal -> rows-only check here; recall vs
+    // the exact-Jaccard key is asserted in ScalaTest.
+    "llm_dedup_minhash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Tables.documents(s, dir)
+          .select($"doc_id",
+            TextOps.lshBands(
+              TextOps.minhashSignature(TextOps.shingles($"text", 3), 16),
+              bands = 4, rows = 4).as("bands"))
+          .select($"doc_id", explode($"bands").as("b"))
+          .select($"doc_id", $"b.band".as("band"), $"b.key".as("key"))
+        sigs.as("a").join(sigs.as("b"), Seq("band", "key"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .distinct()
+          .orderBy($"i", $"j")
+      },
+      None),
+
+    // SimHash near-dup pairs: 64-bit signature, 4x16-bit chunk blocking,
+    // exact hamming <= 3 verification. Signature hash is engine-internal ->
+    // rows-only; invariants tested in ScalaTest.
+    "llm_dedup_simhash" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val sigs = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+        val chunkArr = array((0 until 4).map(c =>
+          struct(lit(c).as("chunk"),
+            shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)
+        val chunks = sigs.select($"doc_id", $"sig", explode(chunkArr).as("c"))
+          .select($"doc_id", $"sig", $"c.chunk".as("chunk"), $"c.ckey".as("ckey"))
+        chunks.as("a").join(chunks.as("b"), Seq("chunk", "ckey"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
+            TextOps.hamming($"a.sig", $"b.sig").as("ham"))
+          .distinct()
+          .filter($"ham" <= 3)
+          .orderBy($"i", $"j")
+      },
+      None)
+  )
+}

@@ -1,0 +1,213 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.text.TextOps
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text analysis + multimodal plumbing for training-data pipelines
+  * (SURVEY.md §2.11): tokenize/stats, quality scoring, language ID, keyword
+  * match, token counting, fingerprinting, binary-column decode stubs.
+  *
+  * Scale notes: all per-document work is narrow (no shuffle); langid builds a
+  * tiny per-language profile (one agg) and broadcasts it; the multimodal
+  * decode runs as mapPartitions over batches — the Scala analogue of
+  * mapInPandas: per-partition batch processing with an explicit schema, which
+  * is where a real image/audio decoder would run on executors.
+  */
+object LlmText {
+
+  private val stopwords = Seq("a", "the")
+
+  def queries: Map[String, QueryDef] = Map(
+    // Tokenization + basic text stats (also exercises metadata filters).
+    "llm_tokenize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TextOps.tokens($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang", $"source",
+            size(t).as("n_tokens"),
+            size(array_distinct(t)).as("n_distinct"),
+            length($"text").as("n_chars_actual"),
+            round(length($"text").cast("double") / size(t), 4).as("chars_per_token"))
+          .filter($"lang".isin("es", "de", "zh"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id, lang, source,
+        |  len(string_split(lower(text), ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(lower(text), ' '))) AS n_distinct,
+        |  length(text) AS n_chars_actual,
+        |  round(length(text) * 1.0 / len(string_split(lower(text), ' ')), 4) AS chars_per_token
+        |FROM documents WHERE lang IN ('es', 'de', 'zh')
+        |ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length/stopword/repetition signals -> one score.
+    "llm_quality" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TextOps.tokens($"text")
+        val nTok = size(t).cast("double")
+        val nStop = size(filter(t, x => x.isin(stopwords: _*))).cast("double")
+        val nDist = size(array_distinct(t)).cast("double")
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            round(nStop / nTok, 4).as("stopword_ratio"),
+            round(nDist / nTok, 4).as("distinct_ratio"),
+            round(nTok / 100.0, 4).as("len_signal"),
+            round(
+              least(nTok / 100.0, lit(1.0)) * 0.3
+                + (lit(1.0) - nStop / nTok) * 0.2
+                + (nDist / nTok) * 0.5, 4).as("quality"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tl) AS DOUBLE) AS n_tok,
+        |    CAST(len(list_filter(tl, x -> x IN ('a', 'the'))) AS DOUBLE) AS n_stop,
+        |    CAST(len(list_distinct(tl)) AS DOUBLE) AS n_dist
+        |  FROM t)
+        |SELECT doc_id,
+        |  round(n_stop / n_tok, 4) AS stopword_ratio,
+        |  round(n_dist / n_tok, 4) AS distinct_ratio,
+        |  round(n_tok / 100.0, 4) AS len_signal,
+        |  round(least(n_tok / 100.0, 1.0) * 0.3
+        |        + (1.0 - n_stop / n_tok) * 0.2
+        |        + (n_dist / n_tok) * 0.5, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Language ID: data-derived n-gram/token profiles (top-20 tokens per
+    // lang), broadcast back, argmax overlap. Reports per-lang accuracy.
+    "llm_langid" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir)
+        val tok = docs.select($"doc_id", $"lang", explode(TextOps.tokenSet($"text")).as("tok"))
+        val profile = tok.groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"lang").orderBy($"c".desc, $"tok".asc)))
+          .filter($"rn" <= 20)
+          .select($"lang".as("plang"), $"tok")
+        val scored = tok.join(broadcast(profile), Seq("tok"))
+          .groupBy($"doc_id", $"lang", $"plang")
+          .agg(count(lit(1)).as("overlap"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang".asc)))
+          .filter($"rn" === 1)
+        scored.groupBy($"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(($"plang" === $"lang").cast("long")).as("n_predicted_self"))
+          .orderBy($"lang")
+      },
+      """WITH tok AS (SELECT doc_id, lang, unnest(list_distinct(string_split(lower(text), ' '))) tok
+        |  FROM documents),
+        |prof AS (SELECT lang AS plang, tok FROM (
+        |    SELECT lang, tok, count(*) c,
+        |      row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, tok ASC) rn
+        |    FROM tok GROUP BY lang, tok) p
+        |  WHERE rn <= 20),
+        |scored AS (SELECT doc_id, lang, plang, count(*) overlap
+        |  FROM tok JOIN prof USING (tok) GROUP BY 1, 2, 3),
+        |best AS (SELECT doc_id, lang, plang,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang ASC) rn
+        |  FROM scored)
+        |SELECT lang, count(*) AS n_docs,
+        |  sum(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS n_predicted_self
+        |FROM best WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Inverted keyword match: MATCH_ANY / MATCH_ALL over the token index.
+    "llm_match" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TextOps.tokenSet($"text")
+        Tables.documents(s, dir)
+          .select($"doc_id", t.as("toks"))
+          .select($"doc_id",
+            array_contains($"toks", "spark").cast("int").as("has_spark"),
+            arrays_overlap($"toks", array(lit("spark"), lit("flink"))).cast("int").as("match_any"),
+            (array_contains($"toks", "spark") && array_contains($"toks", "join"))
+              .cast("int").as("match_all"))
+          .filter($"match_any" === 1)
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(list_contains(tl, 'spark') AS INTEGER) AS has_spark,
+        |  CAST(list_contains(tl, 'spark') OR list_contains(tl, 'flink') AS INTEGER) AS match_any,
+        |  CAST(list_contains(tl, 'spark') AND list_contains(tl, 'join') AS INTEGER) AS match_all
+        |FROM (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) tl FROM documents) t
+        |WHERE list_contains(tl, 'spark') OR list_contains(tl, 'flink')
+        |ORDER BY doc_id""".stripMargin),
+
+    // Token counting: whitespace, BPE-ish regex pieces, chars/4 heuristic.
+    "llm_token_count" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(split($"text", "\\s+")).as("ws_tokens"),
+            size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("bpe_ish_tokens"),
+            ceil(length($"text") / 4.0).cast("long").as("chars_div4"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Document fingerprinting: content hash over the normalized token set
+    // (order-insensitive) + first-8-hex prefix bucketing.
+    "llm_fingerprint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fp = md5(array_join(array_sort(TextOps.tokenSet($"text")), " "))
+        Tables.documents(s, dir)
+          .select($"doc_id", fp.as("fingerprint"),
+            substring(fp, 1, 4).as("bucket"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fingerprint,
+        |  substring(md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')), 1, 4) AS bucket
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Multimodal plumbing: opaque binary column + typed metadata, with the
+    // decode step stubbed DETERMINISTICALLY (no image libs in env) but the
+    // Spark-side batch path real: mapPartitions over an explicit schema —
+    // where a real decoder (mapInPandas analogue) would execute.
+    "llm_multimodal" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val withBlob = Tables.documents(s, dir)
+          .select($"doc_id", $"text".cast("binary").as("blob"), $"source")
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_bytes", IntegerType),
+          StructField("fake_width", IntegerType),
+          StructField("fake_height", IntegerType),
+          StructField("mean_byte16", DoubleType)))
+        val decoded = withBlob.select($"doc_id", $"blob").rdd.mapPartitions { it =>
+          // batch "decode" stub: a real pipeline would decode image/audio
+          // bytes here (per-partition, library handle reused across rows)
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val head = bytes.take(16)
+            Row(id, bytes.length, bytes.length % 640, (bytes.length * 7) % 480,
+              math.round(head.map(_.toInt.toDouble).sum / head.length * 10000.0) / 10000.0)
+          }
+        }
+        s.createDataFrame(decoded, outSchema).orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_bytes,
+        |  CAST(length(text) % 640 AS INTEGER) AS fake_width,
+        |  CAST((length(text) * 7) % 480 AS INTEGER) AS fake_height,
+        |  round(list_sum(list_transform(generate_series(1, least(length(text), 16)),
+        |        i -> ascii(substring(text, i, 1)))) * 1.0
+        |        / least(length(text), 16), 4) AS mean_byte16
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable text-pipeline primitives (SURVEY.md §2.11, BASELINE.json
+  * north-star): tokenization, shingling, MinHash signatures, SimHash,
+  * embedding math. All pure Column expressions except simhash (one scalar UDF
+  * over the token array).
+  *
+  * Scale notes: every helper is per-row (no shuffle); the dedup/kNN pipelines
+  * built on top (operators.LlmText) do exactly one shuffle per logical step
+  * (explode→group / band-join) and never collect to the driver. The planted
+  * analogue in Doris is the 2.x inverted text index + MATCH predicates
+  * ([doris: be/src/olap/rowset/segment_v2/inverted_index_reader.cpp]); here
+  * the inverted index is a first-class DataFrame (token → doc posting list).
+  */
+object TextOps {
+
+  /** Whitespace tokenization, lowercased. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Distinct token set. */
+  def tokenSet(text: Column): Column = array_distinct(tokens(text))
+
+  /** w-token shingles ("w-grams of words"), distinct. transform over an index
+    * sequence keeps this a single codegen'd expression.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val t = tokens(text)
+    array_distinct(
+      when(size(t) >= w,
+        transform(sequence(lit(0), size(t) - w),
+          i => array_join(slice(t, i + 1, lit(w)), " ")))
+        .otherwise(array(array_join(t, " "))))
+  }
+
+  /** MinHash signature: for each of k seeded hash functions, the minimum
+    * xxhash64 over the shingle set. Returns array<long> of length k.
+    */
+  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shingleCol,
+        s => xxhash64(concat(seed.cast("string"), lit("|"), s)))))
+
+  /** LSH band keys from a minhash signature: bands of `rows` values, each
+    * hashed to one long. Returns array<struct<band:int, key:long>>.
+    */
+  def lshBands(sig: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.cast("int").as("band"),
+        xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows)))).as("key")))
+
+  /** 64-bit SimHash over a token array (stable MurmurHash3 per token). */
+  private def simhash64(toks: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    toks.foreach { t =>
+      // two 32-bit murmur hashes -> one stable 64-bit token hash
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (acc(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+  val simhashUdf = udf((toks: Seq[String]) => simhash64(toks))
+
+  /** Hamming distance between two 64-bit signatures (pure expression). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Dot product of two float/double arrays — sequential fold, deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+}
