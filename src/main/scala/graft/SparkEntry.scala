@@ -20,7 +20,8 @@ object SparkEntry {
       operators.KeyModels.queries ++
       operators.LlmDedup.queries ++
       operators.LlmSimilarity.queries ++
-      operators.LlmText.queries
+      operators.LlmText.queries ++
+      streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
