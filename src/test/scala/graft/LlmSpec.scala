@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator invariants (SURVEY.md §2.11 / M6): LSH recall vs the
+  * exact-Jaccard baseline, SimHash properties, IVF recall floor vs brute
+  * force, multimodal stub determinism.
+  */
+class LlmSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("minhash-LSH candidates recall all jaccard >= 0.9 pairs") {
+    val exact = run("llm_dedup_jaccard")
+      .filter($"jaccard" >= 0.9).select($"i", $"j").as[(Long, Long)].collect().toSet
+    val lsh = run("llm_dedup_minhash").as[(Long, Long)].collect().toSet
+    assert(exact.subsetOf(lsh),
+      s"missed ${exact.diff(lsh).size} of ${exact.size} near-dup pairs")
+  }
+
+  test("simhash: identical texts collide, near-dups are close") {
+    import graft.text.TextOps
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "alpha beta gamma delta zeta")
+    ).toDF("id", "text")
+      .select($"id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+    val sigs = df.as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 16)
+  }
+
+  test("ivf knn: recall floor vs brute-force knn") {
+    val truth = run("llm_knn").select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val ivf = run("llm_knn_ivf").select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    // unstructured synthetic embeddings bound nprobe=3 recall; floor at 1/3
+    assert(ivf.intersect(truth).size.toDouble / truth.size >= 0.33,
+      s"recall ${ivf.intersect(truth).size}/${truth.size}")
+  }
+
+  test("cosine is 1.0 for self-similarity") {
+    import graft.text.TextOps
+    val one = Tables.embeddings(spark, sf).limit(1)
+      .select(round(TextOps.cosine($"embedding", $"embedding"), 6).as("c"))
+      .as[Double].head()
+    assert(one == 1.0)
+  }
+
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val a = run("llm_multimodal").collect()
+    val b = run("llm_multimodal").collect()
+    assert(a.sameElements(b))
+    assert(run("llm_multimodal").schema.fieldNames.toSeq ==
+      Seq("doc_id", "n_bytes", "fake_width", "fake_height", "mean_byte16"))
+  }
+
+  test("exact dedup stats are consistent") {
+    val r = run("llm_dedup_exact")
+      .as[(Long, Long, Long, Long)].head()
+    val (distinct, docs, removed, groups) = r
+    assert(docs == Tables.documents(spark, sf).count())
+    assert(docs - removed == distinct)
+    assert(groups <= removed || removed == 0)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Per-operator specs for the relational surface (SURVEY.md §2.1–§2.7,
+  * §2.10): one assertion batch per query key over sf0.001, checking invariant
+  * properties (counts, algebraic identities) rather than golden values — the
+  * exact-value gate is the driver's DuckDB oracle.
+  */
+class RelationalSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  test("every declared query key runs and is deterministic across two runs") {
+    SparkEntry.defs.keys.foreach { k =>
+      val a = run(k).collect()
+      val b = run(k).collect()
+      assert(a.sameElements(b), s"$k not deterministic")
+    }
+  }
+
+  test("every oracled key has matching column names contract") {
+    // oracleSql keys must be a subset of queries keys
+    val qk = SparkEntry.queries.keySet
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qk))
+  }
+
+  test("scan_parquet pushes filters and prunes columns") {
+    val plan = run("scan_parquet").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_quantity"))
+    assert(!plan.contains("l_extendedprice"), "column pruning failed")
+  }
+
+  test("q1_agg: group count bounded by returnflag x linestatus domain") {
+    val rows = run("q1_agg").collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+  }
+
+  test("join semi + anti partition customers exactly") {
+    val cust = Tables.customer(spark, sf).count()
+    val urgent = Tables.orders(spark, sf).filter($"o_orderpriority".like("1-%"))
+    val semi = Tables.customer(spark, sf)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi").count()
+    val anti = Tables.customer(spark, sf)
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_anti").count()
+    assert(semi + anti == cust)
+  }
+
+  test("join_inner uses broadcast joins for dimension sides") {
+    val plan = run("join_inner").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("set ops algebra: |A| = |A∩B| + |A\\B|") {
+    val o = Tables.orders(spark, sf)
+    val a = o.filter($"o_orderstatus" === "F").select($"o_custkey").distinct()
+    val b = o.filter($"o_totalprice" > 50000.0).select($"o_custkey").distinct()
+    assert(a.intersect(b).count() + a.except(b).count() == a.count())
+  }
+
+  test("limit_offset pagination is a strict slice of the sorted stream") {
+    val all = Tables.orders(spark, sf).orderBy($"o_orderkey")
+      .select($"o_orderkey").as[Long].collect()
+    val page = run("limit_offset").select($"o_orderkey").as[Long].collect()
+    assert(page.sameElements(all.slice(50, 70)))
+  }
+}

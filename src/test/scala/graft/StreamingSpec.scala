@@ -1,0 +1,85 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Multi-batch streaming semantics (SURVEY.md §2.12) that the single-file
+  * source in streaming.Streaming can't reach deterministically: watermark
+  * late-data dropping and incremental window updates, driven by MemoryStream
+  * where batch boundaries are explicit.
+  */
+class StreamingSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("watermark drops events later than the delay in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start".as("start"), $"n")
+    val q = agg.writeStream.format("memory")
+      .queryName("wm_test").outputMode("append").start()
+    try {
+      // batch 1: two events in [10:00, 10:10) and one in [10:10, 10:20)
+      input.addData((ts(1), 1.0), (ts(5), 1.0), (ts(12), 1.0))
+      q.processAllAvailable()
+      // watermark is now 10:12 - 5min = 10:07 -> no window closed yet
+      // batch 2: advance time to 10:25 -> closes [10:00,10:10)
+      input.addData((ts(25), 1.0))
+      q.processAllAvailable()
+      // batch 3: a LATE event for the closed window must be dropped
+      input.addData((ts(2), 99.0))
+      q.processAllAvailable()
+      // batch 4: advance far enough to close [10:10,10:20) and [10:20,10:30)
+      input.addData((Timestamp.valueOf("2024-01-01 11:00:00"), 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("wm_test")
+        .select(date_format($"start", "HH:mm").as("s"), $"n")
+        .as[(String, Long)].collect().toMap
+      // the 10:00 window emitted exactly 2 (late event dropped), 10:10 -> 1
+      assert(rows("10:00") == 2L, s"late event not dropped: $rows")
+      assert(rows("10:10") == 1L, rows.toString)
+    } finally q.stop()
+  }
+
+  test("streaming dedup with watermark keeps one row per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val dedup = input.toDF().toDF("ts", "key")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicates("key")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dd_test").outputMode("append").start()
+    try {
+      input.addData((ts(1), 1L), (ts(2), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      input.addData((ts(4), 1L), (ts(5), 3L))
+      q.processAllAvailable()
+      val keys = spark.table("dd_test").select($"key").as[Long].collect().sorted
+      assert(keys.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("incremental window agg across batches equals batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "value")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(round(sum($"value"), 2).as("total"))
+      .select(date_format($"w.start", "HH:mm").as("s"), $"total")
+    val q = agg.writeStream.format("memory")
+      .queryName("inc_test").outputMode("complete").start()
+    try {
+      val data = Seq((ts(1), 1.5), (ts(5), 2.5), (ts(12), 4.0), (ts(15), 0.5))
+      data.grouped(2).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+      val streamed = spark.table("inc_test").as[(String, Double)].collect().toMap
+      assert(streamed == Map("10:00" -> 4.0, "10:10" -> 4.5))
+    } finally q.stop()
+  }
+}
