@@ -88,11 +88,8 @@ object LlmDedup {
         import s.implicits._
         val sigs = Tables.documents(s, dir)
           .select($"doc_id",
-            TextOps.lshBands(
-              TextOps.minhashSignature(TextOps.shingles($"text", 3), 16),
-              bands = 4, rows = 4).as("bands"))
-          .select($"doc_id", explode($"bands").as("b"))
-          .select($"doc_id", $"b.band".as("band"), $"b.key".as("key"))
+            posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shingles($"text", 3)))
+              .as(Seq("band", "key")))
         sigs.as("a").join(sigs.as("b"), Seq("band", "key"))
           .filter($"a.doc_id" < $"b.doc_id")
           .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))

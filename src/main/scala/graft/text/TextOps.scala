@@ -51,6 +51,39 @@ object TextOps {
       b => struct(b.cast("int").as("band"),
         xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows)))).as("key")))
 
+  /** MinHash LSH band keys in ONE pass over the shingle set: for each of
+    * bands*rows seeded hash functions take the min over shingles, then fold
+    * each band's `rows` minima into one band key. Returns array<long> of
+    * length `bands` (index = band id).
+    *
+    * This is the hot path of MinHash at scale, so it's a single imperative
+    * UDF rather than nested higher-order expressions: HOF lambdas
+    * (transform/array_min) don't enter whole-stage codegen, and Catalyst's
+    * CollapseProject re-inlines the signature expression into every band
+    * projection and join side — measured 16x recompute (719 s at sf0.1 vs
+    * ~2 s for this UDF).
+    */
+  def minhashBandsUdf(bands: Int, rows: Int) = udf { shingles: Seq[String] =>
+    val k = bands * rows
+    val mins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { sh =>
+      var i = 0
+      while (i < k) {
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x100 + i)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x9e3779b9 + i)
+        val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+    }
+    Array.tabulate(bands) { b =>
+      var key = 1125899906842597L
+      var r = 0
+      while (r < rows) { key = key * 31 + mins(b * rows + r); r += 1 }
+      key
+    }
+  }
+
   /** 64-bit SimHash over a token array (stable MurmurHash3 per token). */
   private def simhash64(toks: Seq[String]): Long = {
     val acc = new Array[Int](64)
