@@ -51,7 +51,7 @@ object LlmDedup {
       (s, dir) => {
         import s.implicits._
         val docs = Tables.documents(s, dir)
-          .select($"doc_id", explode(TextOps.shingles($"text", 3)).as("s"))
+          .select($"doc_id", explode(TextOps.shinglesUdf(3)($"text")).as("s"))
         val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
         val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
           .filter($"a.doc_id" < $"b.doc_id")
@@ -88,7 +88,7 @@ object LlmDedup {
         import s.implicits._
         val sigs = Tables.documents(s, dir)
           .select($"doc_id",
-            posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shingles($"text", 3)))
+            posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shinglesUdf(3)($"text")))
               .as(Seq("band", "key")))
         sigs.as("a").join(sigs.as("b"), Seq("band", "key"))
           .filter($"a.doc_id" < $"b.doc_id")

@@ -51,6 +51,16 @@ object TextOps {
       b => struct(b.cast("int").as("band"),
         xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows)))).as("key")))
 
+  /** Imperative shingle UDF for hot dedup paths — same output as
+    * [[shingles]], one pass, no interpreted HOF tree (see minhashBandsUdf
+    * rationale).
+    */
+  def shinglesUdf(w: Int) = udf { text: String =>
+    val toks = text.toLowerCase.split("\\s+")
+    if (toks.length < w) Array(toks.mkString(" ")).distinct
+    else Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" ")).distinct
+  }
+
   /** MinHash LSH band keys in ONE pass over the shingle set: for each of
     * bands*rows seeded hash functions take the min over shingles, then fold
     * each band's `rows` minima into one band key. Returns array<long> of
