@@ -21,6 +21,7 @@ object SparkEntry {
       operators.LlmDedup.queries ++
       operators.LlmSimilarity.queries ++
       operators.LlmText.queries ++
+      operators.Rollups.queries ++
       streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
