@@ -22,6 +22,7 @@ object SparkEntry {
       operators.LlmSimilarity.queries ++
       operators.LlmText.queries ++
       operators.Rollups.queries ++
+      operators.FileScans.queries ++
       streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
