@@ -20,18 +20,20 @@ import org.apache.spark.sql.types._
   */
 object FileScans {
 
-  private val staged = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, (String, String, String)]()
 
-  private def ensureStaged(s: SparkSession, dir: String): (String, String) =
+  private def ensureStaged(s: SparkSession, dir: String): (String, String, String) =
     staged.computeIfAbsent(dir, { _ =>
       val csv = java.nio.file.Files.createTempDirectory("graft_csv").toString
       val json = java.nio.file.Files.createTempDirectory("graft_json").toString
+      val orc = java.nio.file.Files.createTempDirectory("graft_orc").toString
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
       ord.write.mode("overwrite").option("header", "true").csv(csv)
       ord.write.mode("overwrite").json(json)
-      (csv, json)
+      ord.write.mode("overwrite").orc(orc)
+      (csv, json, orc)
     })
 
   /** Typed row for the Dataset[T] demo (top-level so Encoders derive). */
@@ -47,7 +49,7 @@ object FileScans {
     "scan_csv" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val (csv, _) = ensureStaged(s, dir)
+        val (csv, _, _) = ensureStaged(s, dir)
         s.read.schema(ordersSchema).option("header", "true").csv(csv)
           .filter($"o_totalprice" > 100000.0)
           .groupBy($"o_orderstatus")
@@ -61,7 +63,7 @@ object FileScans {
     "scan_json" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val (_, json) = ensureStaged(s, dir)
+        val (_, json, _) = ensureStaged(s, dir)
         s.read.schema(ordersSchema).json(json)
           .filter($"o_orderpriority".like("1-%"))
           .select($"o_orderkey", $"o_custkey", $"o_totalprice")
@@ -70,6 +72,19 @@ object FileScans {
       """SELECT o_orderkey, o_custkey, o_totalprice
         |FROM orders WHERE o_orderpriority LIKE '1-%'
         |ORDER BY o_orderkey""".stripMargin),
+
+    "scan_orc" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (_, _, orc) = ensureStaged(s, dir)
+        s.read.schema(ordersSchema).orc(orc)
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(avg($"o_totalprice"), 4).as("avg_price"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Typed Dataset path: case-class Encoder + typed filter/groupByKey — the
     // Dataset[T] API surface (SURVEY §1.2) over the same engine.

@@ -79,7 +79,9 @@ object Sketches {
           BF.bitmap_count(BF.bitmap_or($"bm_signup", $"bm_purchase")).as("n_or"),
           BF.bitmap_count(BF.bitmap_xor($"bm_signup", $"bm_purchase")).as("n_xor"),
           BF.bitmap_contains($"bm_signup", lit(1L)).cast("int").as("has_user1"),
-          BF.bitmap_count(BF.bitmap_from_string(lit("1,2,3,2"))).as("n_parsed"))
+          BF.bitmap_count(BF.bitmap_from_string(lit("1,2,3,2"))).as("n_parsed"),
+          // explode_bitmap analogue: bitmap -> rows -> count round trip
+          size(BF.bitmap_to_array($"bm_signup")).as("n_exploded"))
       },
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
@@ -98,7 +100,27 @@ object Sketches {
         |      EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup')) t) AS n_xor,
         |  (SELECT CAST(count(*) > 0 AS INTEGER) FROM events
         |   WHERE event_type = 'signup' AND user_id = 1) AS has_user1,
-        |  3 AS n_parsed""".stripMargin),
+        |  3 AS n_parsed,
+        |  (SELECT CAST(count(DISTINCT user_id) AS INTEGER) FROM events
+        |   WHERE event_type = 'signup') AS n_exploded""".stripMargin),
+
+    // UDF/UDAF surface through SQL registration (SURVEY §2.13): the bitmap
+    // layer exposed under Doris names via spark.udf.register, exercised from
+    // a SQL string exactly as a Doris user would write it.
+    "udf_sql_surface" -> QueryDef(
+      (s, dir) => {
+        graft.functions.BitmapFunctions.registerAll(s)
+        Tables.events(s, dir).createOrReplaceTempView("v_events_udf")
+        s.sql(
+          """SELECT event_type,
+            |  bitmap_count(bitmap_union(user_id)) AS nd_users,
+            |  CAST(bitmap_contains(bitmap_union(user_id), 1L) AS INT) AS has_user1
+            |FROM v_events_udf GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS nd_users,
+        |  CAST(count(CASE WHEN user_id = 1 THEN 1 END) > 0 AS INTEGER) AS has_user1
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
     // TOPN(col, k): exact top-k most frequent values per group, as Spark-first
     // composition (groupBy count -> ranked window -> ordered string_agg).

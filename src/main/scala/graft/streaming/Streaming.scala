@@ -108,6 +108,23 @@ object Streaming {
         |      FROM events) t
         |WHERE rn = 1 ORDER BY user_id""".stripMargin),
 
+    // AGGREGATE-key incremental aggregation on ingest (Doris aggregate-key
+    // merge): streaming groupBy over the key columns in complete mode — each
+    // micro-batch folds into the running per-key state.
+    "stream_agg" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val agg = eventStream(s, dir)
+          .groupBy($"user_id", $"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"),
+            max($"event_id").as("max_event"))
+        drainToTable(s, agg, "t_stream_agg", "complete")
+          .orderBy($"user_id", $"event_type")
+      },
+      """SELECT user_id, event_type, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value, max(event_id) AS max_event
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Tumbling window aggregate (1 hour).
     "stream_tumble" -> QueryDef(
       (s, dir) => {
