@@ -193,6 +193,28 @@ object Aggregates {
         |  count(s_suppkey) AS n_supps
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
 
+    // Skew-mitigating two-phase salted aggregation (SURVEY §2.4 scale note):
+    // phase 1 groups on (key, salt) so one hot key spreads over 8 reducers,
+    // phase 2 merges the partials. Result provably equals the plain groupBy
+    // (the oracle is the unsalted SQL). At 100 TB this is the pattern for
+    // keys whose groups exceed a single executor; AQE skew-join handles the
+    // join flavor automatically, this is the groupBy flavor.
+    "agg_salted_skew" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val salted = Tables.lineitem(s, dir)
+          .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(8)))
+        salted
+          .groupBy($"l_returnflag", $"salt")
+          .agg(sum($"l_quantity").as("s"), count(lit(1)).as("c"))
+          .groupBy($"l_returnflag")
+          .agg(round(sum($"s"), 2).as("sum_qty"), sum($"c").as("n_rows"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // any_value/max_by/min_by.
     "agg_minmax_by" -> QueryDef(
       (s, dir) => {

@@ -140,19 +140,23 @@ object LlmText {
         |WHERE list_contains(tl, 'spark') OR list_contains(tl, 'flink')
         |ORDER BY doc_id""".stripMargin),
 
-    // Token counting: whitespace, BPE-ish regex pieces, chars/4 heuristic.
+    // Token counting: whitespace split, the zero-allocation codegen'd
+    // TokenCount expression, BPE-ish regex pieces, chars/4 heuristic.
     "llm_token_count" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.TokenCount.register(s)
         Tables.documents(s, dir)
           .select($"doc_id",
             size(split($"text", "\\s+")).as("ws_tokens"),
+            graft.functions.TokenCount.token_count($"text").as("tc_tokens"),
             size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)")).as("bpe_ish_tokens"),
             ceil(length($"text") / 4.0).cast("long").as("chars_div4"))
           .orderBy($"doc_id")
       },
       """SELECT doc_id,
         |  len(string_split_regex(text, '\s+')) AS ws_tokens,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS INTEGER) AS tc_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens,
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
         |FROM documents ORDER BY doc_id""".stripMargin),
