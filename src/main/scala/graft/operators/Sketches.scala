@@ -51,6 +51,21 @@ object Sketches {
       },
       None),
 
+    // QUANTILE_STATE analogue: percentile_approx sketch (re-aggregable in
+    // Doris; Spark's sketch is per-query). Approximate -> rows-only; the
+    // error bound vs exact percentile is asserted in ScalaTest.
+    "agg_percentile_approx" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_approx"),
+            percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95_approx"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
     // BITMAP_UNION_COUNT == exact count(distinct): oracled.
     "agg_bitmap_distinct" -> QueryDef(
       (s, dir) => {

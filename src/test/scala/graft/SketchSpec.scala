@@ -70,6 +70,19 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("percentile_approx within 2% relative error of exact percentile") {
+    val joined = run("agg_percentile_approx").as[(String, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)"), expr("percentile(l_extendedprice, 0.95)"))
+      .as[(String, Double, Double)].collect()
+    exact.foreach { case (flag, e50, e95) =>
+      val (a50, a95) = joined(flag)
+      assert(math.abs(a50 - e50) / e50 < 0.02, s"$flag p50 $a50 vs $e50")
+      assert(math.abs(a95 - e95) / e95 < 0.02, s"$flag p95 $a95 vs $e95")
+    }
+  }
+
   test("streaming funnel histogram equals batch funnel histogram") {
     val a = run("agg_window_funnel").as[(Int, Long)].collect().sorted.toSeq
     val b = run("stream_funnel").as[(Int, Long)].collect().sorted.toSeq
