@@ -26,7 +26,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    // also persist to a repo file: the single-line JSON can exceed the
+    // driver's stdout tail window (round-1 BENCH parsed=null), and a file
+    // gives round-over-round comparability either way
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

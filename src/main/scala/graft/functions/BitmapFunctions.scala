@@ -1,7 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions
 import org.roaringbitmap.longlong.Roaring64NavigableMap
 
@@ -35,26 +34,14 @@ object BitmapFunctions {
     bm
   }
 
-  /** BITMAP_UNION(expr): long values -> serialized roaring bitmap. */
-  class BitmapUnionAgg extends Aggregator[java.lang.Long, Roaring64NavigableMap, Array[Byte]] {
-    override def zero: Roaring64NavigableMap = new Roaring64NavigableMap()
-    override def reduce(b: Roaring64NavigableMap, v: java.lang.Long): Roaring64NavigableMap = {
-      if (v != null) b.addLong(v)
-      b
-    }
-    override def merge(a: Roaring64NavigableMap, b: Roaring64NavigableMap): Roaring64NavigableMap = {
-      a.or(b); a
-    }
-    override def finish(b: Roaring64NavigableMap): Array[Byte] = serialize(b)
-    override def bufferEncoder = Encoders.javaSerialization(classOf[Roaring64NavigableMap])
-    override def outputEncoder = Encoders.BINARY
-  }
-
-  private lazy val unionUdaf =
-    functions.udaf(new BitmapUnionAgg, Encoders.LONG)
-
   // ---- Column API (Doris names) ------------------------------------------
-  def bitmap_union(c: Column): Column = unionUdaf(c)
+
+  /** BITMAP_UNION(expr): long values -> serialized roaring bitmap.
+    * Backed by the native [[NativeAggregates.BitmapUnion]]
+    * TypedImperativeAggregate (the round-1 javaSerialization buffer encoder
+    * is gone — shuffle bytes are the Roaring portable format itself).
+    * Callers must [[NativeAggregates.register]] on the session first. */
+  def bitmap_union(c: Column): Column = NativeAggregates.bitmap_union_native(c)
 
   def bitmap_union_count(c: Column): Column =
     bitmap_count(bitmap_union(c))
@@ -109,9 +96,68 @@ object BitmapFunctions {
     deserialize(b).toArray.mkString(","))
   def bitmap_to_string(c: Column): Column = toStringUdf(c)
 
+  // ---- scalar long tail (Doris audience-analytics spellings) -------------
+
+  /** bitmap_has_all(a, b): true iff b ⊆ a. */
+  private val hasAllUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val rhs = deserialize(b)
+    val inter = deserialize(b); inter.and(deserialize(a))
+    inter.getLongCardinality == rhs.getLongCardinality
+  })
+  def bitmap_has_all(a: Column, b: Column): Column = hasAllUdf(a, b)
+
+  /** bitmap_andnot / bitmap_not: elements of a not in b. */
+  private val andnotUdf = functions.udf((a: Array[Byte], b: Array[Byte]) => {
+    val m = deserialize(a); m.andNot(deserialize(b)); serialize(m)
+  })
+  def bitmap_andnot(a: Column, b: Column): Column = andnotUdf(a, b)
+  def bitmap_not(a: Column, b: Column): Column = andnotUdf(a, b)
+
+  /** bitmap_min / bitmap_max: smallest/largest element, NULL when empty. */
+  private val minUdf = functions.udf((b: Array[Byte]) => {
+    val m = deserialize(b)
+    if (m.isEmpty) null else java.lang.Long.valueOf(m.first())
+  })
+  def bitmap_min(c: Column): Column = minUdf(c)
+
+  private val maxUdf = functions.udf((b: Array[Byte]) => {
+    val m = deserialize(b)
+    if (m.isEmpty) null else java.lang.Long.valueOf(m.last())
+  })
+  def bitmap_max(c: Column): Column = maxUdf(c)
+
+  /** bitmap_subset_in_range(bm, lo, hi): elements in [lo, hi). */
+  private val subsetRangeUdf = functions.udf((b: Array[Byte], lo: Long, hi: Long) => {
+    val m = deserialize(b)
+    val out = new Roaring64NavigableMap()
+    val it = m.getLongIterator
+    while (it.hasNext) { val v = it.next(); if (v >= lo && v < hi) out.addLong(v) }
+    serialize(out)
+  })
+  def bitmap_subset_in_range(b: Column, lo: Column, hi: Column): Column =
+    subsetRangeUdf(b, lo, hi)
+
+  /** bitmap_subset_limit(bm, start, limit): first `limit` elements >= start. */
+  private val subsetLimitUdf = functions.udf((b: Array[Byte], start: Long, limit: Long) => {
+    val m = deserialize(b)
+    val out = new Roaring64NavigableMap()
+    val it = m.getLongIterator
+    var n = 0L
+    while (it.hasNext && n < limit) {
+      val v = it.next()
+      if (v >= start) { out.addLong(v); n += 1 }
+    }
+    serialize(out)
+  })
+  def bitmap_subset_limit(b: Column, start: Column, limit: Column): Column =
+    subsetLimitUdf(b, start, limit)
+
   /** Register SQL names (Doris spellings) on a session. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.udf.register("bitmap_union", functions.udaf(new BitmapUnionAgg, Encoders.LONG))
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bitmap_union",
+      exprs => NativeAggregates.BitmapUnion(exprs.head).toAggregateExpression(),
+      "built-in")
     spark.udf.register("bitmap_count", (b: Array[Byte]) =>
       if (b == null) 0L else deserialize(b).getLongCardinality)
     spark.udf.register("to_bitmap", (v: java.lang.Long) => {

@@ -159,7 +159,10 @@ object Aggregates {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
 
-    // Exact percentiles + median (Doris PERCENTILE / MEDIAN).
+    // Exact percentiles + median + PERCENTILE_ARRAY (Doris PERCENTILE /
+    // MEDIAN / PERCENTILE_ARRAY). The array result is stringified through
+    // DECIMAL so both engines print identically and the driver compares a
+    // scalar.
     "agg_percentile" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -168,13 +171,19 @@ object Aggregates {
           .agg(
             round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
             round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
-            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+            round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"),
+            array_join(expr(
+              "transform(percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D)), " +
+                "x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS STRING))"), ",")
+              .as("p_array"))
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
-        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+        |  array_to_string(list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]),
+        |      x -> CAST(CAST(round(x, 4) AS DECIMAL(18,4)) AS VARCHAR)), ',') AS p_array
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // collect_list/collect_set (ARRAY_AGG) — sorted for determinism.
@@ -184,12 +193,15 @@ object Aggregates {
         Tables.supplier(s, dir)
           .groupBy($"s_nationkey")
           .agg(
-            array_sort(collect_set($"s_suppkey")).as("supp_keys"),
+            // array_join to a scalar: the driver's pandas compare can't sort
+            // list columns (round-1 harness-err) — capability (collect_set +
+            // sort) is unchanged, the final projection is a string
+            array_join(array_sort(collect_set($"s_suppkey")), ",").as("supp_keys"),
             size(collect_list($"s_suppkey")).as("n_supps"))
           .orderBy($"s_nationkey")
       },
       """SELECT s_nationkey,
-        |  list_sort(list_distinct(list(s_suppkey))) AS supp_keys,
+        |  array_to_string(list_sort(list_distinct(list(s_suppkey))), ',') AS supp_keys,
         |  count(s_suppkey) AS n_supps
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin),
 

@@ -44,8 +44,8 @@ object Functions {
       },
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_quantity - 25.0) AS abs_v,
-        |  ceil(l_quantity / 7.0) AS ceil_v,
-        |  floor(l_quantity / 7.0) AS floor_v,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_v,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_v,
         |  round(l_extendedprice / 3.0, 2) AS round_v,
         |  l_orderkey % 7 AS mod_v,
         |  round(pow(l_quantity, 2.0), 2) AS pow_v,
@@ -178,17 +178,18 @@ object Functions {
         |  make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start_v
         |FROM orders ORDER BY o_orderkey""".stripMargin),
 
-    // MySQL-ish cast semantics: bad input → NULL (ANSI off), TRY_CAST oracle.
+    // MySQL-ish cast semantics: bad input → NULL via try_cast — expressed
+    // per-expression (no session-conf mutation: flipping ansi.enabled on the
+    // shared session would leak non-ANSI semantics into every later key).
     "fn_cast" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.ansi.enabled", "false")
         Tables.part(s, dir)
           .select(
             $"p_partkey",
             $"p_partkey".cast("string").as("int_to_str"),
             lit("123").cast("int").as("str_to_int"),
-            $"p_name".cast("int").as("bad_to_int"),
+            expr("try_cast(p_name AS INT)").as("bad_to_int"),
             lit("3.25").cast("double").as("str_to_dbl"),
             $"p_size".cast("double").as("int_to_dbl"),
             $"p_retailprice".cast("bigint").as("dbl_to_long"),
@@ -244,7 +245,10 @@ object Functions {
             round(expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"), 6).as("sum_v"),
             round(array_max($"embedding").cast("double"), 6).as("max_v"),
             round(array_min($"embedding").cast("double"), 6).as("min_v"),
-            expr("transform(slice(embedding, 1, 3), x -> round(CAST(x AS DOUBLE), 4))").as("head3"),
+            // stringified via DECIMAL so the driver's pandas compare sees a
+            // scalar (lists crash its sort) and both engines print a fixed
+            // 4-decimal format (double→string would differ on sci-notation)
+            array_join(expr("transform(slice(embedding, 1, 3), x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(10,4)) AS STRING))"), ",").as("head3"),
             expr("size(filter(embedding, x -> x > 0))").as("n_pos"),
             expr("CAST(exists(embedding, x -> x > 0.5) AS INT)").as("has_big"),
             round(expr("aggregate(zip_with(embedding, embedding, (a, b) -> CAST(a AS DOUBLE) * CAST(b AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"), 6).as("self_dot"))
@@ -257,7 +261,8 @@ object Functions {
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum_v,
         |  round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_v,
         |  round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_v,
-        |  list_transform(embedding[1:3], x -> round(CAST(x AS DOUBLE), 4)) AS head3,
+        |  array_to_string(list_transform(embedding[1:3],
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(10,4)) AS VARCHAR)), ',') AS head3,
         |  CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_pos,
         |  CAST(len(list_filter(embedding, x -> x > 0.5)) > 0 AS INTEGER) AS has_big,
         |  round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS self_dot
@@ -349,6 +354,34 @@ object Functions {
         |  'cust=' || CAST(c_custkey AS VARCHAR) || '&page=2' AS query_v,
         |  CAST(c_custkey AS VARCHAR) AS param_v
         |FROM customer ORDER BY c_custkey""".stripMargin),
+
+    // Doris/MySQL datetime-format shim, fully oracled: date_format_mysql
+    // translates MySQL %-codes to Spark's pattern letters; str_to_date
+    // parses them back. DuckDB's strftime/strptime use C codes, so the
+    // oracle spells the same formats natively (%i -> %M etc.).
+    "fn_datetime_shim" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .select(
+            $"o_orderkey",
+            DorisFunctions.date_format_mysql($"o_orderdate", "%Y%m%d").as("fmt_ymd"),
+            DorisFunctions.date_format_mysql($"o_orderdate", "%H:%i:%s").as("fmt_his"),
+            DorisFunctions.date_format_mysql($"o_orderdate", "%d/%m/%Y").as("fmt_dmy"),
+            DorisFunctions.str_to_date(
+              DorisFunctions.date_format_mysql($"o_orderdate", "%Y-%m-%d %H:%i:%s"),
+              "%Y-%m-%d %H:%i:%s").as("roundtrip_ts"),
+            DorisFunctions.str_to_date(lit("15/06/2024"), "%d/%m/%Y")
+              .cast("date").as("parsed_date"))
+          .orderBy($"o_orderkey")
+      },
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y%m%d') AS fmt_ymd,
+        |  strftime(o_orderdate, '%H:%M:%S') AS fmt_his,
+        |  strftime(o_orderdate, '%d/%m/%Y') AS fmt_dmy,
+        |  strptime(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), '%Y-%m-%d %H:%M:%S') AS roundtrip_ts,
+        |  CAST(strptime('15/06/2024', '%d/%m/%Y') AS DATE) AS parsed_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
 
     // Doris-spelling shim round-trip: inet, money_format, find_in_set,
     // str_to_date (MySQL fmt), split_by_string.

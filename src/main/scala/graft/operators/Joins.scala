@@ -199,6 +199,84 @@ object Joins {
       },
       """SELECT o_orderstatus, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Deep multi-join flagship (TPC-H Q5 shape, 6 tables): local-supplier
+    // revenue by nation within a region/year. This is the query shape that
+    // actually exercises Catalyst's join planning at scale: the dim chain
+    // (region→nation→customer / supplier) broadcasts, the fact⋈fact
+    // (orders⋈lineitem) shuffles once on orderkey, and the o_orderdate /
+    // r_name filters push into the scans + seed bloom runtime filters on the
+    // fact side (spark.sql.optimizer.runtime.bloomFilter.enabled is on in
+    // Verify/Bench). Plan shape (broadcasts + PushedFilters) is asserted in
+    // JoinsSpec, not just eyeballed.
+    "join_flagship_q5" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val asia = Tables.region(s, dir).filter($"r_name" === "ASIA")
+        val nat = Tables.nation(s, dir)
+        val cust = Tables.customer(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val ord = Tables.orders(s, dir)
+          .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        val li = Tables.lineitem(s, dir)
+        li.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .join(supp, $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+          .join(nat, $"s_nationkey" === $"n_nationkey")
+          .join(asia, $"n_regionkey" === $"r_regionkey")
+          .groupBy($"n_name")
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // TPC-H Q9 shape (profit by nation/year): part⋈lineitem⋈supplier⋈orders
+    // ⋈nation with a selective LIKE on part — the classic join-reorder
+    // stressor (the p_name filter makes part the most selective side; a bad
+    // order scans lineitem twice as hard). 5 tables, two fact-sized inputs.
+    "join_flagship_q9" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val part = Tables.part(s, dir).filter($"p_name".like("%0%"))
+        val li = Tables.lineitem(s, dir)
+        val supp = Tables.supplier(s, dir)
+        val ord = Tables.orders(s, dir)
+        val nat = Tables.nation(s, dir)
+        li.join(part, $"l_partkey" === $"p_partkey")
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(nat, $"s_nationkey" === $"n_nationkey")
+          .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+            - $"l_quantity" * lit(10.0)), 2).as("profit"))
+          .orderBy($"n_name", $"o_year".desc)
+      },
+      """SELECT n_name, year(o_orderdate) AS o_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) - l_quantity * 10.0), 2) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%0%'
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY n_name, o_year DESC""".stripMargin)
   )
 }

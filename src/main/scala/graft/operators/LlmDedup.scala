@@ -40,8 +40,8 @@ object LlmDedup {
             count(when($"n" > 1, 1)).as("n_dup_groups"))
       },
       """SELECT count(*) AS n_distinct_texts,
-        |  sum(n) AS n_docs,
-        |  sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS n_removed,
+        |  CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |  count(CASE WHEN n > 1 THEN 1 END) AS n_dup_groups
         |FROM (SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |      FROM documents GROUP BY 1) g""".stripMargin),

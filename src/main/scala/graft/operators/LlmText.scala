@@ -114,7 +114,7 @@ object LlmText {
         |    row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, plang ASC) rn
         |  FROM scored)
         |SELECT lang, count(*) AS n_docs,
-        |  sum(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS n_predicted_self
+        |  CAST(sum(CASE WHEN plang = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_predicted_self
         |FROM best WHERE rn = 1 GROUP BY lang ORDER BY lang""".stripMargin),
 
     // Inverted keyword match: MATCH_ANY / MATCH_ALL over the token index.
@@ -200,7 +200,9 @@ object LlmText {
             val bytes = r.getAs[Array[Byte]](1)
             val head = bytes.take(16)
             Row(id, bytes.length, bytes.length % 640, (bytes.length * 7) % 480,
-              math.round(head.map(_.toInt.toDouble).sum / head.length * 10000.0) / 10000.0)
+              // mask to unsigned: a sign-extended byte >= 0x80 would go
+              // negative and diverge from the oracle's codepoint-based mean
+              math.round(head.map(b => (b & 0xff).toDouble).sum / head.length * 10000.0) / 10000.0)
           }
         }
         s.createDataFrame(decoded, outSchema).orderBy($"doc_id")

@@ -44,14 +44,19 @@ object Relational {
         Tables.lineitem(s, dir)
           .select(
             $"l_orderkey", $"l_linenumber",
-            round($"l_extendedprice" * (lit(1.0) - $"l_discount"), 4).as("net_price"),
-            round($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"), 4).as("gross_price"),
+            // snap the double product to its exact decimal value before
+            // rounding: IEEE-754 ties at round(x, 4) flip between engines
+            // (73/60k rows in round 1); DECIMAL round is exact on both
+            round(($"l_extendedprice" * (lit(1.0) - $"l_discount")).cast("decimal(18,6)"), 4)
+              .cast("double").as("net_price"),
+            round(($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).cast("decimal(18,6)"), 4)
+              .cast("double").as("gross_price"),
             (($"l_quantity" > 25.0).cast("int")).as("bulk_flag"))
           .orderBy($"l_orderkey", $"l_linenumber")
       },
       """SELECT l_orderkey, l_linenumber,
-        |  round(l_extendedprice * (1.0 - l_discount), 4) AS net_price,
-        |  round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax), 4) AS gross_price,
+        |  CAST(round(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6)), 4) AS DOUBLE) AS net_price,
+        |  CAST(round(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6)), 4) AS DOUBLE) AS gross_price,
         |  CAST(l_quantity > 25.0 AS INTEGER) AS bulk_flag
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
 

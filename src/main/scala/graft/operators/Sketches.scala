@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.functions.{BitmapFunctions => BF, EventSeqAggregators => ESA}
+import graft.functions.{BitmapFunctions => BF, EventSeqAggregators => ESA,
+  NativeAggregates => NA, SketchScalars => SS}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,6 +71,7 @@ object Sketches {
     "agg_bitmap_distinct" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        NA.register(s)
         Tables.events(s, dir)
           .groupBy($"event_type")
           .agg(BF.bitmap_union_count($"user_id").as("nd_users"))
@@ -78,11 +80,68 @@ object Sketches {
       """SELECT event_type, count(DISTINCT user_id) AS nd_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Re-aggregable bitmap column (AGGREGATE-key BITMAP_UNION shape): build
+    // per-(event_type, hour) bitmaps once, then merge-on-read to per-type
+    // exact distinct WITHOUT touching raw rows — at 100 TB the fine-grained
+    // bitmaps are the stored rollup and the second level is cheap. Exact, so
+    // fully oracled against count(DISTINCT).
+    "agg_bitmap_rollup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        NA.register(s)
+        val fine = Tables.events(s, dir)
+          .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+          .agg(BF.bitmap_union($"user_id").as("bm"))
+        fine.groupBy($"event_type")
+          .agg(
+            BF.bitmap_count(NA.bitmap_union_binary($"bm")).as("nd_users"),
+            count(lit(1)).as("n_hours"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS nd_users,
+        |  count(DISTINCT date_trunc('hour', ts)) AS n_hours
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // QUANTILE_STATE analogue #2 — the MERGEABLE kind: per-(flag, status) KLL
+    // sketches, quantile_union'd to per-flag, then QUANTILE_PERCENT. KLL
+    // error bound (k=200 -> ~1.3% rank error) asserted vs exact percentile in
+    // ScalaTest; estimates are engine-specific -> rows-only here.
+    "agg_quantile_state" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        NA.register(s)
+        val fine = Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(NA.to_quantile_state($"l_extendedprice").as("qs"))
+        fine.groupBy($"l_returnflag")
+          .agg(NA.quantile_union($"qs").as("qs"))
+          .select($"l_returnflag",
+            round(SS.quantile_percent($"qs", lit(0.5)), 4).as("p50_est"),
+            round(SS.quantile_percent($"qs", lit(0.95)), 4).as("p95_est"))
+          .orderBy($"l_returnflag")
+      },
+      None),
+
+    // HLL scalar spellings: hll_hash per row -> hll_union_agg merges them
+    // (same lgConfigK as Spark's hll_sketch_agg); hll_cardinality estimates.
+    // ScalaTest asserts exact equality with the one-shot hll_sketch_agg path.
+    "fn_hll_scalar" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .select($"event_type", SS.hll_hash($"user_id").as("h"))
+          .groupBy($"event_type")
+          .agg(SS.hll_cardinality(hll_union_agg($"h")).as("est_users"))
+          .orderBy($"event_type")
+      },
+      None),
+
     // Bitmap set algebra on two audience bitmaps (signup vs purchase users):
     // AND/OR/XOR counts are exact and oracled against DuckDB set ops.
     "fn_bitmap" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        NA.register(s)
         val ev = Tables.events(s, dir)
         val bitmaps = ev.agg(
           BF.bitmap_union(when($"event_type" === "signup", $"user_id")).as("bm_signup"),
@@ -96,7 +155,18 @@ object Sketches {
           BF.bitmap_contains($"bm_signup", lit(1L)).cast("int").as("has_user1"),
           BF.bitmap_count(BF.bitmap_from_string(lit("1,2,3,2"))).as("n_parsed"),
           // explode_bitmap analogue: bitmap -> rows -> count round trip
-          size(BF.bitmap_to_array($"bm_signup")).as("n_exploded"))
+          size(BF.bitmap_to_array($"bm_signup")).as("n_exploded"),
+          // scalar long tail (audience analytics)
+          BF.bitmap_count(BF.bitmap_andnot($"bm_signup", $"bm_purchase")).as("n_andnot"),
+          BF.bitmap_has_all(BF.bitmap_or($"bm_signup", $"bm_purchase"), $"bm_signup")
+            .cast("int").as("or_has_all_signup"),
+          BF.bitmap_has_all($"bm_signup", $"bm_purchase").cast("int").as("signup_has_all_purchase"),
+          BF.bitmap_min($"bm_signup").as("min_signup_user"),
+          BF.bitmap_max($"bm_signup").as("max_signup_user"),
+          BF.bitmap_count(BF.bitmap_subset_in_range($"bm_signup", lit(10L), lit(40L)))
+            .as("n_in_10_40"),
+          BF.bitmap_to_string(BF.bitmap_subset_limit($"bm_signup", lit(10L), lit(5L)))
+            .as("first5_from_10"))
       },
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
@@ -117,7 +187,22 @@ object Sketches {
         |   WHERE event_type = 'signup' AND user_id = 1) AS has_user1,
         |  3 AS n_parsed,
         |  (SELECT CAST(count(DISTINCT user_id) AS INTEGER) FROM events
-        |   WHERE event_type = 'signup') AS n_exploded""".stripMargin),
+        |   WHERE event_type = 'signup') AS n_exploded,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') t) AS n_andnot,
+        |  1 AS or_has_all_signup,
+        |  (SELECT CAST(count(*) = 0 AS INTEGER) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |     EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'signup') t) AS signup_has_all_purchase,
+        |  (SELECT min(user_id) FROM events WHERE event_type = 'signup') AS min_signup_user,
+        |  (SELECT max(user_id) FROM events WHERE event_type = 'signup') AS max_signup_user,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'signup' AND user_id >= 10 AND user_id < 40) AS n_in_10_40,
+        |  (SELECT string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) FROM
+        |    (SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'signup' AND user_id >= 10
+        |     ORDER BY user_id LIMIT 5) t) AS first5_from_10""".stripMargin),
 
     // UDF/UDAF surface through SQL registration (SURVEY §2.13): the bitmap
     // layer exposed under Doris names via spark.udf.register, exercised from

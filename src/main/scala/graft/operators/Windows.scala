@@ -23,21 +23,27 @@ object Windows {
 
   def queries: Map[String, QueryDef] = Map(
     // Ranking family: row_number/rank/dense_rank/percent_rank/cume_dist/ntile.
-    // Determinism note: testdata keys are not unique (duplicate
-    // (l_orderkey, l_linenumber) pairs exist), so row_number/ntile run over a
-    // fully tiebroken unique order (o_totalprice, o_orderkey) while
-    // rank/dense_rank/percent_rank/cume_dist run over a coarse key with real
-    // peer groups — their results are order-insensitive within peers.
+    // Partition-key design: row_number/ntile partition by a 64-way customer
+    // bucket (pmod(o_custkey, 64)) — a 3-value key like o_orderstatus would
+    // put the whole table in 3 window partitions at scale. The rank/
+    // percent_rank/cume_dist family stays on o_orderstatus deliberately: it
+    // demonstrates peer-group semantics over a coarse key (results are
+    // order-insensitive within peers) and at 100 TB that specific window
+    // would need the same bucketing treatment (documented tradeoff).
+    // Determinism: testdata keys are not unique (duplicate (l_orderkey,
+    // l_linenumber) pairs), so row_number/ntile order is fully tiebroken.
     "win_rank" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val coarse = (floor($"o_totalprice" / 1000.0) * 1000.0).desc
         val wPeers = Window.partitionBy($"o_orderstatus").orderBy(coarse)
-        val wUnique = Window.partitionBy($"o_orderstatus")
+        val bucket = pmod($"o_custkey", lit(64))
+        val wUnique = Window.partitionBy(bucket)
           .orderBy($"o_totalprice".desc, $"o_orderkey")
         Tables.orders(s, dir)
           .select(
             $"o_orderkey", $"o_orderstatus",
+            bucket.as("cust_bucket"),
             row_number().over(wUnique).as("rn"),
             rank().over(wPeers).as("rk"),
             dense_rank().over(wPeers).as("drk"),
@@ -47,6 +53,7 @@ object Windows {
           .orderBy($"o_orderkey")
       },
       """SELECT o_orderkey, o_orderstatus,
+        |  o_custkey % 64 AS cust_bucket,
         |  row_number() OVER wu AS rn,
         |  rank() OVER wp AS rk,
         |  dense_rank() OVER wp AS drk,
@@ -56,7 +63,7 @@ object Windows {
         |FROM orders
         |WINDOW wp AS (PARTITION BY o_orderstatus
         |              ORDER BY floor(o_totalprice / 1000.0) * 1000.0 DESC),
-        |       wu AS (PARTITION BY o_orderstatus
+        |       wu AS (PARTITION BY o_custkey % 64
         |              ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin),
 

@@ -33,14 +33,19 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object RollupRewrite {
 
-  /** One registered rollup: base table path -> pre-aggregated parquet. */
+  /** One registered rollup: base table path -> pre-aggregated parquet.
+    * `registeredAt` snapshots the registration instant: the rewrite is
+    * skipped if the base table dir was modified after it (freshness guard —
+    * in Doris the rollup is maintained transactionally on every load, so
+    * staleness can't occur; here re-register after rebuilding). */
   case class RollupDef(
       basePath: String,
       rollupPath: String,
       keys: Seq[String],
       // base agg -> rollup column: e.g. ("sum", "l_quantity") -> "sum_qty",
       // count(*) -> ("count", "*") -> "cnt"
-      columns: Map[(String, String), String])
+      columns: Map[(String, String), String],
+      registeredAt: Long = System.currentTimeMillis())
 
   /** Session-wide registry (append-only; cleared by tests as needed). */
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]()
@@ -57,6 +62,28 @@ object RollupRewrite {
   }
 
   class RollupRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+    // analyzed rollup scan, resolved ONCE per rollup path — apply() must not
+    // do IO/analysis on every rule application (round-1 finding); per use we
+    // only re-instance exprIds so two rewrites in one query can't collide
+    private val planCache =
+      new java.util.concurrent.ConcurrentHashMap[String, LogicalPlan]()
+
+    private def rollupScan(path: String): Option[LogicalPlan] = {
+      val cached = planCache.computeIfAbsent(path, p =>
+        try spark.read.parquet(p).queryExecution.analyzed
+        catch { case _: Throwable => null })
+      Option(cached).map {
+        case lr: LogicalRelation => lr.newInstance()
+        case other => other
+      }
+    }
+
+    /** Base-table dir mtime (one stat, no data IO); 0 if unknowable. */
+    private def baseMTime(d: RollupDef): Long = {
+      val f = new java.io.File(d.basePath.stripPrefix("file:"))
+      if (f.exists()) f.lastModified() else 0L
+    }
 
     private def scanPath(p: LogicalPlan): Option[String] = p match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
@@ -78,6 +105,10 @@ object RollupRewrite {
     }
 
     private def tryRewrite(agg: Aggregate, d: RollupDef): Option[LogicalPlan] = {
+      // global (ungrouped) aggregates bail: count(*)→sum(cnt) over an empty
+      // rollup would yield NULL where Count yields 0, and nullability of the
+      // preserved exprIds would change (ADVICE round 1)
+      if (agg.groupingExpressions.isEmpty) return None
       // grouping must be plain columns within the rollup keys
       val groupNames = agg.groupingExpressions.map {
         case a: AttributeReference => Some(a.name)
@@ -85,9 +116,17 @@ object RollupRewrite {
       }
       if (groupNames.exists(_.isEmpty)) return None
       if (!groupNames.flatten.forall(d.keys.contains)) return None
+      // freshness: skip if base table changed after registration
+      if (baseMTime(d) > d.registeredAt) return None
 
-      val rollupPlan = spark.read.parquet(d.rollupPath).queryExecution.analyzed
+      val rollupPlan = rollupScan(d.rollupPath).getOrElse(return None)
       val rollupAttr: Map[String, Attribute] = rollupPlan.output.map(a => a.name -> a).toMap
+      // every column the def maps to must exist in the rollup schema —
+      // otherwise rollupAttr(c) would throw inside the optimizer and fail
+      // the whole query instead of bailing (ADVICE round 1)
+      val mappedOk = d.keys.forall(rollupAttr.contains) &&
+        d.columns.values.forall(rollupAttr.contains)
+      if (!mappedOk) return None
 
       // generic rewrite: swap AggregateExpressions for their merge form and
       // key attributes for rollup attributes; any unmappable node -> bail

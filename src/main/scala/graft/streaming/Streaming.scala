@@ -49,12 +49,35 @@ object Streaming {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming DF to a memory sink, drain, return the batch table. */
-  private def drainToTable(s: SparkSession, df: DataFrame, name: String,
-      mode: String): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+  /** Update-mode foreachBatch sink + merge-on-read: each micro-batch's
+    * changed rows append to parquet tagged with the batch id; read-back keeps
+    * the last write per key. This is the Doris merge-on-read contract
+    * (UNIQUE/AGGREGATE key models) applied to stream compute, and — unlike a
+    * memory sink — everything stays distributed: aggregate state lives in the
+    * executor state store, sink writes are executor-parallel parquet, and the
+    * driver never materializes the result table. At 100 TB the parquet dir
+    * becomes the serving table and the read-back merge is the same
+    * row_number() merge the UNIQUE key model already uses.
+    *
+    * Caveat (documented, exercised in ScalaTest): for session windows a later
+    * batch can merge two sessions — the merged session is re-emitted but the
+    * superseded sub-sessions are not retracted, so multi-batch session jobs
+    * should use append mode + watermark (finalized sessions only). With the
+    * harness's single-batch file source both modes agree. */
+  private def runUpsertSink(s: SparkSession, df: DataFrame, keys: Seq[String],
+      mode: String = "update"): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val q = df.writeStream.outputMode(mode).foreachBatch {
+      (batch: DataFrame, id: Long) =>
+        batch.withColumn("_batch", lit(id)).write.mode("append").parquet(out)
+    }.start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
+    s.read.parquet(out)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_batch", "_rn")
   }
 
   def queries: Map[String, QueryDef] = Map(
@@ -109,8 +132,8 @@ object Streaming {
         |WHERE rn = 1 ORDER BY user_id""".stripMargin),
 
     // AGGREGATE-key incremental aggregation on ingest (Doris aggregate-key
-    // merge): streaming groupBy over the key columns in complete mode — each
-    // micro-batch folds into the running per-key state.
+    // merge): streaming groupBy in update mode — each micro-batch emits only
+    // the keys it touched; the sink merges last-write-wins per key.
     "stream_agg" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -118,7 +141,7 @@ object Streaming {
           .groupBy($"user_id", $"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"),
             max($"event_id").as("max_event"))
-        drainToTable(s, agg, "t_stream_agg", "complete")
+        runUpsertSink(s, agg, Seq("user_id", "event_type"))
           .orderBy($"user_id", $"event_type")
       },
       """SELECT user_id, event_type, count(*) AS n,
@@ -134,7 +157,7 @@ object Streaming {
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
           .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("win_start"),
             $"event_type", $"n", $"total_value")
-        drainToTable(s, agg, "t_stream_tumble", "complete")
+        runUpsertSink(s, agg, Seq("win_start", "event_type"))
           .orderBy($"win_start", $"event_type")
       },
       """SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:00') AS win_start,
@@ -150,7 +173,7 @@ object Streaming {
           .groupBy(window($"ts", "2 hours", "1 hour").as("w"))
           .agg(count(lit(1)).as("n"))
           .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("win_start"), $"n")
-        drainToTable(s, agg, "t_stream_slide", "complete")
+        runUpsertSink(s, agg, Seq("win_start"))
           .orderBy($"win_start")
       },
       """SELECT strftime(ws, '%Y-%m-%d %H:00') AS win_start, count(*) AS n
@@ -164,15 +187,16 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         val agg = eventStream(s, dir)
+          .withWatermark("ts", "1 hour")
           .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
           .agg(count(lit(1)).as("n_events"))
           .select($"user_id", unix_micros($"w.start").as("session_start_us"), $"n_events")
-        drainToTable(s, agg, "t_stream_session", "complete")
+        runUpsertSink(s, agg, Seq("user_id", "session_start_us"))
           .orderBy($"user_id", $"session_start_us")
       },
       """WITH g AS (SELECT user_id, ts,
         |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL '30 minutes' OR
+        |              >= INTERVAL '30 minutes' OR
         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events),
@@ -196,7 +220,7 @@ object Streaming {
           .groupBy(window($"ts", "6 hours").as("w"))
           .agg(count(lit(1)).as("n"))
           .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("win_start"), $"n")
-        drainToTable(s, agg, "t_stream_watermark", "update")
+        runUpsertSink(s, agg, Seq("win_start"))
           .orderBy($"win_start")
       },
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600), '%Y-%m-%d %H:00') AS win_start,
@@ -238,7 +262,7 @@ object Streaming {
               }
               Iterator((user, best))
           }.toDF("user_id", "funnel_level")
-        drainToTable(s, levels, "t_stream_funnel", "update")
+        runUpsertSink(s, levels, Seq("user_id"))
           .groupBy($"funnel_level")
           .agg(count(lit(1)).as("n_users"))
           .orderBy($"funnel_level")
