@@ -21,6 +21,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // error marker: an empty result dir + .err file, so a thrown key
+        // surfaces as a red `err` row in the driver compare instead of
+        // silently vanishing from the correctness report
+        val d = Paths.get(s"$outDir/$name")
+        if (Files.exists(d))
+          Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.delete(p))
+        Files.createDirectories(d)
+        Files.writeString(Paths.get(s"$outDir/$name.err"),
+          s"${e.getClass.getName}: ${e.getMessage}")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

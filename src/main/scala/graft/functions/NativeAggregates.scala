@@ -1,15 +1,16 @@
 package graft.functions
 
-import org.apache.datasketches.kll.KllDoublesSketch
-import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.QuantileSummaries
 import org.apache.spark.sql.functions.call_function
 import org.apache.spark.sql.types._
 import org.roaringbitmap.longlong.Roaring64NavigableMap
+
+import scala.collection.mutable.ArrayBuffer
 
 /** Native Catalyst aggregate tier for sketch/bitmap state (SURVEY.md §2.4).
   *
@@ -101,32 +102,137 @@ object NativeAggregates {
       copy(child = newChild)
   }
 
-  // ---- QUANTILE_STATE: mergeable KLL quantile sketch ---------------------
+  // ---- QUANTILE_STATE: deterministic mergeable quantile summary ----------
+  //
+  // Doris' QUANTILE_STATE is a re-aggregable quantile column
+  // [doris: be/src/util/quantile_state.h]. Round 2 backed it with DataSketches
+  // KLL, whose compaction is RANDOMIZED — two identical runs gave different
+  // estimates, violating the engine's determinism contract (QueryDef.scala).
+  // This tier instead uses Spark's own Greenwald-Khanna summary
+  // (catalyst.util.QuantileSummaries, the approxQuantile engine): GK has no
+  // randomness, but its merge is order-SENSITIVE, and shuffle block fetch
+  // order is not deterministic. So the aggregation buffer never GK-merges
+  // eagerly: it accumulates the per-map-task partial images, and eval/output
+  // canonicalizes — sort images lexicographically, then fold-merge in that
+  // fixed order. Same input → same bytes, under any fetch order.
+  //
+  // Scale: a partial image at eps=0.01 is ~dozens of Stats triples (~KB); the
+  // buffer holds one per map task per group. Beyond MaxPartials the buffer
+  // pre-collapses (canonically, over the sorted current set) to bound memory;
+  // estimates stay within the GK bound (determinism is guaranteed up to
+  // MaxPartials partials per group — far beyond this harness's 32).
 
-  /** TO_QUANTILE_STATE aggregate: double values -> KLL sketch bytes. */
+  /** Relative rank error of the GK summary (matches approxQuantile default). */
+  private val Eps = 0.01
+  private val MaxPartials = 4096
+
+  private def emptySummary: QuantileSummaries =
+    new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, Eps)
+
+  /** Mutable agg buffer: a live GK summary for raw updates + the partial
+    * images received from the shuffle, canonicalized only at eval. */
+  final class QuantileBuffer(
+      var own: QuantileSummaries,
+      val partials: ArrayBuffer[Array[Byte]])
+
+  /** Single-summary image: [count][m][m × (value, g, delta)]. relativeError /
+    * compressThreshold are engine constants, not serialized. */
+  private def encodeSummary(s: QuantileSummaries): Array[Byte] = {
+    val c = if (s.compressed) s else s.compress()
+    val st = c.sampled
+    val bb = java.nio.ByteBuffer.allocate(8 + 4 + st.length * 24)
+    bb.putLong(c.count).putInt(st.length)
+    st.foreach { t => bb.putDouble(t.value).putLong(t.g).putLong(t.delta) }
+    bb.array()
+  }
+
+  private def decodeSummary(bytes: Array[Byte]): QuantileSummaries = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val count = bb.getLong()
+    val st = Array.fill(bb.getInt()) {
+      new QuantileSummaries.Stats(bb.getDouble(), bb.getLong(), bb.getLong())
+    }
+    new QuantileSummaries(
+      QuantileSummaries.defaultCompressThreshold, Eps, st, count, true)
+  }
+
+  /** Canonical reduction: sort images by bytes, fold-merge in that order. */
+  private def canonicalMerge(images: Seq[Array[Byte]]): QuantileSummaries = {
+    val sorted = images.sortWith(java.util.Arrays.compare(_, _) < 0)
+    sorted.foldLeft(emptySummary) { (acc, img) =>
+      val a = if (acc.compressed) acc else acc.compress()
+      a.merge(decodeSummary(img))
+    }
+  }
+
+  /** The deterministic p-quantile readout of a state image. */
+  def queryState(bytes: Array[Byte], p: Double): Option[Double] =
+    decodeSummary(bytes).query(p)
+
+  private[functions] def bufferImages(b: QuantileBuffer): Seq[Array[Byte]] = {
+    val out = ArrayBuffer.empty[Array[Byte]]
+    out ++= b.partials
+    if (b.own.count > 0 || !b.own.compressed) {
+      val c = b.own.compress()
+      if (c.count > 0) out += encodeSummary(c)
+    }
+    out.toSeq
+  }
+
+  /** Shared TypedImperativeAggregate plumbing for the two quantile aggs. */
+  abstract class QuantileAggBase
+    extends TypedImperativeAggregate[QuantileBuffer] with UnaryLike[Expression] {
+    def child: Expression
+
+    override def createAggregationBuffer(): QuantileBuffer =
+      new QuantileBuffer(emptySummary, ArrayBuffer.empty)
+
+    protected final def addPartial(b: QuantileBuffer, img: Array[Byte]): Unit = {
+      b.partials += img
+      if (b.partials.length > MaxPartials) {
+        val collapsed = encodeSummary(canonicalMerge(bufferImages(b).toIndexedSeq))
+        b.own = emptySummary
+        b.partials.clear()
+        b.partials += collapsed
+      }
+    }
+
+    override def merge(b: QuantileBuffer, o: QuantileBuffer): QuantileBuffer = {
+      bufferImages(o).foreach(addPartial(b, _))
+      b
+    }
+    override def eval(b: QuantileBuffer): Any =
+      encodeSummary(canonicalMerge(bufferImages(b)))
+    override def serialize(b: QuantileBuffer): Array[Byte] = {
+      val imgs = bufferImages(b)
+      val bb = java.nio.ByteBuffer.allocate(4 + imgs.map(4 + _.length).sum)
+      bb.putInt(imgs.length)
+      imgs.foreach { i => bb.putInt(i.length).put(i) }
+      bb.array()
+    }
+    override def deserialize(bytes: Array[Byte]): QuantileBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val partials = ArrayBuffer.fill(n) {
+        val img = new Array[Byte](bb.getInt()); bb.get(img); img
+      }
+      new QuantileBuffer(emptySummary, partials)
+    }
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+  }
+
+  /** TO_QUANTILE_STATE aggregate: double values -> GK summary bytes. */
   case class QuantileState(
       child: Expression,
       mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch]
-    with UnaryLike[Expression] {
+      inputAggBufferOffset: Int = 0) extends QuantileAggBase {
 
-    override def createAggregationBuffer(): KllDoublesSketch =
-      KllDoublesSketch.newHeapInstance(200)
-    override def update(b: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
+    override def update(b: QuantileBuffer, row: InternalRow): QuantileBuffer = {
       val v = child.eval(row)
-      if (v != null) b.update(v.asInstanceOf[Double])
+      if (v != null) b.own = b.own.insert(v.asInstanceOf[Double])
       b
     }
-    override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
-      b.merge(o); b
-    }
-    override def eval(b: KllDoublesSketch): Any = b.toByteArray
-    override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-      KllDoublesSketch.heapify(Memory.wrap(bytes))
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     override def prettyName: String = "to_quantile_state"
     override def withNewMutableAggBufferOffset(n: Int): QuantileState =
       copy(mutableAggBufferOffset = n)
@@ -136,31 +242,17 @@ object NativeAggregates {
       copy(child = newChild)
   }
 
-  /** QUANTILE_UNION aggregate: merge KLL sketch bytes -> sketch bytes. */
+  /** QUANTILE_UNION aggregate: merge state bytes -> state bytes. */
   case class QuantileUnion(
       child: Expression,
       mutableAggBufferOffset: Int = 0,
-      inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[KllDoublesSketch]
-    with UnaryLike[Expression] {
+      inputAggBufferOffset: Int = 0) extends QuantileAggBase {
 
-    override def createAggregationBuffer(): KllDoublesSketch =
-      KllDoublesSketch.newHeapInstance(200)
-    override def update(b: KllDoublesSketch, row: InternalRow): KllDoublesSketch = {
+    override def update(b: QuantileBuffer, row: InternalRow): QuantileBuffer = {
       val v = child.eval(row)
-      if (v != null)
-        b.merge(KllDoublesSketch.heapify(Memory.wrap(v.asInstanceOf[Array[Byte]])))
+      if (v != null) addPartial(b, v.asInstanceOf[Array[Byte]])
       b
     }
-    override def merge(b: KllDoublesSketch, o: KllDoublesSketch): KllDoublesSketch = {
-      b.merge(o); b
-    }
-    override def eval(b: KllDoublesSketch): Any = b.toByteArray
-    override def serialize(b: KllDoublesSketch): Array[Byte] = b.toByteArray
-    override def deserialize(bytes: Array[Byte]): KllDoublesSketch =
-      KllDoublesSketch.heapify(Memory.wrap(bytes))
-    override def dataType: DataType = BinaryType
-    override def nullable: Boolean = false
     override def prettyName: String = "quantile_union"
     override def withNewMutableAggBufferOffset(n: Int): QuantileUnion =
       copy(mutableAggBufferOffset = n)

@@ -1,8 +1,6 @@
 package graft.functions
 
 import org.apache.datasketches.hll.HllSketch
-import org.apache.datasketches.kll.KllDoublesSketch
-import org.apache.datasketches.memory.Memory
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions
 
@@ -17,8 +15,8 @@ import org.apache.spark.sql.functions
   * SAME lgConfigK (12) as Spark's aggregate default so `hll_union_agg` merges
   * them directly — asserted equal to the one-shot hll_sketch_agg in ScalaTest.
   *
-  * quantile_percent(state, p) reads a KLL image produced by
-  * [[NativeAggregates.QuantileState]] (Doris QUANTILE_PERCENT over
+  * quantile_percent(state, p) reads a Greenwald-Khanna summary image produced
+  * by [[NativeAggregates.QuantileState]] (Doris QUANTILE_PERCENT over
   * QUANTILE_STATE).
   */
 object SketchScalars {
@@ -51,10 +49,8 @@ object SketchScalars {
 
   private val quantilePercentUdf = functions.udf((b: Array[Byte], p: Double) => {
     if (b == null) null
-    else {
-      val sk = KllDoublesSketch.heapify(Memory.wrap(b))
-      if (sk.isEmpty) null else java.lang.Double.valueOf(sk.getQuantile(p))
-    }
+    else NativeAggregates.queryState(b, p)
+      .map(java.lang.Double.valueOf).orNull
   })
   /** QUANTILE_PERCENT(state, p): estimate the p-quantile from a sketch. */
   def quantile_percent(state: Column, p: Column): Column =

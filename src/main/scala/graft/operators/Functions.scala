@@ -233,6 +233,50 @@ object Functions {
         |  '{"id":' || CAST(event_id AS VARCHAR) || '}' AS json_obj
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Doris VARIANT schemaless subcolumns (SURVEY §1.2) -> Spark 4
+    // VariantType: parse_json once, then typed subcolumn access with
+    // variant_get (path + target type), including nested objects, array
+    // indexing, a JSON null probe, and a missing path. The variant is built
+    // per-row from real columns so the oracle can rebuild the same JSON text.
+    // At scale VariantType stores a binary-encoded document (shredded in
+    // parquet), so subcolumn reads don't re-parse text per access.
+    "fn_variant" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val j = concat(
+          lit("{\"meta\":{\"type\":\""), $"event_type",
+          lit("\",\"uid\":"), $"user_id",
+          lit(",\"n\":null,\"vals\":["), $"value".cast("decimal(14,2)"),
+          lit(",1,2]},\"p\":"), $"props", lit("}"))
+        Tables.events(s, dir)
+          .select($"event_id", parse_json(j).as("v"))
+          .select(
+            $"event_id",
+            variant_get($"v", "$.meta.type", "string").as("vtype"),
+            variant_get($"v", "$.meta.uid", "bigint").as("vuid"),
+            round(variant_get($"v", "$.meta.vals[0]", "double"), 2).as("v0"),
+            variant_get($"v", "$.meta.vals[1]", "int").as("v1"),
+            variant_get($"v", "$.p.k", "int").as("pk"),
+            variant_get($"v", "$.meta.missing", "string").as("vmissing"),
+            is_variant_null(variant_get($"v", "$.meta.n", "variant"))
+              .cast("int").as("vnull"))
+          .orderBy($"event_id")
+      },
+      """SELECT event_id,
+        |  json_extract_string(j, '$.meta.type') AS vtype,
+        |  CAST(json_extract(j, '$.meta.uid') AS BIGINT) AS vuid,
+        |  round(CAST(json_extract(j, '$.meta.vals[0]') AS DOUBLE), 2) AS v0,
+        |  CAST(json_extract(j, '$.meta.vals[1]') AS INTEGER) AS v1,
+        |  CAST(json_extract(j, '$.p.k') AS INTEGER) AS pk,
+        |  json_extract_string(j, '$.meta.missing') AS vmissing,
+        |  CAST(json_type(j, '$.meta.n') = 'NULL' AS INTEGER) AS vnull
+        |FROM (SELECT event_id,
+        |    '{"meta":{"type":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR)
+        |      || ',"n":null,"vals":[' || CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR)
+        |      || ',1,2]},"p":' || props || '}' AS j
+        |  FROM events) t
+        |ORDER BY event_id""".stripMargin),
+
     "fn_array" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -402,6 +446,46 @@ object Functions {
             DorisFunctions.null_safe_eq($"n_regionkey", lit(0)).cast("int").as("nse_v"))
           .orderBy($"n_nationkey")
       },
-      None)
+      None),
+
+    // The deterministic (SQL-expressible) slice of the Doris-spelling shim,
+    // split out of fn_doris_shim so it hash-compares against DuckDB: strleft/
+    // strright, find_in_set, elt, money_format, split_by_string, null-safe
+    // eq, ifnull, locate. (inet stays rows-only in fn_doris_shim.)
+    "fn_shim_sql" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir)
+          .select(
+            $"n_nationkey",
+            DorisFunctions.strleft($"n_name", 6).as("sl_v"),
+            DorisFunctions.strright($"n_name", 3).as("sr_v"),
+            DorisFunctions.find_in_set($"n_name",
+              lit("NATION_1,NATION_3,NATION_5")).as("fis_v"),
+            DorisFunctions.elt(($"n_regionkey" % 3) + 1,
+              lit("a"), lit("b"), lit("c")).as("elt_v"),
+            DorisFunctions.money_format(
+              round($"n_nationkey" * 1234567.891, 2)).as("money_v"),
+            size(DorisFunctions.split_by_string($"n_name", "A")).as("sbs_v"),
+            DorisFunctions.null_safe_eq($"n_regionkey", lit(0)).cast("int").as("nse_v"),
+            DorisFunctions.ifnull(lit(null).cast("string"), $"n_name").as("ifn_v"),
+            DorisFunctions.locate("ION", $"n_name").as("loc_v"))
+          .orderBy($"n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  substr(n_name, 1, 6) AS sl_v,
+        |  substr(n_name, -3, 3) AS sr_v,
+        |  CAST(coalesce(list_position(string_split('NATION_1,NATION_3,NATION_5', ','),
+        |                              n_name), 0) AS INTEGER) AS fis_v,
+        |  (['a', 'b', 'c'])[(n_regionkey % 3) + 1] AS elt_v,
+        |  format('{:,}', CAST(split_part(CAST(CAST(round(n_nationkey * 1234567.891, 2)
+        |        AS DECIMAL(18,2)) AS VARCHAR), '.', 1) AS BIGINT))
+        |    || '.' || split_part(CAST(CAST(round(n_nationkey * 1234567.891, 2)
+        |        AS DECIMAL(18,2)) AS VARCHAR), '.', 2) AS money_v,
+        |  CAST(len(string_split(n_name, 'A')) AS INTEGER) AS sbs_v,
+        |  CAST(n_regionkey IS NOT DISTINCT FROM 0 AS INTEGER) AS nse_v,
+        |  coalesce(CAST(NULL AS VARCHAR), n_name) AS ifn_v,
+        |  CAST(instr(n_name, 'ION') AS INTEGER) AS loc_v
+        |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 }

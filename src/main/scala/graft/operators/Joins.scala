@@ -201,6 +201,45 @@ object Joins {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // True bucketed colocate join (the Doris colocate-group storage
+    // contract): both sides written ONCE as bucketBy(8, key) saved tables,
+    // then joined shuffle-free — Spark's bucketed SMJ reads matching buckets
+    // pairwise, so REPEATED joins on the key never exchange either side
+    // (join_colocate above shows the per-query repartition emulation; this is
+    // the storage-level version). Zero-Exchange-before-join is asserted in
+    // JoinsSpec. At 100 TB the bucketed write is the one-time layout cost the
+    // cluster pays to make every later fact⋈fact join on that key local.
+    "join_bucketed" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val db = "graft_buckets"
+        val loc = java.nio.file.Files.createTempDirectory("graft_bucketdb")
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+        // one-time layout: re-write only if this sf dir isn't loaded yet
+        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+        val (ordT, custT) = (s"$db.orders_b_$tag", s"$db.cust_b_$tag")
+        if (!s.catalog.tableExists(ordT)) {
+          Tables.orders(s, dir)
+            .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+            .write.mode("overwrite").bucketBy(8, "o_custkey")
+            .sortBy("o_custkey").saveAsTable(ordT)
+          Tables.customer(s, dir)
+            .select($"c_custkey", $"c_mktsegment")
+            .write.mode("overwrite").bucketBy(8, "c_custkey")
+            .sortBy("c_custkey").saveAsTable(custT)
+        }
+        s.table(ordT).hint("merge")
+          .join(s.table(custT).hint("merge"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("revenue"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Deep multi-join flagship (TPC-H Q5 shape, 6 tables): local-supplier
     // revenue by nation within a region/year. This is the query shape that
     // actually exercises Catalyst's join planning at scale: the dim chain

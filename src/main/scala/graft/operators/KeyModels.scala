@@ -75,6 +75,33 @@ object KeyModels {
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // OUTFILE / EXPORT to CSV (SURVEY §2.1: Doris SELECT ... INTO OUTFILE
+    // FORMAT csv [doris: fe/.../ExportJob.java]): write a query result as
+    // headered CSV (executor-parallel, one file per partition at scale),
+    // read it back with an explicit schema, and oracle the round trip —
+    // proving the text encoding loses nothing (quoting, floats, dates).
+    "sink_csv_export" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        Tables.orders(s, dir)
+          .groupBy($"o_orderpriority", to_date($"o_orderdate").cast("string").as("o_day"))
+          .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))
+          .write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true")
+          .schema("o_orderpriority STRING, o_day STRING, n BIGINT, total DOUBLE")
+          .csv(out)
+          .groupBy($"o_orderpriority")
+          .agg(sum($"n").as("n_orders"), round(sum($"total"), 2).as("revenue"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS n_orders,
+        |  round(sum(total), 2) AS revenue
+        |FROM (SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS o_day,
+        |        count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |      FROM orders GROUP BY 1, 2) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -25,6 +25,87 @@ import org.apache.spark.sql.functions._
   */
 object LlmDedup {
 
+  import org.apache.spark.sql.{DataFrame, expressions}
+
+  private def shingleDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", explode(TextOps.shinglesUdf(3)($"text")).as("s"))
+  }
+
+  /** One-shot inverted-index Jaccard pairs: self-join every posting list.
+    * Candidate fan-out is Σ n_s² over posting lists — optimal when lists are
+    * short-but-dense (small vocabulary), quadratic when one shingle is a
+    * stop-phrase. */
+  private[graft] def jaccardPairsOneShot(
+      s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val docs = shingleDocs(s, dir)
+    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.as("x"), $"i" === $"x.doc_id")
+      .join(sizes.as("y"), $"j" === $"y.doc_id")
+      .select($"i", $"j",
+        round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
+      .filter($"jaccard" >= t)
+      .orderBy($"i", $"j")
+  }
+
+  /** Prefix-filtered Jaccard pairs — the 100 TB-safe variant. Lossless
+    * lemma: order each doc's shingles by ascending global df (ties by
+    * shingle); if jaccard(A,B) >= t then |A∩B| >= ceil(t·|A|), so A's first
+    * |A| - ceil(t·|A|) + 1 shingles (its "prefix") must intersect B's — and
+    * symmetrically — hence every qualifying pair collides on a PREFIX
+    * shingle of both docs. Candidate join touches only prefixes (rare
+    * shingles → short posting lists, bounded fan-out even with stop-phrase
+    * skew); the exact intersection is then re-counted for candidates only. */
+  private[graft] def jaccardPairsPrefix(
+      s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val docs = shingleDocs(s, dir)
+    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val dfreq = docs.groupBy($"s").agg(count(lit(1)).as("df"))
+    val pref = docs.join(dfreq, "s").join(sizes, "doc_id")
+      .withColumn("rn", row_number().over(
+        expressions.Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
+      .filter($"rn" <= $"n" - ceil($"n" * t) + 1)
+      .select($"doc_id", $"s")
+    val cand = pref.as("a").join(pref.as("b"), Seq("s"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+    val common = cand
+      .join(docs.as("da"), $"i" === $"da.doc_id")
+      .join(docs.as("db"), $"j" === $"db.doc_id" && $"da.s" === $"db.s")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("x"), $"i" === $"x.doc_id")
+      .join(sizes.as("y"), $"j" === $"y.doc_id")
+      .select($"i", $"j",
+        round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
+      .filter($"jaccard" >= t)
+      .orderBy($"i", $"j")
+  }
+
+  /** Density-based plan choice. avg(df) is a planning statistic (one tiny
+    * scalar, same role as ANALYZE stats feeding a cost-based rule — not data
+    * movement): real corpora sit at df≈1-2 where prefix filtering is the
+    * provably-bounded plan; this synthetic corpus's 60-word vocabulary gives
+    * df≈10+, where the one-shot join was measured 3× faster (3.2 s vs 10 s,
+    * sf0.1). Both return identical pair sets (LlmSpec asserts). */
+  private[graft] def jaccardPairsAuto(
+      s: SparkSession, dir: String, t: Double): DataFrame = {
+    import s.implicits._
+    val avgDf = shingleDocs(s, dir).groupBy($"s").agg(count(lit(1)).as("df"))
+      .agg(avg($"df")).as[Double].head()
+    if (avgDf <= 4.0) jaccardPairsPrefix(s, dir, t)
+    else jaccardPairsOneShot(s, dir, t)
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Exact dedup over content hash: corpus-level stats + per-group merge.
     "llm_dedup_exact" -> QueryDef(
@@ -46,36 +127,13 @@ object LlmDedup {
         |FROM (SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |      FROM documents GROUP BY 1) g""".stripMargin),
 
-    // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index.
-    //
-    // Scale note (measured, sf0.1): prefix filtering (order shingles by
-    // global rarity, candidate-join only each doc's first |S|-ceil(t|S|)+1
-    // rare shingles — provably lossless for jaccard>=t) cuts the candidate
-    // join from 2.8M rows to 300k pairs here, BUT this corpus's tiny
-    // 60-word vocabulary gives even "rare" shingles df~10, so the extra
-    // stages + verification join cost 10 s vs 3.2 s for the single
-    // join+aggregate below. On a real corpus (shingle df ~1-2) prefix
-    // filtering is the 100 TB path; with posting lists this dense, the
-    // one-shot inverted join is optimal. Keep both in mind; ship the one
-    // that wins on the data.
+    // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index,
+    // with the plan chosen by posting-list density (see jaccardPairsAuto):
+    // dense corpus -> one-shot inverted join; sparse (the real-corpus / 100 TB
+    // regime) -> prefix filtering. Both variants are provably the same pair
+    // set (asserted in LlmSpec), so the oracle is shared.
     "llm_dedup_jaccard" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val docs = Tables.documents(s, dir)
-          .select($"doc_id", explode(TextOps.shinglesUdf(3)($"text")).as("s"))
-        val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
-          .filter($"a.doc_id" < $"b.doc_id")
-          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg(count(lit(1)).as("common"))
-        pairs
-          .join(sizes.as("x"), $"i" === $"x.doc_id")
-          .join(sizes.as("y"), $"j" === $"y.doc_id")
-          .select($"i", $"j",
-            round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
-          .filter($"jaccard" >= 0.6)
-          .orderBy($"i", $"j")
-      },
+      (s, dir) => jaccardPairsAuto(s, dir, 0.6),
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
         |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
         |         THEN list_transform(generate_series(1, len(tl) - 2),

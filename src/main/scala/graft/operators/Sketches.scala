@@ -280,8 +280,10 @@ object Sketches {
 
     // WINDOW_FUNNEL(12 hours, view -> click -> purchase): per-user max step,
     // reported as a funnel histogram (12 h chosen so all three levels occur in
-    // testdata). Cross-engine SQL is not expressible — rows-only here,
-    // brute-force-verified in ScalaTest.
+    // testdata). Oracled via cascaded-EXISTS SQL (level L iff an increasing
+    // chain of L steps exists inside one 12 h window anchored at a view —
+    // greedy-from-anchor and ∃-chain agree; testdata has no per-user µs ties,
+    // so strict ts inequalities mirror the aggregator's sort order).
     "agg_window_funnel" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -298,7 +300,28 @@ object Sketches {
           .agg(count(lit(1)).as("n_users"))
           .orderBy($"funnel_level")
       },
-      None),
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |lvl AS (SELECT user_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM events v, events c, events p
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND p.user_id = u.user_id AND v.event_type = 'view'
+        |        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |        AND epoch_us(c.ts) > epoch_us(v.ts)
+        |        AND epoch_us(p.ts) > epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(v.ts) + 43200000000) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM events v, events c
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND v.event_type = 'view' AND c.event_type = 'click'
+        |        AND epoch_us(c.ts) > epoch_us(v.ts)
+        |        AND epoch_us(c.ts) <= epoch_us(v.ts) + 43200000000) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM events v
+        |      WHERE v.user_id = u.user_id AND v.event_type = 'view') THEN 1
+        |    ELSE 0 END AS funnel_level
+        |  FROM u)
+        |SELECT funnel_level, count(*) AS n_users
+        |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // SEQUENCE_MATCH('(?1)(?2)'): signup then purchase, per user — greedy
     // subsequence existence, oracled via cascaded-min SQL (equivalent).

@@ -37,7 +37,11 @@ object Streaming {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  private def eventStream(s: SparkSession, dir: String): DataFrame = {
+  /** Sentinel event time (2100-01-01, ns) — far past every real event. */
+  private val SentinelNs = 4102444800L * 1000000000L
+
+  private def eventStream(s: SparkSession, dir: String,
+      withSentinel: Boolean = false): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source requires a directory: expose the events parquet file
     // through a temp dir (in production this is the landing dir / Kafka topic)
@@ -45,6 +49,23 @@ object Streaming {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    if (withSentinel) {
+      // Append-mode aggregations only emit state finalized BELOW the
+      // watermark; with a bounded source the tail windows/sessions would
+      // never flush. A single far-future sentinel row (user_id = -1,
+      // filtered after read-back) pushes the watermark past all real data so
+      // the no-data micro-batch that follows emits every real group. This is
+      // the standard bounded-replay flush trick; in production the stream is
+      // unbounded and no sentinel is needed.
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+      val row = org.apache.spark.sql.Row(-1L, SentinelNs, -1L, "sentinel", 0.0, "{}")
+      s.createDataFrame(java.util.List.of(row), rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(part), streamDir.resolve("zz_sentinel.parquet"))
+    }
     s.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
@@ -72,12 +93,17 @@ object Streaming {
         batch.withColumn("_batch", lit(id)).write.mode("append").parquet(out)
     }.start()
     try q.processAllAvailable() finally q.stop()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
-    s.read.parquet(out)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_batch", "_rn")
+    if (mode == "append") {
+      // append emits each finalized group exactly once — no merge needed
+      s.read.parquet(out).drop("_batch")
+    } else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*).orderBy(col("_batch").desc)
+      s.read.parquet(out)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .drop("_batch", "_rn")
+    }
   }
 
   def queries: Map[String, QueryDef] = Map(
@@ -186,12 +212,15 @@ object Streaming {
     "stream_session" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val agg = eventStream(s, dir)
+        // Spark rejects update output mode for session-window aggs — append
+        // mode (finalized sessions only) + sentinel watermark push instead.
+        val agg = eventStream(s, dir, withSentinel = true)
           .withWatermark("ts", "1 hour")
           .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
           .agg(count(lit(1)).as("n_events"))
           .select($"user_id", unix_micros($"w.start").as("session_start_us"), $"n_events")
-        runUpsertSink(s, agg, Seq("user_id", "session_start_us"))
+        runUpsertSink(s, agg, Seq("user_id", "session_start_us"), mode = "append")
+          .filter($"user_id" >= 0)
           .orderBy($"user_id", $"session_start_us")
       },
       """WITH g AS (SELECT user_id, ts,
@@ -209,18 +238,20 @@ object Streaming {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin),
 
-    // Watermarked windowed aggregate: update mode; with the single-batch file
-    // source the final state equals the batch result (late-drop behavior is
-    // exercised with MemoryStream in ScalaTest).
+    // Watermarked windowed aggregate: append mode + sentinel flush — each
+    // window is emitted exactly once when the watermark passes it, so the
+    // read-back needs no merge (late-drop behavior is exercised with
+    // MemoryStream in ScalaTest).
     "stream_watermark" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val agg = eventStream(s, dir)
+        val agg = eventStream(s, dir, withSentinel = true)
           .withWatermark("ts", "1 hour")
           .groupBy(window($"ts", "6 hours").as("w"))
           .agg(count(lit(1)).as("n"))
           .select(date_format($"w.start", "yyyy-MM-dd HH:00").as("win_start"), $"n")
-        runUpsertSink(s, agg, Seq("win_start"))
+        runUpsertSink(s, agg, Seq("win_start"), mode = "append")
+          .filter($"win_start" < "2099")
           .orderBy($"win_start")
       },
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600), '%Y-%m-%d %H:00') AS win_start,

@@ -9,6 +9,17 @@ import org.apache.spark.sql.functions._
 class LlmSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
+  test("prefix-filtered jaccard = one-shot jaccard (lossless prefix lemma)") {
+    import graft.operators.LlmDedup
+    val one = LlmDedup.jaccardPairsOneShot(spark, sf, 0.6)
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    val pre = LlmDedup.jaccardPairsPrefix(spark, sf, 0.6)
+      .select($"i", $"j", $"jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(one == pre,
+      s"one-shot\\prefix=${(one diff pre).take(3)} prefix\\one-shot=${(pre diff one).take(3)}")
+    assert(one.nonEmpty, "degenerate test: no qualifying pairs at t=0.6")
+  }
+
   test("minhash-LSH candidates recall all jaccard >= 0.9 pairs") {
     val exact = run("llm_dedup_jaccard")
       .filter($"jaccard" >= 0.9).select($"i", $"j").as[(Long, Long)].collect().toSet

@@ -11,11 +11,20 @@ class RelationalSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
   test("every declared query key runs and is deterministic across two runs") {
-    SparkEntry.defs.keys.foreach { k =>
-      val a = run(k).collect()
-      val b = run(k).collect()
-      assert(a.sameElements(b), s"$k not deterministic")
+    // accumulate across ALL keys (a throw or mismatch on one key must not
+    // mask later keys — round 2's stream_session regression hid behind the
+    // first quantile failure), then assert once
+    val failures = SparkEntry.defs.keys.toSeq.sorted.flatMap { k =>
+      try {
+        val a = run(k).collect()
+        val b = run(k).collect()
+        if (a.sameElements(b)) None else Some(s"$k: not deterministic")
+      } catch {
+        case e: Throwable => Some(s"$k: threw ${e.getClass.getSimpleName}: ${
+          Option(e.getMessage).getOrElse("").linesIterator.take(1).mkString}")
+      }
     }
+    assert(failures.isEmpty, failures.mkString("\n", "\n", ""))
   }
 
   test("every oracled key has matching column names contract") {
@@ -48,6 +57,15 @@ class RelationalSpec extends SparkSpec {
   test("join_inner uses broadcast joins for dimension sides") {
     val plan = run("join_inner").queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("join_bucketed joins shuffle-free off bucketed storage") {
+    val plan = run("join_bucketed").queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the colocate contract: no exchange on either join key — the only
+    // shuffles allowed are the post-join groupBy/orderBy
+    assert(!plan.contains("hashpartitioning(o_custkey"), "orders side shuffled")
+    assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
   }
 
   test("set ops algebra: |A| = |A∩B| + |A\\B|") {
