@@ -124,6 +124,27 @@ object Aggregates {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
 
+    // PIVOT (wide conditional aggregation — the Doris/MySQL idiom is
+    // CASE-WHEN sums; Spark has the operator natively). Pivot values are
+    // enumerated explicitly: at 100 TB an implicit pivot would first run a
+    // distinct scan over the fact table just to discover column names.
+    "agg_pivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(round(sum($"o_totalprice"), 2))
+          .select($"o_orderpriority", $"F".as("f_total"),
+            $"O".as("o_total"), $"P".as("p_total"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS f_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS o_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Statistical aggregates: stddev/variance/corr/covar.
     "agg_stats" -> QueryDef(
       (s, dir) => {

@@ -486,6 +486,54 @@ object Functions {
         |  CAST(n_regionkey IS NOT DISTINCT FROM 0 AS INTEGER) AS nse_v,
         |  coalesce(CAST(NULL AS VARCHAR), n_name) AS ifn_v,
         |  CAST(instr(n_name, 'ION') AS INTEGER) AS loc_v
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
+    // Bit-manipulation family (Doris bitand/bitor/bitxor/bitnot/bit_shift_*
+    // [doris: be/src/vec/functions/function_bit.cpp] -> Spark operators /
+    // shiftleft/shiftright, all codegen'd).
+    "fn_bitops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.part(s, dir)
+          .select(
+            $"p_partkey",
+            ($"p_partkey".bitwiseAND(255L)).as("band_v"),
+            ($"p_partkey".bitwiseOR(4096L)).as("bor_v"),
+            ($"p_partkey".bitwiseXOR($"p_size")).as("bxor_v"),
+            bitwise_not($"p_partkey").as("bnot_v"),
+            shiftleft($"p_partkey", 3).cast("long").as("shl_v"),
+            shiftright($"p_partkey", 2).cast("long").as("shr_v"),
+            bit_count($"p_partkey").as("bcnt_v"))
+          .orderBy($"p_partkey")
+      },
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS band_v,
+        |  p_partkey | 4096 AS bor_v,
+        |  xor(p_partkey, p_size) AS bxor_v,
+        |  ~p_partkey AS bnot_v,
+        |  p_partkey << 3 AS shl_v,
+        |  p_partkey >> 2 AS shr_v,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS bcnt_v
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // IPv4 family, fully oracled (the round-trip is reconstructible in SQL:
+    // aton = dotted-quad base-256 expansion, ntoa(aton(ip)) = ip).
+    "fn_inet" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ip = concat_ws(".", lit(10), $"n_regionkey", $"n_nationkey", lit(1))
+        Tables.nation(s, dir)
+          .select(
+            $"n_nationkey",
+            DorisFunctions.inet_aton(ip).cast("long").as("aton_v"),
+            DorisFunctions.inet_ntoa(DorisFunctions.inet_aton(ip)).as("roundtrip_v"))
+          .orderBy($"n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  CAST(10 * 16777216 + n_regionkey * 65536 + n_nationkey * 256 + 1
+        |       AS BIGINT) AS aton_v,
+        |  '10.' || CAST(n_regionkey AS VARCHAR) || '.'
+        |        || CAST(n_nationkey AS VARCHAR) || '.1' AS roundtrip_v
         |FROM nation ORDER BY n_nationkey""".stripMargin)
   )
 }

@@ -77,6 +77,73 @@ object KeyModels {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // UNIQUE-key model with DELETE SIGN (Doris DELETE / batch-delete lands as
+    // a hidden __DORIS_DELETE_SIGN__ column; merge-on-read keeps the latest
+    // version per key and drops rows whose winner is a delete marker). Here:
+    // version 1 = all events, version 2 = delete markers for clicks; the
+    // read-back is the same one-window merge the UNIQUE model uses (one
+    // shuffle on the key), so deletes cost nothing extra at 100 TB until
+    // compaction folds them in.
+    "model_delete_sign" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_delsign").toString
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        ev.withColumn("_sign", lit(0)).withColumn("_ver", lit(1L))
+          .write.mode("append").parquet(out)
+        ev.filter($"event_type" === "click")
+          .withColumn("_sign", lit(1)).withColumn("_ver", lit(2L))
+          .write.mode("append").parquet(out)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_id").orderBy($"_ver".desc)
+        s.read.parquet(out)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"_sign" === 0)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // UNIQUE-key PARTIAL column update (Doris 2.x partial_columns stream
+    // load): a second batch carries only (key, value) — other columns arrive
+    // NULL — and merge-on-read takes, PER COLUMN, the latest non-null
+    // version: last(col, ignoreNulls) over the key window. One window
+    // shuffle on the key; same plan shape as the full-row merge.
+    "model_partial_update" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_partial").toString
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        ev.withColumn("_ver", lit(1L))
+          .write.mode("append").parquet(out)
+        // partial batch: bump value by 1000 for purchases, event_type omitted
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id", lit(null).cast("string").as("event_type"),
+            ($"value" + 1000.0).as("value"), lit(2L).as("_ver"))
+          .write.mode("append").parquet(out)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"event_id").orderBy($"_ver".asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        s.read.parquet(out)
+          .select($"event_id",
+            last($"event_type", ignoreNulls = true).over(w).as("event_type"),
+            last($"value", ignoreNulls = true).over(w).as("value"))
+          .distinct()
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_type = 'purchase'
+        |                 THEN value + 1000.0 ELSE value END), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // OUTFILE / EXPORT to CSV (SURVEY §2.1: Doris SELECT ... INTO OUTFILE
     // FORMAT csv [doris: fe/.../ExportJob.java]): write a query result as
     // headered CSV (executor-parallel, one file per partition at scale),

@@ -106,6 +106,36 @@ object LlmDedup {
     else jaccardPairsOneShot(s, dir, t)
   }
 
+  /** Per-node component labels for the jaccard>=t near-dup graph:
+    * (id, comp) where comp = min doc_id reachable. Pregel-style min-label
+    * propagation; see llm_dedup_groups for the scale rationale. */
+  private[graft] def nearDupComponents(
+      s: SparkSession, dir: String, t: Double): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val qp = jaccardPairsAuto(s, dir, t).select($"i", $"j")
+    val edges = qp.union(qp.select($"j".as("i"), $"i".as("j")))
+      .localCheckpoint(true)
+    var labels = edges.select($"i".as("id")).distinct()
+      .select($"id", $"id".as("comp"))
+      .localCheckpoint(true)
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 20) {
+      val nbrMin = edges.join(labels, $"j" === $"id")
+        .groupBy($"i").agg(min($"comp").as("nbr"))
+      val next = labels.join(nbrMin, $"id" === $"i", "left")
+        .select($"id", least($"comp", coalesce($"nbr", $"comp")).as("comp"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), "id")
+        .filter($"n.comp" =!= $"o.comp")
+        .isEmpty
+      labels = next
+      iters += 1
+    }
+    labels
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Exact dedup over content hash: corpus-level stats + per-group merge.
     "llm_dedup_exact" -> QueryDef(
@@ -188,6 +218,48 @@ object LlmDedup {
           .filter($"ham" <= 3)
           .orderBy($"i", $"j")
       },
-      None)
+      None),
+
+    // Near-dup CLUSTERING: connected components over the jaccard>=0.6 pair
+    // graph — the step a real dedup pipeline needs after pair-finding (keep
+    // one canonical doc per cluster, not per pair: pairs (a,b),(b,c) must
+    // collapse to ONE group {a,b,c}). Pregel-style min-label propagation on
+    // DataFrames: each iteration is one join+groupBy shuffle on doc_id;
+    // iterations = component diameter (near-dup clusters are tiny/star-
+    // shaped, so 2-4 rounds in practice, hard cap 20). localCheckpoint per
+    // round cuts lineage so plans don't grow with iterations; the
+    // convergence probe is a per-round driver boolean (the standard
+    // iterative-algorithm control loop, not data movement). Oracled via a
+    // DuckDB recursive CTE computing min-reachable-id per node.
+    "llm_dedup_groups" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        nearDupComponents(s, dir, 0.6)
+          .groupBy($"comp".as("group_id"))
+          .agg(count(lit(1)).as("n_docs"), max($"id").as("max_doc"))
+          .orderBy($"group_id")
+      },
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |qp AS (SELECT i, j
+        |       FROM pairs p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+        |       WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6),
+        |e AS (SELECT i, j FROM qp UNION SELECT j, i FROM qp),
+        |reach(id, r) AS (
+        |  SELECT i AS id, i AS r FROM e
+        |  UNION
+        |  SELECT e.i, reach.r FROM e JOIN reach ON reach.id = e.j),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS group_id, count(*) AS n_docs, max(id) AS max_doc
+        |FROM comp GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

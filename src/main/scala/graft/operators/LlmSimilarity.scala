@@ -105,21 +105,22 @@ object LlmSimilarity {
       (s, dir) => {
         import s.implicits._
         // rank cells per vector: rn=1 is the storage cell, rn<=3 the probe set.
-        // NOTE: q and cand are built from two independent plans — deriving
-        // both from one cached `ranked` DataFrame trips Spark's self-join
-        // attribute dedup (the two rn filters share an exprId and collapse),
-        // observed as queries probing only their rn=1 cell.
-        def ranked() = {
-          val cents = broadcast(centroids(s, dir).withColumnRenamed("label", "cell"))
-          Tables.embeddings(s, dir).crossJoin(cents)
-            .select($"vec_id", $"embedding", $"cell",
-              round(TextOps.cosine($"embedding", $"centroid"), 6).as("sim"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell".asc)))
-        }
-        val q = ranked().filter($"vec_id" < 5 && $"rn" <= 3)
+        // NOTE: deriving q and cand from one LAZY `ranked` DataFrame trips
+        // Spark's self-join attribute dedup (the two rn filters share an
+        // exprId and collapse — observed as queries probing only their rn=1
+        // cell). localCheckpoint materializes the ranking ONCE and puts a
+        // physical barrier between the branches: no cross-branch plan
+        // merging, and the centroid crossJoin isn't re-costed per branch.
+        val cents = broadcast(centroids(s, dir).withColumnRenamed("label", "cell"))
+        val ranked = Tables.embeddings(s, dir).crossJoin(cents)
+          .select($"vec_id", $"embedding", $"cell",
+            round(TextOps.cosine($"embedding", $"centroid"), 6).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell".asc)))
+          .localCheckpoint(true)
+        val q = ranked.filter($"vec_id" < 5 && $"rn" <= 3)
           .select($"vec_id".as("qid"), $"embedding".as("qvec"), $"cell")
-        val cand = ranked().filter($"vec_id" >= 5 && $"rn" === 1)
+        val cand = ranked.filter($"vec_id" >= 5 && $"rn" === 1)
           .select($"vec_id", $"embedding", $"cell")
         cand.join(broadcast(q), Seq("cell"))
           .select($"qid", $"vec_id".as("nid"),

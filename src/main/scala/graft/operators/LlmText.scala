@@ -214,6 +214,41 @@ object LlmText {
         |  round(list_sum(list_transform(generate_series(1, least(length(text), 16)),
         |        i -> ascii(substring(text, i, 1)))) * 1.0
         |        / least(length(text), 16), 4) AS mean_byte16
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Training-data curation sampling, two composable stages:
+    //  1. deterministic content-hash Bernoulli sample (md5(text) -> 30%):
+    //     reproducible across runs/engines/cluster sizes, unlike rand() —
+    //     the property a 100 TB curation run needs for auditability; and
+    //  2. stratified cap: per (lang, source) stratum keep the top-50 docs by
+    //     length (quality proxy), doc_id tiebreak — one window over the
+    //     SAMPLED minority, not the full corpus.
+    // Narrow ops + one window shuffle on (lang, source); no driver state.
+    "llm_sample" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val h = conv(substring(md5($"text"), 1, 4), 16, 10).cast("long")
+        val kept = Tables.documents(s, dir)
+          .filter(h % 100 < 30)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"lang", $"source")
+              .orderBy($"n_chars".desc, $"doc_id")))
+          .filter($"rn" <= 50)
+        kept.groupBy($"lang", $"source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum($"n_chars").as("sum_chars"),
+            min($"doc_id").as("min_doc"),
+            max($"doc_id").as("max_doc"))
+          .orderBy($"lang", $"source")
+      },
+      """SELECT lang, source, count(*) AS n_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+        |        ORDER BY n_chars DESC, doc_id) AS rn
+        |      FROM documents
+        |      WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 30) t
+        |WHERE rn <= 50
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

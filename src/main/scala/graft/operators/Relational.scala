@@ -180,6 +180,39 @@ object Relational {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0
         |EXCEPT
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        |ORDER BY o_custkey""".stripMargin)
+        |ORDER BY o_custkey""".stripMargin),
+
+    // Full SQL-API path (the way a Doris user actually talks to the engine):
+    // register tables as views, run a TPC-H Q3-shaped query through
+    // spark.sql — same text (minus dialect) the DuckDB oracle runs. Catalyst
+    // plans it identically to the DataFrame forms: dims broadcast, filters
+    // push to scans, one fact⋈fact shuffle.
+    "sql_api_q3" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_orderkey,
+            |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            |  CAST(o_orderdate AS DATE) AS odate
+            |FROM customer JOIN orders ON c_custkey = o_custkey
+            |  JOIN lineitem ON l_orderkey = o_orderkey
+            |WHERE c_mktsegment = 'BUILDING'
+            |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+            |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+            |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+            |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+      },
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+        |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
   )
 }

@@ -238,6 +238,40 @@ object Streaming {
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start_us""".stripMargin),
 
+    // Dedup-on-ingest: the landing dir delivers the same file twice (the
+    // at-least-once/retry case every real ingest pipeline has);
+    // dropDuplicatesWithinWatermark drops the replays while keeping the
+    // dedup state WATERMARK-BOUNDED — at 100 TB an unbounded dropDuplicates
+    // state is the thing that kills the job, so the bounded variant is the
+    // only production-valid spelling.
+    "stream_dedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+        for (name <- Seq("events.parquet", "events_retry.parquet"))
+          java.nio.file.Files.createSymbolicLink(
+            streamDir.resolve(name),
+            java.nio.file.Paths.get(s"$dir/events.parquet"))
+        val deduped = s.readStream.schema(rawSchema).parquet(streamDir.toString)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select($"event_type", $"value")
+        val out = java.nio.file.Files.createTempDirectory("graft_dedup_out").toString
+        val q = deduped.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Watermarked windowed aggregate: append mode + sentinel flush — each
     // window is emitted exactly once when the watermark passes it, so the
     // read-back needs no merge (late-drop behavior is exercised with
@@ -298,6 +332,30 @@ object Streaming {
           .agg(count(lit(1)).as("n_users"))
           .orderBy($"funnel_level")
       },
-      None)
+      // same cascaded-EXISTS oracle as the batch twin agg_window_funnel: the
+      // stream's final state after draining the bounded source must equal
+      // the batch histogram (also asserted as spark-vs-spark in ScalaTest)
+      """WITH u AS (SELECT DISTINCT user_id FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |lvl AS (SELECT user_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM events v, events c, events p
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND p.user_id = u.user_id AND v.event_type = 'view'
+        |        AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |        AND epoch_us(c.ts) > epoch_us(v.ts)
+        |        AND epoch_us(p.ts) > epoch_us(c.ts)
+        |        AND epoch_us(p.ts) <= epoch_us(v.ts) + 43200000000) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM events v, events c
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND v.event_type = 'view' AND c.event_type = 'click'
+        |        AND epoch_us(c.ts) > epoch_us(v.ts)
+        |        AND epoch_us(c.ts) <= epoch_us(v.ts) + 43200000000) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM events v
+        |      WHERE v.user_id = u.user_id AND v.event_type = 'view') THEN 1
+        |    ELSE 0 END AS funnel_level
+        |  FROM u)
+        |SELECT funnel_level, count(*) AS n_users
+        |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

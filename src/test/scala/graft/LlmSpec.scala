@@ -20,6 +20,21 @@ class LlmSpec extends SparkSpec {
     assert(one.nonEmpty, "degenerate test: no qualifying pairs at t=0.6")
   }
 
+  test("near-dup components: pairs co-grouped, labels are component minima") {
+    import graft.operators.LlmDedup
+    val labels = LlmDedup.nearDupComponents(spark, sf, 0.6)
+      .as[(Long, Long)].collect().toMap
+    val pairs = LlmDedup.jaccardPairsOneShot(spark, sf, 0.6)
+      .select($"i", $"j").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (i, j) =>
+      assert(labels(i) == labels(j), s"pair ($i,$j) split across groups")
+    }
+    labels.foreach { case (id, comp) =>
+      assert(comp <= id && labels(comp) == comp, s"label $comp of $id not canonical")
+    }
+  }
+
   test("minhash-LSH candidates recall all jaccard >= 0.9 pairs") {
     val exact = run("llm_dedup_jaccard")
       .filter($"jaccard" >= 0.9).select($"i", $"j").as[(Long, Long)].collect().toSet
