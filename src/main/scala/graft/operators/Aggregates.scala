@@ -124,6 +124,72 @@ object Aggregates {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
 
+    // Bitwise aggregates (Doris group_bit_and/or/xor
+    // [doris: be/src/vec/aggregate_functions/aggregate_function_bit.cpp] ->
+    // Spark bit_and/bit_or/bit_xor, codegen'd, map-side partial).
+    "agg_bit" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            bit_and($"l_linenumber").as("band_v"),
+            bit_or($"l_linenumber").as("bor_v"),
+            bit_xor($"l_orderkey").as("bxor_v"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  bit_and(l_linenumber) AS band_v,
+        |  bit_or(l_linenumber) AS bor_v,
+        |  bit_xor(l_orderkey) AS bxor_v
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Equi-width HISTOGRAM (Doris histogram() bucket aggregate): bucket =
+    // floor((v - lo) / width) composes from codegen'd arithmetic on both
+    // engines — one groupBy shuffle, no per-value state.
+    "agg_histogram" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val b = least(floor(($"o_totalprice" - 0.0) / 50000.0).cast("int"), lit(9))
+        Tables.orders(s, dir)
+          .groupBy(b.as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(min($"o_totalprice"), 2).as("lo"),
+            round(max($"o_totalprice"), 2).as("hi"))
+          .orderBy($"bucket")
+      },
+      """SELECT least(CAST(floor(o_totalprice / 50000.0) AS INTEGER), 9) AS bucket,
+        |  count(*) AS n,
+        |  round(min(o_totalprice), 2) AS lo,
+        |  round(max(o_totalprice), 2) AS hi
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Higher-moment statistics: Spark's skewness/kurtosis are POPULATION
+    // moments (kurtosis = excess); DuckDB's builtins are sample-corrected, so
+    // the oracle recomputes the population definitions from raw power sums —
+    // same algebra both engines, rounded to 4 digits.
+    "agg_moments" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(skewness($"l_quantity"), 4).as("skew_v"),
+            round(kurtosis($"l_quantity"), 4).as("kurt_v"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  round((avg(l_quantity * l_quantity * l_quantity)
+        |          - 3 * avg(l_quantity) * var_pop(l_quantity)
+        |          - avg(l_quantity) * avg(l_quantity) * avg(l_quantity))
+        |        / pow(var_pop(l_quantity), 1.5), 4) AS skew_v,
+        |  round((avg(l_quantity * l_quantity * l_quantity * l_quantity)
+        |          - 4 * avg(l_quantity) * avg(l_quantity * l_quantity * l_quantity)
+        |          + 6 * avg(l_quantity) * avg(l_quantity) * avg(l_quantity * l_quantity)
+        |          - 3 * pow(avg(l_quantity), 4))
+        |        / pow(var_pop(l_quantity), 2) - 3, 4) AS kurt_v
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // PIVOT (wide conditional aggregation — the Doris/MySQL idiom is
     // CASE-WHEN sums; Spark has the operator natively). Pivot values are
     // enumerated explicitly: at 100 TB an implicit pivot would first run a

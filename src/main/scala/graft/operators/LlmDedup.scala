@@ -38,9 +38,11 @@ object LlmDedup {
     * short-but-dense (small vocabulary), quadratic when one shingle is a
     * stop-phrase. */
   private[graft] def jaccardPairsOneShot(
-      s: SparkSession, dir: String, t: Double): DataFrame = {
+      s: SparkSession, dir: String, t: Double): DataFrame =
+    oneShotFrom(s, shingleDocs(s, dir), t)
+
+  private def oneShotFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
-    val docs = shingleDocs(s, dir)
     val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
@@ -64,9 +66,11 @@ object LlmDedup {
     * shingles → short posting lists, bounded fan-out even with stop-phrase
     * skew); the exact intersection is then re-counted for candidates only. */
   private[graft] def jaccardPairsPrefix(
-      s: SparkSession, dir: String, t: Double): DataFrame = {
+      s: SparkSession, dir: String, t: Double): DataFrame =
+    prefixFrom(s, shingleDocs(s, dir), t)
+
+  private def prefixFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
-    val docs = shingleDocs(s, dir)
     val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val dfreq = docs.groupBy($"s").agg(count(lit(1)).as("df"))
     val pref = docs.join(dfreq, "s").join(sizes, "doc_id")
@@ -100,10 +104,15 @@ object LlmDedup {
   private[graft] def jaccardPairsAuto(
       s: SparkSession, dir: String, t: Double): DataFrame = {
     import s.implicits._
-    val avgDf = shingleDocs(s, dir).groupBy($"s").agg(count(lit(1)).as("df"))
+    // tokenize ONCE: the checkpointed shingle table feeds both the density
+    // statistic and the chosen join, so the chooser costs one cheap
+    // aggregate, not a second explode pass. (At cluster scale the same idea
+    // is a persisted shingle table / cache, not a driver-local checkpoint.)
+    val docs = shingleDocs(s, dir).localCheckpoint(true)
+    val avgDf = docs.groupBy($"s").agg(count(lit(1)).as("df"))
       .agg(avg($"df")).as[Double].head()
-    if (avgDf <= 4.0) jaccardPairsPrefix(s, dir, t)
-    else jaccardPairsOneShot(s, dir, t)
+    if (avgDf <= 4.0) prefixFrom(s, docs, t)
+    else oneShotFrom(s, docs, t)
   }
 
   /** Per-node component labels for the jaccard>=t near-dup graph:

@@ -216,6 +216,76 @@ object LlmText {
         |        / least(length(text), 16), 4) AS mean_byte16
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // PII scrubbing — the redaction pass every training-data pipeline runs
+    // before the corpus ships. Synthetic PII (email, US-style phone, 16-digit
+    // card) is injected deterministically per doc, then masked with chained
+    // regexp_replace (codegen'd, one narrow pass; patterns kept to RE2-safe
+    // character classes so Spark's Java regex and the oracle's RE2 agree).
+    "llm_pii_mask" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dirty = concat($"text",
+          lit(" contact user"), $"doc_id", lit("@example.com or +1-555-01"),
+          lpad(($"doc_id" % 100).cast("string"), 2, "0"),
+          lit(" card 4111222233334444"))
+        val masked =
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(dirty,
+                "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+              "\\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+            "[0-9]{16}", "<CARD>")
+        Tables.documents(s, dir)
+          .select($"doc_id", masked.as("clean"))
+          .select($"doc_id",
+            (length($"clean") - length(regexp_replace($"clean", "<EMAIL>", "")))
+              .divide(7).cast("int").as("n_emails"),
+            (length($"clean") - length(regexp_replace($"clean", "<PHONE>", "")))
+              .divide(7).cast("int").as("n_phones"),
+            (length($"clean") - length(regexp_replace($"clean", "<CARD>", "")))
+              .divide(6).cast("int").as("n_cards"),
+            substring($"clean", -40, 40).as("tail40"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  CAST((length(clean) - length(replace(clean, '<EMAIL>', ''))) / 7 AS INTEGER) AS n_emails,
+        |  CAST((length(clean) - length(replace(clean, '<PHONE>', ''))) / 7 AS INTEGER) AS n_phones,
+        |  CAST((length(clean) - length(replace(clean, '<CARD>', ''))) / 6 AS INTEGER) AS n_cards,
+        |  substr(clean, -40, 40) AS tail40
+        |FROM (SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com or +1-555-01'
+        |           || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |           || ' card 4111222233334444',
+        |      '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+', '<EMAIL>', 'g'),
+        |      '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+        |      '[0-9]{16}', '<CARD>', 'g') AS clean
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin),
+
+    // Corpus n-gram statistics (top-20 bigrams): the vocabulary/frequency
+    // profile step of corpus analysis. One explode + one groupBy shuffle;
+    // total order with bigram tiebreak.
+    "llm_ngram_stats" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy($"n_docs".desc, $"bigram")
+          .limit(20)
+      },
+      """SELECT s AS bigram, count(*) AS n_docs
+        |FROM (SELECT doc_id, unnest(CASE WHEN len(tl) >= 2
+        |        THEN list_distinct(list_transform(generate_series(1, len(tl) - 1),
+        |             i -> tl[i] || ' ' || tl[i+1]))
+        |        ELSE [array_to_string(tl, ' ')] END) s
+        |      FROM (SELECT doc_id, string_split(lower(text), ' ') tl
+        |            FROM documents) t) sh
+        |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin),
+
     // Training-data curation sampling, two composable stages:
     //  1. deterministic content-hash Bernoulli sample (md5(text) -> 30%):
     //     reproducible across runs/engines/cluster sizes, unlike rand() —
