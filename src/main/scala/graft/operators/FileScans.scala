@@ -108,6 +108,67 @@ object FileScans {
       },
       """SELECT o_orderstatus, count(*) AS n, max(o_totalprice) AS max_price
         |FROM orders WHERE o_totalprice > 50000.0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Error-tolerant ingest (Doris stream load max_filter_ratio
+    // [doris: be/src/http/action/stream_load.cpp — tolerated bad rows]):
+    // PERMISSIVE CSV parse routes malformed rows to a corrupt-record column
+    // instead of failing the load; the load reports good/bad counts so the
+    // caller can enforce its filter-ratio policy. Two deliberately bad rows
+    // (non-numeric fields) are appended to the staged nation CSV.
+    "scan_csv_permissive" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val staged = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+        Tables.nation(s, dir)
+          .select(concat_ws(",", $"n_nationkey", $"n_name", $"n_regionkey").as("value"))
+          .union(Seq("x,BROKEN_ROW,1", "9,BAD_REGION,zz").toDF("value"))
+          .coalesce(1).write.mode("overwrite").text(staged)
+        // NOTE (measured): CSV column pruning means _corrupt reflects only
+        // the fields the query parses — an unreferenced bad column goes
+        // undetected. A filter-ratio load check must therefore project EVERY
+        // column (as here via sum_rk), or corrupt counts silently depend on
+        // the projection.
+        s.read
+          .schema("k INT, name STRING, rk INT, _corrupt STRING")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt")
+          .csv(staged)
+          .agg(
+            count(when($"_corrupt".isNull, 1)).as("n_good"),
+            count($"_corrupt").as("n_bad"),
+            sum(when($"_corrupt".isNull, $"k")).as("sum_k"),
+            sum(when($"_corrupt".isNull, $"rk")).as("sum_rk"))
+      },
+      """SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_bad,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_k,
+        |  CAST(sum(n_regionkey) AS BIGINT) AS sum_rk
+        |FROM nation""".stripMargin),
+
+    // Schema catalog scan (Doris information_schema.columns
+    // [doris: fe/.../catalog/InfoSchemaDb.java]): column metadata of
+    // registered relations through spark.catalog. The key registers its OWN
+    // two views so the result never depends on what else ran in the session;
+    // the driver-side collect is catalog METADATA (a handful of rows by
+    // construction), not table data.
+    "meta_schema_scan" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.nation(s, dir).createOrReplaceTempView("graft_meta_nation")
+        Tables.region(s, dir).createOrReplaceTempView("graft_meta_region")
+        val cols = Seq("graft_meta_nation", "graft_meta_region").flatMap { t =>
+          s.catalog.listColumns(t).collect().map(c => (t, c.name, c.dataType))
+        }
+        cols.toDF("table_name", "column_name", "data_type")
+          .orderBy($"table_name", $"column_name")
+      },
+      """SELECT * FROM (VALUES
+        |  ('graft_meta_nation', 'n_name', 'string'),
+        |  ('graft_meta_nation', 'n_nationkey', 'int'),
+        |  ('graft_meta_nation', 'n_regionkey', 'int'),
+        |  ('graft_meta_region', 'r_name', 'string'),
+        |  ('graft_meta_region', 'r_regionkey', 'int')
+        |) AS t(table_name, column_name, data_type)
+        |ORDER BY table_name, column_name""".stripMargin)
   )
 }

@@ -316,6 +316,67 @@ object Joins {
         |  JOIN nation ON s_nationkey = n_nationkey
         |WHERE p_name LIKE '%0%'
         |GROUP BY n_name, year(o_orderdate)
-        |ORDER BY n_name, o_year DESC""".stripMargin)
+        |ORDER BY n_name, o_year DESC""".stripMargin),
+
+    // TPC-H Q18 shape (large-volume customers): aggregate-then-semi-join —
+    // the HAVING subquery becomes a self-contained aggregate whose SMALL
+    // result (orders over the quantity threshold) broadcasts back against
+    // the two fact tables. The aggregation runs ONCE on lineitem's natural
+    // key, so the plan is one fact shuffle + broadcasts, not a correlated
+    // re-scan per order.
+    "join_flagship_q18" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.lineitem(s, dir)
+          .groupBy($"l_orderkey")
+          .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+          .filter($"sum_qty" > 300.0)
+        val ord = Tables.orders(s, dir)
+        val cust = Tables.customer(s, dir)
+        ord.join(broadcast(big), $"o_orderkey" === $"l_orderkey")
+          .join(cust, $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey",
+            to_date($"o_orderdate").cast("string").as("o_day"),
+            $"o_totalprice", $"sum_qty")
+          .orderBy($"sum_qty".desc, $"o_orderkey")
+      },
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_day,
+        |  o_totalprice, sum_qty
+        |FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity), 2) > 300.0) b
+        |  JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin),
+
+    // Dynamic partition pruning: fact written partitioned on the join key's
+    // column; the dim-side filter turns into a runtime partition filter on
+    // the fact scan (Spark plants a DPP subquery in PartitionFilters), so at
+    // 100 TB only the surviving partitions are read at all. Plan-asserted in
+    // JoinsSpec ("dynamicpruning" under the fact scan).
+    "join_dpp" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        val fact = s.read.parquet(out)
+        // the dim must be a real scan with a residual filter (a local
+        // relation constant-folds the filter away and the pruning rule sees
+        // no selective predicate to subscribe to)
+        val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+        Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
+          .toDF("rf", "tag").write.mode("overwrite").parquet(dimDir)
+        val dim = s.read.parquet(dimDir).filter($"tag" === "returned")
+        fact.join(broadcast(dim), $"l_returnflag" === $"rf")
+          .groupBy($"rf")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"rf")
+      },
+      """SELECT l_returnflag AS rf, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -68,6 +68,11 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
   }
 
+  test("join_dpp plants a dynamic partition pruning filter on the fact scan") {
+    val plan = run("join_dpp").queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+  }
+
   test("set ops algebra: |A| = |A∩B| + |A\\B|") {
     val o = Tables.orders(spark, sf)
     val a = o.filter($"o_orderstatus" === "F").select($"o_custkey").distinct()
