@@ -42,6 +42,7 @@ object LlmSimilarity {
     "llm_cosine" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.CosineSim.register(s)
         Tables.embeddings(s, dir)
           .join(broadcast(centroids(s, dir)), Seq("label"))
           .select($"vec_id", $"label",
@@ -67,6 +68,7 @@ object LlmSimilarity {
     "llm_knn" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.CosineSim.register(s)
         val emb = Tables.embeddings(s, dir)
         val q = emb.filter($"vec_id" < 5)
           .select($"vec_id".as("qid"), $"embedding".as("qvec"))
@@ -104,6 +106,7 @@ object LlmSimilarity {
     "llm_knn_ivf" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.CosineSim.register(s)
         // rank cells per vector: rn=1 is the storage cell, rn<=3 the probe set.
         // NOTE: deriving q and cand from one LAZY `ranked` DataFrame trips
         // Spark's self-join attribute dedup (the two rn filters share an
@@ -140,6 +143,7 @@ object LlmSimilarity {
     "llm_embed_neardup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        graft.functions.CosineSim.register(s)
         val emb = Tables.embeddings(s, dir).filter($"vec_id" < 200)
           .select($"vec_id", $"embedding")
         emb.as("a").crossJoin(emb.as("b"))

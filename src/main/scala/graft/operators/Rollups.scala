@@ -70,6 +70,43 @@ object Rollups {
         |  round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty,
         |  count(*) AS n
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Incremental rollup/MV maintenance (Doris AGGREGATE-key compaction and
+    // async-MV refresh): rollup(base ∪ delta) is computed as
+    // re-aggregate(rollup(base) ∪ rollup(delta)) — the delta is aggregated
+    // alone and MERGED into the standing rollup state, never rescanning the
+    // base. That re-aggregability (sum/count/min/max; avg = sum÷cnt at read)
+    // is why the 100 TB refresh cost scales with the delta, not the table.
+    // The oracle is the full recompute over base ∪ delta: merged == full.
+    "rollup_incremental" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def rollupOf(slice: org.apache.spark.sql.DataFrame) = slice
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(sum($"l_quantity").as("sum_qty"),
+            count(lit(1)).as("cnt"),
+            min($"l_quantity").as("min_qty"),
+            max($"l_quantity").as("max_qty"))
+        val standing = rollupOf(
+          Tables.lineitem(s, dir).filter($"l_orderkey" % 10 =!= 0))
+        val delta = rollupOf(
+          Tables.lineitem(s, dir).filter($"l_orderkey" % 10 === 0))
+        standing.unionByName(delta)
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(round(sum($"sum_qty"), 2).as("sum_qty"),
+            sum($"cnt").as("n"),
+            round(min($"min_qty"), 2).as("min_qty"),
+            round(max($"max_qty"), 2).as("max_qty"),
+            round(sum($"sum_qty") / sum($"cnt"), 4).as("avg_qty"))
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(sum(l_quantity) / count(*), 4) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }

@@ -126,6 +126,13 @@ object TextOps {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity — native codegen expression (one fused loop; the HOF
+    * spelling below runs the lambda interpreter per element). Callers must
+    * have run [[graft.functions.CosineSim.register]] on the session. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
+
+  /** The composed higher-order-function spelling — kept as the reference
+    * implementation; bit-equality with [[cosine]] is asserted in LlmSpec. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 }

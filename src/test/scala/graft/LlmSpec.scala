@@ -66,10 +66,26 @@ class LlmSpec extends SparkSpec {
 
   test("cosine is 1.0 for self-similarity") {
     import graft.text.TextOps
+    graft.functions.CosineSim.register(spark)
     val one = Tables.embeddings(spark, sf).limit(1)
       .select(round(TextOps.cosine($"embedding", $"embedding"), 6).as("c"))
       .as[Double].head()
     assert(one == 1.0)
+  }
+
+  test("native cosine_sim expression is bit-identical to the HOF spelling") {
+    import graft.text.TextOps
+    graft.functions.CosineSim.register(spark)
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 50)
+    val both = emb.as("a").crossJoin(emb.as("b"))
+      .select(TextOps.cosine($"a.embedding", $"b.embedding").as("native"),
+        TextOps.cosineHof($"a.embedding", $"b.embedding").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) ==
+        java.lang.Double.doubleToLongBits(h), s"$n != $h")
+    }
   }
 
   test("multimodal decode stub is deterministic and schema-stable") {
