@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -173,6 +173,60 @@ object Streaming {
       """SELECT user_id, event_type, count(*) AS n,
         |  round(sum(value), 2) AS sum_value, max(event_id) AS max_event
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Stream-static join (dimension enrichment on ingest — the most common
+    // production streaming join): the static nation dim broadcasts; every
+    // micro-batch joins map-side with no stream-side state at all, then the
+    // enriched stream aggregates in update mode.
+    "stream_join_static" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val dim = Tables.nation(s, dir)
+        val enriched = eventStream(s, dir)
+          .withColumn("nk", pmod($"user_id", lit(25)).cast("int"))
+          .join(broadcast(dim), $"nk" === $"n_nationkey")
+        val agg = enriched.groupBy($"n_name")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+        runUpsertSink(s, agg, Seq("n_name"))
+          .orderBy($"n_name")
+      },
+      """SELECT n_name, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events JOIN nation ON user_id % 25 = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Stream-stream inner join with a time-range bound: both sides carry
+    // watermarks and the range condition caps join state (events outside
+    // |Δts| <= 1 min age out of the state store) — the only production-valid
+    // spelling of a stream-stream join at 100 TB. Matches emit as they
+    // arrive (inner join doesn't hold output for the watermark), so the
+    // bounded source drains in one pass; event_id is unique so each event
+    // matches exactly itself and the batch oracle is the plain aggregate.
+    "stream_stream_join" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val a = eventStream(s, dir)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .withWatermark("ts", "1 hour")
+        val b = eventStream(s, dir)
+          .select($"event_id".as("eid2"), $"ts".as("ts2"))
+          .withWatermark("ts2", "1 hour")
+        val joined = a.join(b,
+          $"event_id" === $"eid2" &&
+            $"ts2" >= $"ts" - expr("interval 1 minute") &&
+            $"ts2" <= $"ts" + expr("interval 1 minute"))
+        val out = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+        val q = joined.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Tumbling window aggregate (1 hour).
     "stream_tumble" -> QueryDef(
