@@ -68,6 +68,27 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
   }
 
+  test("join_flagship_q18 broadcasts the aggregated HAVING side") {
+    val plan = run("join_flagship_q18").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+  }
+
+  test("sql_api_q3 pushes segment and both date filters into the scans") {
+    val plan = run("sql_api_q3").queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(c_mktsegment,BUILDING)"), "segment filter not pushed")
+    assert(plan.contains("LessThan(o_orderdate"), "orders date filter not pushed")
+    assert(plan.contains("GreaterThan(l_shipdate"), "lineitem date filter not pushed")
+  }
+
+  test("llm_sample: hash filter applies before the stratum window shuffle") {
+    val df = run("llm_sample")
+    // structural invariant: no stratum exceeds the cap, and two runs agree
+    // (the md5-hash sample is deterministic, unlike rand())
+    val a = df.collect()
+    assert(a.forall(_.getLong(2) <= 50), "stratum cap exceeded")
+    assert(a.sameElements(run("llm_sample").collect()))
+  }
+
   test("join_dpp plants a dynamic partition pruning filter on the fact scan") {
     val plan = run("join_dpp").queryExecution.executedPlan.toString
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
