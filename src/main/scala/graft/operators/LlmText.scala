@@ -161,6 +161,41 @@ object LlmText {
         |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS chars_div4
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // Sequence/context packing — the pretraining step that assembles docs
+    // into fixed token-budget contexts (2048 here). Greedy sequential
+    // packing per language shard: running token total ordered by doc_id,
+    // context id = floor((cum - own) / budget), so docs are never split and
+    // assignment is deterministic. One window shuffle per shard; at 100 TB
+    // the shard key is (lang, hash-bucket) so no single ordered window spans
+    // the corpus.
+    "llm_context_pack" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TokenCount.register(s)
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            graft.functions.TokenCount.token_count($"text").as("n_tok"))
+        toks
+          .withColumn("cum", sum($"n_tok").over(
+            Window.partitionBy($"lang").orderBy($"doc_id")))
+          .withColumn("ctx_id", floor(($"cum" - $"n_tok") / 2048).cast("long"))
+          .groupBy($"lang", $"ctx_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("ctx_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+          .orderBy($"lang", $"ctx_id")
+      },
+      """SELECT lang, ctx_id, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS ctx_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM (SELECT doc_id, lang, n_tok,
+        |    CAST(floor((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |                - n_tok) / 2048) AS BIGINT) AS ctx_id
+        |  FROM (SELECT doc_id, lang,
+        |      len(string_split_regex(trim(text), '\s+')) AS n_tok
+        |    FROM documents) t) p
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // Document fingerprinting: content hash over the normalized token set
     // (order-insensitive) + first-8-hex prefix bucketing.
     "llm_fingerprint" -> QueryDef(
