@@ -196,6 +196,75 @@ object LlmText {
         |    FROM documents) t) p
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
+    // End-to-end curation pipeline — the composition proof: exact dedup
+    // (keep lowest doc_id per content hash) -> quality gate (token-count
+    // band) -> deterministic md5 sample (50%) -> context packing (2048
+    // tokens, per lang), reported as per-language funnel counts. Every
+    // stage is one of this engine's operators chained as plain DataFrame
+    // transforms; total shuffles: content-hash window + lang window + final
+    // groupBy — nothing quadratic, nothing driver-side.
+    "llm_pipeline_e2e" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.TokenCount.register(s)
+        val staged = Tables.documents(s, dir)
+          .withColumn("dup_rn", row_number().over(
+            Window.partitionBy(sha2($"text", 256)).orderBy($"doc_id")))
+          .withColumn("n_tok",
+            graft.functions.TokenCount.token_count($"text"))
+          .withColumn("is_kept", ($"dup_rn" === 1).cast("int"))
+          .withColumn("passes_q",
+            ($"dup_rn" === 1 && $"n_tok".between(5, 1000)).cast("int"))
+          .withColumn("sampled",
+            ($"passes_q" === 1 &&
+              conv(substring(md5($"text"), 1, 4), 16, 10).cast("long") % 100 < 50)
+              .cast("int"))
+        val counts = staged.groupBy($"lang")
+          .agg(count(lit(1)).as("n_in"),
+            sum($"is_kept").as("n_dedup"),
+            sum($"passes_q").as("n_quality"),
+            sum($"sampled").as("n_sampled"))
+        val packed = staged.filter($"sampled" === 1)
+          .withColumn("cum", sum($"n_tok").over(
+            Window.partitionBy($"lang").orderBy($"doc_id")))
+          .withColumn("ctx_id", floor(($"cum" - $"n_tok") / 2048).cast("long"))
+          .groupBy($"lang")
+          .agg(countDistinct($"ctx_id").as("n_contexts"),
+            sum($"n_tok").as("total_tokens"))
+        counts.join(packed, Seq("lang"), "left")
+          .orderBy($"lang")
+      },
+      """WITH staged AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS dup_rn,
+        |    len(string_split_regex(trim(text), '\s+')) AS n_tok,
+        |    CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS h
+        |  FROM documents),
+        |flags AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    CASE WHEN dup_rn = 1 THEN 1 ELSE 0 END AS is_kept,
+        |    CASE WHEN dup_rn = 1 AND n_tok BETWEEN 5 AND 1000 THEN 1 ELSE 0 END AS passes_q,
+        |    CASE WHEN dup_rn = 1 AND n_tok BETWEEN 5 AND 1000 AND h < 50 THEN 1 ELSE 0 END AS sampled
+        |  FROM staged),
+        |counts AS (
+        |  SELECT lang, count(*) AS n_in,
+        |    CAST(sum(is_kept) AS BIGINT) AS n_dedup,
+        |    CAST(sum(passes_q) AS BIGINT) AS n_quality,
+        |    CAST(sum(sampled) AS BIGINT) AS n_sampled
+        |  FROM flags GROUP BY 1),
+        |packed AS (
+        |  SELECT lang,
+        |    count(DISTINCT CAST(floor((cum - n_tok) / 2048) AS BIGINT)) AS n_contexts,
+        |    CAST(sum(n_tok) AS BIGINT) AS total_tokens
+        |  FROM (SELECT lang, n_tok,
+        |      sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |    FROM flags WHERE sampled = 1) t
+        |  GROUP BY 1)
+        |SELECT c.lang, n_in, n_dedup, n_quality, n_sampled, n_contexts, total_tokens
+        |FROM counts c LEFT JOIN packed p ON c.lang = p.lang
+        |ORDER BY c.lang""".stripMargin),
+
     // Document fingerprinting: content hash over the normalized token set
     // (order-insensitive) + first-8-hex prefix bucketing.
     "llm_fingerprint" -> QueryDef(
