@@ -66,6 +66,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows extend across batches and emit once finalized (append)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window($"ts", "10 minutes").as("w"), $"user")
+      .agg(count(lit(1)).as("n"))
+      .select(date_format($"w.start", "HH:mm").as("s"), $"user", $"n")
+    val q = agg.writeStream.format("memory")
+      .queryName("sess_test").outputMode("append").start()
+    try {
+      // batch 1: one session forming for user 1
+      input.addData((ts(1), 1L), (ts(5), 1L))
+      q.processAllAvailable()
+      // batch 2: within the 10-min gap of 10:05 -> EXTENDS the session
+      input.addData((ts(12), 1L))
+      q.processAllAvailable()
+      // nothing emitted yet: session end (10:22) is past the watermark
+      assert(spark.table("sess_test").isEmpty)
+      // batch 3: far-future event pushes watermark past 10:22 -> flush
+      // (this is exactly the sentinel mechanism stream_session uses)
+      input.addData((Timestamp.valueOf("2024-01-01 11:30:00"), 2L))
+      q.processAllAvailable()
+      val rows = spark.table("sess_test")
+        .as[(String, Long, Long)].collect().toSeq
+      // ONE merged session with all 3 events; user 2's session still open
+      assert(rows == Seq(("10:01", 1L, 3L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("incremental window agg across batches equals batch result") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
