@@ -124,6 +124,28 @@ object Aggregates {
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin),
 
+    // DISTINCT-qualified aggregates beyond count (Doris multi_distinct_sum /
+    // multi_distinct_count [doris: be/src/vec/aggregate_functions/
+    // aggregate_function_distinct.h]): Spark plans these as a two-phase
+    // distinct-expand aggregate — dedup shuffle on (group, value), then the
+    // outer aggregate; no per-group value set is ever held in one place.
+    "agg_distinct_fns" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(sum_distinct($"l_quantity"), 2).as("sum_d"),
+            count_distinct($"l_partkey").as("cnt_d"),
+            round(expr("avg(DISTINCT l_quantity)"), 4).as("avg_d"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  round(sum(DISTINCT l_quantity), 2) AS sum_d,
+        |  count(DISTINCT l_partkey) AS cnt_d,
+        |  round(avg(DISTINCT l_quantity), 4) AS avg_d
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Bitwise aggregates (Doris group_bit_and/or/xor
     // [doris: be/src/vec/aggregate_functions/aggregate_function_bit.cpp] ->
     // Spark bit_and/bit_or/bit_xor, codegen'd, map-side partial).
