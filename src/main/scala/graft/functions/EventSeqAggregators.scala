@@ -30,8 +30,14 @@ object EventSeqAggregators {
 
   case class TsStep(ts: Long, step: Int)
 
-  /** Doris window_funnel(window, 'default', ts, e1, ..., eN). */
-  class WindowFunnelAgg(windowMicros: Long, numSteps: Int)
+  /** Doris window_funnel(window, mode, ts, e1, ..., eN). Modes
+    * [doris: be/src/vec/aggregate_functions/aggregate_function_window_funnel.h]:
+    *  - "default": any interleaving events allowed between matched steps;
+    *  - "deduplication": a repeat of an ALREADY-matched step ends the chain;
+    *  - "fixed": any funnel event other than the expected next step ends it;
+    *  - "increase": matched steps must have strictly increasing timestamps.
+    */
+  class WindowFunnelAgg(windowMicros: Long, numSteps: Int, mode: String = "default")
       extends Aggregator[TsStep, ArrayBuffer[TsStep], Int] {
     override def zero: ArrayBuffer[TsStep] = ArrayBuffer.empty
     override def reduce(b: ArrayBuffer[TsStep], e: TsStep): ArrayBuffer[TsStep] = {
@@ -47,9 +53,22 @@ object EventSeqAggregators {
         if (ev(i).step == 1) {
           val limit = ev(i).ts + windowMicros
           var lvl = 1
+          var lastTs = ev(i).ts
+          var broken = false
           var j = i + 1
-          while (j < ev.length && ev(j).ts <= limit && lvl < numSteps) {
-            if (ev(j).step == lvl + 1) lvl += 1
+          while (!broken && j < ev.length && ev(j).ts <= limit && lvl < numSteps) {
+            val st = ev(j).step
+            mode match {
+              case "increase" =>
+                if (st == lvl + 1 && ev(j).ts > lastTs) { lvl += 1; lastTs = ev(j).ts }
+              case "deduplication" =>
+                if (st == lvl + 1) lvl += 1
+                else if (st >= 1 && st <= lvl) broken = true
+              case "fixed" =>
+                if (st == lvl + 1) lvl += 1 else broken = true
+              case _ =>
+                if (st == lvl + 1) lvl += 1
+            }
             j += 1
           }
           if (lvl > best) best = lvl
@@ -86,8 +105,9 @@ object EventSeqAggregators {
   }
 
   /** Column API: window_funnel over (tsMicros, step) columns. */
-  def window_funnel(windowMicros: Long, numSteps: Int)(ts: Column, step: Column): Column =
-    functions.udaf(new WindowFunnelAgg(windowMicros, numSteps),
+  def window_funnel(windowMicros: Long, numSteps: Int, mode: String = "default")(
+      ts: Column, step: Column): Column =
+    functions.udaf(new WindowFunnelAgg(windowMicros, numSteps, mode),
       Encoders.product[TsStep]).apply(ts, step)
 
   def sequence_match(numSteps: Int)(ts: Column, step: Column): Column =

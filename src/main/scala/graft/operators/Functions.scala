@@ -233,6 +233,40 @@ object Functions {
         |  '{"id":' || CAST(event_id AS VARCHAR) || '}' AS json_obj
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Array set-algebra family (Doris array_union/intersect/except/compact/
+    // flatten/sort [doris: be/src/vec/functions/array/]): arrays built
+    // per-row from real columns; element order normalized by array_sort on
+    // both engines so set-op implementation order can't leak into the hash.
+    "fn_array_setops" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val a = array($"n_nationkey", $"n_regionkey", lit(7), lit(7))
+        val b = array($"n_regionkey", lit(7), lit(99))
+        Tables.nation(s, dir)
+          .select(
+            $"n_nationkey",
+            array_join(array_sort(array_union(a, b)), ",").as("union_v"),
+            array_join(array_sort(array_intersect(a, b)), ",").as("inter_v"),
+            array_join(array_sort(array_except(a, b)), ",").as("except_v"),
+            array_join(array_compact(array($"n_nationkey", lit(null), lit(7))), ",").as("compact_v"),
+            array_join(flatten(array(a, b)), ",").as("flat_v"),
+            size(array_distinct(a)).as("nd_v"))
+          .orderBy($"n_nationkey")
+      },
+      """SELECT n_nationkey,
+        |  array_to_string(list_sort(list_distinct([n_nationkey, n_regionkey, 7, 7])
+        |      || list_filter([n_regionkey, 7, 99],
+        |           x -> NOT list_contains([n_nationkey, n_regionkey, 7, 7], x))), ',') AS union_v,
+        |  array_to_string(list_sort(list_distinct(list_filter([n_nationkey, n_regionkey, 7, 7],
+        |      x -> list_contains([n_regionkey, 7, 99], x)))), ',') AS inter_v,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter([n_nationkey, n_regionkey, 7, 7],
+        |      x -> NOT list_contains([n_regionkey, 7, 99], x)))), ','), '') AS except_v,
+        |  array_to_string(list_filter([n_nationkey, NULL, 7], x -> x IS NOT NULL), ',') AS compact_v,
+        |  array_to_string(list_concat([n_nationkey, n_regionkey, 7, 7],
+        |      [n_regionkey, 7, 99]), ',') AS flat_v,
+        |  CAST(len(list_distinct([n_nationkey, n_regionkey, 7, 7])) AS INTEGER) AS nd_v
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
+
     // Doris VARIANT schemaless subcolumns (SURVEY §1.2) -> Spark 4
     // VariantType: parse_json once, then typed subcolumn access with
     // variant_get (path + target type), including nested objects, array

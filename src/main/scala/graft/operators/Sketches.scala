@@ -323,6 +323,35 @@ object Sketches {
         |SELECT funnel_level, count(*) AS n_users
         |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // WINDOW_FUNNEL mode variants (Doris 'default' / 'deduplication' /
+    // 'fixed' / 'increase'): one pass computes all four levels per user;
+    // result = user histogram over the 4-tuple. The mode refinements are
+    // scan semantics (chain breaks on interleaved events), not
+    // SQL-expressible — rows-only; ordering invariants (fixed <= dedup <=
+    // default, increase == default when timestamps are unique) plus a
+    // brute-force reference comparison live in SketchSpec.
+    "agg_window_funnel_modes" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val win = 12L * 3600 * 1000000L
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin("view", "click", "purchase"))
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            when($"event_type" === "view", 1)
+              .when($"event_type" === "click", 2)
+              .otherwise(3).as("step"))
+        ev.groupBy($"user_id")
+          .agg(
+            ESA.window_funnel(win, 3, "default")($"ts_us", $"step").as("lvl_default"),
+            ESA.window_funnel(win, 3, "deduplication")($"ts_us", $"step").as("lvl_dedup"),
+            ESA.window_funnel(win, 3, "fixed")($"ts_us", $"step").as("lvl_fixed"),
+            ESA.window_funnel(win, 3, "increase")($"ts_us", $"step").as("lvl_increase"))
+          .groupBy($"lvl_default", $"lvl_dedup", $"lvl_fixed", $"lvl_increase")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"lvl_default", $"lvl_dedup", $"lvl_fixed", $"lvl_increase")
+      },
+      None),
+
     // SEQUENCE_MATCH('(?1)(?2)'): signup then purchase, per user — greedy
     // subsequence existence, oracled via cascaded-min SQL (equivalent).
     "agg_sequence_match" -> QueryDef(

@@ -57,6 +57,56 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("window_funnel modes: brute-force reference + ordering invariants") {
+    // independent references: exhaustive subsequence search for default /
+    // increase; per-anchor scan simulation (the semantic definition) for
+    // deduplication / fixed
+    import scala.math.Ordering.Implicits._
+    def refDefault(evs: Seq[(Long, Int)], win: Long, increase: Boolean): Int = {
+      val ev = evs.sorted
+      var best = if (ev.exists(_._2 == 1)) 1 else 0
+      for {
+        (t1, s1) <- ev if s1 == 1
+        (t2, s2) <- ev if s2 == 2 && t2 <= t1 + win &&
+          (if (increase) t2 > t1 else (t2, s2) > (t1, s1))
+      } {
+        best = math.max(best, 2)
+        for ((t3, s3) <- ev
+             if s3 == 3 && t3 <= t1 + win &&
+               (if (increase) t3 > t2 else (t3, s3) > (t2, s2)))
+          best = math.max(best, 3)
+      }
+      best
+    }
+    def refScan(evs: Seq[(Long, Int)], win: Long, fixedMode: Boolean): Int = {
+      val ev = evs.sorted
+      var best = 0
+      for (i <- ev.indices if ev(i)._2 == 1) {
+        var lvl = 1; var broken = false
+        for (j <- i + 1 until ev.length
+             if !broken && ev(j)._1 <= ev(i)._1 + win && lvl < 3) {
+          val st = ev(j)._2
+          if (st == lvl + 1) lvl += 1
+          else if (fixedMode || (st >= 1 && st <= lvl)) broken = true
+        }
+        best = math.max(best, lvl)
+      }
+      best
+    }
+    (0 until 15).foreach { seed =>
+      val rnd = new scala.util.Random(500 + seed)
+      val evs = Seq.fill(25)((rnd.nextLong(300L), rnd.nextInt(3) + 1))
+      val df = evs.toDF("ts", "step")
+      val Seq(d, dd, fx, inc) = Seq("default", "deduplication", "fixed", "increase")
+        .map(m => df.agg(ESA.window_funnel(100L, 3, m)($"ts", $"step")).as[Int].head())
+      assert(d == refDefault(evs, 100L, increase = false), s"default seed=$seed")
+      assert(inc == refDefault(evs, 100L, increase = true), s"increase seed=$seed")
+      assert(dd == refScan(evs, 100L, fixedMode = false), s"dedup seed=$seed")
+      assert(fx == refScan(evs, 100L, fixedMode = true), s"fixed seed=$seed")
+      assert(fx <= dd && dd <= d && inc <= d, s"ordering seed=$seed: $fx $dd $d $inc")
+    }
+  }
+
   test("sequence_match aggregator == subsequence existence brute force") {
     (0 until 20).foreach { seed =>
       val rnd = new scala.util.Random(100 + seed)
