@@ -104,6 +104,36 @@ object EventSeqAggregators {
     override def outputEncoder = Encoders.scalaBoolean
   }
 
+  /** Doris sequence_count('(?1)...(?N)', ts, e1..eN) — number of
+    * NON-OVERLAPPING occurrences of the step pattern as a subsequence of the
+    * ts-ordered events. Greedy left-to-right matching is optimal for
+    * non-overlapping subsequence counting (earliest completion never blocks
+    * a later match that a different completion would allow). */
+  class SequenceCountAgg(numSteps: Int)
+      extends Aggregator[TsStep, ArrayBuffer[TsStep], Long] {
+    override def zero: ArrayBuffer[TsStep] = ArrayBuffer.empty
+    override def reduce(b: ArrayBuffer[TsStep], e: TsStep): ArrayBuffer[TsStep] = {
+      if (e.step >= 1 && e.step <= numSteps) b += e
+      b
+    }
+    override def merge(a: ArrayBuffer[TsStep], b: ArrayBuffer[TsStep]): ArrayBuffer[TsStep] = a ++= b
+    override def finish(buf: ArrayBuffer[TsStep]): Long = {
+      val ev = buf.sortBy(e => (e.ts, e.step)).toArray
+      var want = 1
+      var n = 0L
+      var i = 0
+      while (i < ev.length) {
+        if (ev(i).step == want) {
+          if (want == numSteps) { n += 1; want = 1 } else want += 1
+        }
+        i += 1
+      }
+      n
+    }
+    override def bufferEncoder = Encoders.kryo[ArrayBuffer[TsStep]]
+    override def outputEncoder = Encoders.scalaLong
+  }
+
   /** Column API: window_funnel over (tsMicros, step) columns. */
   def window_funnel(windowMicros: Long, numSteps: Int, mode: String = "default")(
       ts: Column, step: Column): Column =
@@ -112,5 +142,9 @@ object EventSeqAggregators {
 
   def sequence_match(numSteps: Int)(ts: Column, step: Column): Column =
     functions.udaf(new SequenceMatchAgg(numSteps),
+      Encoders.product[TsStep]).apply(ts, step)
+
+  def sequence_count(numSteps: Int)(ts: Column, step: Column): Column =
+    functions.udaf(new SequenceCountAgg(numSteps),
       Encoders.product[TsStep]).apply(ts, step)
 }

@@ -352,6 +352,36 @@ object Sketches {
       },
       None),
 
+    // SEQUENCE_COUNT('(?1)(?2)'): number of non-overlapping signup→purchase
+    // occurrences per user. Oracled by run-length algebra: greedy matching
+    // over a 2-symbol step stream = (number of purchase-runs) minus one if
+    // the collapsed stream leads with a purchase-run (the automaton ignores
+    // repeats while waiting, so only run boundaries matter and runs
+    // alternate after collapsing).
+    "agg_sequence_count" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val ev = Tables.events(s, dir)
+          .filter($"event_type".isin("signup", "purchase"))
+          .select($"user_id", unix_micros($"ts").as("ts_us"),
+            when($"event_type" === "signup", 1).otherwise(2).as("step"))
+        ev.groupBy($"user_id")
+          .agg(ESA.sequence_count(2)($"ts_us", $"step").as("n_matches"))
+          .orderBy($"user_id")
+      },
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS st
+        |  FROM events WHERE event_type IN ('signup', 'purchase')),
+        |r AS (SELECT user_id, st,
+        |    CASE WHEN lag(st) OVER w IS DISTINCT FROM st THEN 1 ELSE 0 END AS is_start,
+        |    row_number() OVER w AS rn
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, st)),
+        |runs AS (SELECT user_id, st, rn FROM r WHERE is_start = 1)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN st = 2 THEN 1 ELSE 0 END)
+        |       - CASE WHEN arg_min(st, rn) = 2 THEN 1 ELSE 0 END AS BIGINT) AS n_matches
+        |FROM runs GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // SEQUENCE_MATCH('(?1)(?2)'): signup then purchase, per user — greedy
     // subsequence existence, oracled via cascaded-min SQL (equivalent).
     "agg_sequence_match" -> QueryDef(

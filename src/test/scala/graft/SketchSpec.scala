@@ -107,6 +107,20 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("sequence_count aggregator == greedy non-overlap brute force") {
+    (0 until 20).foreach { seed =>
+      val rnd = new scala.util.Random(900 + seed)
+      val evs = Seq.fill(30)((rnd.nextLong(500L), rnd.nextInt(2) + 1))
+      val got = evs.toDF("ts", "step")
+        .agg(ESA.sequence_count(2)($"ts", $"step")).as[Long].head()
+      var want = 1; var n = 0L
+      evs.sorted.foreach { case (_, st) =>
+        if (st == want) { if (want == 2) { n += 1; want = 1 } else want = 2 }
+      }
+      assert(got == n, s"seed=$seed evs=$evs")
+    }
+  }
+
   test("sequence_match aggregator == subsequence existence brute force") {
     (0 until 20).foreach { seed =>
       val rnd = new scala.util.Random(100 + seed)
