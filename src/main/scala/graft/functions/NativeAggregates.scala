@@ -262,6 +262,126 @@ object NativeAggregates {
       copy(child = newChild)
   }
 
+  // ---- TOPN: mergeable heavy-hitters counter (SpaceSaving-style) ---------
+  //
+  // Doris TOPN(col, k) is an approximate heavy-hitters counter
+  // [doris: be/src/vec/aggregate_functions/aggregate_function_topn.h].
+  // Determinism design (same concern as QUANTILE_STATE): eviction depends on
+  // arrival order, so eviction happens ONLY map-side (per-partition input
+  // order is deterministic); the shuffle merge is pure count-map addition —
+  // commutative and associative, hence immune to fetch order — and the
+  // final collapse to k happens once at eval under the canonical
+  // (count desc, value asc) rule. Per-group merged state is bounded by
+  // partials × capacity (each partial is pre-collapsed to capacity).
+  // When capacity >= distinct values per partition the counts are EXACT
+  // (that's what the DuckDB oracle checks); under pressure an entry admitted
+  // after eviction inherits the evicted floor as its error bound, the
+  // SpaceSaving overestimate contract (asserted in ScalaTest).
+
+  final class TopNBuffer(
+      val counts: java.util.HashMap[Long, Array[Long]], // value -> [count, err]
+      var floor: Long)
+
+  case class TopNCounter(
+      child: Expression,
+      k: Int,
+      capacity: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopNBuffer] with UnaryLike[Expression] {
+
+    override def createAggregationBuffer(): TopNBuffer =
+      new TopNBuffer(new java.util.HashMap, 0L)
+
+    private def collapse(b: TopNBuffer): Unit = {
+      if (b.counts.size > capacity) {
+        val entries = new java.util.ArrayList(b.counts.entrySet())
+        entries.sort { (x, y) =>
+          val c = java.lang.Long.compare(y.getValue()(0), x.getValue()(0))
+          if (c != 0) c else java.lang.Long.compare(x.getKey, y.getKey)
+        }
+        var i = capacity
+        while (i < entries.size()) {
+          b.floor = math.max(b.floor, entries.get(i).getValue()(0))
+          b.counts.remove(entries.get(i).getKey)
+          i += 1
+        }
+      }
+    }
+
+    override def update(b: TopNBuffer, row: InternalRow): TopNBuffer = {
+      val v = child.eval(row)
+      if (v != null) {
+        val key = v.asInstanceOf[Long]
+        val cur = b.counts.get(key)
+        if (cur != null) cur(0) += 1
+        else {
+          // a value first seen after evictions may have been evicted before:
+          // admit at the floor (SpaceSaving inherit) with err = floor
+          b.counts.put(key, Array(b.floor + 1, b.floor))
+          if (b.counts.size > capacity * 4) collapse(b)
+        }
+      }
+      b
+    }
+
+    override def merge(b: TopNBuffer, o: TopNBuffer): TopNBuffer = {
+      o.counts.forEach { (key, oc) =>
+        val cur = b.counts.get(key)
+        if (cur != null) { cur(0) += oc(0); cur(1) += oc(1) }
+        else b.counts.put(key, oc.clone())
+      }
+      b.floor = math.max(b.floor, o.floor)
+      b
+    }
+
+    override def eval(b: TopNBuffer): Any = {
+      collapse(b)
+      val entries = new java.util.ArrayList(b.counts.entrySet())
+      entries.sort { (x, y) =>
+        val c = java.lang.Long.compare(y.getValue()(0), x.getValue()(0))
+        if (c != 0) c else java.lang.Long.compare(x.getKey, y.getKey)
+      }
+      val n = math.min(k, entries.size())
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < n) {
+        if (i > 0) sb.append(',')
+        sb.append(entries.get(i).getKey).append(':').append(entries.get(i).getValue()(0))
+        i += 1
+      }
+      org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+    }
+
+    override def serialize(b: TopNBuffer): Array[Byte] = {
+      collapse(b) // bound the shuffled image to capacity entries
+      val bb = java.nio.ByteBuffer.allocate(8 + 4 + b.counts.size * 24)
+      bb.putLong(b.floor).putInt(b.counts.size)
+      b.counts.forEach { (key, c) => bb.putLong(key).putLong(c(0)).putLong(c(1)) }
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte]): TopNBuffer = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+      val floor = bb.getLong()
+      val n = bb.getInt()
+      val m = new java.util.HashMap[Long, Array[Long]](n * 2)
+      var i = 0
+      while (i < n) { m.put(bb.getLong(), Array(bb.getLong(), bb.getLong())); i += 1 }
+      new TopNBuffer(m, floor)
+    }
+
+    override def dataType: DataType = StringType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_topn"
+    override def withNewMutableAggBufferOffset(n: Int): TopNCounter =
+      copy(mutableAggBufferOffset = n)
+    override def withNewInputAggBufferOffset(n: Int): TopNCounter =
+      copy(inputAggBufferOffset = n)
+    override protected def withNewChildInternal(newChild: Expression): TopNCounter =
+      copy(child = newChild)
+  }
+
   // ---- registration + Column API -----------------------------------------
 
   /** Register native aggregates on the session's FunctionRegistry (the
@@ -277,10 +397,19 @@ object NativeAggregates {
       "to_quantile_state", exprs => QuantileState(exprs.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
       "quantile_union", exprs => QuantileUnion(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topn", exprs => TopNCounter(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 
   def bitmap_union_native(c: Column): Column = call_function("graft_bitmap_union", c)
   def bitmap_union_binary(c: Column): Column = call_function("graft_bitmap_union_binary", c)
   def to_quantile_state(c: Column): Column = call_function("to_quantile_state", c)
   def quantile_union(c: Column): Column = call_function("quantile_union", c)
+  /** Doris TOPN(col, k): "v:count" CSV of the k heaviest values. */
+  def topn_counter(c: Column, k: Int, capacity: Int = 1024): Column = {
+    import org.apache.spark.sql.functions.lit
+    call_function("graft_topn", c, lit(k), lit(capacity))
+  }
 }

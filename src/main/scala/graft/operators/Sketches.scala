@@ -253,6 +253,32 @@ object Sketches {
         |) r WHERE rn <= 3
         |GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // TOPN as the native mergeable heavy-hitters counter (the actual Doris
+    // TOPN internals, vs agg_topn_values' exact composition): map-side
+    // SpaceSaving-style eviction, commutative count-map merge through the
+    // shuffle, canonical collapse at eval. capacity 256 > distinct users, so
+    // counts here are exact and the same SQL oracle applies; the
+    // under-pressure overestimate bound is asserted in SketchSpec.
+    "agg_topn_counter" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        NA.register(s)
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(NA.topn_counter($"user_id", 3, 256).as("top_users"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type,
+        |  string_agg(CAST(user_id AS VARCHAR) || ':' || CAST(c AS VARCHAR), ','
+        |             ORDER BY rn) AS top_users
+        |FROM (
+        |  SELECT event_type, user_id, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c DESC, user_id) AS rn
+        |  FROM (SELECT event_type, user_id, count(*) AS c
+        |        FROM events GROUP BY 1, 2) t
+        |) r WHERE rn <= 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // RETENTION(cond1, cond2, cond3): per-user gated booleans — Spark-first
     // composition with max(when(...)), no custom aggregate needed.
     "agg_retention" -> QueryDef(

@@ -107,6 +107,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("topn counter: heavy hitter survives capacity pressure with bounded overcount") {
+    import graft.functions.{NativeAggregates => NA}
+    NA.register(spark)
+    // 100× value 7 + 20 singletons, capacity 4 -> SpaceSaving admits
+    // newcomers at the eviction floor, so 7's count may overestimate but the
+    // true heavy hitter must rank first and stay within count + floor
+    val rows = (Seq.fill(100)(7L) ++ (100L until 120L)).zipWithIndex
+      .map { case (v, i) => (i % 8, v) } // interleave across 8 partitions' worth
+    val out = rows.toDF("p", "v").repartition(8, $"p")
+      .agg(NA.topn_counter($"v", 1, 4).as("top")).as[String].head()
+    val Array(value, count) = out.split(":").map(_.toLong)
+    assert(value == 7L, s"heavy hitter lost: $out")
+    assert(count >= 100L && count <= 125L, s"count out of bound: $out")
+  }
+
   test("sequence_count aggregator == greedy non-overlap brute force") {
     (0 until 20).foreach { seed =>
       val rnd = new scala.util.Random(900 + seed)
