@@ -29,6 +29,32 @@ import org.apache.spark.sql.types._
   * watermarks so state is bounded; session windows and funnel state shuffle
   * once on user_id — cardinality = active users, not events.
   */
+/** transformWithState processor: per-user running (count, sum) totals —
+  * Spark 4's arbitrary-state API (the forward-looking replacement for
+  * flatMapGroupsWithState; requires the RocksDB state store provider).
+  * State is one ValueState[(Long, Double)] per user — O(users), not
+  * O(events), and RocksDB keeps it off-heap at scale. */
+class TwsTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
+    Long, (Long, Double), (Long, Long, Double)] {
+  @transient private var totals:
+    org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+  override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Double)]("totals",
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble),
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(user: Long, rows: Iterator[(Long, Double)],
+      timerValues: org.apache.spark.sql.streaming.TimerValues):
+      Iterator[(Long, Long, Double)] = {
+    var (n, sum) = Option(totals.get()).getOrElse((0L, 0.0))
+    rows.foreach { case (_, v) => n += 1; sum += v }
+    totals.update((n, sum))
+    Iterator((user, n, sum))
+  }
+}
+
 object Streaming {
 
   /** events schema for readStream (ts arrives as ns int64; normalized to µs). */
@@ -344,6 +370,40 @@ object Streaming {
       },
       """SELECT strftime(to_timestamp(floor(epoch(ts) / 21600) * 21600), '%Y-%m-%d %H:00') AS win_start,
         |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Spark 4 transformWithState (the new arbitrary-state API): per-user
+    // running totals through a typed StatefulProcessor + ValueState, on the
+    // RocksDB state store provider (required by the API; conf is set before
+    // the stream starts and restored after it stops, so no other key sees
+    // it). Update mode emits the running totals each batch; the read-back
+    // keeps the last emission per user.
+    "stream_tws" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val confKey = "spark.sql.streaming.stateStore.providerClass"
+        val prev = s.conf.getOption(confKey)
+        s.conf.set(confKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val ev = eventStream(s, dir)
+            .select($"user_id", $"value").as[(Long, Double)]
+          val totals = ev.groupByKey(_._1)
+            .transformWithState(new TwsTotals,
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              OutputMode.Update())
+            .toDF("user_id", "n", "sum_value")
+          runUpsertSink(s, totals, Seq("user_id"))
+            .select($"user_id", $"n", round($"sum_value", 2).as("total_value"))
+            .orderBy($"user_id")
+        } finally {
+          prev match {
+            case Some(p) => s.conf.set(confKey, p)
+            case None => s.conf.unset(confKey)
+          }
+        }
+      },
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Stateful per-user funnel via flatMapGroupsWithState (view->click->
