@@ -480,7 +480,23 @@ object Functions {
             DorisFunctions.null_safe_eq($"n_regionkey", lit(0)).cast("int").as("nse_v"))
           .orderBy($"n_nationkey")
       },
-      None),
+      // fully oracled as of round 3: inet via base-256 arithmetic, money via
+      // the DECIMAL/split_part/format('{:,}') spelling (fn_shim_sql)
+      """SELECT n_nationkey,
+        |  CAST(10 * 16777216 + n_regionkey * 65536 + n_nationkey * 256 + 1
+        |       AS BIGINT) AS inet_aton_v,
+        |  '10.' || CAST(n_regionkey AS VARCHAR) || '.'
+        |        || CAST(n_nationkey AS VARCHAR) || '.1' AS inet_roundtrip_v,
+        |  format('{:,}', CAST(split_part(CAST(CAST(round(n_nationkey * 1234567.891, 2)
+        |        AS DECIMAL(18,2)) AS VARCHAR), '.', 1) AS BIGINT))
+        |    || '.' || split_part(CAST(CAST(round(n_nationkey * 1234567.891, 2)
+        |        AS DECIMAL(18,2)) AS VARCHAR), '.', 2) AS money_v,
+        |  CAST(coalesce(list_position(string_split('NATION_1,NATION_3,NATION_5', ','),
+        |                              n_name), 0) AS INTEGER) AS fis_v,
+        |  CAST(strptime('2024-06-15 10:30:00', '%Y-%m-%d %H:%M:%S') AS DATE) AS std_v,
+        |  CAST(len(string_split(n_name, 'A')) AS INTEGER) AS sbs_v,
+        |  CAST(n_regionkey IS NOT DISTINCT FROM 0 AS INTEGER) AS nse_v
+        |FROM nation ORDER BY n_nationkey""".stripMargin),
 
     // The deterministic (SQL-expressible) slice of the Doris-spelling shim,
     // split out of fn_doris_shim so it hash-compares against DuckDB: strleft/
