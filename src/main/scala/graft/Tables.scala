@@ -43,7 +43,9 @@ object Tables {
     * precision or coarser (see .claude/skills/verify gotchas).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // lazily-consumed read-schema conf: single-value engine default, cannot
+    // be save/restored (see Confs object doc)
+    Confs.ensureNanosAsLong(spark)
     raw(spark, dir, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   }

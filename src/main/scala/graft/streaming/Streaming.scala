@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.{QueryDef, Tables}
+import graft.{Confs, QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
@@ -66,9 +66,21 @@ object Streaming {
   /** Sentinel event time (2100-01-01, ns) — far past every real event. */
   private val SentinelNs = 4102444800L * 1000000000L
 
+  /** Every streaming key runs under a 4-partition state cap: the stream's
+    * state-store instance count per stateful operator per micro-batch is
+    * frozen at `.start()` from `spark.sql.shuffle.partitions`, and at the
+    * harness's per-batch volumes state-store setup — not data — dominates
+    * wall-clock (measured: 12 keys, 72.7 s of a 132.6 s bench at 32
+    * partitions). Save/restored via [[Confs.withStreamShuffle]] so batch keys
+    * never see the cap; the read-back DataFrame executes after restore at
+    * full session parallelism. */
+  private def streamKey(
+      build: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
+    QueryDef((s, dir) => Confs.withStreamShuffle(s)(build(s, dir)), oracle)
+
   private def eventStream(s: SparkSession, dir: String,
       withSentinel: Boolean = false): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Confs.ensureNanosAsLong(s)
     // the file source requires a directory: expose the events parquet file
     // through a temp dir (in production this is the landing dir / Kafka topic)
     val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
@@ -135,7 +147,7 @@ object Streaming {
   def queries: Map[String, QueryDef] = Map(
     // Stream Load analogue: micro-batch ingest through foreachBatch into
     // partitioned parquet (atomic per batch), then read-back stats.
-    "stream_ingest" -> QueryDef(
+    "stream_ingest" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
@@ -157,7 +169,7 @@ object Streaming {
 
     // UNIQUE-key upsert on ingest: batches append (Doris versions), merge on
     // read = last-write-wins — identical to model_unique_key semantics.
-    "stream_upsert" -> QueryDef(
+    "stream_upsert" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
@@ -186,7 +198,7 @@ object Streaming {
     // AGGREGATE-key incremental aggregation on ingest (Doris aggregate-key
     // merge): streaming groupBy in update mode — each micro-batch emits only
     // the keys it touched; the sink merges last-write-wins per key.
-    "stream_agg" -> QueryDef(
+    "stream_agg" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val agg = eventStream(s, dir)
@@ -204,7 +216,7 @@ object Streaming {
     // production streaming join): the static nation dim broadcasts; every
     // micro-batch joins map-side with no stream-side state at all, then the
     // enriched stream aggregates in update mode.
-    "stream_join_static" -> QueryDef(
+    "stream_join_static" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val dim = Tables.nation(s, dir)
@@ -227,7 +239,7 @@ object Streaming {
     // arrive (inner join doesn't hold output for the watermark), so the
     // bounded source drains in one pass; event_id is unique so each event
     // matches exactly itself and the batch oracle is the plain aggregate.
-    "stream_stream_join" -> QueryDef(
+    "stream_stream_join" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val a = eventStream(s, dir)
@@ -255,7 +267,7 @@ object Streaming {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Tumbling window aggregate (1 hour).
-    "stream_tumble" -> QueryDef(
+    "stream_tumble" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val agg = eventStream(s, dir)
@@ -272,7 +284,7 @@ object Streaming {
 
     // Sliding window aggregate (2 hours every 1 hour): each event lands in 2
     // windows — oracle replays the expansion with unnest.
-    "stream_slide" -> QueryDef(
+    "stream_slide" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val agg = eventStream(s, dir)
@@ -289,7 +301,7 @@ object Streaming {
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Session windows (30-minute gap) per user.
-    "stream_session" -> QueryDef(
+    "stream_session" -> streamKey(
       (s, dir) => {
         import s.implicits._
         // Spark rejects update output mode for session-window aggs — append
@@ -324,10 +336,10 @@ object Streaming {
     // dedup state WATERMARK-BOUNDED — at 100 TB an unbounded dropDuplicates
     // state is the thing that kills the job, so the bounded variant is the
     // only production-valid spelling.
-    "stream_dedup" -> QueryDef(
+    "stream_dedup" -> streamKey(
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        Confs.ensureNanosAsLong(s)
         val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
         for (name <- Seq("events.parquet", "events_retry.parquet"))
           java.nio.file.Files.createSymbolicLink(
@@ -356,7 +368,7 @@ object Streaming {
     // window is emitted exactly once when the watermark passes it, so the
     // read-back needs no merge (late-drop behavior is exercised with
     // MemoryStream in ScalaTest).
-    "stream_watermark" -> QueryDef(
+    "stream_watermark" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val agg = eventStream(s, dir, withSentinel = true)
@@ -378,14 +390,11 @@ object Streaming {
     // the stream starts and restored after it stops, so no other key sees
     // it). Update mode emits the running totals each batch; the read-back
     // keeps the last emission per user.
-    "stream_tws" -> QueryDef(
+    "stream_tws" -> streamKey(
       (s, dir) => {
         import s.implicits._
-        val confKey = "spark.sql.streaming.stateStore.providerClass"
-        val prev = s.conf.getOption(confKey)
-        s.conf.set(confKey,
-          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-        try {
+        Confs.withConf(s, "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
           val ev = eventStream(s, dir)
             .select($"user_id", $"value").as[(Long, Double)]
           val totals = ev.groupByKey(_._1)
@@ -396,11 +405,6 @@ object Streaming {
           runUpsertSink(s, totals, Seq("user_id"))
             .select($"user_id", $"n", round($"sum_value", 2).as("total_value"))
             .orderBy($"user_id")
-        } finally {
-          prev match {
-            case Some(p) => s.conf.set(confKey, p)
-            case None => s.conf.unset(confKey)
-          }
         }
       },
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total_value
@@ -409,7 +413,7 @@ object Streaming {
     // Stateful per-user funnel via flatMapGroupsWithState (view->click->
     // purchase, 12h) — the streaming twin of agg_window_funnel; equality of
     // the two histograms is asserted in ScalaTest. Rows-only here.
-    "stream_funnel" -> QueryDef(
+    "stream_funnel" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val ev = eventStream(s, dir)
