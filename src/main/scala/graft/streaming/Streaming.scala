@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.{Confs, QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
@@ -65,6 +65,81 @@ object Streaming {
 
   /** Sentinel event time (2100-01-01, ns) — far past every real event. */
   private val SentinelNs = 4102444800L * 1000000000L
+
+  /** view→click→purchase funnel window: 12 hours, in µs. */
+  private[graft] val FunnelWindowUs = 12L * 3600 * 1000000L
+
+  /** Funnel state transition, factored out so the state BOUND is directly
+    * unit-testable: fold a batch of (ts_us, step) events into
+    * (bestLevel, retainedEvents), pruning every event older than
+    * watermark − window. The prune is lossless: a view anchor v with
+    * v.ts < watermark − 12h can gain no further steps (every future arrival
+    * has ts ≥ watermark > v.ts + 12h by the watermark contract), so its
+    * chain outcome is already folded into bestLevel; a non-view event that
+    * old can only have served anchors at least as old. Retained state is
+    * therefore O(events in the trailing 12h window per user), never
+    * O(event history) — the difference between a stream that survives 100×
+    * and one that eats the state store. */
+  private[graft] def funnelStep(
+      prev: (Int, List[(Long, Int)]), incoming: Seq[(Long, Int)],
+      watermarkUs: Long): (Int, List[(Long, Int)]) = {
+    val all = (prev._2 ++ incoming).sortBy(identity).toArray
+    var best = prev._1
+    var i = 0
+    while (i < all.length && best < 3) {
+      if (all(i)._2 == 1) {
+        var lvl = 1; var j = i + 1
+        while (j < all.length && all(j)._1 <= all(i)._1 + FunnelWindowUs && lvl < 3) {
+          if (all(j)._2 == lvl + 1) lvl += 1
+          j += 1
+        }
+        if (lvl > best) best = lvl
+      }
+      i += 1
+    }
+    val cutoff = watermarkUs - FunnelWindowUs
+    (best, all.filter(_._1 >= cutoff).toList)
+  }
+
+  /** Stateful funnel over a (user_id, event_time, ts_us, step) stream. The
+    * event_time column must be the watermarked attribute — EventTimeTimeout
+    * requires a watermark-tagged column to survive into this operator's
+    * input, so it rides along untouched while the lambda works in µs.
+    * Pruning and group-state eviction both key off the watermark
+    * (EventTimeTimeout drops a user's retained event list once the
+    * watermark passes every retained event's window, leaving O(1)
+    * (bestLevel, Nil) per user — the same footprint as any per-user
+    * aggregate). Shared by the stream_funnel key and the MemoryStream
+    * multi-batch spec. */
+  private[graft] def funnelLevels(
+      ev: Dataset[(Long, java.sql.Timestamp, Long, Int)]): DataFrame = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, List[(Long, Int)]), (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, it, state) =>
+          if (state.hasTimedOut) {
+            // watermark passed every retained event's window: the events can
+            // never matter again — keep only the final level
+            val (best, _) = state.get
+            state.update((best, Nil))
+            Iterator.empty
+          } else {
+            val next = funnelStep(
+              state.getOption.getOrElse((0, Nil)),
+              it.map(e => (e._3, e._4)).toSeq,
+              state.getCurrentWatermarkMs() * 1000L)
+            state.update(next)
+            if (next._2.nonEmpty) {
+              val evictAtMs = next._2.iterator.map(_._1).max / 1000L +
+                FunnelWindowUs / 1000L + 1L
+              if (evictAtMs > state.getCurrentWatermarkMs())
+                state.setTimeoutTimestamp(evictAtMs)
+            }
+            Iterator((user, next._1))
+          }
+      }.toDF("user_id", "funnel_level")
+  }
 
   /** Every streaming key runs under a 4-partition state cap: the stream's
     * state-store instance count per stateful operator per micro-batch is
@@ -412,39 +487,20 @@ object Streaming {
 
     // Stateful per-user funnel via flatMapGroupsWithState (view->click->
     // purchase, 12h) — the streaming twin of agg_window_funnel; equality of
-    // the two histograms is asserted in ScalaTest. Rows-only here.
+    // the two histograms is asserted in ScalaTest. State is bounded: events
+    // prune at watermark − 12h and idle users' event lists evict on
+    // event-time timeout (see funnelStep/funnelLevels above).
     "stream_funnel" -> streamKey(
       (s, dir) => {
         import s.implicits._
         val ev = eventStream(s, dir)
           .filter($"event_type".isin("view", "click", "purchase"))
-          .select($"user_id", unix_micros($"ts").as("ts_us"),
+          .withWatermark("ts", "1 hour")
+          .select($"user_id", $"ts", unix_micros($"ts").as("ts_us"),
             when($"event_type" === "view", 1)
               .when($"event_type" === "click", 2).otherwise(3).as("step"))
-          .as[(Long, Long, Int)]
-        val levels = ev.groupByKey(_._1)
-          .flatMapGroupsWithState[List[(Long, Int)], (Long, Int)](
-            OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-            case (user, it, state) =>
-              val all = state.getOption.getOrElse(Nil) ++ it.map(e => (e._2, e._3))
-              state.update(all)
-              val ev = all.sortBy(identity).toArray
-              var best = 0
-              var i = 0
-              val win = 12L * 3600 * 1000000L
-              while (i < ev.length && best < 3) {
-                if (ev(i)._2 == 1) {
-                  var lvl = 1; var j = i + 1
-                  while (j < ev.length && ev(j)._1 <= ev(i)._1 + win && lvl < 3) {
-                    if (ev(j)._2 == lvl + 1) lvl += 1
-                    j += 1
-                  }
-                  if (lvl > best) best = lvl
-                }
-                i += 1
-              }
-              Iterator((user, best))
-          }.toDF("user_id", "funnel_level")
+          .as[(Long, java.sql.Timestamp, Long, Int)]
+        val levels = funnelLevels(ev)
         runUpsertSink(s, levels, Seq("user_id"))
           .groupBy($"funnel_level")
           .agg(count(lit(1)).as("n_users"))

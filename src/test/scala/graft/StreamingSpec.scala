@@ -96,6 +96,72 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnel state stays bounded by the 12h window across batches") {
+    import graft.streaming.Streaming.{funnelStep, FunnelWindowUs}
+    val win = FunnelWindowUs
+    // 10 batches, each a fresh view->click pair two windows after the last:
+    // unbounded state would grow to 20 events; pruned state must hold only
+    // the trailing window. Each batch arrives out of order (click before
+    // view) and batch watermarks trail the data by one batch.
+    var state = (0, List.empty[(Long, Int)])
+    var maxKept = 0
+    for (i <- 0 until 10) {
+      val t = i * 2 * win
+      val wmUs = if (i == 0) 0L else (i - 1) * 2 * win + 100
+      state = funnelStep(state, Seq((t + 100, 2), (t, 1)), wmUs)
+      maxKept = math.max(maxKept, state._2.size)
+      // never more than the 2 in-window events + the 2 not-yet-past-watermark
+      assert(state._2.size <= 4, s"batch $i retained ${state._2.size} events")
+    }
+    assert(state._1 == 2)
+    assert(maxKept <= 4, s"state grew with history: $maxKept")
+    // out-of-order purchase inside the LAST window (older than max seen,
+    // newer than watermark) must still complete the funnel after pruning
+    val lastT = 9 * 2 * win
+    state = funnelStep(state, Seq((lastT + 200, 3)), 8 * 2 * win + 100)
+    assert(state._1 == 3, s"pruning lost a live anchor: $state")
+    // and a chain whose anchor fell behind the watermark window is final:
+    // its events prune without changing the folded best level
+    state = funnelStep(state, Seq((lastT + 4 * win, 1)), lastT + 3 * win)
+    assert(state._1 == 3 && state._2.size == 1, state.toString)
+  }
+
+  test("streaming funnel over MemoryStream: levels update, prune keeps live anchors") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Int)]
+    val ev = input.toDF().toDF("user", "ts", "step")
+      .withWatermark("ts", "5 minutes")
+      .select($"user", $"ts", unix_micros($"ts").as("ts_us"), $"step")
+      .as[(Long, Timestamp, Long, Int)]
+    val q = graft.streaming.Streaming.funnelLevels(ev)
+      .writeStream.format("memory")
+      .queryName("funnel_test").outputMode("update").start()
+    def levels(): Map[Long, Int] = {
+      val df = spark.table("funnel_test")
+      // update mode: emissions are monotone per user, so max = latest
+      df.groupBy($"user_id").agg(max($"funnel_level")).as[(Long, Int)]
+        .collect().toMap
+    }
+    try {
+      // batch 1: user 1 view + click
+      input.addData((1L, ts(0), 1), (1L, ts(5), 2))
+      q.processAllAvailable()
+      assert(levels()(1L) == 2)
+      // batch 2: another user far ahead pushes the watermark well past
+      // user 1's events (but within their 12h funnel window)
+      input.addData((2L, Timestamp.valueOf("2024-01-01 13:00:00"), 1))
+      q.processAllAvailable()
+      // batch 3: user 1's purchase arrives out-of-order but above the
+      // watermark (12:55) — the retained (pruned) state must still hold the
+      // view anchor and complete the chain. (At or below the watermark the
+      // operator's late-data filter drops the row — the standard contract.)
+      input.addData((1L, Timestamp.valueOf("2024-01-01 12:58:00"), 3))
+      q.processAllAvailable()
+      assert(levels()(1L) == 3, levels().toString)
+      assert(levels()(2L) == 1)
+    } finally q.stop()
+  }
+
   test("incremental window agg across batches equals batch result") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
