@@ -17,6 +17,46 @@ import org.apache.spark.sql.functions._
 object Functions {
 
   def queries: Map[String, QueryDef] = Map(
+    // Geo family (st_point/st_x/st_y/st_distance_sphere/st_contains):
+    // deterministic synthetic coordinates derived from c_custkey so the
+    // DuckDB oracle replays the identical haversine formula; 6-sig-digit
+    // float normalization in the compare absorbs cross-libm trig ulps.
+    "fn_geo" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import graft.functions.GeoFunctions._
+        val pts = Tables.customer(s, dir).select($"c_custkey",
+          (pmod($"c_custkey", lit(360)) - 180 + 0.25).as("lon1"),
+          (pmod($"c_custkey", lit(170)) - 85 + 0.25).as("lat1"),
+          (pmod($"c_custkey" * 7, lit(360)) - 180 + 0.75).as("lon2"),
+          (pmod($"c_custkey" * 3, lit(170)) - 85 + 0.75).as("lat2"))
+        pts.select($"c_custkey",
+            stPoint($"lon1", $"lat1").as("p1"),
+            stPoint($"lon2", $"lat2").as("p2"))
+          .select($"c_custkey",
+            stX($"p1").as("x1"), stY($"p1").as("y1"),
+            round(stDistanceSphere(
+              stX($"p1"), stY($"p1"), stX($"p2"), stY($"p2")), 2).as("dist_m"),
+            stContainsRect(lit(-90.0), lit(-45.0), lit(90.0), lit(45.0),
+              $"p1").as("in_rect"))
+          .orderBy($"c_custkey")
+      },
+      """SELECT c_custkey,
+        |  CAST((c_custkey % 360) - 180 + 0.25 AS DOUBLE) AS x1,
+        |  CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) AS y1,
+        |  round(2 * 6371000 * asin(sqrt(
+        |      pow(sin(radians((((c_custkey * 3) % 170) - 85 + 0.75)
+        |                      - ((c_custkey % 170) - 85 + 0.25)) / 2), 2)
+        |    + cos(radians((c_custkey % 170) - 85 + 0.25))
+        |      * cos(radians(((c_custkey * 3) % 170) - 85 + 0.75))
+        |      * pow(sin(radians((((c_custkey * 7) % 360) - 180 + 0.75)
+        |                        - ((c_custkey % 360) - 180 + 0.25)) / 2), 2)
+        |  )), 2) AS dist_m,
+        |  CAST((c_custkey % 360) - 180 + 0.25 AS DOUBLE) BETWEEN -90 AND 90
+        |    AND CAST((c_custkey % 170) - 85 + 0.25 AS DOUBLE) BETWEEN -45 AND 45
+        |    AS in_rect
+        |FROM customer ORDER BY c_custkey""".stripMargin),
+
     "fn_math" -> QueryDef(
       (s, dir) => {
         import s.implicits._
