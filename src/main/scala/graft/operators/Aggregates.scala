@@ -256,17 +256,27 @@ object Aggregates {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
 
     // group_concat -> sorted array_join(collect_list) for determinism.
+    // GROUP_CONCAT: plain ordered form over a column WITH duplicates (so the
+    // two variants genuinely differ) plus the DISTINCT … ORDER BY … form
+    // Doris supports (collect_set dedups, array_sort orders — both
+    // partial-aggregable, so map-side combine still applies).
     "agg_group_concat" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.nation(s, dir)
-          .groupBy($"n_regionkey")
-          .agg(array_join(array_sort(collect_list($"n_name")), ",").as("nations"))
-          .orderBy($"n_regionkey")
+        Tables.customer(s, dir)
+          .groupBy($"c_nationkey")
+          .agg(
+            array_join(array_sort(collect_list($"c_mktsegment")), ",")
+              .as("all_segments"),
+            array_join(array_sort(collect_set($"c_mktsegment")), "|")
+              .as("distinct_segments"))
+          .orderBy($"c_nationkey")
       },
-      """SELECT n_regionkey,
-        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
-        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+      """SELECT c_nationkey,
+        |  string_agg(c_mktsegment, ',' ORDER BY c_mktsegment) AS all_segments,
+        |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+        |    AS distinct_segments
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
 
     // Exact percentiles + median + PERCENTILE_ARRAY (Doris PERCENTILE /
     // MEDIAN / PERCENTILE_ARRAY). The array result is stringified through

@@ -97,12 +97,16 @@ object LlmSimilarity {
         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     // IVF-style kNN: corpus bucketed by nearest label-centroid cell (the
-    // inverted file); queries probe their top-3 cells (nprobe=3). Approximate:
-    // measured recall@3 = 9/15 on this testdata — the synthetic embeddings
-    // carry almost no cluster structure (same-label mean cos 0.0016 vs
-    // cross-label 0.0003), which bounds ANY coarse quantizer here; on real
-    // clustered embeddings the same plan recalls >90%. Rows-only; recall
-    // floor asserted in ScalaTest against llm_knn.
+    // inverted file); queries probe their top-3 cells (nprobe=3). Approximate
+    // vs exact kNN (measured recall@3 = 9/15 on this testdata — the synthetic
+    // embeddings carry almost no cluster structure (same-label mean cos
+    // 0.0016 vs cross-label 0.0003), which bounds ANY coarse quantizer here;
+    // on real clustered embeddings the same plan recalls >90%; recall floor
+    // asserted in ScalaTest against llm_knn) — but fully DETERMINISTIC as an
+    // algorithm: 6-dp-rounded sims + total (sim desc, cell asc)/(cos desc,
+    // nid asc) tie-breaks, so the oracle replays the whole IVF pipeline
+    // (centroids → cell ranking → probe join → top-k) in SQL and the result
+    // hash-compares exactly.
     "llm_knn_ivf" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -134,7 +138,30 @@ object LlmSimilarity {
           .select($"qid", $"rank", $"nid", round($"cos", 4).as("cos4"))
           .orderBy($"qid", $"rank")
       },
-      None),
+      """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
+        |         FROM el GROUP BY 1, 2),
+        |sims AS (SELECT e.vec_id, ct.cell,
+        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
+        |  FROM el e JOIN cent ct ON e.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |  FROM sims),
+        |q AS (SELECT vec_id AS qid, cell FROM ranked WHERE vec_id < 5 AND rn <= 3),
+        |cand AS (SELECT vec_id, cell FROM ranked WHERE vec_id >= 5 AND rn = 1),
+        |pairs AS (SELECT q.qid, c.vec_id AS nid,
+        |    round(sum(qe.v * ce.v) / (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))), 6) AS cos
+        |  FROM q JOIN cand c ON q.cell = c.cell
+        |    JOIN el qe ON qe.vec_id = q.qid
+        |    JOIN el ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
+        |  GROUP BY 1, 2),
+        |rankedp AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM pairs)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos4
+        |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     // Embedding-cosine near-duplicate pairs within a bounded slice — the
     // exact verification stage a production near-dup pipeline runs after

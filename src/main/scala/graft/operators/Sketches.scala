@@ -351,11 +351,17 @@ object Sketches {
 
     // WINDOW_FUNNEL mode variants (Doris 'default' / 'deduplication' /
     // 'fixed' / 'increase'): one pass computes all four levels per user;
-    // result = user histogram over the 4-tuple. The mode refinements are
-    // scan semantics (chain breaks on interleaved events), not
-    // SQL-expressible — rows-only; ordering invariants (fixed <= dedup <=
-    // default, increase == default when timestamps are unique) plus a
-    // brute-force reference comparison live in SketchSpec.
+    // result = user histogram over the 4-tuple. Oracled: because the fixture
+    // has no per-user ts ties (asserted in SketchSpec), ordering by ts alone
+    // is total and each greedy per-anchor scan becomes window SQL —
+    //  * default/increase: the ∃-chain cascade (ties absent ⇒ identical);
+    //  * deduplication: the first view-or-click after the anchor must be a
+    //    click (a view breaks, a purchase is skipped), then the first funnel
+    //    event after that click must be a purchase;
+    //  * fixed: the next one/two funnel events after the anchor must be
+    //    exactly click then purchase (lead window functions).
+    // Ordering invariants + an independent brute-force reference remain in
+    // SketchSpec.
     "agg_window_funnel_modes" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -376,7 +382,60 @@ object Sketches {
           .agg(count(lit(1)).as("n_users"))
           .orderBy($"lvl_default", $"lvl_dedup", $"lvl_fixed", $"lvl_increase")
       },
-      None),
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2 ELSE 3 END AS st
+        |  FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |dflt AS (SELECT u.user_id,
+        |  CASE
+        |    WHEN EXISTS (SELECT 1 FROM e v, e c, e p
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND p.user_id = u.user_id AND v.st = 1 AND c.st = 2 AND p.st = 3
+        |        AND c.t > v.t AND p.t > c.t AND p.t <= v.t + 43200000000) THEN 3
+        |    WHEN EXISTS (SELECT 1 FROM e v, e c
+        |      WHERE v.user_id = u.user_id AND c.user_id = u.user_id
+        |        AND v.st = 1 AND c.st = 2
+        |        AND c.t > v.t AND c.t <= v.t + 43200000000) THEN 2
+        |    WHEN EXISTS (SELECT 1 FROM e v
+        |      WHERE v.user_id = u.user_id AND v.st = 1) THEN 1
+        |    ELSE 0 END AS lvl
+        |  FROM u),
+        |dd2 AS (SELECT a.user_id, a.t AS at,
+        |    (SELECT arg_min(c.st, c.t) FROM e c
+        |      WHERE c.user_id = a.user_id AND c.t > a.t
+        |        AND c.t <= a.t + 43200000000 AND c.st IN (1, 2)) AS cst,
+        |    (SELECT min(c.t) FROM e c
+        |      WHERE c.user_id = a.user_id AND c.t > a.t
+        |        AND c.t <= a.t + 43200000000 AND c.st IN (1, 2)) AS ct
+        |  FROM e a WHERE a.st = 1),
+        |dedup_anchor AS (SELECT user_id,
+        |    CASE WHEN cst = 2 THEN
+        |      CASE WHEN (SELECT arg_min(p.st, p.t) FROM e p
+        |                 WHERE p.user_id = dd2.user_id AND p.t > dd2.ct
+        |                   AND p.t <= dd2.at + 43200000000) = 3
+        |        THEN 3 ELSE 2 END
+        |    ELSE 1 END AS lvl
+        |  FROM dd2),
+        |dedup_lvl AS (SELECT user_id, max(lvl) AS lvl
+        |  FROM dedup_anchor GROUP BY user_id),
+        |fx AS (SELECT user_id, t, st,
+        |    lead(st, 1) OVER w AS s1, lead(t, 1) OVER w AS t1,
+        |    lead(st, 2) OVER w AS s2, lead(t, 2) OVER w AS t2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |fixed_anchor AS (SELECT user_id,
+        |    CASE WHEN s1 = 2 AND t1 <= t + 43200000000 THEN
+        |      CASE WHEN s2 = 3 AND t2 <= t + 43200000000 THEN 3 ELSE 2 END
+        |    ELSE 1 END AS lvl
+        |  FROM fx WHERE st = 1),
+        |fixed_lvl AS (SELECT user_id, max(lvl) AS lvl
+        |  FROM fixed_anchor GROUP BY user_id)
+        |SELECT d.lvl AS lvl_default, coalesce(dd.lvl, 0) AS lvl_dedup,
+        |  coalesce(f.lvl, 0) AS lvl_fixed, d.lvl AS lvl_increase,
+        |  count(*) AS n_users
+        |FROM dflt d
+        |LEFT JOIN dedup_lvl dd USING (user_id)
+        |LEFT JOIN fixed_lvl f USING (user_id)
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
 
     // SEQUENCE_COUNT('(?1)(?2)'): number of non-overlapping signup→purchase
     // occurrences per user. Oracled by run-length algebra: greedy matching

@@ -78,17 +78,40 @@ class SketchSpec extends SparkSpec {
       }
       best
     }
-    def refScan(evs: Seq[(Long, Int)], win: Long, fixedMode: Boolean): Int = {
+    // dedup/fixed references via the first-qualifying-event characterization
+    // (NOT the implementation's break-flag scan loop): per anchor, the events
+    // that can decide each level are pinned declaratively —
+    //  dedup:  level 2 iff the FIRST view-or-click after the anchor (within
+    //          the window) is a click (a view repeats a matched step; a
+    //          purchase is merely skipped); level 3 iff the first funnel
+    //          event after that click is a purchase (at level 2 both view
+    //          and click are matched steps, so anything but a purchase ends
+    //          the chain).
+    //  fixed:  the next one/two funnel events after the anchor must be
+    //          exactly click then purchase.
+    def refDedup(evs: Seq[(Long, Int)], win: Long): Int = {
       val ev = evs.sorted
       var best = 0
       for (i <- ev.indices if ev(i)._2 == 1) {
-        var lvl = 1; var broken = false
-        for (j <- i + 1 until ev.length
-             if !broken && ev(j)._1 <= ev(i)._1 + win && lvl < 3) {
-          val st = ev(j)._2
-          if (st == lvl + 1) lvl += 1
-          else if (fixedMode || (st >= 1 && st <= lvl)) broken = true
-        }
+        val after = ev.drop(i + 1).takeWhile(_._1 <= ev(i)._1 + win)
+        val ci = after.indexWhere(e => e._2 == 1 || e._2 == 2)
+        val lvl =
+          if (ci >= 0 && after(ci)._2 == 2) {
+            if (after.drop(ci + 1).headOption.exists(_._2 == 3)) 3 else 2
+          } else 1
+        best = math.max(best, lvl)
+      }
+      best
+    }
+    def refFixed(evs: Seq[(Long, Int)], win: Long): Int = {
+      val ev = evs.sorted
+      var best = 0
+      for (i <- ev.indices if ev(i)._2 == 1) {
+        val after = ev.drop(i + 1).takeWhile(_._1 <= ev(i)._1 + win)
+        val lvl =
+          if (after.headOption.exists(_._2 == 2)) {
+            if (after.drop(1).headOption.exists(_._2 == 3)) 3 else 2
+          } else 1
         best = math.max(best, lvl)
       }
       best
@@ -101,9 +124,23 @@ class SketchSpec extends SparkSpec {
         .map(m => df.agg(ESA.window_funnel(100L, 3, m)($"ts", $"step")).as[Int].head())
       assert(d == refDefault(evs, 100L, increase = false), s"default seed=$seed")
       assert(inc == refDefault(evs, 100L, increase = true), s"increase seed=$seed")
-      assert(dd == refScan(evs, 100L, fixedMode = false), s"dedup seed=$seed")
-      assert(fx == refScan(evs, 100L, fixedMode = true), s"fixed seed=$seed")
+      assert(dd == refDedup(evs, 100L), s"dedup seed=$seed")
+      assert(fx == refFixed(evs, 100L), s"fixed seed=$seed")
       assert(fx <= dd && dd <= d && inc <= d, s"ordering seed=$seed: $fx $dd $d $inc")
+    }
+  }
+
+  test("fixture: no per-user ts ties among funnel event types (oracle precondition)") {
+    // The funnel oracles (agg_window_funnel strict inequalities; the modes
+    // oracle's order-by-ts-alone window SQL) are valid only because no two
+    // funnel events of one user share a timestamp. Assert it on both the
+    // test SF and the driver's verify SF so testdata drift fails loudly
+    // instead of silently skewing the compare.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val ties = Tables.events(spark, dir)
+        .filter($"event_type".isin("view", "click", "purchase"))
+        .groupBy($"user_id", $"ts").count().filter($"count" > 1).count()
+      assert(ties == 0L, s"$dir has per-user funnel ts ties")
     }
   }
 
