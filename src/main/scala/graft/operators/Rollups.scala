@@ -30,7 +30,8 @@ object Rollups {
           sum($"l_extendedprice").as("sum_price"),
           min($"l_quantity").as("min_qty"),
           max($"l_quantity").as("max_qty"),
-          count(lit(1)).as("cnt"))
+          count(lit(1)).as("cnt"),
+          count($"l_quantity").as("cnt_qty"))
         .coalesce(1)
         .write.mode("overwrite").parquet(out)
       RollupRewrite.register(RollupDef(
@@ -42,7 +43,9 @@ object Rollups {
           ("sum", "l_extendedprice") -> "sum_price",
           ("min", "l_quantity") -> "min_qty",
           ("max", "l_quantity") -> "max_qty",
-          ("count", "*") -> "cnt")))
+          ("count", "*") -> "cnt",
+          // the column's own non-null count: what avg(l_quantity) merges on
+          ("count", "l_quantity") -> "cnt_qty")))
       out
     })
 
@@ -61,7 +64,8 @@ object Rollups {
             round(sum($"l_extendedprice"), 2).as("sum_price"),
             round(min($"l_quantity"), 2).as("min_qty"),
             round(max($"l_quantity"), 2).as("max_qty"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            round(avg($"l_quantity"), 4).as("avg_qty"))
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag,
@@ -69,7 +73,8 @@ object Rollups {
         |  round(sum(l_extendedprice), 2) AS sum_price,
         |  round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty,
-        |  count(*) AS n
+        |  count(*) AS n,
+        |  round(avg(l_quantity), 4) AS avg_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Incremental rollup/MV maintenance (Doris AGGREGATE-key compaction and

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate._
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Rollup / sync-materialized-view selection (SURVEY.md §4, M4 stretch).
   *
@@ -22,7 +23,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *   Aggregate(G, merged-aggs, scan(rollup))
   *
   * with the standard merge mapping sum→sum(sum_c), min→min(min_c),
-  * max→max(max_c), count(*)→sum(cnt). Output exprIds are preserved so parent
+  * max→max(max_c), count(*)→sum(cnt), count(c)→sum(cnt_c), and
+  * avg(c)→sum(sum_c)/sum(cnt_c). Output exprIds are preserved so parent
   * operators resolve unchanged.
   *
   * Scale rationale: at 100 TB the rollup is orders of magnitude smaller than
@@ -141,6 +143,23 @@ object RollupRewrite {
               d.columns.get(("max", a.name)).map(c => ae.copy(aggregateFunction = Max(rollupAttr(c))))
             case Count(Seq(Literal(1, _))) =>
               d.columns.get(("count", "*")).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+            case Count(Seq(a: AttributeReference)) =>
+              d.columns.get(("count", a.name)).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+            // avg merges as sum(sum_c) / sum(cnt_c), both cast to double —
+            // the same evaluate shape Average itself lowers to for
+            // non-decimal inputs. Requires the rollup to carry the COLUMN'S
+            // OWN non-null count (("count", col) mapping): count(*) is only
+            // equal when the column has no nulls, which parquet schemas
+            // can't promise, so no count(*) fallback. Decimal avg changes
+            // scale through the merge -> bail.
+            case Average(a: AttributeReference, _)
+                if !a.dataType.isInstanceOf[DecimalType] =>
+              for {
+                sc <- d.columns.get(("sum", a.name))
+                cc <- d.columns.get(("count", a.name))
+              } yield Divide(
+                Cast(Sum(rollupAttr(sc)).toAggregateExpression(), DoubleType),
+                Cast(Sum(rollupAttr(cc)).toAggregateExpression(), DoubleType))
             case _ => None
           }
         case a: AttributeReference =>

@@ -25,32 +25,61 @@ class RollupSpec extends SparkSpec {
     operators.Rollups.ensureRollup(spark, sf)
     RollupRewrite.install(spark)
     val viaRollup = run("rollup_rewrite").collect().toSeq
-    // compute the same aggregate with the rule bypassed (different agg set
-    // that the rollup can't serve -> avg forces base scan) as a sanity pair,
-    // plus the direct base result computed before any rewrite could differ
+    // same aggregate with a (vacuous) filter: the rule bails on filters, so
+    // this is a genuine base-table scan, not a second rollup read
     val base = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0)
       .groupBy($"l_returnflag")
       .agg(
         round(sum($"l_quantity"), 2).as("sum_qty"),
         round(sum($"l_extendedprice"), 2).as("sum_price"),
         round(min($"l_quantity"), 2).as("min_qty"),
         round(max($"l_quantity"), 2).as("max_qty"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        round(avg($"l_quantity"), 4).as("avg_qty"))
       .orderBy($"l_returnflag").collect().toSeq
     assert(viaRollup == base)
   }
 
-  test("rule bails on shapes the rollup cannot serve (filter, avg, other keys)") {
+  test("avg on the base table rewrites to the sum/count merge over the rollup") {
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    val df = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(avg($"l_quantity").as("avg_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("sum_qty") && leafCols.contains("cnt_qty")
+      && !leafCols.contains("l_orderkey"),
+      s"avg not retargeted onto rollup (leaf cols: $leafCols)")
+    val base = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0) // bail shape -> true base scan
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(avg($"l_quantity").as("avg_qty"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+    val got = df.as[(String, String, Double)].collect()
+    val want = base.as[(String, String, Double)].collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((rf, ls, a), (brf, bls, b)) =>
+      assert(rf == brf && ls == bls && math.abs(a - b) < 1e-9,
+        s"($rf,$ls): $a vs $b")
+    }
+  }
+
+  test("rule bails on shapes the rollup cannot serve (filter, unmapped avg, other keys)") {
     operators.Rollups.ensureRollup(spark, sf)
     RollupRewrite.install(spark)
     val filtered = Tables.lineitem(spark, sf)
       .filter($"l_quantity" > 10).groupBy($"l_returnflag")
       .agg(sum($"l_quantity"))
-    val avg_ = Tables.lineitem(spark, sf)
-      .groupBy($"l_returnflag").agg(avg($"l_quantity"))
+    // avg over a column whose non-null count is NOT in the rollup must bail
+    // (count(*) is no substitute: parquet can't promise no nulls)
+    val avgUnmapped = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(avg($"l_extendedprice"))
     val otherKey = Tables.lineitem(spark, sf)
       .groupBy($"l_suppkey").agg(sum($"l_quantity"))
-    Seq(filtered, avg_, otherKey).foreach { df =>
+    Seq(filtered, avgUnmapped, otherKey).foreach { df =>
       val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
         .flatMap(_.output.map(_.name)).toSet
       assert(leafCols.contains("l_orderkey"), s"should scan base: $leafCols")
