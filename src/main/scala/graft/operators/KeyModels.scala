@@ -108,6 +108,44 @@ object KeyModels {
         |FROM events WHERE event_type <> 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // BASE COMPACTION (Doris base compaction: [doris: be/src/olap/
+    // compaction.cpp] folds the version history and physically drops
+    // delete-marked rows, so the steady-state read path is a plain scan with
+    // no merge window). Same versioned history as model_delete_sign; the
+    // compaction job runs the merge ONCE (one shuffle on the key), rewrites
+    // the clean base without _sign/_ver, and the query is then served by a
+    // plain scan — proving compacted-scan == merge-on-read against the same
+    // oracle. At 100 TB this is the periodic background job that keeps reads
+    // window-free; cost scales with the live row count, not the history.
+    "model_compaction" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val hist = java.nio.file.Files.createTempDirectory("graft_compact_hist").toString
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        ev.withColumn("_sign", lit(0)).withColumn("_ver", lit(1L))
+          .write.mode("append").parquet(hist)
+        ev.filter($"event_type" === "click")
+          .withColumn("_sign", lit(1)).withColumn("_ver", lit(2L))
+          .write.mode("append").parquet(hist)
+        // the compaction pass: merge-on-read applied once, result persisted
+        val base = java.nio.file.Files.createTempDirectory("graft_compact_base").toString
+        val w = Window.partitionBy($"event_id").orderBy($"_ver".desc)
+        s.read.parquet(hist)
+          .withColumn("rn", row_number().over(w))
+          .filter($"rn" === 1 && $"_sign" === 0)
+          .drop("rn", "_sign", "_ver")
+          .write.mode("overwrite").parquet(base)
+        // steady-state read: plain scan of the compacted base, no window
+        s.read.parquet(base)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // UNIQUE-key PARTIAL column update (Doris 2.x partial_columns stream
     // load): a second batch carries only (key, value) — other columns arrive
     // NULL — and merge-on-read takes, PER COLUMN, the latest non-null
