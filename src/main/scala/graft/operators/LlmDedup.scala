@@ -142,6 +142,15 @@ object LlmDedup {
       labels = next
       iters += 1
     }
+    // label propagation converges in O(log(diameter)) rounds on near-dup
+    // graphs (components are dense clusters of mutual near-copies, diameter
+    // a few hops); 20 rounds is far past that. If it ever ISN'T converged,
+    // the labels are wrong group ids — fail loudly rather than hand back a
+    // plausible-looking wrong answer (ADVICE r3).
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupComponents: min-label propagation not converged after $iters rounds " +
+          "(component diameter > 20? inspect the candidate-pair graph)")
     labels
   }
 
