@@ -30,6 +30,35 @@ object EventSeqAggregators {
 
   case class TsStep(ts: Long, step: Int)
 
+  /** Funnel level reached scanning from anchor index `i` of `ev` (sorted by
+    * (ts, step)) under `mode` — the single scan shared by the batch
+    * aggregator and the streaming funnel, so batch/stream parity is parity
+    * of the state plumbing, never of two divergent scan copies. */
+  private[graft] def funnelLevelFrom(ev: Array[TsStep], i: Int,
+      windowMicros: Long, numSteps: Int, mode: String): Int = {
+    val limit = ev(i).ts + windowMicros
+    var lvl = 1
+    var lastTs = ev(i).ts
+    var broken = false
+    var j = i + 1
+    while (!broken && j < ev.length && ev(j).ts <= limit && lvl < numSteps) {
+      val st = ev(j).step
+      mode match {
+        case "increase" =>
+          if (st == lvl + 1 && ev(j).ts > lastTs) { lvl += 1; lastTs = ev(j).ts }
+        case "deduplication" =>
+          if (st == lvl + 1) lvl += 1
+          else if (st >= 1 && st <= lvl) broken = true
+        case "fixed" =>
+          if (st == lvl + 1) lvl += 1 else broken = true
+        case _ =>
+          if (st == lvl + 1) lvl += 1
+      }
+      j += 1
+    }
+    lvl
+  }
+
   /** Doris window_funnel(window, mode, ts, e1, ..., eN). Modes
     * [doris: be/src/vec/aggregate_functions/aggregate_function_window_funnel.h]:
     *  - "default": any interleaving events allowed between matched steps;
@@ -51,26 +80,7 @@ object EventSeqAggregators {
       var i = 0
       while (i < ev.length && best < numSteps) {
         if (ev(i).step == 1) {
-          val limit = ev(i).ts + windowMicros
-          var lvl = 1
-          var lastTs = ev(i).ts
-          var broken = false
-          var j = i + 1
-          while (!broken && j < ev.length && ev(j).ts <= limit && lvl < numSteps) {
-            val st = ev(j).step
-            mode match {
-              case "increase" =>
-                if (st == lvl + 1 && ev(j).ts > lastTs) { lvl += 1; lastTs = ev(j).ts }
-              case "deduplication" =>
-                if (st == lvl + 1) lvl += 1
-                else if (st >= 1 && st <= lvl) broken = true
-              case "fixed" =>
-                if (st == lvl + 1) lvl += 1 else broken = true
-              case _ =>
-                if (st == lvl + 1) lvl += 1
-            }
-            j += 1
-          }
+          val lvl = funnelLevelFrom(ev, i, windowMicros, numSteps, mode)
           if (lvl > best) best = lvl
         }
         i += 1

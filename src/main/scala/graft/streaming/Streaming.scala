@@ -71,34 +71,44 @@ object Streaming {
 
   /** Funnel state transition, factored out so the state BOUND is directly
     * unit-testable: fold a batch of (ts_us, step) events into
-    * (bestLevel, retainedEvents), pruning every event older than
-    * watermark − window. The prune is lossless: a view anchor v with
-    * v.ts < watermark − 12h can gain no further steps (every future arrival
-    * has ts ≥ watermark > v.ts + 12h by the watermark contract), so its
-    * chain outcome is already folded into bestLevel; a non-view event that
-    * old can only have served anchors at least as old. Retained state is
-    * therefore O(events in the trailing 12h window per user), never
-    * O(event history) — the difference between a stream that survives 100×
-    * and one that eats the state store. */
+    * (bestFinalLevel, retainedEvents) and produce the level to emit.
+    *
+    * Pruning: every event older than watermark − window drops. Lossless — a
+    * view anchor v with v.ts < watermark − 12h can gain no further steps
+    * (every future arrival has ts ≥ watermark > v.ts + 12h by the watermark
+    * contract), and a retained anchor's whole window [v.ts, v.ts+12h] sits
+    * above the cutoff, so its events are all still here. Retained state is
+    * O(events in the trailing 12h per user), never O(event history).
+    *
+    * Folding: an anchor's level bakes into the durable bestFinal ONLY once
+    * the watermark passes its window (same cutoff — at that point the level
+    * is immutable). Live anchors are re-scanned each batch instead, because
+    * under the deduplication/fixed modes a level is NOT monotone in the
+    * event set — a late-but-valid event can break a live chain and lower
+    * it — so max-folding live levels would freeze a provisional answer the
+    * batch aggregator would revise. Emitted level = max(final, live), which
+    * equals the batch scan over everything seen so far. */
   private[graft] def funnelStep(
       prev: (Int, List[(Long, Int)]), incoming: Seq[(Long, Int)],
-      watermarkUs: Long): (Int, List[(Long, Int)]) = {
+      watermarkUs: Long, mode: String = "default")
+      : ((Int, List[(Long, Int)]), Int) = {
+    import graft.functions.EventSeqAggregators.{funnelLevelFrom, TsStep}
     val all = (prev._2 ++ incoming).sortBy(identity).toArray
-    var best = prev._1
+    val ev = all.map { case (t, st) => TsStep(t, st) }
+    val cutoff = watermarkUs - FunnelWindowUs
+    var bestFinal = prev._1
+    var bestLive = 0
     var i = 0
-    while (i < all.length && best < 3) {
+    while (i < all.length) {
       if (all(i)._2 == 1) {
-        var lvl = 1; var j = i + 1
-        while (j < all.length && all(j)._1 <= all(i)._1 + FunnelWindowUs && lvl < 3) {
-          if (all(j)._2 == lvl + 1) lvl += 1
-          j += 1
-        }
-        if (lvl > best) best = lvl
+        val lvl = funnelLevelFrom(ev, i, FunnelWindowUs, 3, mode)
+        if (all(i)._1 < cutoff) { if (lvl > bestFinal) bestFinal = lvl }
+        else if (lvl > bestLive) bestLive = lvl
       }
       i += 1
     }
-    val cutoff = watermarkUs - FunnelWindowUs
-    (best, all.filter(_._1 >= cutoff).toList)
+    val kept = all.filter(_._1 >= cutoff).toList
+    ((bestFinal, kept), math.max(bestFinal, bestLive))
   }
 
   /** Stateful funnel over a (user_id, event_time, ts_us, step) stream. The
@@ -112,23 +122,24 @@ object Streaming {
     * aggregate). Shared by the stream_funnel key and the MemoryStream
     * multi-batch spec. */
   private[graft] def funnelLevels(
-      ev: Dataset[(Long, java.sql.Timestamp, Long, Int)]): DataFrame = {
+      ev: Dataset[(Long, java.sql.Timestamp, Long, Int)],
+      mode: String = "default"): DataFrame = {
     import ev.sparkSession.implicits._
     ev.groupByKey(_._1)
       .flatMapGroupsWithState[(Int, List[(Long, Int)]), (Long, Int)](
         OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, it, state) =>
           if (state.hasTimedOut) {
-            // watermark passed every retained event's window: the events can
-            // never matter again — keep only the final level
-            val (best, _) = state.get
-            state.update((best, Nil))
+            // watermark passed every retained event's window: finalize the
+            // remaining anchors into bestFinal and drop the event list
+            val (st, _) = funnelStep(state.get, Nil, Long.MaxValue, mode)
+            state.update(st)
             Iterator.empty
           } else {
-            val next = funnelStep(
+            val (next, emit) = funnelStep(
               state.getOption.getOrElse((0, Nil)),
               it.map(e => (e._3, e._4)).toSeq,
-              state.getCurrentWatermarkMs() * 1000L)
+              state.getCurrentWatermarkMs() * 1000L, mode)
             state.update(next)
             if (next._2.nonEmpty) {
               val evictAtMs = next._2.iterator.map(_._1).max / 1000L +
@@ -136,7 +147,7 @@ object Streaming {
               if (evictAtMs > state.getCurrentWatermarkMs())
                 state.setTimeoutTimestamp(evictAtMs)
             }
-            Iterator((user, next._1))
+            Iterator((user, emit))
           }
       }.toDF("user_id", "funnel_level")
   }

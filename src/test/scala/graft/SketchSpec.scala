@@ -204,4 +204,43 @@ class SketchSpec extends SparkSpec {
     val b = run("stream_funnel").as[(Int, Long)].collect().sorted.toSeq
     assert(a == b)
   }
+
+  test("streaming funnel equals batch aggregator per mode") {
+    // the streaming twin of agg_window_funnel_modes: drive funnelLevels over
+    // MemoryStream with each Doris mode and compare the per-level histogram
+    // against the batch aggregator on the same events. Single batch: every
+    // user emits exactly once, so the sink table IS the per-user levels.
+    implicit val sqlCtx = spark.sqlContext
+    val win = graft.streaming.Streaming.FunnelWindowUs
+    val ev = Tables.events(spark, sf)
+      .filter($"event_type".isin("view", "click", "purchase"))
+      .select($"user_id", $"ts",
+        when($"event_type" === "view", 1)
+          .when($"event_type" === "click", 2).otherwise(3).as("step"))
+    val rows = ev.as[(Long, java.sql.Timestamp, Int)].collect().toSeq
+    for (mode <- Seq("default", "deduplication", "fixed", "increase")) {
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, java.sql.Timestamp, Int)]
+      val st = input.toDF().toDF("user", "ts", "step")
+        .withWatermark("ts", "1 hour")
+        .select($"user", $"ts", unix_micros($"ts").as("ts_us"), $"step")
+        .as[(Long, java.sql.Timestamp, Long, Int)]
+      val q = graft.streaming.Streaming.funnelLevels(st, mode)
+        .writeStream.format("memory")
+        .queryName(s"funnel_mode_$mode").outputMode("update").start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable()
+        val streamed = spark.table(s"funnel_mode_$mode")
+          .groupBy($"funnel_level").count()
+          .as[(Int, Long)].collect().toMap
+        val batch = ev
+          .groupBy($"user_id")
+          .agg(ESA.window_funnel(win, 3, mode)(
+            unix_micros($"ts"), $"step").as("lvl"))
+          .groupBy($"lvl").count().as[(Int, Long)].collect().toMap
+        assert(streamed == batch, s"mode=$mode: $streamed vs $batch")
+      } finally q.stop()
+    }
+  }
 }

@@ -108,22 +108,51 @@ class StreamingSpec extends SparkSpec {
     for (i <- 0 until 10) {
       val t = i * 2 * win
       val wmUs = if (i == 0) 0L else (i - 1) * 2 * win + 100
-      state = funnelStep(state, Seq((t + 100, 2), (t, 1)), wmUs)
+      val (next, emit) = funnelStep(state, Seq((t + 100, 2), (t, 1)), wmUs)
+      state = next
+      assert(emit == 2, s"batch $i emitted $emit")
       maxKept = math.max(maxKept, state._2.size)
       // never more than the 2 in-window events + the 2 not-yet-past-watermark
       assert(state._2.size <= 4, s"batch $i retained ${state._2.size} events")
     }
-    assert(state._1 == 2)
     assert(maxKept <= 4, s"state grew with history: $maxKept")
     // out-of-order purchase inside the LAST window (older than max seen,
     // newer than watermark) must still complete the funnel after pruning
     val lastT = 9 * 2 * win
-    state = funnelStep(state, Seq((lastT + 200, 3)), 8 * 2 * win + 100)
-    assert(state._1 == 3, s"pruning lost a live anchor: $state")
-    // and a chain whose anchor fell behind the watermark window is final:
-    // its events prune without changing the folded best level
-    state = funnelStep(state, Seq((lastT + 4 * win, 1)), lastT + 3 * win)
-    assert(state._1 == 3 && state._2.size == 1, state.toString)
+    val (afterP, emitP) = funnelStep(state, Seq((lastT + 200, 3)), 8 * 2 * win + 100)
+    assert(emitP == 3, s"pruning lost a live anchor: $afterP")
+    // once the watermark passes that anchor's window, its level 3 becomes
+    // the durable bestFinal and its events prune away
+    val (fin, emitF) = funnelStep(afterP, Seq((lastT + 4 * win, 1)), lastT + 3 * win)
+    assert(fin._1 == 3 && fin._2.size == 1 && emitF == 3, s"$fin / $emitF")
+  }
+
+  test("incremental funnelStep equals one-shot batch scan per mode (random batches)") {
+    import graft.streaming.Streaming.{funnelStep, FunnelWindowUs}
+    import graft.functions.EventSeqAggregators.{funnelLevelFrom, TsStep}
+    val win = FunnelWindowUs
+    for (mode <- Seq("default", "deduplication", "fixed", "increase");
+         seed <- 0 until 10) {
+      val rnd = new scala.util.Random(mode.hashCode * 1000 + seed)
+      // 40 events across ~4 windows, delivered in ts-sorted batches of 5
+      // with shuffled intra-batch order; watermark trails by one batch, so
+      // pruning genuinely kicks in mid-run
+      val evs = Seq.fill(40)((rnd.nextLong(4 * win), rnd.nextInt(3) + 1)).sorted
+      var state = (0, List.empty[(Long, Int)])
+      var emit = 0
+      var wm = 0L
+      evs.grouped(5).foreach { batch =>
+        val r = funnelStep(state, rnd.shuffle(batch), wm, mode)
+        state = r._1; emit = r._2
+        wm = batch.map(_._1).max
+      }
+      // one-shot reference: the shared scan over ALL events at once
+      val all = evs.sortBy(identity).map { case (t, s) => TsStep(t, s) }.toArray
+      val want = all.indices.filter(all(_).step == 1)
+        .map(funnelLevelFrom(all, _, win, 3, mode))
+        .maxOption.getOrElse(0)
+      assert(emit == want, s"mode=$mode seed=$seed: incremental $emit vs batch $want")
+    }
   }
 
   test("streaming funnel over MemoryStream: levels update, prune keeps live anchors") {
