@@ -24,9 +24,9 @@ object FileScans {
 
   private def ensureStaged(s: SparkSession, dir: String): (String, String, String) =
     staged.computeIfAbsent(dir, { _ =>
-      val csv = java.nio.file.Files.createTempDirectory("graft_csv").toString
-      val json = java.nio.file.Files.createTempDirectory("graft_json").toString
-      val orc = java.nio.file.Files.createTempDirectory("graft_orc").toString
+      val csv = graft.TempDirs.create("graft_csv")
+      val json = graft.TempDirs.create("graft_json")
+      val orc = graft.TempDirs.create("graft_orc")
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
@@ -119,7 +119,7 @@ object FileScans {
     "scan_csv_permissive" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val staged = java.nio.file.Files.createTempDirectory("graft_badcsv").toString
+        val staged = graft.TempDirs.create("graft_badcsv")
         Tables.nation(s, dir)
           .select(concat_ws(",", $"n_nationkey", $"n_name", $"n_regionkey").as("value"))
           .union(Seq("x,BROKEN_ROW,1", "9,BAD_REGION,zz").toDF("value"))

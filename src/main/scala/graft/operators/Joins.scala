@@ -213,7 +213,7 @@ object Joins {
       (s, dir) => {
         import s.implicits._
         val db = "graft_buckets"
-        val loc = java.nio.file.Files.createTempDirectory("graft_bucketdb")
+        val loc = graft.TempDirs.createPath("graft_bucketdb")
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
         // one-time layout: re-write only if this sf dir isn't loaded yet
         val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -357,7 +357,7 @@ object Joins {
     "join_dpp" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+        val out = graft.TempDirs.create("graft_dpp")
         Tables.lineitem(s, dir)
           .select($"l_orderkey", $"l_quantity", $"l_returnflag")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
@@ -365,7 +365,7 @@ object Joins {
         // the dim must be a real scan with a residual filter (a local
         // relation constant-folds the filter away and the pruning rule sees
         // no selective predicate to subscribe to)
-        val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+        val dimDir = graft.TempDirs.create("graft_dpp_dim")
         Seq(("A", "accepted"), ("N", "neutral"), ("R", "returned"))
           .toDF("rf", "tag").write.mode("overwrite").parquet(dimDir)
         val dim = s.read.parquet(dimDir).filter($"tag" === "returned")

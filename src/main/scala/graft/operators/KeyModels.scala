@@ -65,7 +65,7 @@ object KeyModels {
     "sink_parquet_partitioned" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+        val out = graft.TempDirs.create("graft_sink")
         Tables.lineitem(s, dir)
           .select($"l_orderkey", $"l_quantity", $"l_returnflag")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
@@ -87,7 +87,7 @@ object KeyModels {
     "model_delete_sign" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_delsign").toString
+        val out = graft.TempDirs.create("graft_delsign")
         val ev = Tables.events(s, dir)
           .select($"event_id", $"event_type", $"value")
         ev.withColumn("_sign", lit(0)).withColumn("_ver", lit(1L))
@@ -120,7 +120,7 @@ object KeyModels {
     "model_compaction" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val hist = java.nio.file.Files.createTempDirectory("graft_compact_hist").toString
+        val hist = graft.TempDirs.create("graft_compact_hist")
         val ev = Tables.events(s, dir)
           .select($"event_id", $"event_type", $"value")
         ev.withColumn("_sign", lit(0)).withColumn("_ver", lit(1L))
@@ -129,7 +129,7 @@ object KeyModels {
           .withColumn("_sign", lit(1)).withColumn("_ver", lit(2L))
           .write.mode("append").parquet(hist)
         // the compaction pass: merge-on-read applied once, result persisted
-        val base = java.nio.file.Files.createTempDirectory("graft_compact_base").toString
+        val base = graft.TempDirs.create("graft_compact_base")
         val w = Window.partitionBy($"event_id").orderBy($"_ver".desc)
         s.read.parquet(hist)
           .withColumn("rn", row_number().over(w))
@@ -154,7 +154,7 @@ object KeyModels {
     "model_partial_update" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_partial").toString
+        val out = graft.TempDirs.create("graft_partial")
         val ev = Tables.events(s, dir)
           .select($"event_id", $"event_type", $"value")
         ev.withColumn("_ver", lit(1L))
@@ -190,7 +190,7 @@ object KeyModels {
     "sink_csv_export" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+        val out = graft.TempDirs.create("graft_csv")
         Tables.orders(s, dir)
           .groupBy($"o_orderpriority", to_date($"o_orderdate").cast("string").as("o_day"))
           .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("total"))

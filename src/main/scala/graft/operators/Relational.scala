@@ -213,6 +213,27 @@ object Relational {
         |  AND o_orderdate < TIMESTAMP '1996-06-30 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+
+    // SQL result cache (Doris SQL cache): the same semantic plan runs twice —
+    // the first run snapshots the result set, the second is served from the
+    // snapshot (a few-KB parquet scan instead of the fact-table aggregate).
+    // Freshness is mtime-guarded like the rollup rule; hit/miss accounting
+    // and source-mutation invalidation are asserted in CacheSpec. Row order
+    // is not part of the cache contract, so the key orders after retrieval.
+    "cache_result" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        def q = Tables.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .agg(round(sum($"o_totalprice"), 2).as("revenue"),
+            count(lit(1)).as("n"))
+        graft.plans.ResultCache.cached(q) // warm (or reuse) the snapshot
+        graft.plans.ResultCache.cached(q) // served from the snapshot
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, round(sum(o_totalprice), 2) AS revenue,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

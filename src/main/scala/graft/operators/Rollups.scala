@@ -22,7 +22,7 @@ object Rollups {
   def ensureRollup(s: SparkSession, dir: String): String =
     built.computeIfAbsent(dir, { _ =>
       import s.implicits._
-      val out = java.nio.file.Files.createTempDirectory("graft_rollup").toString
+      val out = graft.TempDirs.create("graft_rollup")
       Tables.lineitem(s, dir)
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(

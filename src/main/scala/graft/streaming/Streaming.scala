@@ -169,7 +169,7 @@ object Streaming {
     Confs.ensureNanosAsLong(s)
     // the file source requires a directory: expose the events parquet file
     // through a temp dir (in production this is the landing dir / Kafka topic)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    val streamDir = graft.TempDirs.createPath("graft_stream")
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -181,7 +181,7 @@ object Streaming {
       // the no-data micro-batch that follows emits every real group. This is
       // the standard bounded-replay flush trick; in production the stream is
       // unbounded and no sentinel is needed.
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sentinel")
+      val tmp = graft.TempDirs.createPath("graft_sentinel")
       val row = org.apache.spark.sql.Row(-1L, SentinelNs, -1L, "sentinel", 0.0, "{}")
       s.createDataFrame(java.util.List.of(row), rawSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -211,7 +211,7 @@ object Streaming {
     * harness's single-batch file source both modes agree. */
   private def runUpsertSink(s: SparkSession, df: DataFrame, keys: Seq[String],
       mode: String = "update"): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val out = graft.TempDirs.create("graft_sink")
     val q = df.writeStream.outputMode(mode).foreachBatch {
       (batch: DataFrame, id: Long) =>
         batch.withColumn("_batch", lit(id)).write.mode("append").parquet(out)
@@ -236,7 +236,7 @@ object Streaming {
     "stream_ingest" -> streamKey(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+        val out = graft.TempDirs.create("graft_ingest")
         val q = eventStream(s, dir)
           .select($"event_id", $"event_type", $"value")
           .writeStream
@@ -258,7 +258,7 @@ object Streaming {
     "stream_upsert" -> streamKey(
       (s, dir) => {
         import s.implicits._
-        val out = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+        val out = graft.TempDirs.create("graft_upsert")
         val q = eventStream(s, dir)
           .select($"user_id", $"event_id", $"event_type", $"value", $"ts")
           .writeStream
@@ -338,7 +338,7 @@ object Streaming {
           $"event_id" === $"eid2" &&
             $"ts2" >= $"ts" - expr("interval 1 minute") &&
             $"ts2" <= $"ts" + expr("interval 1 minute"))
-        val out = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+        val out = graft.TempDirs.create("graft_ssj")
         val q = joined.writeStream.foreachBatch {
           (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(out)
@@ -426,7 +426,7 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         Confs.ensureNanosAsLong(s)
-        val streamDir = java.nio.file.Files.createTempDirectory("graft_dedup")
+        val streamDir = graft.TempDirs.createPath("graft_dedup")
         for (name <- Seq("events.parquet", "events_retry.parquet"))
           java.nio.file.Files.createSymbolicLink(
             streamDir.resolve(name),
@@ -436,7 +436,7 @@ object Streaming {
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select($"event_type", $"value")
-        val out = java.nio.file.Files.createTempDirectory("graft_dedup_out").toString
+        val out = graft.TempDirs.create("graft_dedup_out")
         val q = deduped.writeStream.foreachBatch {
           (batch: DataFrame, _: Long) =>
             batch.write.mode("append").parquet(out)
