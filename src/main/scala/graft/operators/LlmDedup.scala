@@ -101,19 +101,30 @@ object LlmDedup {
     * provably-bounded plan; this synthetic corpus's 60-word vocabulary gives
     * df≈10+, where the one-shot join was measured 3× faster (3.2 s vs 10 s,
     * sf0.1). Both return identical pair sets (LlmSpec asserts). */
+  /** The qualifying-pair table is a materialized intermediate SHARED by its
+    * consumers (the pair report and the component clustering), computed once
+    * per (dir, threshold) — in production it's a persisted table feeding
+    * both jobs; recomputing the shingle join per consumer is the
+    * anti-pattern. The result is tiny (O(near-dup pairs)), so the
+    * checkpoint is a few KB. */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
+
   private[graft] def jaccardPairsAuto(
-      s: SparkSession, dir: String, t: Double): DataFrame = {
-    import s.implicits._
-    // tokenize ONCE: the checkpointed shingle table feeds both the density
-    // statistic and the chosen join, so the chooser costs one cheap
-    // aggregate, not a second explode pass. (At cluster scale the same idea
-    // is a persisted shingle table / cache, not a driver-local checkpoint.)
-    val docs = shingleDocs(s, dir).localCheckpoint(true)
-    val avgDf = docs.groupBy($"s").agg(count(lit(1)).as("df"))
-      .agg(avg($"df")).as[Double].head()
-    if (avgDf <= 4.0) prefixFrom(s, docs, t)
-    else oneShotFrom(s, docs, t)
-  }
+      s: SparkSession, dir: String, t: Double): DataFrame =
+    pairsCache.computeIfAbsent((dir, t), { _ =>
+      import s.implicits._
+      // tokenize ONCE: the checkpointed shingle table feeds both the density
+      // statistic and the chosen join, so the chooser costs one cheap
+      // aggregate, not a second explode pass. (At cluster scale the same idea
+      // is a persisted shingle table / cache, not a driver-local checkpoint.)
+      val docs = shingleDocs(s, dir).localCheckpoint(true)
+      val avgDf = docs.groupBy($"s").agg(count(lit(1)).as("df"))
+        .agg(avg($"df")).as[Double].head()
+      val pairs = if (avgDf <= 4.0) prefixFrom(s, docs, t)
+        else oneShotFrom(s, docs, t)
+      pairs.localCheckpoint(true)
+    })
 
   /** Per-node component labels for the jaccard>=t near-dup graph:
     * (id, comp) where comp = min doc_id reachable. Pregel-style min-label
