@@ -140,6 +140,32 @@ object Windows {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice
         |             RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // QUALIFY (Doris 2.x / DuckDB): filter on a window result without a
+    // subquery. Spark has no QUALIFY keyword; the translation is the window
+    // column + filter + drop — Catalyst plans it identically to the
+    // subquery spelling (one window sort-shuffle, filter above), which is
+    // why this is a pure dialect shim, not an engine gap. Top-3 orders by
+    // price per order status.
+    "win_qualify" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        Tables.orders(s, dir)
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"o_orderstatus", $"rk", $"o_orderkey",
+            round($"o_totalprice", 2).as("price"))
+          .orderBy($"o_orderstatus", $"rk")
+      },
+      """SELECT o_orderstatus,
+        |  row_number() OVER (PARTITION BY o_orderstatus
+        |                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk,
+        |  o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |QUALIFY rk <= 3
+        |ORDER BY o_orderstatus, rk""".stripMargin)
   )
 }
