@@ -186,6 +186,49 @@ object LlmDedup {
         |FROM (SELECT sha256(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |      FROM documents GROUP BY 1) g""".stripMargin),
 
+    // INCREMENTAL exact dedup — the production shape for a continuous
+    // crawl: the new batch (doc_id % 10 == 0 plays the delta) dedups
+    // against the standing corpus' content-hash index plus itself, without
+    // ever re-scanning the corpus text. Corpus side collapses to distinct
+    // hashes (at 100 TB this is the persisted fingerprint index, orders
+    // smaller than the corpus); the delta broadcast/shuffle-joins it and
+    // resolves intra-delta ties by min doc_id. Cost scales with
+    // |delta| + |index|, not |corpus| — re-running full-corpus dedup per
+    // crawl is the anti-pattern. Branches built from independent reads
+    // (fresh exprIds) to avoid Spark's self-join filter-collapse hazard.
+    "llm_dedup_incremental" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val baseH = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 =!= 0)
+          .select(sha2($"text", 256).as("h")).distinct()
+        val delta = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id", sha2($"text", 256).as("h"))
+        val w = expressions.Window.partitionBy($"h").orderBy($"doc_id")
+        delta
+          .join(baseH.withColumn("in_base", lit(1)), Seq("h"), "left")
+          .withColumn("rn", row_number().over(w))
+          .agg(
+            count(lit(1)).as("n_delta"),
+            sum(when($"in_base" === 1, 1L).otherwise(0L)).as("n_dup_vs_base"),
+            sum(when($"in_base".isNull && $"rn" > 1, 1L).otherwise(0L))
+              .as("n_intra_dup"),
+            sum(when($"in_base".isNull && $"rn" === 1, 1L).otherwise(0L))
+              .as("n_new_unique"))
+      },
+      """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0),
+        |d AS (SELECT doc_id, text IN (SELECT text FROM base) AS in_base,
+        |        row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT count(*) AS n_delta,
+        |  CAST(sum(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_base,
+        |  CAST(sum(CASE WHEN NOT in_base AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_intra_dup,
+        |  CAST(sum(CASE WHEN NOT in_base AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_new_unique
+        |FROM d""".stripMargin),
+
     // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index,
     // with the plan chosen by posting-list density (see jaccardPairsAuto):
     // dense corpus -> one-shot inverted join; sparse (the real-corpus / 100 TB

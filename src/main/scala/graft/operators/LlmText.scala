@@ -423,6 +423,37 @@ object LlmText {
         |      FROM documents
         |      WHERE CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 < 30) t
         |WHERE rn <= 50
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Deterministic train/val/test split (80/10/10): bucket =
+    // md5(doc_id:salt) first 16 bits mod 100. Keyed on the STABLE doc id —
+    // not text or rand() — so the assignment is reproducible across runs,
+    // engines, and cluster sizes, and a re-crawled doc with edited text
+    // keeps its split (no train/test leakage through near-identical
+    // revisions landing in different splits). Pure per-row codegen'd
+    // expressions; the only shuffle is the report's groupBy. Result =
+    // stratification report per (split, lang).
+    "llm_split" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val bucket = conv(substring(
+          md5(concat($"doc_id".cast("string"), lit(":42"))), 1, 4), 16, 10)
+          .cast("long") % 100
+        val split = when(bucket < 80, "train")
+          .when(bucket < 90, "val").otherwise("test")
+        Tables.documents(s, dir)
+          .select(split.as("split"), $"lang", $"n_chars")
+          .groupBy($"split", $"lang")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+          .orderBy($"split", $"lang")
+      },
+      """SELECT CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 4)) AS INTEGER)
+        |          % 100 AS bucket
+        |      FROM documents) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   )
 }
