@@ -102,6 +102,47 @@ object Sketches {
         |  count(DISTINCT date_trunc('hour', ts)) AS n_hours
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
 
+    // Bitmap set algebra across segments (Doris orthogonal_bitmap_
+    // intersect_count / audience segmentation): ONE shuffle builds the
+    // per-segment audience bitmaps; AND/ANDNOT on the merged bitmaps then
+    // answer "did both / only A" questions without touching rows again. At
+    // 100 TB the bitmaps are the precomputed audience index (aggregate-key
+    // table with bitmap_union columns) and every boolean audience query is
+    // set algebra over a handful of KB-sized bitmaps. Exact, oracled via
+    // INTERSECT/EXCEPT.
+    "agg_bitmap_intersect" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        NA.register(s)
+        val bm = Tables.events(s, dir)
+          .filter($"event_type".isin("view", "purchase"))
+          .groupBy($"event_type")
+          .agg(BF.bitmap_union($"user_id").as("bm"))
+        bm.agg(
+            max(when($"event_type" === "view", $"bm")).as("bv"),
+            max(when($"event_type" === "purchase", $"bm")).as("bp"))
+          .select(
+            BF.bitmap_count($"bv").as("n_view"),
+            BF.bitmap_count($"bp").as("n_purchase"),
+            BF.bitmap_count(BF.bitmap_and($"bv", $"bp")).as("n_both"),
+            BF.bitmap_count(BF.bitmap_andnot($"bv", $"bp")).as("n_view_only"))
+      },
+      """SELECT
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'view') AS n_view,
+        |  (SELECT count(DISTINCT user_id) FROM events
+        |   WHERE event_type = 'purchase') AS n_purchase,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM events WHERE event_type = 'view'
+        |     INTERSECT
+        |     SELECT user_id FROM events WHERE event_type = 'purchase') t)
+        |    AS n_both,
+        |  (SELECT count(*) FROM
+        |    (SELECT user_id FROM events WHERE event_type = 'view'
+        |     EXCEPT
+        |     SELECT user_id FROM events WHERE event_type = 'purchase') t)
+        |    AS n_view_only""".stripMargin),
+
     // QUANTILE_STATE analogue #2 — the MERGEABLE kind: per-(flag, status) KLL
     // sketches, quantile_union'd to per-flag, then QUANTILE_PERCENT. KLL
     // error bound (k=200 -> ~1.3% rank error) asserted vs exact percentile in
