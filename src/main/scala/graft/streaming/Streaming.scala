@@ -66,6 +66,26 @@ object Streaming {
   /** Sentinel event time (2100-01-01, ns) — far past every real event. */
   private val SentinelNs = 4102444800L * 1000000000L
 
+  /** One-row sentinel parquet, written once per JVM (each withSentinel
+    * stream used to pay a full write job for the identical file). */
+  private val sentinelCache =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
+
+  private def sentinelFile(s: SparkSession): java.nio.file.Path = {
+    val cached = sentinelCache.get()
+    if (cached != null) cached
+    else {
+      val tmp = graft.TempDirs.createPath("graft_sentinel")
+      val row = org.apache.spark.sql.Row(-1L, SentinelNs, -1L, "sentinel", 0.0, "{}")
+      s.createDataFrame(java.util.List.of(row), rawSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .find(_.endsWith(".parquet")).get
+      val p = java.nio.file.Paths.get(part)
+      if (!sentinelCache.compareAndSet(null, p)) sentinelCache.get() else p
+    }
+  }
+
   /** view→click→purchase funnel window: 12 hours, in µs. */
   private[graft] val FunnelWindowUs = 12L * 3600 * 1000000L
 
@@ -180,15 +200,10 @@ object Streaming {
       // filtered after read-back) pushes the watermark past all real data so
       // the no-data micro-batch that follows emits every real group. This is
       // the standard bounded-replay flush trick; in production the stream is
-      // unbounded and no sentinel is needed.
-      val tmp = graft.TempDirs.createPath("graft_sentinel")
-      val row = org.apache.spark.sql.Row(-1L, SentinelNs, -1L, "sentinel", 0.0, "{}")
-      s.createDataFrame(java.util.List.of(row), rawSchema)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
-        .find(_.endsWith(".parquet")).get
+      // unbounded and no sentinel is needed. The one-row parquet is written
+      // once per JVM and hard-linked into each stream dir.
       java.nio.file.Files.copy(
-        java.nio.file.Paths.get(part), streamDir.resolve("zz_sentinel.parquet"))
+        sentinelFile(s), streamDir.resolve("zz_sentinel.parquet"))
     }
     s.readStream.schema(rawSchema).parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

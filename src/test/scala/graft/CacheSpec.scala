@@ -23,7 +23,19 @@ class CacheSpec extends SparkSpec {
     assert(h1 == h0 && m1 == m0 + 1, "first run must miss")
     // a fresh DataFrame has different exprIds; the canonicalized plan is
     // identical, so this must be served from the snapshot
-    val b = ResultCache.cached(q()).orderBy($"n_regionkey").collect().toSeq
+    val hit = ResultCache.cached(q())
+    // the hit must be served by scanning the snapshot, not the source
+    val leaves = hit.queryExecution.optimizedPlan.collectLeaves()
+      .collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation.asInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+            .location.rootPaths.map(_.toString)
+      }.flatten
+    assert(leaves.exists(_.contains("graft_rescache")) &&
+      !leaves.exists(_.contains("graft_cache_src")),
+      s"hit did not scan the snapshot: $leaves")
+    val b = hit.orderBy($"n_regionkey").collect().toSeq
     val (h2, m2) = ResultCache.stats
     assert(h2 == h1 + 1 && m2 == m1, "semantic repeat must hit")
     assert(a == b)
