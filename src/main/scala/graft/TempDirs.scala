@@ -35,9 +35,12 @@ object TempDirs {
     var p = dirs.poll()
     while (p != null) {
       try
-        if (Files.exists(p))
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
       catch { case _: Exception => () } // shutdown: best-effort only
       p = dirs.poll()
     }

@@ -106,13 +106,19 @@ object LlmDedup {
     * per (dir, threshold) — in production it's a persisted table feeding
     * both jobs; recomputing the shingle join per consumer is the
     * anti-pattern. The result is tiny (O(near-dup pairs)), so the
-    * checkpoint is a few KB. */
+    * checkpoint is a few KB. Guarded by the same source-mtime freshness
+    * contract the rollup and result-cache rules use: a rewritten documents
+    * table recomputes instead of serving the stale checkpoint. */
+  private case class PairsEntry(mtime: Long, pairs: DataFrame)
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Double), PairsEntry]()
 
   private[graft] def jaccardPairsAuto(
-      s: SparkSession, dir: String, t: Double): DataFrame =
-    pairsCache.computeIfAbsent((dir, t), { _ =>
+      s: SparkSession, dir: String, t: Double): DataFrame = {
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = pairsCache.get((dir, t))
+    if (e != null && e.mtime == srcMtime) e.pairs
+    else {
       import s.implicits._
       // tokenize ONCE: the checkpointed shingle table feeds both the density
       // statistic and the chosen join, so the chooser costs one cheap
@@ -121,10 +127,12 @@ object LlmDedup {
       val docs = shingleDocs(s, dir).localCheckpoint(true)
       val avgDf = docs.groupBy($"s").agg(count(lit(1)).as("df"))
         .agg(avg($"df")).as[Double].head()
-      val pairs = if (avgDf <= 4.0) prefixFrom(s, docs, t)
-        else oneShotFrom(s, docs, t)
-      pairs.localCheckpoint(true)
-    })
+      val pairs = (if (avgDf <= 4.0) prefixFrom(s, docs, t)
+        else oneShotFrom(s, docs, t)).localCheckpoint(true)
+      pairsCache.put((dir, t), PairsEntry(srcMtime, pairs))
+      pairs
+    }
+  }
 
   /** Per-node component labels for the jaccard>=t near-dup graph:
     * (id, comp) where comp = min doc_id reachable. Pregel-style min-label

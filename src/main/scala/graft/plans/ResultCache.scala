@@ -39,16 +39,11 @@ object ResultCache {
   def stats: (Long, Long) = (hitCount.get(), missCount.get())
   def clear(): Unit = entries.clear()
 
-  private def mtimeOf(p: String): Long = {
-    val f = new java.io.File(p.stripPrefix("file:"))
-    if (f.exists()) f.lastModified() else 0L
-  }
-
   private def sourceMtimes(df: DataFrame): Seq[(String, Long)] =
     df.queryExecution.analyzed.collect {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.map(_.toString)
-    }.flatten.sorted.map(p => p -> mtimeOf(p))
+    }.flatten.sorted.map(p => p -> graft.Freshness.mtime(p))
 
   /** Serve `df`'s result from the cache if a semantically-identical query
     * was snapshotted and every source is unchanged; otherwise compute,

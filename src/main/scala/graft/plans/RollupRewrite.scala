@@ -81,11 +81,9 @@ object RollupRewrite {
       }
     }
 
-    /** Base-table dir mtime (one stat, no data IO); 0 if unknowable. */
-    private def baseMTime(d: RollupDef): Long = {
-      val f = new java.io.File(d.basePath.stripPrefix("file:"))
-      if (f.exists()) f.lastModified() else 0L
-    }
+    /** Base-table mtime (a couple of stats, no data IO); 0 if unknowable.
+      * Shared definition of "source unchanged" — graft.Freshness. */
+    private def baseMTime(d: RollupDef): Long = graft.Freshness.mtime(d.basePath)
 
     private def scanPath(p: LogicalPlan): Option[String] = p match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>

@@ -201,7 +201,7 @@ object Streaming {
       // the no-data micro-batch that follows emits every real group. This is
       // the standard bounded-replay flush trick; in production the stream is
       // unbounded and no sentinel is needed. The one-row parquet is written
-      // once per JVM and hard-linked into each stream dir.
+      // once per JVM and copied into each stream dir.
       java.nio.file.Files.copy(
         sentinelFile(s), streamDir.resolve("zz_sentinel.parquet"))
     }

@@ -39,9 +39,10 @@ class CacheSpec extends SparkSpec {
     val (h2, m2) = ResultCache.stats
     assert(h2 == h1 + 1 && m2 == m1, "semantic repeat must hit")
     assert(a == b)
-    // rewrite the source dir (fresh mtime) -> the entry must invalidate
-    Thread.sleep(100)
+    // rewrite the source dir -> the entry must invalidate; bump the mtime
+    // explicitly so the test is deterministic on coarse-mtime filesystems
     Tables.nation(spark, sf).write.mode("overwrite").parquet(dir)
+    new java.io.File(dir).setLastModified(System.currentTimeMillis() + 5000)
     val c = ResultCache.cached(q()).orderBy($"n_regionkey").collect().toSeq
     val (h3, m3) = ResultCache.stats
     assert(h3 == h2 && m3 == m2 + 1, "source mutation must invalidate")
