@@ -182,6 +182,63 @@ object KeyModels {
         |                 THEN value + 1000.0 ELSE value END), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // PARTITION DROP (Doris ALTER TABLE DROP PARTITION,
+    // [doris: fe/.../alter/Alter.java]): with partitionBy layout a partition
+    // IS a directory, so dropping it is an O(1) metadata/file operation —
+    // no rewrite, no tombstones — and subsequent scans partition-prune to
+    // the survivors. The 100 TB retention story (drop expired date
+    // partitions) costs nothing but the directory delete.
+    "model_partition_drop" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_pdrop")
+        Tables.lineitem(s, dir)
+          .select($"l_orderkey", $"l_quantity", $"l_returnflag")
+          .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+        // the drop: remove one partition directory (pure file op)
+        val doomed = new java.io.File(out, "l_returnflag=A")
+        java.nio.file.Files.walk(doomed.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        s.read.parquet(out)
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag <> 'A'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // LIGHT SCHEMA CHANGE (Doris 2.x ADD COLUMN,
+    // [doris: fe/.../alter/SchemaChangeHandler.java] — metadata-only; old
+    // rowsets simply lack the column and reads fill the default). Spark
+    // equivalent: later files carry the new column, mergeSchema unions the
+    // file schemas at read and old files surface NULL, coalesced to the
+    // column default at query time. No rewrite of existing data — the
+    // whole point of "light" at 100 TB.
+    "model_schema_change" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_schchg")
+        val ev = Tables.events(s, dir).select($"event_id", $"event_type", $"value")
+        // v1 files: original 3-column schema
+        ev.filter($"event_id" % 2 === 0).write.mode("append").parquet(out)
+        // v2 files after ADD COLUMN priority INT DEFAULT 0: new loads carry it
+        ev.filter($"event_id" % 2 =!= 0)
+          .withColumn("priority", ($"event_id" % 3).cast("int"))
+          .write.mode("append").parquet(out)
+        s.read.option("mergeSchema", "true").parquet(out)
+          .withColumn("priority", coalesce($"priority", lit(0)))
+          .groupBy($"event_type", $"priority")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type", $"priority")
+      },
+      """SELECT event_type,
+        |  CASE WHEN event_id % 2 <> 0 THEN CAST(event_id % 3 AS INTEGER)
+        |       ELSE 0 END AS priority,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     // OUTFILE / EXPORT to CSV (SURVEY §2.1: Doris SELECT ... INTO OUTFILE
     // FORMAT csv [doris: fe/.../ExportJob.java]): write a query result as
     // headered CSV (executor-parallel, one file per partition at scale),
