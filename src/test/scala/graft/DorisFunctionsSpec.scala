@@ -46,4 +46,41 @@ class DorisFunctionsSpec extends SparkSpec {
       .as[(String, String)].collect().toSeq
     assert(r == Seq(("1,234,567.89", "abcX"), ("0.50", "abcX")))
   }
+
+  test("geo: haversine invariants and known distances") {
+    import graft.functions.GeoFunctions._
+    // seeded random coordinate pairs: d(x,x)=0, symmetry, range [0, half
+    // Earth circumference], plus a textbook fixed point (Paris->London
+    // great-circle ~343.5 km) and equator degree (~111.19 km)
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.fill(50)(
+      (rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85,
+        rnd.nextDouble() * 360 - 180, rnd.nextDouble() * 170 - 85))
+    val df = pts.toDF("lon1", "lat1", "lon2", "lat2")
+      .select(
+        stDistanceSphere($"lon1", $"lat1", $"lon2", $"lat2").as("d12"),
+        stDistanceSphere($"lon2", $"lat2", $"lon1", $"lat1").as("d21"),
+        stDistanceSphere($"lon1", $"lat1", $"lon1", $"lat1").as("dself"))
+      .as[(Double, Double, Double)].collect()
+    val halfC = math.Pi * 6371000.0
+    df.foreach { case (d12, d21, dself) =>
+      assert(dself == 0.0)
+      assert(math.abs(d12 - d21) < 1e-6, s"asymmetric: $d12 vs $d21")
+      assert(d12 >= 0 && d12 <= halfC + 1e-6, s"out of range: $d12")
+    }
+    val fixed = Seq((2.3522, 48.8566, -0.1276, 51.5072),
+        (0.0, 0.0, 1.0, 0.0))
+      .toDF("lon1", "lat1", "lon2", "lat2")
+      .select(stDistanceSphere($"lon1", $"lat1", $"lon2", $"lat2"))
+      .as[Double].collect()
+    assert(math.abs(fixed(0) - 343500) < 1500, s"Paris-London: ${fixed(0)}")
+    assert(math.abs(fixed(1) - 111195) < 10, s"equator degree: ${fixed(1)}")
+    // rectangle containment is boundary-inclusive
+    val in = Seq((90.0, 45.0), (0.0, 0.0), (90.0001, 0.0))
+      .toDF("x", "y")
+      .select(stContainsRect(lit(-90.0), lit(-45.0), lit(90.0), lit(45.0),
+        stPoint($"x", $"y")))
+      .as[Boolean].collect().toSeq
+    assert(in == Seq(true, true, false))
+  }
 }
