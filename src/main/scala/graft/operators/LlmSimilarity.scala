@@ -163,6 +163,46 @@ object LlmSimilarity {
         |SELECT qid, rank, nid, round(cos, 4) AS cos4
         |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
+    // INT8 embedding quantization — the storage path for a 100 TB embedding
+    // table (4× smaller than float32, 8× than float64; ANN probes read the
+    // int8 vectors and rescore survivors at full precision). Per-vector
+    // symmetric scheme: scale = max|v|/127, q_i = round(v_i/scale) — pure
+    // codegen'd higher-order functions, no UDF, no shuffle. The key emits
+    // per-vector scale + reconstruction cosine (how much fidelity int8
+    // keeps), all deterministic double math the oracle replays exactly.
+    "llm_embed_quantize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .withColumn("sc", expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+              "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+          .withColumn("q", expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT))"))
+          .withColumn("r", expr("transform(q, x -> CAST(x AS DOUBLE) * sc)"))
+          .select($"vec_id", round($"sc", 6).as("scale"),
+            round(expr(
+              "aggregate(zip_with(embedding, r, (a, b) -> CAST(a AS DOUBLE) * b), " +
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / " +
+              "(sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * " +
+              " sqrt(aggregate(r, CAST(0.0 AS DOUBLE), " +
+                "(acc, x) -> acc + x * x)))"), 4).as("recon_cos"))
+          .orderBy($"vec_id")
+      },
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |sc AS (SELECT vec_id, max(abs(v)) / 127.0 AS sc FROM el GROUP BY 1),
+        |r AS (SELECT el.vec_id, el.pos, el.v,
+        |        round(el.v / sc.sc) * sc.sc AS rv
+        |      FROM el JOIN sc ON el.vec_id = sc.vec_id),
+        |agg AS (SELECT vec_id,
+        |    sum(v * rv) / (sqrt(sum(v * v)) * sqrt(sum(rv * rv))) AS c
+        |  FROM r GROUP BY 1)
+        |SELECT a.vec_id, round(s.sc, 6) AS scale, round(a.c, 4) AS recon_cos
+        |FROM agg a JOIN sc s ON a.vec_id = s.vec_id
+        |ORDER BY a.vec_id""".stripMargin),
+
     // Embedding-cosine near-duplicate pairs within a bounded slice — the
     // exact verification stage a production near-dup pipeline runs after
     // blocking. Threshold 0.4 because the synthetic embeddings' max pair

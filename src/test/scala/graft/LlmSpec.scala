@@ -104,4 +104,22 @@ class LlmSpec extends SparkSpec {
     assert(docs - removed == distinct)
     assert(groups <= removed || removed == 0)
   }
+
+  test("int8 quantization: per-element error bounded by scale/2, fidelity high") {
+    // symmetric round-to-nearest guarantees |v - dequant(quant(v))| <= sc/2
+    val bad = Tables.embeddings(spark, sf)
+      .withColumn("sc", expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+          "(m, x) -> greatest(m, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .withColumn("maxerr", expr(
+        "aggregate(zip_with(embedding, " +
+          "transform(embedding, x -> round(CAST(x AS DOUBLE) / sc) * sc), " +
+          "(a, b) -> abs(CAST(a AS DOUBLE) - b)), " +
+          "CAST(0.0 AS DOUBLE), (m, e) -> greatest(m, e))"))
+      .filter($"maxerr" > $"sc" / 2 + 1e-12).count()
+    assert(bad == 0L, s"$bad vectors exceed the scale/2 quantization bound")
+    val minCos = run("llm_embed_quantize")
+      .agg(min($"recon_cos")).as[Double].head()
+    assert(minCos >= 0.999, s"int8 reconstruction cosine dropped to $minCos")
+  }
 }
