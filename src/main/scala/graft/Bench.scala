@@ -13,10 +13,26 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up outside the timed loop: JIT + codegen + parquet footers, so the
-    // first timed key doesn't absorb session start (~5s skew otherwise)
+    // first timed key doesn't absorb session start (~5s skew otherwise).
+    // Also initialize JVM-wide write machinery that otherwise lands on
+    // whichever timed key touches it first (driver r4: first parquet write
+    // ~12s on cache_result, first metastore op ~6s on join_bucketed): one
+    // tiny write per output format plus one catalog round trip.
     try {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Tables.lineitem(spark, sfDir).count()
+      Tables.orders(spark, sfDir).count()
+      val warm = TempDirs.create("graft_benchwarm")
+      val tiny = spark.range(8L).selectExpr("id", "cast(id as string) s")
+      tiny.write.mode("overwrite").parquet(s"$warm/p")
+      tiny.write.mode("overwrite").option("header", "true").csv(s"$warm/c")
+      tiny.write.mode("overwrite").json(s"$warm/j")
+      tiny.write.mode("overwrite").orc(s"$warm/o")
+      spark.sql("CREATE DATABASE IF NOT EXISTS graft_warm LOCATION " +
+        s"'$warm/db'")
+      tiny.write.mode("overwrite").saveAsTable("graft_warm.t")
+      spark.sql("DROP TABLE graft_warm.t")
+      spark.read.parquet(s"$warm/p").count()
     } catch { case _: Throwable => () }
     // local-iteration filter: comma-separated key prefixes; absent → all keys
     // (the driver never sets it, so the driver contract is unchanged)

@@ -27,12 +27,22 @@ object FileScans {
       val csv = graft.TempDirs.create("graft_csv")
       val json = graft.TempDirs.create("graft_json")
       val orc = graft.TempDirs.create("graft_orc")
+      // Stage once, read many: coalesce to a handful of splits (the staged
+      // copy is a few MB even at sf0.1 — 32 shards would be pure file-open
+      // overhead) and run the three format writes concurrently; they are
+      // independent jobs and Spark's scheduler interleaves them fine.
       val ord = Tables.orders(s, dir)
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice"), col("o_orderpriority"))
-      ord.write.mode("overwrite").option("header", "true").csv(csv)
-      ord.write.mode("overwrite").json(json)
-      ord.write.mode("overwrite").orc(orc)
+        .coalesce(4)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val writes = Seq(
+        Future(ord.write.mode("overwrite").option("header", "true").csv(csv)),
+        Future(ord.write.mode("overwrite").json(json)),
+        Future(ord.write.mode("overwrite").orc(orc)))
+      writes.foreach(Await.result(_, Duration.Inf))
       (csv, json, orc)
     })
 
