@@ -83,4 +83,55 @@ class DorisFunctionsSpec extends SparkSpec {
       .as[Boolean].collect().toSeq
     assert(in == Seq(true, true, false))
   }
+
+  test("native hash tier matches independent known-answer vectors") {
+    // Vectors computed OUTSIDE Spark from the published algorithm specs:
+    // xxHash64 (seed 42, Spark's fixed seed) and MurmurHash3_x86_32 (seed 42)
+    // re-implemented from their public reference documents in plain Python;
+    // CRC-32 from zlib; SHA-1 from hashlib. A seed or endianness regression
+    // in the engine-facing key fn_hash_native would break these equalities.
+    // Murmur3 strings are UTF-8 multiples of 4 bytes on purpose: Spark's
+    // Murmur3_x86_32.hashUnsafeBytes uses a lenient per-byte tail that
+    // diverges from the spec on unaligned tails, so aligned inputs are the
+    // regime where the spec implementation is exactly comparable.
+    val vectors = Seq(
+      // (input, xxh64(seed42), murmur3_32(seed42), crc32, sha1)
+      ("", -7444071767201028348L, 142593372,
+        0L, "da39a3ee5e6b4b0d3255bfef95601890afd80709"),
+      ("abcd", -6810745876291105281L, -396302900,
+        3984772369L, "81fe8bfe87576c3ecb22426f8e57847382917acf"),
+      ("graftengine!", 8598563098269265208L, -1201531526,
+        686938106L, "89b08338f713af8ff3d6d1fbccc86c26fc506f73"),
+      // 32 bytes: exercises the 4-lane accumulator path of xxHash64
+      ("Spark SQL native hash tier....xy", -7291813621406054509L, -541866192,
+        3765026744L, "222ef6d5d01d916ca379565a41db162339ff3484"))
+    val got = vectors.map(_._1).toDF("s")
+      .select($"s",
+        xxhash64($"s").as("x"), hash($"s").as("m"),
+        crc32($"s".cast("binary")).as("c"), sha1($"s".cast("binary")).as("h"))
+      .as[(String, Long, Int, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    vectors.foreach { case (s, x, m, c, h) =>
+      val g = got(s)
+      assert(g._2 == x, s"xxhash64('$s') = ${g._2}, want $x")
+      assert(g._3 == m, s"murmur3('$s') = ${g._3}, want $m")
+      assert(g._4 == c, s"crc32('$s') = ${g._4}, want $c")
+      assert(g._5 == h, s"sha1('$s') = ${g._5}, want $h")
+    }
+  }
+
+  test("native hash tier stays inside whole-stage codegen") {
+    val df = Tables.customer(spark, sf)
+      .select(xxhash64($"c_name").as("x"), hash($"c_name").as("m"),
+        crc32($"c_name".cast("binary")).as("c"))
+    val wsc = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(wsc.exists { w =>
+      val s = w.toString.toLowerCase
+      s.contains("xxhash64") && s.contains("crc32")
+    }, df.queryExecution.executedPlan.toString)
+    // max, not sum: ANSI mode would overflow summing 64-bit hash values
+    assert(df.agg(max($"x")).as[Long].head() != 0L)
+  }
 }

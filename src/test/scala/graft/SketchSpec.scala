@@ -199,6 +199,47 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("quantile_state split-merge pipeline: deterministic, GK-bounded") {
+    // Direct invariants of the TO_QUANTILE_STATE -> QUANTILE_UNION ->
+    // estimate pipeline (the agg_quantile_state key only demonstrates it):
+    //  1. determinism: re-running the identical pipeline gives identical
+    //     estimates even though shuffle fetch order varies run to run (the
+    //     canonical-merge claim at NativeAggregates.canonicalMerge). The
+    //     contract is per-layout: a different partition count decomposes the
+    //     data into different GK partials and legitimately yields a slightly
+    //     different (still eps-bounded) summary, same as approxQuantile;
+    //  2. error bound: the merged estimate's value lies between the exact
+    //     quantiles at rank p +/- 2*eps (GK guarantees rank error <= eps per
+    //     summary; one extra eps headroom for the union step).
+    import graft.functions.{NativeAggregates => NA, SketchScalars => SS}
+    NA.register(spark)
+    val eps = 0.02 // 2 * engine eps (0.01)
+    val li = Tables.lineitem(spark, sf).select($"l_extendedprice".as("v"))
+    val exactAt = (p: Double) =>
+      li.agg(expr(s"percentile(v, $p)")).as[Double].head()
+    def unionEstimate(k: Int, parts: Int): Seq[Double] = {
+      val sliced = li.repartition(parts)
+        .withColumn("slice", pmod(xxhash64($"v"), lit(k)))
+        .groupBy($"slice").agg(NA.to_quantile_state($"v").as("qs"))
+      sliced.agg(NA.quantile_union($"qs").as("m"))
+        .select(SS.quantile_percent($"m", lit(0.5)),
+          SS.quantile_percent($"m", lit(0.95)))
+        .as[(Double, Double)].head() match { case (a, b) => Seq(a, b) }
+    }
+    // determinism: identical pipeline, two executions (fetch order varies)
+    val e1 = unionEstimate(7, 32)
+    val e2 = unionEstimate(7, 32)
+    assert(e1 == e2, s"non-deterministic union: $e1 vs $e2")
+    // GK rank bound for both probed quantiles, across slicings AND layouts
+    Seq(e1, unionEstimate(2, 32), unionEstimate(7, 5)).foreach { est =>
+      Seq(0.5, 0.95).zip(est).foreach { case (p, e) =>
+        val lo = exactAt(math.max(0.0, p - eps))
+        val hi = exactAt(math.min(1.0, p + eps))
+        assert(e >= lo && e <= hi, s"p=$p est=$e outside [$lo, $hi]")
+      }
+    }
+  }
+
   test("streaming funnel histogram equals batch funnel histogram") {
     val a = run("agg_window_funnel").as[(Int, Long)].collect().sorted.toSeq
     val b = run("stream_funnel").as[(Int, Long)].collect().sorted.toSeq
