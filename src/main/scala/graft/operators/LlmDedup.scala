@@ -134,6 +134,22 @@ object LlmDedup {
     }
   }
 
+  /** MinHash-LSH candidate pairs: 16 seeded-xxhash64 mins per doc banded
+    * 4×4 (per-row, no shuffle); the self-join on (band, key) collides only
+    * near-dups, so output is O(true pairs) — the 100 TB property. Shared by
+    * the llm_dedup_minhash key and the LlmSpec recall subset test. */
+  private[graft] def minhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shinglesUdf(3)($"text")))
+          .as(Seq("band", "key")))
+    sigs.as("a").join(sigs.as("b"), Seq("band", "key"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+  }
+
   /** Per-node component labels for the jaccard>=t near-dup graph:
     * (id, comp) where comp = min doc_id reachable. Pregel-style min-label
     * propagation; see llm_dedup_groups for the scale rationale. */
@@ -259,23 +275,46 @@ object LlmDedup {
         |WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6
         |ORDER BY i, j""".stripMargin),
 
-    // MinHash-LSH candidate pairs (16 hashes, 4 bands x 4 rows).
-    // xxhash64 seeds are Spark-internal -> rows-only check here; recall vs
-    // the exact-Jaccard key is asserted in ScalaTest.
+    // MinHash-LSH candidate stage (16 hashes, 4 bands x 4 rows), oracled via
+    // a deterministic projection: per jaccard threshold, n_truth = exact
+    // near-dup pairs (DuckDB replays this side) and n_caught = those truth
+    // pairs that the band join surfaced as candidates. The oracle pins
+    // n_caught = n_truth — the 100%-recall-at-t>=0.9 property of the fixed
+    // seeds on this corpus, independently asserted as a subset check in
+    // LlmSpec — so a seed/banding/shingle regression that misses even one
+    // near-dup pair breaks the driver hash, while the raw candidate list
+    // (engine-internal hash values) never needs a DuckDB replay.
     "llm_dedup_minhash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val sigs = Tables.documents(s, dir)
-          .select($"doc_id",
-            posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shinglesUdf(3)($"text")))
-              .as(Seq("band", "key")))
-        sigs.as("a").join(sigs.as("b"), Seq("band", "key"))
-          .filter($"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .distinct()
-          .orderBy($"i", $"j")
+        val truth = jaccardPairsAuto(s, dir, 0.9).select($"i", $"j", $"jaccard")
+        val cands = minhashCandidates(s, dir).withColumn("c", lit(1))
+        val marked = truth.join(cands, Seq("i", "j"), "left")
+        val th = Seq(0.9, 0.95).toDF("threshold")
+        th.join(marked, marked("jaccard") >= th("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(count($"i").as("n_truth"), count($"c").as("n_caught"))
+          .orderBy($"threshold")
       },
-      None),
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
+        |                    JOIN sz y ON pr.j = y.doc_id
+        |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (0.90), (0.95)) v(x))
+        |SELECT threshold, count(p.i) AS n_truth, count(p.i) AS n_caught
+        |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin),
 
     // SimHash near-dup pairs: 64-bit signature, 4x16-bit chunk blocking,
     // exact hamming <= 3 verification. Signature hash is engine-internal ->

@@ -36,11 +36,22 @@ class LlmSpec extends SparkSpec {
   }
 
   test("minhash-LSH candidates recall all jaccard >= 0.9 pairs") {
+    // the subset property the llm_dedup_minhash key's oracle freezes as
+    // n_caught = n_truth; tested here directly on the candidate pair set
     val exact = run("llm_dedup_jaccard")
       .filter($"jaccard" >= 0.9).select($"i", $"j").as[(Long, Long)].collect().toSet
-    val lsh = run("llm_dedup_minhash").as[(Long, Long)].collect().toSet
+    val lsh = graft.operators.LlmDedup.minhashCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
     assert(exact.subsetOf(lsh),
       s"missed ${exact.diff(lsh).size} of ${exact.size} near-dup pairs")
+    assert(exact.nonEmpty, "degenerate test: no jaccard >= 0.9 pairs")
+    // and the key's projection must report complete recall at both thresholds
+    val proj = run("llm_dedup_minhash")
+      .as[(Double, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(proj.map(_._1) == Seq(0.9, 0.95))
+    proj.foreach { case (t, nTruth, nCaught) =>
+      assert(nTruth == nCaught, s"t=$t: caught $nCaught of $nTruth")
+    }
   }
 
   test("simhash: identical texts collide, near-dups are close") {
