@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -30,8 +30,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * Scale rationale: at 100 TB the rollup is orders of magnitude smaller than
   * the fact table (|groups| vs |rows|); retargeting turns a full fact scan +
   * shuffle into a scan of an already-collapsed table — the same reason Doris
-  * AGGREGATE-key tables exist. Filters/avg/distinct make the rewrite bail
-  * (conservative by design).
+  * AGGREGATE-key tables exist. A filter over rollup KEY columns is served
+  * (pushed onto the rollup scan — it selects whole groups, so it commutes
+  * with the merge); filters touching non-key columns, DISTINCT aggregates,
+  * and decimal avg make the rewrite bail (conservative by design).
   */
 object RollupRewrite {
 
@@ -85,6 +87,16 @@ object RollupRewrite {
       * Shared definition of "source unchanged" — graft.Freshness. */
     private def baseMTime(d: RollupDef): Long = graft.Freshness.mtime(d.basePath)
 
+    @annotation.tailrec
+    private def peelFiltersAndProjects(
+        p: LogicalPlan, acc: Seq[Expression]): (Seq[Expression], LogicalPlan) =
+      p match {
+        case Filter(c, child) => peelFiltersAndProjects(child, acc :+ c)
+        case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+          peelFiltersAndProjects(child, acc)
+        case other => (acc, other)
+      }
+
     private def scanPath(p: LogicalPlan): Option[String] = p match {
       case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
         fs.location.rootPaths.headOption.map(_.toString)
@@ -95,16 +107,25 @@ object RollupRewrite {
 
     override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
       case agg @ Aggregate(_, _, child, _) =>
+        // a filter the user wrote above the aggregate arrives here pushed
+        // BELOW it by PushDownPredicate (extraOptimizations run after the
+        // main batches), possibly interleaved with column-pruning Projects;
+        // peel those layers and let tryRewrite decide whether the rollup can
+        // serve the collected predicate
+        val (conds, scanChild) = peelFiltersAndProjects(child, Nil)
+        val cond = conds.reduceOption(And)
         val rewritten = for {
-          path <- scanPath(child)
+          path <- scanPath(scanChild)
           rollup <- registry.toArray(Array.empty[RollupDef])
             .find(d => path == d.rollupBaseNorm || path == d.basePath)
-          out <- tryRewrite(agg, rollup)
+          out <- tryRewrite(agg, rollup, cond)
         } yield out
         rewritten.getOrElse(agg)
     }
 
-    private def tryRewrite(agg: Aggregate, d: RollupDef): Option[LogicalPlan] = {
+    private def tryRewrite(
+        agg: Aggregate, d: RollupDef,
+        filterCond: Option[Expression]): Option[LogicalPlan] = {
       // global (ungrouped) aggregates bail: count(*)→sum(cnt) over an empty
       // rollup would yield NULL where Count yields 0, and nullability of the
       // preserved exprIds would change (ADVICE round 1)
@@ -127,6 +148,21 @@ object RollupRewrite {
       val mappedOk = d.keys.forall(rollupAttr.contains) &&
         d.columns.values.forall(rollupAttr.contains)
       if (!mappedOk) return None
+
+      // a filter is servable iff it references only rollup KEY columns: the
+      // rollup partitions base rows by the full key set, so a key predicate
+      // selects whole groups and commutes with the merge-aggregation
+      // (filter(p, base) grouped by G  ==  merge over filter(p, rollup)).
+      // Non-key references, nondeterministic predicates, or subqueries bail.
+      val condOpt: Option[Expression] = filterCond match {
+        case None => None
+        case Some(c) =>
+          val servable = c.deterministic &&
+            c.references.forall(a => d.keys.contains(a.name)) &&
+            c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+          if (!servable) return None
+          Some(c.transform { case a: AttributeReference => rollupAttr(a.name) })
+      }
 
       // generic rewrite: swap AggregateExpressions for their merge form and
       // key attributes for rollup attributes; any unmappable node -> bail
@@ -180,7 +216,8 @@ object RollupRewrite {
       val newGrouping = agg.groupingExpressions.map {
         case a: AttributeReference => rollupAttr(a.name)
       }
-      Some(Aggregate(newGrouping, newAggExprs.flatten, rollupPlan))
+      val newChild = condOpt.map(Filter(_, rollupPlan)).getOrElse(rollupPlan)
+      Some(Aggregate(newGrouping, newAggExprs.flatten, newChild))
     }
   }
 

@@ -67,6 +67,46 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("filter on rollup key columns rewrites to a filtered rollup scan") {
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    // user writes the filter above the aggregate; Catalyst pushes it below,
+    // and the rule must serve it from the rollup (predicate references only
+    // key columns — selects whole groups, commutes with the merge). The
+    // predicate spans BOTH a grouped key and a non-grouped key.
+    val df = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .filter($"l_returnflag" =!= "N")
+      .orderBy($"l_returnflag")
+    val filtered2 = Tables.lineitem(spark, sf)
+      .filter($"l_linestatus" === "F")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+    Seq(df, filtered2).foreach { q =>
+      val leafCols = q.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(_.output.map(_.name)).toSet
+      assert(leafCols.contains("sum_qty") && !leafCols.contains("l_orderkey"),
+        s"filtered agg not retargeted onto rollup (leaf cols: $leafCols)")
+    }
+    // answers equal the true base-table computation (bail shape: the
+    // l_orderkey >= 0 conjunct references a non-key column -> base scan)
+    val baseA = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0 && $"l_returnflag" =!= "N")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == baseA.collect().toSeq)
+    val baseB = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0 && $"l_linestatus" === "F")
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_returnflag")
+    assert(filtered2.collect().toSeq == baseB.collect().toSeq)
+  }
+
   test("rule bails on shapes the rollup cannot serve (filter, unmapped avg, other keys)") {
     operators.Rollups.ensureRollup(spark, sf)
     RollupRewrite.install(spark)
