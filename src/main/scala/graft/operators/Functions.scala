@@ -248,6 +248,56 @@ object Functions {
         |  CAST(CAST(p_size AS BOOLEAN) AS INTEGER) AS int_to_bool
         |FROM part ORDER BY p_partkey""".stripMargin),
 
+    // LARGEINT (Doris int128) boundary semantics on the Decimal(38,0)
+    // mapping (SURVEY §1.2 caveat), oracled against DuckDB HUGEINT (a true
+    // int128). The two ranges differ: Decimal(38,0) spans ±(10^38-1),
+    // int128 spans [-2^127, 2^127-1] ≈ ±1.70e38 — so every Decimal value
+    // here is HUGEINT-representable, and the oracle can replay exactly.
+    // The documented divergence points, pinned by this key:
+    //  * 2v at v=5·10^37 equals 10^38 — the FIRST integer Decimal(38,0)
+    //    cannot hold while int128 can: engine yields NULL (try_add), and
+    //    the oracle spells that NULL;
+    //  * sum(v) = 1.5·10^38 — within int128, beyond Decimal: engine NULL;
+    //  * negation: Decimal(38,0) is symmetric (-(10^38-1) is representable,
+    //    neg_neg == v always), whereas int128's own edge case -(-2^127)
+    //    overflows — UNREACHABLE through this mapping, since -2^127 itself
+    //    can't enter a Decimal(38,0) column. That absence IS the caveat.
+    "fn_largeint" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types.DecimalType
+        val d38 = DecimalType(38, 0)
+        // v = (r_regionkey+1)·10^37 built via digits, not arithmetic, so
+        // the construction itself can't overflow-adjust precision
+        val v = concat(($"r_regionkey" + 1).cast("string"),
+          lit("0" * 37)).cast(d38)
+        val max38 = lit(new java.math.BigDecimal("9" * 38)).cast(d38)
+        Tables.region(s, dir)
+          .select($"r_regionkey", v.as("v"))
+          .select(
+            $"r_regionkey",
+            $"v",
+            try_add($"v", $"v").as("dbl_v"), // NULL exactly at v = 5e37
+            (-$"v").as("neg_v"),
+            (-(-$"v")).as("neg_neg_v"), // total on Decimal — equals v
+            (max38 - $"v").as("headroom_v"), // distance to the Decimal edge
+            ($"v" % lit(97)).cast(d38).as("mod_v"),
+            expr("try_sum(v) over ()").as("sum_all_v")) // 1.5e38 -> NULL
+          .orderBy($"r_regionkey")
+      },
+      """SELECT r_regionkey,
+        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS v,
+        |  CASE WHEN r_regionkey + 1 >= 5 THEN NULL
+        |       ELSE 2 * CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT)
+        |  END AS dbl_v,
+        |  -CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS neg_v,
+        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS neg_neg_v,
+        |  CAST('99999999999999999999999999999999999999' AS HUGEINT)
+        |    - CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS headroom_v,
+        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) % 97 AS mod_v,
+        |  NULL AS sum_all_v
+        |FROM region ORDER BY r_regionkey""".stripMargin),
+
     "fn_json" -> QueryDef(
       (s, dir) => {
         import s.implicits._
