@@ -150,6 +150,40 @@ object LlmDedup {
       .distinct()
   }
 
+  /** Per-doc banded MinHash signatures (band, key) — one fresh read per
+    * call, so two calls give independent plans (fresh exprIds; avoids the
+    * self-join filter-collapse hazard documented at llm_knn_ivf). */
+  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(TextOps.minhashBandsUdf(4, 4)(TextOps.shinglesUdf(3)($"text")))
+          .as(Seq("band", "key")))
+  }
+
+  /** Incremental MinHash candidates: the delta batch (doc_id % 10 == 0)
+    * against the standing corpus' PERSISTED band-bucket index plus itself —
+    * never re-pairing the corpus with itself. Because signatures are
+    * per-row (independent of corpus composition), this equals the
+    * full-corpus candidate set restricted to pairs involving a delta doc
+    * (asserted in LlmSpec). Cost: O(|delta| + index lookup); the delta side
+    * is broadcast. This is the shape a daily 100 TB ingest runs: corpus
+    * bands are a persisted table, only the delta is hashed fresh. */
+  private[graft] def minhashIncrCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val index = bandSigs(s, dir).filter($"doc_id" % 10 =!= 0)
+    val delta = bandSigs(s, dir).filter($"doc_id" % 10 === 0)
+    val cross = index.as("c").join(broadcast(delta.as("d")), Seq("band", "key"))
+      .select(least($"c.doc_id", $"d.doc_id").as("i"),
+        greatest($"c.doc_id", $"d.doc_id").as("j"))
+    val intra = delta.as("a")
+      .join(broadcast(bandSigs(s, dir).filter($"doc_id" % 10 === 0).as("b")),
+        Seq("band", "key"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+    cross.union(intra).distinct()
+  }
+
   /** Per-node component labels for the jaccard>=t near-dup graph:
     * (id, comp) where comp = min doc_id reachable. Pregel-style min-label
     * propagation; see llm_dedup_groups for the scale rationale. */
