@@ -285,17 +285,22 @@ object Functions {
             expr("try_sum(v) over ()").as("sum_all_v")) // 1.5e38 -> NULL
           .orderBy($"r_regionkey")
       },
+      // The int128 arithmetic runs in HUGEINT, but every OUTPUT column is
+      // cast to DECIMAL(38,0) — the driver's hash layer is physical-type-
+      // sensitive, and Spark's side is DECIMAL(38,0). The cast cannot
+      // overflow: all non-NULL values here are Decimal(38,0)-representable
+      // by construction (the overflow cases are spelled as literal NULLs).
       """SELECT r_regionkey,
-        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS v,
-        |  CASE WHEN r_regionkey + 1 >= 5 THEN NULL
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS v,
+        |  CAST(CASE WHEN r_regionkey + 1 >= 5 THEN NULL
         |       ELSE 2 * CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT)
-        |  END AS dbl_v,
-        |  -CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS neg_v,
-        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS neg_neg_v,
-        |  CAST('99999999999999999999999999999999999999' AS HUGEINT)
-        |    - CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS headroom_v,
-        |  CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) % 97 AS mod_v,
-        |  NULL AS sum_all_v
+        |  END AS DECIMAL(38,0)) AS dbl_v,
+        |  CAST(-CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS neg_v,
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS neg_neg_v,
+        |  CAST(CAST('99999999999999999999999999999999999999' AS HUGEINT)
+        |    - CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS headroom_v,
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) % 97 AS DECIMAL(38,0)) AS mod_v,
+        |  CAST(NULL AS DECIMAL(38,0)) AS sum_all_v
         |FROM region ORDER BY r_regionkey""".stripMargin),
 
     "fn_json" -> QueryDef(

@@ -321,7 +321,13 @@ object LlmDedup {
     "llm_dedup_minhash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val truth = jaccardPairsAuto(s, dir, 0.9).select($"i", $"j", $"jaccard")
+        // Truth side is a pure FILTER of the t=0.6 pair table that
+        // llm_dedup_jaccard / llm_dedup_groups already compute and cache
+        // (jaccard >= 0.9 ⟹ >= 0.6): a cached-table filter, not a second
+        // shingle self-join. At 100 TB the exact side is a persisted pair
+        // table; recomputing it per consumer is the anti-pattern.
+        val truth = jaccardPairsAuto(s, dir, 0.6)
+          .filter($"jaccard" >= 0.9).select($"i", $"j", $"jaccard")
         val cands = minhashCandidates(s, dir).withColumn("c", lit(1))
         val marked = truth.join(cands, Seq("i", "j"), "left")
         val th = Seq(0.9, 0.95).toDF("threshold")
@@ -344,6 +350,53 @@ object LlmDedup {
         |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
         |                    JOIN sz y ON pr.j = y.doc_id
         |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (0.90), (0.95)) v(x))
+        |SELECT threshold, count(p.i) AS n_truth, count(p.i) AS n_caught
+        |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin),
+
+    // INCREMENTAL MinHash — the daily-ingest near-dup shape: the delta
+    // batch (doc_id % 10 == 0) is hashed fresh and joined against the
+    // standing corpus' PERSISTED band-bucket index (plus itself), never
+    // re-pairing the corpus with itself. Because MinHash signatures are
+    // per-row (independent of corpus composition), the incremental
+    // candidate set EQUALS the full-corpus candidate set restricted to
+    // pairs involving a delta doc — asserted exactly in LlmSpec. Oracled
+    // by the same recall projection as llm_dedup_minhash, restricted to
+    // delta-touching truth pairs: n_caught = n_truth per threshold, so a
+    // regression in the index-join path that drops even one near-dup pair
+    // involving new data breaks the driver hash.
+    "llm_dedup_minhash_incr" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val truth = jaccardPairsAuto(s, dir, 0.6)
+          .filter($"jaccard" >= 0.9)
+          .filter($"i" % 10 === 0 || $"j" % 10 === 0)
+          .select($"i", $"j", $"jaccard")
+        val cands = minhashIncrCandidates(s, dir).withColumn("c", lit(1))
+        val marked = truth.join(cands, Seq("i", "j"), "left")
+        val th = Seq(0.9, 0.95).toDF("threshold")
+        th.join(marked, marked("jaccard") >= th("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(count($"i").as("n_truth"), count($"c").as("n_caught"))
+          .orderBy($"threshold")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
+        |                    JOIN sz y ON pr.j = y.doc_id
+        |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9
+        |        AND (pr.i % 10 = 0 OR pr.j % 10 = 0)),
         |th AS (SELECT CAST(x AS DOUBLE) AS threshold
         |       FROM (VALUES (0.90), (0.95)) v(x))
         |SELECT threshold, count(p.i) AS n_truth, count(p.i) AS n_caught

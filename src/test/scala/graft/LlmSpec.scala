@@ -54,6 +54,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash = full-corpus candidates restricted to delta pairs") {
+    // signatures are per-row, so delta-vs-index candidates must EQUAL the
+    // full-corpus candidate set restricted to pairs touching a delta doc —
+    // the property that makes the persisted band index sound at 100 TB
+    import graft.operators.LlmDedup
+    val full = LlmDedup.minhashCandidates(spark, sf)
+      .filter($"i" % 10 === 0 || $"j" % 10 === 0)
+      .as[(Long, Long)].collect().toSet
+    val incr = LlmDedup.minhashIncrCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(incr == full,
+      s"incr\\full=${(incr diff full).take(3)} full\\incr=${(full diff incr).take(3)}")
+    assert(incr.nonEmpty, "degenerate test: no delta-touching candidates")
+    // and the key's recall projection reports complete recall per threshold
+    val proj = run("llm_dedup_minhash_incr")
+      .as[(Double, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(proj.map(_._1) == Seq(0.9, 0.95))
+    proj.foreach { case (t, nTruth, nCaught) =>
+      assert(nTruth == nCaught, s"t=$t: caught $nCaught of $nTruth")
+    }
+  }
+
   test("simhash: identical texts collide, near-dups are close") {
     import graft.text.TextOps
     val df = Seq(
