@@ -51,12 +51,47 @@ object Bench {
       // rollup scan answering a base-table aggregate
       if (selected.keys.exists(_.startsWith("rollup_rewrite")))
         operators.Rollups.ensureRollup(spark, sfDir)
+      // streaming-engine warm-up: the first streaming query in a JVM pays
+      // one-time micro-batch/state-store init (~2.5 s measured at sf0.1 —
+      // the r6→r7 stream_session 2.0→5.4 s "regression" was exactly this
+      // cost landing on a different key when map order shifted). A tiny
+      // stateful stream at the same capped state parallelism the stream_*
+      // keys use absorbs it here instead.
+      if (selected.keys.exists(_.startsWith("stream_"))) {
+        val sdir = TempDirs.create("graft_streamwarm")
+        spark.range(4L).selectExpr("id", "timestamp_micros(id * 1000000) ts")
+          .write.mode("overwrite").parquet(s"$sdir/in")
+        Confs.withStreamShuffle(spark) {
+          val q = spark.readStream.schema("id BIGINT, ts TIMESTAMP")
+            .parquet(s"$sdir/in")
+            .withWatermark("ts", "1 second")
+            .selectExpr("window(ts, '1 second') w", "id")
+            .groupBy("w").count()
+            .writeStream.outputMode("update")
+            .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => {
+              b.count(); ()
+            })
+            .start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warm-up failed (timings of early keys " +
         s"may absorb one-time costs): ${e.getMessage}")
     }
+    // Time keys in a DETERMINISTIC order: HashMap iteration order is
+    // arbitrary, so shared one-time work (the exact-pair table behind
+    // jaccardPairsAuto's cache) would land on whichever consumer happened
+    // to run first — r7/r8 showed the build cost wandering between
+    // llm_dedup_{groups,minhash,simhash} run to run. Sorted order with
+    // llm_dedup_jaccard pinned ahead of the other pair-table consumers
+    // times the build in the key that names it; everything else gets
+    // stable round-over-round comparability.
+    val ordered = selected.toSeq.sortBy { case (name, _) =>
+      if (name == "llm_dedup_jaccard") "llm_dedup_" else name
+    }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = selected.map { case (name, fn) =>
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() }
       catch { case e: Throwable =>

@@ -150,6 +150,26 @@ object LlmDedup {
       .distinct()
   }
 
+  /** SimHash blocking-stage candidate pairs: 4×16-bit chunk equality over
+    * the 64-bit signatures. No hamming filter here — this is the raw
+    * candidate stage whose pigeonhole losslessness (every ham<=3 pair
+    * shares a chunk) the llm_dedup_simhash key pins against the
+    * hamming-verified truth pairs. Shared with LlmSpec. */
+  private[graft] def simhashCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigs = Tables.documents(s, dir)
+      .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+    val chunkArr = array((0 until 4).map(c =>
+      struct(lit(c).as("chunk"),
+        shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)
+    val chunks = sigs.select($"doc_id", explode(chunkArr).as("c"))
+      .select($"doc_id", $"c.chunk".as("chunk"), $"c.ckey".as("ckey"))
+    chunks.as("a").join(chunks.as("b"), Seq("chunk", "ckey"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+      .distinct()
+  }
+
   /** Per-doc banded MinHash signatures (band, key) — one fresh read per
     * call, so two calls give independent plans (fresh exprIds; avoids the
     * self-join filter-collapse hazard documented at llm_knn_ivf). */
@@ -403,28 +423,61 @@ object LlmDedup {
         |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
         |GROUP BY threshold ORDER BY threshold""".stripMargin),
 
-    // SimHash near-dup pairs: 64-bit signature, 4x16-bit chunk blocking,
-    // exact hamming <= 3 verification. Signature hash is engine-internal ->
-    // rows-only; invariants tested in ScalaTest.
+    // SimHash candidate stage: 64-bit signature, 4x16-bit chunk blocking,
+    // exact hamming <= 3 verification. The signature bits are
+    // engine-internal, but the BLOCKING stage has a DuckDB-pinnable
+    // property — the pigeonhole guarantee: any pair within hamming <= 3
+    // differs in at most 3 of the 4 chunks, so at least one 16-bit chunk
+    // matches exactly and the chunk-equality join MUST surface the pair.
+    // The key replays that proof over the cached exact truth pairs
+    // (jaccard >= 0.9, shared with the minhash keys): hamming-verify each
+    // truth pair directly from the signatures, then assert the blocking
+    // join surfaced every ham<=3 one (blocking_lossless). n_truth is
+    // DuckDB-replayable, so a shingle/tokenizer/truth regression breaks
+    // the hash too; a blocking bug (wrong chunk math, dropped bucket)
+    // flips the boolean. Raw candidate pairs stay covered in LlmSpec.
     "llm_dedup_simhash" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        val truth = jaccardPairsAuto(s, dir, 0.6)
+          .filter($"jaccard" >= 0.9).select($"i", $"j", $"jaccard")
         val sigs = Tables.documents(s, dir)
           .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
-        val chunkArr = array((0 until 4).map(c =>
-          struct(lit(c).as("chunk"),
-            shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)
-        val chunks = sigs.select($"doc_id", $"sig", explode(chunkArr).as("c"))
-          .select($"doc_id", $"sig", $"c.chunk".as("chunk"), $"c.ckey".as("ckey"))
-        chunks.as("a").join(chunks.as("b"), Seq("chunk", "ckey"))
-          .filter($"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("i"), $"b.doc_id".as("j"),
-            TextOps.hamming($"a.sig", $"b.sig").as("ham"))
-          .distinct()
-          .filter($"ham" <= 3)
-          .orderBy($"i", $"j")
+        val withHam = truth
+          .join(sigs.as("x"), $"i" === $"x.doc_id")
+          .join(sigs.as("y"), $"j" === $"y.doc_id")
+          .select($"i", $"j", $"jaccard",
+            TextOps.hamming($"x.sig", $"y.sig").as("ham"))
+        val cands = simhashCandidates(s, dir).withColumn("c", lit(1))
+        val marked = withHam.join(cands, Seq("i", "j"), "left")
+        val th = Seq(0.9, 0.95).toDF("threshold")
+        th.join(marked, marked("jaccard") >= th("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(
+            count($"i").as("n_truth"),
+            (count(when($"ham" <= 3 && $"c".isNull, 1)) === 0)
+              .as("blocking_lossless"))
+          .orderBy($"threshold")
       },
-      None),
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
+        |                    JOIN sz y ON pr.j = y.doc_id
+        |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (0.90), (0.95)) v(x))
+        |SELECT threshold, count(p.i) AS n_truth, true AS blocking_lossless
+        |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin),
 
     // Near-dup CLUSTERING: connected components over the jaccard>=0.6 pair
     // graph — the step a real dedup pipeline needs after pair-finding (keep

@@ -24,18 +24,29 @@ import org.apache.spark.sql.functions._
 object Sketches {
 
   def queries: Map[String, QueryDef] = Map(
-    // NDV / approx_count_distinct (HLL++), alongside the exact value.
+    // NDV / approx_count_distinct (HLL++). The estimate itself is
+    // engine-internal (no cross-engine bit-equality), so the driver hashes
+    // the BOUND, not the estimate: ndv_within_5pct pins |ndv−exact|/exact
+    // <= 0.05 (HLL++ at rsd=0.02 measures <= 1.1% on all SFs — 5× margin,
+    // and the sketch is deterministic per dataset so the boolean can't
+    // flake). exact_parts is DuckDB-replayable, so a regression in either
+    // the estimate or the exact path breaks the hash.
     "agg_ndv" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
           .agg(
-            approx_count_distinct($"l_partkey").as("ndv_parts"),
+            approx_count_distinct($"l_partkey", 0.02).as("ndv"),
             countDistinct($"l_partkey").as("exact_parts"))
+          .select($"l_returnflag", $"exact_parts",
+            (abs($"ndv" - $"exact_parts") / $"exact_parts" <= 0.05)
+              .as("ndv_within_5pct"))
           .orderBy($"l_returnflag")
       },
-      None),
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  true AS ndv_within_5pct
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Re-aggregable HLL sketch column: per-group sketches, unioned and
     // estimated at a coarser level (HLL_UNION / HLL_UNION_AGG / HLL_CARDINALITY).
@@ -52,20 +63,34 @@ object Sketches {
       },
       None),
 
-    // QUANTILE_STATE analogue: percentile_approx sketch (re-aggregable in
-    // Doris; Spark's sketch is per-query). Approximate -> rows-only; the
-    // error bound vs exact percentile is asserted in ScalaTest.
+    // PERCENTILE_APPROX. The approximate value is engine-internal, but its
+    // RANK is checkable in-engine and the check is oracle-pinnable: the
+    // fraction of group values <= the approx p-quantile must sit within
+    // 0.01 of p (the GK sketch at accuracy=1000 guarantees rank error
+    // <= 1/1000 — 10× margin; measured <= 0.001 on all SFs, deterministic
+    // per dataset). n_rows is DuckDB-replayable, so the driver hash covers
+    // both the group shape and the rank bound.
     "agg_percentile_approx" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.lineitem(s, dir)
+        val approx = Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
           .agg(
-            percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_approx"),
-            percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95_approx"))
+            percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50a"),
+            percentile_approx($"l_extendedprice", lit(0.95), lit(1000)).as("p95a"))
+        Tables.lineitem(s, dir).join(approx, Seq("l_returnflag"))
+          .groupBy($"l_returnflag")
+          .agg(
+            count(lit(1)).as("n_rows"),
+            (abs(sum(when($"l_extendedprice" <= $"p50a", 1L).otherwise(0L))
+              / count(lit(1)) - 0.5) <= 0.01).as("p50_rank_ok"),
+            (abs(sum(when($"l_extendedprice" <= $"p95a", 1L).otherwise(0L))
+              / count(lit(1)) - 0.95) <= 0.01).as("p95_rank_ok"))
           .orderBy($"l_returnflag")
       },
-      None),
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  true AS p50_rank_ok, true AS p95_rank_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // BITMAP_UNION_COUNT == exact count(distinct): oracled.
     "agg_bitmap_distinct" -> QueryDef(

@@ -76,6 +76,31 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("simhash blocking is lossless for hamming<=3 over ALL doc pairs") {
+    // Brute-force the pigeonhole property at test SF: every pair of docs
+    // within hamming<=3 must appear in the 4x16-bit chunk-blocking
+    // candidates (the llm_dedup_simhash key pins the same property
+    // restricted to the cached truth pairs; this is the unrestricted check,
+    // feasible only at sf0.001 where n^2 is small).
+    import graft.operators.LlmDedup
+    import graft.text.TextOps
+    val sigs = Tables.documents(spark, sf)
+      .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+    val close = sigs.as("x").join(sigs.as("y"), $"x.doc_id" < $"y.doc_id")
+      .filter(TextOps.hamming($"x.sig", $"y.sig") <= 3)
+      .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+    val cands = LlmDedup.simhashCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(close.nonEmpty, "degenerate test: no ham<=3 pairs at test SF")
+    assert(close.subsetOf(cands),
+      s"missed ${(close diff cands).take(5)} of ${close.size}")
+    // and the key's projection reports the property as a green boolean
+    val proj = run("llm_dedup_simhash")
+      .as[(Double, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(proj.map(_._1) == Seq(0.9, 0.95))
+    assert(proj.forall(_._3), proj.mkString(", "))
+  }
+
   test("simhash: identical texts collide, near-dups are close") {
     import graft.text.TextOps
     val df = Seq(

@@ -187,16 +187,29 @@ class SketchSpec extends SparkSpec {
   }
 
   test("percentile_approx within 2% relative error of exact percentile") {
-    val joined = run("agg_percentile_approx").as[(String, Double, Double)].collect()
+    val approx = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+      .agg(percentile_approx($"l_extendedprice", lit(0.5), lit(1000)),
+        percentile_approx($"l_extendedprice", lit(0.95), lit(1000)))
+      .as[(String, Double, Double)].collect()
       .map(r => r._1 -> (r._2, r._3)).toMap
     val exact = Tables.lineitem(spark, sf).groupBy($"l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5)"), expr("percentile(l_extendedprice, 0.95)"))
       .as[(String, Double, Double)].collect()
     exact.foreach { case (flag, e50, e95) =>
-      val (a50, a95) = joined(flag)
+      val (a50, a95) = approx(flag)
       assert(math.abs(a50 - e50) / e50 < 0.02, s"$flag p50 $a50 vs $e50")
       assert(math.abs(a95 - e95) / e95 < 0.02, s"$flag p95 $a95 vs $e95")
     }
+  }
+
+  test("agg_ndv / agg_percentile_approx bound booleans hold") {
+    // The keys now emit oracle-pinnable bounds instead of raw estimates
+    // (VERDICT r7 #7); assert every boolean is true at test SF too.
+    val ndv = run("agg_ndv").as[(String, Long, Boolean)].collect()
+    assert(ndv.nonEmpty && ndv.forall(_._3), ndv.mkString(", "))
+    val pct = run("agg_percentile_approx")
+      .as[(String, Long, Boolean, Boolean)].collect()
+    assert(pct.nonEmpty && pct.forall(r => r._3 && r._4), pct.mkString(", "))
   }
 
   test("quantile_state split-merge pipeline: deterministic, GK-bounded") {
