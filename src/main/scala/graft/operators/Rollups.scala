@@ -77,6 +77,36 @@ object Rollups {
         |  round(avg(l_quantity), 4) AS avg_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // DISTINCT aggregates over rollup KEY columns, served from the rollup:
+    // DISTINCT erases multiplicity and the rollup preserves the exact
+    // distinct key-tuple set, so count(DISTINCT key)/min/max over keys are
+    // answered exactly from the 6-row rollup — the AGGREGATE-key-index
+    // shape Doris's MaterializedViewSelector serves. Combined with a
+    // key-column filter to exercise both widenings in one plan (RollupSpec
+    // asserts the rewritten scan; the oracle replays the base table).
+    "rollup_rewrite_distinct" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        ensureRollup(s, dir)
+        RollupRewrite.install(s)
+        Tables.lineitem(s, dir)
+          .filter($"l_linestatus" =!= "X")
+          .groupBy($"l_returnflag")
+          .agg(
+            countDistinct($"l_linestatus").as("nd_status"),
+            min($"l_linestatus").as("min_status"),
+            max($"l_linestatus").as("max_status"),
+            count(lit(1)).as("n"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_linestatus) AS nd_status,
+        |  min(l_linestatus) AS min_status,
+        |  max(l_linestatus) AS max_status,
+        |  count(*) AS n
+        |FROM lineitem WHERE l_linestatus <> 'X'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Incremental rollup/MV maintenance (Doris AGGREGATE-key compaction and
     // async-MV refresh): rollup(base ∪ delta) is computed as
     // re-aggregate(rollup(base) ∪ rollup(delta)) — the delta is aggregated

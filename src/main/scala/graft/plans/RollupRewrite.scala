@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * shuffle into a scan of an already-collapsed table — the same reason Doris
   * AGGREGATE-key tables exist. A filter over rollup KEY columns is served
   * (pushed onto the rollup scan — it selects whole groups, so it commutes
-  * with the merge); filters touching non-key columns, DISTINCT aggregates,
-  * and decimal avg make the rewrite bail (conservative by design).
+  * with the merge), as are DISTINCT aggregates and min/max whose arguments
+  * are all key columns (duplicate-insensitive over the preserved distinct
+  * key-tuple set); filters touching non-key columns, non-key DISTINCT
+  * aggregates, aggregate FILTER clauses over non-key columns, and decimal
+  * avg make the rewrite bail (conservative by design).
   */
 object RollupRewrite {
 
@@ -171,6 +174,13 @@ object RollupRewrite {
           fn match {
             case Sum(a: AttributeReference, _) =>
               d.columns.get(("sum", a.name)).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+            // min/max over a KEY column need no mapped value column: they
+            // are duplicate-insensitive, and the rollup preserves the exact
+            // distinct key-tuple set, so min/max over rollup keys == base
+            case Min(a: AttributeReference) if d.keys.contains(a.name) =>
+              Some(ae.copy(aggregateFunction = Min(rollupAttr(a.name))))
+            case Max(a: AttributeReference) if d.keys.contains(a.name) =>
+              Some(ae.copy(aggregateFunction = Max(rollupAttr(a.name))))
             case Min(a: AttributeReference) =>
               d.columns.get(("min", a.name)).map(c => ae.copy(aggregateFunction = Min(rollupAttr(c))))
             case Max(a: AttributeReference) =>
@@ -196,6 +206,36 @@ object RollupRewrite {
                 Cast(Sum(rollupAttr(cc)).toAggregateExpression(), DoubleType))
             case _ => None
           }
+        // DISTINCT aggregates whose arguments are all plain KEY columns are
+        // served EXACTLY: DISTINCT erases row multiplicity, and the rollup
+        // preserves the exact set of distinct full-key tuples, so the
+        // distinct argument set within any served group is unchanged by the
+        // collapse (count/sum/avg DISTINCT over keys — the shapes Doris's
+        // MaterializedViewSelector serves from an AGGREGATE-key index). An
+        // aggregate FILTER clause, if present, must also reference only key
+        // columns (it then keeps/drops whole rollup groups).
+        case ae @ AggregateExpression(fn, _, true, filt, _)
+            if fn.children.forall {
+                 case a: AttributeReference => d.keys.contains(a.name)
+                 case _ => false
+               } &&
+               filt.forall(f => f.deterministic &&
+                 f.references.forall(a => d.keys.contains(a.name)) &&
+                 f.find(_.isInstanceOf[PlanExpression[_]]).isEmpty) =>
+          val newFn = fn.withNewChildren(fn.children.map {
+            case a: AttributeReference => rollupAttr(a.name)
+          }).asInstanceOf[AggregateFunction]
+          val newFilt = filt.map(_.transform {
+            case a: AttributeReference => rollupAttr(a.name) })
+          Some(ae.copy(aggregateFunction = newFn, filter = newFilt))
+        // every OTHER aggregate shape must bail EXPLICITLY rather than fall
+        // through to the generic child rewrite below: rebuilding a
+        // non-distinct aggregate verbatim over the rollup scan treats
+        // collapsed rows as base rows (wrong multiplicity). Before this
+        // guard, count(key) FILTER (WHERE key-pred) — non-distinct, with a
+        // filter clause, so outside the merge case above — reached the
+        // fallthrough and was silently served a 6-row answer.
+        case _: AggregateExpression => None
         case a: AttributeReference =>
           if (d.keys.contains(a.name)) Some(rollupAttr(a.name)) else None
         case other =>

@@ -125,4 +125,49 @@ class RollupSpec extends SparkSpec {
       assert(leafCols.contains("l_orderkey"), s"should scan base: $leafCols")
     }
   }
+
+  test("distinct/min/max over key columns rewrite to the rollup scan") {
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    val df = run("rollup_rewrite_distinct")
+    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("sum_qty") && !leafCols.contains("l_orderkey"),
+      s"distinct-over-keys not retargeted onto rollup (leaf cols: $leafCols)")
+    // answers equal the true base-table computation (bail shape: the
+    // l_orderkey >= 0 conjunct references a non-key column -> base scan)
+    val base = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0 && $"l_linestatus" =!= "X")
+      .groupBy($"l_returnflag")
+      .agg(countDistinct($"l_linestatus").as("nd_status"),
+        min($"l_linestatus").as("min_status"),
+        max($"l_linestatus").as("max_status"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
+  test("non-distinct aggregate with a FILTER clause bails (multiplicity guard)") {
+    // Regression: count(key) FILTER (WHERE key-pred) is non-distinct and
+    // carries a filter clause, so it is outside the merge case; before the
+    // explicit AggregateExpression bail it reached the generic child
+    // rewrite and was silently answered from 6 collapsed rollup rows.
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    val df = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(count_if($"l_linestatus" === "F").as("n_f"),
+        expr("count(l_linestatus) FILTER (WHERE l_returnflag = 'A')").as("n_a"))
+      .orderBy($"l_returnflag")
+    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("l_orderkey"),
+      s"filtered non-distinct aggregate must scan base (leaf cols: $leafCols)")
+    // and the answer is the true base count, not a rollup-row count
+    val want = Tables.lineitem(spark, sf)
+      .filter($"l_returnflag" === "A" && $"l_linestatus".isNotNull).count()
+    val got = df.filter($"l_returnflag" === "A")
+      .select($"n_a").as[Long].head()
+    assert(got == want, s"FILTER-clause count: $got vs base $want")
+  }
 }
