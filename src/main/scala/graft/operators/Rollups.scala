@@ -96,14 +96,18 @@ object Rollups {
             countDistinct($"l_linestatus").as("nd_status"),
             min($"l_linestatus").as("min_status"),
             max($"l_linestatus").as("max_status"),
-            count(lit(1)).as("n"))
+            count(lit(1)).as("n"),
+            // aggregate FILTER clause over a key column: transplants onto
+            // the merged aggregate (sum(cnt) FILTER), also rollup-served
+            expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("n_f"))
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag,
         |  count(DISTINCT l_linestatus) AS nd_status,
         |  min(l_linestatus) AS min_status,
         |  max(l_linestatus) AS max_status,
-        |  count(*) AS n
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f
         |FROM lineitem WHERE l_linestatus <> 'X'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 

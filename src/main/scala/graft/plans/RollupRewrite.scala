@@ -34,9 +34,10 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * (pushed onto the rollup scan — it selects whole groups, so it commutes
   * with the merge), as are DISTINCT aggregates and min/max whose arguments
   * are all key columns (duplicate-insensitive over the preserved distinct
-  * key-tuple set); filters touching non-key columns, non-key DISTINCT
-  * aggregates, aggregate FILTER clauses over non-key columns, and decimal
-  * avg make the rewrite bail (conservative by design).
+  * key-tuple set) and aggregate FILTER clauses over key columns (the
+  * predicate transplants onto the merged aggregate); filters or FILTER
+  * clauses touching non-key columns, non-key DISTINCT aggregates, and
+  * decimal avg make the rewrite bail (conservative by design).
   */
 object RollupRewrite {
 
@@ -152,43 +153,58 @@ object RollupRewrite {
         d.columns.values.forall(rollupAttr.contains)
       if (!mappedOk) return None
 
-      // a filter is servable iff it references only rollup KEY columns: the
-      // rollup partitions base rows by the full key set, so a key predicate
-      // selects whole groups and commutes with the merge-aggregation
-      // (filter(p, base) grouped by G  ==  merge over filter(p, rollup)).
-      // Non-key references, nondeterministic predicates, or subqueries bail.
+      // "references only rollup KEY columns, deterministically, with no
+      // subquery": the servability test shared by the pushed-down filter,
+      // aggregate FILTER clauses, and the DISTINCT case. A key predicate is
+      // constant across all base rows of one rollup group, so it keeps or
+      // drops whole groups and commutes with the merge-aggregation.
+      def keyOnlyPred(c: Expression): Boolean = c.deterministic &&
+        c.references.forall(a => d.keys.contains(a.name)) &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
       val condOpt: Option[Expression] = filterCond match {
         case None => None
         case Some(c) =>
-          val servable = c.deterministic &&
-            c.references.forall(a => d.keys.contains(a.name)) &&
-            c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
-          if (!servable) return None
+          if (!keyOnlyPred(c)) return None
           Some(c.transform { case a: AttributeReference => rollupAttr(a.name) })
       }
 
       // generic rewrite: swap AggregateExpressions for their merge form and
       // key attributes for rollup attributes; any unmappable node -> bail
       def rewriteExpr(e: Expression): Option[Expression] = e match {
-        case ae @ AggregateExpression(fn, _, false, None, _) =>
+        // non-distinct mergeable aggregates, with or without an aggregate
+        // FILTER clause. A key-only FILTER commutes with the merge for the
+        // same reason the pushed-down filter does (it keeps/drops whole
+        // rollup groups), so it transplants onto the merged aggregate:
+        // count(*) FILTER (p) -> sum(cnt) FILTER (p'), etc.
+        case ae @ AggregateExpression(fn, _, false, filt, _)
+            if filt.forall(keyOnlyPred) =>
+          val newFilt = filt.map(_.transform {
+            case a: AttributeReference => rollupAttr(a.name) })
+          def merged(f: AggregateFunction): Option[Expression] =
+            Some(ae.copy(aggregateFunction = f, filter = newFilt))
+          // merged aggregate as a fresh Complete-mode expression — the
+          // Average lowering needs TWO of them under one Divide
+          def mergedExpr(f: AggregateFunction): AggregateExpression =
+            AggregateExpression(f, Complete, isDistinct = false, newFilt,
+              NamedExpression.newExprId)
           fn match {
             case Sum(a: AttributeReference, _) =>
-              d.columns.get(("sum", a.name)).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+              d.columns.get(("sum", a.name)).flatMap(c => merged(Sum(rollupAttr(c))))
             // min/max over a KEY column need no mapped value column: they
             // are duplicate-insensitive, and the rollup preserves the exact
             // distinct key-tuple set, so min/max over rollup keys == base
             case Min(a: AttributeReference) if d.keys.contains(a.name) =>
-              Some(ae.copy(aggregateFunction = Min(rollupAttr(a.name))))
+              merged(Min(rollupAttr(a.name)))
             case Max(a: AttributeReference) if d.keys.contains(a.name) =>
-              Some(ae.copy(aggregateFunction = Max(rollupAttr(a.name))))
+              merged(Max(rollupAttr(a.name)))
             case Min(a: AttributeReference) =>
-              d.columns.get(("min", a.name)).map(c => ae.copy(aggregateFunction = Min(rollupAttr(c))))
+              d.columns.get(("min", a.name)).flatMap(c => merged(Min(rollupAttr(c))))
             case Max(a: AttributeReference) =>
-              d.columns.get(("max", a.name)).map(c => ae.copy(aggregateFunction = Max(rollupAttr(c))))
+              d.columns.get(("max", a.name)).flatMap(c => merged(Max(rollupAttr(c))))
             case Count(Seq(Literal(1, _))) =>
-              d.columns.get(("count", "*")).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+              d.columns.get(("count", "*")).flatMap(c => merged(Sum(rollupAttr(c))))
             case Count(Seq(a: AttributeReference)) =>
-              d.columns.get(("count", a.name)).map(c => ae.copy(aggregateFunction = Sum(rollupAttr(c))))
+              d.columns.get(("count", a.name)).flatMap(c => merged(Sum(rollupAttr(c))))
             // avg merges as sum(sum_c) / sum(cnt_c), both cast to double —
             // the same evaluate shape Average itself lowers to for
             // non-decimal inputs. Requires the rollup to carry the COLUMN'S
@@ -202,8 +218,8 @@ object RollupRewrite {
                 sc <- d.columns.get(("sum", a.name))
                 cc <- d.columns.get(("count", a.name))
               } yield Divide(
-                Cast(Sum(rollupAttr(sc)).toAggregateExpression(), DoubleType),
-                Cast(Sum(rollupAttr(cc)).toAggregateExpression(), DoubleType))
+                Cast(mergedExpr(Sum(rollupAttr(sc))), DoubleType),
+                Cast(mergedExpr(Sum(rollupAttr(cc))), DoubleType))
             case _ => None
           }
         // DISTINCT aggregates whose arguments are all plain KEY columns are
@@ -219,9 +235,7 @@ object RollupRewrite {
                  case a: AttributeReference => d.keys.contains(a.name)
                  case _ => false
                } &&
-               filt.forall(f => f.deterministic &&
-                 f.references.forall(a => d.keys.contains(a.name)) &&
-                 f.find(_.isInstanceOf[PlanExpression[_]]).isEmpty) =>
+               filt.forall(keyOnlyPred) =>
           val newFn = fn.withNewChildren(fn.children.map {
             case a: AttributeReference => rollupAttr(a.name)
           }).asInstanceOf[AggregateFunction]
@@ -232,9 +246,9 @@ object RollupRewrite {
         // through to the generic child rewrite below: rebuilding a
         // non-distinct aggregate verbatim over the rollup scan treats
         // collapsed rows as base rows (wrong multiplicity). Before this
-        // guard, count(key) FILTER (WHERE key-pred) — non-distinct, with a
-        // filter clause, so outside the merge case above — reached the
-        // fallthrough and was silently served a 6-row answer.
+        // guard, an unmergeable aggregate carrying a FILTER clause —
+        // outside the merge case's pattern — reached the fallthrough and
+        // was silently served a 6-row answer.
         case _: AggregateExpression => None
         case a: AttributeReference =>
           if (d.keys.contains(a.name)) Some(rollupAttr(a.name)) else None

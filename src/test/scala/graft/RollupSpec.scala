@@ -142,32 +142,64 @@ class RollupSpec extends SparkSpec {
       .agg(countDistinct($"l_linestatus").as("nd_status"),
         min($"l_linestatus").as("min_status"),
         max($"l_linestatus").as("max_status"),
-        count(lit(1)).as("n"))
+        count(lit(1)).as("n"),
+        expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("n_f"))
       .orderBy($"l_returnflag")
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
-  test("non-distinct aggregate with a FILTER clause bails (multiplicity guard)") {
-    // Regression: count(key) FILTER (WHERE key-pred) is non-distinct and
-    // carries a filter clause, so it is outside the merge case; before the
-    // explicit AggregateExpression bail it reached the generic child
-    // rewrite and was silently answered from 6 collapsed rollup rows.
+  test("key-only aggregate FILTER clauses are served; non-key ones bail (multiplicity guard)") {
     operators.Rollups.ensureRollup(spark, sf)
     RollupRewrite.install(spark)
-    val df = Tables.lineitem(spark, sf)
+    // served: mergeable aggregates whose FILTER predicates reference only
+    // key columns — the predicate transplants onto the merged aggregate
+    val served = Tables.lineitem(spark, sf)
       .groupBy($"l_returnflag")
-      .agg(count_if($"l_linestatus" === "F").as("n_f"),
-        expr("count(l_linestatus) FILTER (WHERE l_returnflag = 'A')").as("n_a"))
+      .agg(
+        expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("n_f"),
+        expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("qty_o"),
+        expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'F')").as("avg_f"))
       .orderBy($"l_returnflag")
-    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+    val servedLeaf = served.queryExecution.optimizedPlan.collectLeaves()
       .flatMap(_.output.map(_.name)).toSet
-    assert(leafCols.contains("l_orderkey"),
-      s"filtered non-distinct aggregate must scan base (leaf cols: $leafCols)")
-    // and the answer is the true base count, not a rollup-row count
-    val want = Tables.lineitem(spark, sf)
+    assert(servedLeaf.contains("sum_qty") && !servedLeaf.contains("l_orderkey"),
+      s"key-only FILTER clause not retargeted onto rollup (leaf cols: $servedLeaf)")
+    val base = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0) // bail shape -> true base scan
+      .groupBy($"l_returnflag")
+      .agg(
+        expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("n_f"),
+        expr("sum(l_quantity) FILTER (WHERE l_linestatus = 'O')").as("qty_o"),
+        expr("avg(l_quantity) FILTER (WHERE l_linestatus = 'F')").as("avg_f"))
+      .orderBy($"l_returnflag")
+    val got = served.as[(String, Long, Double, Double)].collect()
+    val want = base.as[(String, Long, Double, Double)].collect()
+    assert(got.length == want.length)
+    got.zip(want).foreach { case ((rf, n, q, a), (brf, bn, bq, ba)) =>
+      assert(rf == brf && n == bn && math.abs(q - bq) < 1e-6 &&
+        math.abs(a - ba) < 1e-9, s"$rf: ($n,$q,$a) vs ($bn,$bq,$ba)")
+    }
+    // Regression (multiplicity guard): an aggregate carrying a FILTER
+    // clause that the merge case cannot serve must bail to the base scan —
+    // before the explicit AggregateExpression bail it reached the generic
+    // child rewrite and was silently answered from 6 collapsed rollup rows.
+    val bails = Seq(
+      // non-key FILTER predicate
+      Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+        .agg(expr("count(*) FILTER (WHERE l_quantity > 10)").as("n")),
+      // unmapped count column under a key-only FILTER
+      Tables.lineitem(spark, sf).groupBy($"l_returnflag")
+        .agg(expr("count(l_linestatus) FILTER (WHERE l_returnflag = 'A')").as("n")))
+    bails.foreach { df =>
+      val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(_.output.map(_.name)).toSet
+      assert(leafCols.contains("l_orderkey"),
+        s"unservable FILTER clause must scan base (leaf cols: $leafCols)")
+    }
+    val want2 = Tables.lineitem(spark, sf)
       .filter($"l_returnflag" === "A" && $"l_linestatus".isNotNull).count()
-    val got = df.filter($"l_returnflag" === "A")
-      .select($"n_a").as[Long].head()
-    assert(got == want, s"FILTER-clause count: $got vs base $want")
+    val got2 = bails(1).filter($"l_returnflag" === "A").select($"n")
+      .as[Long].head()
+    assert(got2 == want2, s"FILTER-clause count: $got2 vs base $want2")
   }
 }
