@@ -170,6 +170,35 @@ object LlmDedup {
       .distinct()
   }
 
+  /** Incremental SimHash candidates: the delta batch (doc_id % 10 == 0)
+    * chunk-joined against the standing corpus' persisted chunk-bucket index
+    * plus itself — the SimHash mirror of [[minhashIncrCandidates]].
+    * Signatures are per-row, so this equals the full-corpus candidate set
+    * restricted to delta-touching pairs (asserted in LlmSpec). */
+  private[graft] def simhashIncrCandidates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def chunks(pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column) = {
+      val sigs = Tables.documents(s, dir)
+        .filter(pred($"doc_id"))
+        .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+      val chunkArr = array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftrightunsigned($"sig", c * 16).bitwiseAND(lit(0xffffL)).as("ckey"))): _*)
+      sigs.select($"doc_id", explode(chunkArr).as("c"))
+        .select($"doc_id", $"c.chunk".as("chunk"), $"c.ckey".as("ckey"))
+    }
+    val index = chunks(id => id % 10 =!= 0)
+    val delta = chunks(id => id % 10 === 0)
+    val cross = index.as("c").join(broadcast(delta.as("d")), Seq("chunk", "ckey"))
+      .select(least($"c.doc_id", $"d.doc_id").as("i"),
+        greatest($"c.doc_id", $"d.doc_id").as("j"))
+    val intra = delta.as("a")
+      .join(broadcast(chunks(id => id % 10 === 0).as("b")), Seq("chunk", "ckey"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+    cross.union(intra).distinct()
+  }
+
   /** Per-doc banded MinHash signatures (band, key) — one fresh read per
     * call, so two calls give independent plans (fresh exprIds; avoids the
     * self-join filter-collapse hazard documented at llm_knn_ivf). */
@@ -473,6 +502,60 @@ object LlmDedup {
         |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
         |                    JOIN sz y ON pr.j = y.doc_id
         |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (0.90), (0.95)) v(x))
+        |SELECT threshold, count(p.i) AS n_truth, true AS blocking_lossless
+        |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin),
+
+    // INCREMENTAL SimHash — the daily-ingest shape for the simhash path:
+    // delta batch hashed fresh, chunk-joined against the standing corpus'
+    // persisted chunk-bucket index plus itself, never re-pairing the
+    // corpus with itself. Oracled like llm_dedup_simhash: over the
+    // delta-touching truth pairs (cached exact table), every pair within
+    // hamming<=3 must be surfaced by the incremental blocking join —
+    // the pigeonhole guarantee is corpus-independent, so it holds for the
+    // delta-vs-index join exactly as for the full self-join.
+    "llm_dedup_simhash_incr" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val truth = jaccardPairsAuto(s, dir, 0.6)
+          .filter($"jaccard" >= 0.9)
+          .filter($"i" % 10 === 0 || $"j" % 10 === 0)
+          .select($"i", $"j", $"jaccard")
+        val sigs = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.simhashUdf(TextOps.tokens($"text")).as("sig"))
+        val withHam = truth
+          .join(sigs.as("x"), $"i" === $"x.doc_id")
+          .join(sigs.as("y"), $"j" === $"y.doc_id")
+          .select($"i", $"j", $"jaccard",
+            TextOps.hamming($"x.sig", $"y.sig").as("ham"))
+        val cands = simhashIncrCandidates(s, dir).withColumn("c", lit(1))
+        val marked = withHam.join(cands, Seq("i", "j"), "left")
+        val th = Seq(0.9, 0.95).toDF("threshold")
+        th.join(marked, marked("jaccard") >= th("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(
+            count($"i").as("n_truth"),
+            (count(when($"ham" <= 3 && $"c".isNull, 1)) === 0)
+              .as("blocking_lossless"))
+          .orderBy($"threshold")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
+        |                    JOIN sz y ON pr.j = y.doc_id
+        |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9
+        |        AND (pr.i % 10 = 0 OR pr.j % 10 = 0)),
         |th AS (SELECT CAST(x AS DOUBLE) AS threshold
         |       FROM (VALUES (0.90), (0.95)) v(x))
         |SELECT threshold, count(p.i) AS n_truth, true AS blocking_lossless

@@ -101,6 +101,22 @@ class LlmSpec extends SparkSpec {
     assert(proj.forall(_._3), proj.mkString(", "))
   }
 
+  test("incremental simhash candidates equal full candidates on delta pairs") {
+    import graft.operators.LlmDedup
+    val full = LlmDedup.simhashCandidates(spark, sf)
+      .filter($"i" % 10 === 0 || $"j" % 10 === 0)
+      .as[(Long, Long)].collect().toSet
+    val incr = LlmDedup.simhashIncrCandidates(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(incr == full,
+      s"incr\\full=${(incr diff full).take(3)} full\\incr=${(full diff incr).take(3)}")
+    assert(incr.nonEmpty, "degenerate test: no delta-touching candidates")
+    val proj = run("llm_dedup_simhash_incr")
+      .as[(Double, Long, Boolean)].collect().toSeq.sortBy(_._1)
+    assert(proj.map(_._1) == Seq(0.9, 0.95))
+    assert(proj.forall(_._3), proj.mkString(", "))
+  }
+
   test("simhash: identical texts collide, near-dups are close") {
     import graft.text.TextOps
     val df = Seq(

@@ -148,6 +148,30 @@ class RollupSpec extends SparkSpec {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("HAVING over the aggregate output is served (filter sits above the rewrite)") {
+    // HAVING references the AGGREGATE'S OUTPUT, not base columns; the
+    // rewrite preserves output exprIds, so the parent Filter resolves
+    // against the retargeted Aggregate unchanged.
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    val df = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .filter($"sum_qty" > 0)
+      .orderBy($"l_returnflag")
+    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("sum_qty") && !leafCols.contains("l_orderkey"),
+      s"HAVING shape not retargeted onto rollup (leaf cols: $leafCols)")
+    val base = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .filter($"sum_qty" > 0)
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
   test("key-only aggregate FILTER clauses are served; non-key ones bail (multiplicity guard)") {
     operators.Rollups.ensureRollup(spark, sf)
     RollupRewrite.install(spark)
