@@ -390,6 +390,61 @@ object LlmText {
         |            FROM documents) t) sh
         |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin),
 
+    // Train/eval DECONTAMINATION — the pre-training hygiene pass: find
+    // training documents sharing any 8-token shingle with the eval set
+    // (doc_id % 20 == 0 plays the held-out benchmark) so they can be
+    // dropped before training. Scale shape: the eval shingle index is tiny
+    // (benchmarks are KBs-MBs, the corpus is TBs) and BROADCASTS, so the
+    // 100 TB training side streams map-only — per-row shingle explode,
+    // broadcast semi-join, one count — no shuffle of the corpus and no
+    // pairing. left_semi keeps each train doc once regardless of how many
+    // shingles collide. n-gram width 8 is the common decontamination
+    // setting scaled to this corpus' short synthetic docs (production uses
+    // 10-13-gram exact overlap); docs shorter than 8 tokens fall back to
+    // whole-text match (TextOps.shinglesUdf semantics, mirrored in the
+    // oracle's CASE).
+    "llm_decontaminate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = 8
+        val evalSh = Tables.documents(s, dir)
+          .filter($"doc_id" % 20 === 0)
+          .select(explode(TextOps.shinglesUdf(w)($"text")).as("sh"))
+          .distinct()
+        val train = Tables.documents(s, dir).filter($"doc_id" % 20 =!= 0)
+        val contaminated = train
+          .select($"doc_id", explode(TextOps.shinglesUdf(w)($"text")).as("sh"))
+          .join(broadcast(evalSh), Seq("sh"), "left_semi")
+          .select($"doc_id").distinct()
+        val evalCount = Tables.documents(s, dir)
+          .filter($"doc_id" % 20 === 0)
+          .agg(count(lit(1)).as("n_eval"))
+        train
+          .join(contaminated.withColumn("bad", lit(1)), Seq("doc_id"), "left")
+          .agg(
+            count(lit(1)).as("n_train"),
+            sum(when($"bad" === 1, 1L).otherwise(0L)).as("n_contaminated"),
+            sum(when($"bad".isNull, 1L).otherwise(0L)).as("n_clean"))
+          .crossJoin(evalCount) // 1x1 rows
+          .select($"n_train", $"n_eval", $"n_contaminated", $"n_clean")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 8
+        |         THEN list_distinct(list_transform(generate_series(1, len(tl) - 7),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2] || ' ' ||
+        |                   tl[i+3] || ' ' || tl[i+4] || ' ' || tl[i+5] || ' ' ||
+        |                   tl[i+6] || ' ' || tl[i+7]))
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+        |bad AS (SELECT DISTINCT doc_id FROM sh
+        |        WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM ev))
+        |SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0) AS n_train,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 = 0) AS n_eval,
+        |  (SELECT count(*) FROM bad) AS n_contaminated,
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0)
+        |    - (SELECT count(*) FROM bad) AS n_clean""".stripMargin),
+
     // Training-data curation sampling, two composable stages:
     //  1. deterministic content-hash Bernoulli sample (md5(text) -> 30%):
     //     reproducible across runs/engines/cluster sizes, unlike rand() —

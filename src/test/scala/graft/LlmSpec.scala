@@ -76,6 +76,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontamination equals brute-force shingle overlap") {
+    val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+    def sh(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+")
+      if (toks.length < 8) Set(toks.mkString(" "))
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val evalSh = docs.filter(_._1 % 20 == 0).iterator.flatMap(d => sh(d._2)).toSet
+    val train = docs.filter(_._1 % 20 != 0)
+    val contaminated = train.count(d => sh(d._2).exists(evalSh.contains))
+    val row = run("llm_decontaminate").as[(Long, Long, Long, Long)].head()
+    assert(row == ((train.length.toLong, (docs.length - train.length).toLong,
+      contaminated.toLong, (train.length - contaminated).toLong)), s"$row")
+    assert(contaminated > 0, "degenerate test: no contamination at test SF")
+  }
+
   test("simhash blocking is lossless for hamming<=3 over ALL doc pairs") {
     // Brute-force the pigeonhole property at test SF: every pair of docs
     // within hamming<=3 must appear in the 4x16-bit chunk-blocking
