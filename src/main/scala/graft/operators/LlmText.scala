@@ -390,6 +390,52 @@ object LlmText {
         |            FROM documents) t) sh
         |GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin),
 
+    // Gopher-style REPETITION signals — the other half of quality
+    // filtering (llm_quality covers length/stopword/lexical-diversity):
+    // the fraction of duplicated tokens / 2-grams / 3-grams inside each
+    // document, the signals repetition-heavy boilerplate and
+    // degenerate-generation text trip. Pure per-row codegen expressions
+    // (no shuffle until the final top-k sort), so at 100 TB this is a
+    // map-only pass like the rest of the scoring family. Short docs
+    // (< n tokens) have one n-gram by convention -> fraction 0.
+    "llm_repetition" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TextOps.tokens($"text")
+        def gramFrac(w: Int) = {
+          val total = greatest(size(t) - (w - 1), lit(1)).cast("double")
+          val dist = size(TextOps.shingles($"text", w)).cast("double")
+          round(lit(1.0) - dist / total, 4)
+        }
+        Tables.documents(s, dir)
+          .select($"doc_id",
+            size(t).cast("long").as("n_tokens"),
+            round(lit(1.0) -
+              size(array_distinct(t)).cast("double") / size(t), 4)
+              .as("dup_token_frac"),
+            gramFrac(2).as("dup_2gram_frac"),
+            gramFrac(3).as("dup_3gram_frac"))
+          .orderBy($"dup_3gram_frac".desc, $"doc_id")
+          .limit(25)
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |m AS (SELECT doc_id, len(tl) AS n_tokens,
+        |    round(1.0 - CAST(len(list_distinct(tl)) AS DOUBLE) / len(tl), 4)
+        |      AS dup_token_frac,
+        |    round(1.0 - CAST(len(list_distinct(CASE WHEN len(tl) >= 2
+        |        THEN list_transform(generate_series(1, len(tl) - 1),
+        |             i -> tl[i] || ' ' || tl[i+1])
+        |        ELSE [array_to_string(tl, ' ')] END)) AS DOUBLE)
+        |      / greatest(len(tl) - 1, 1), 4) AS dup_2gram_frac,
+        |    round(1.0 - CAST(len(list_distinct(CASE WHEN len(tl) >= 3
+        |        THEN list_transform(generate_series(1, len(tl) - 2),
+        |             i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |        ELSE [array_to_string(tl, ' ')] END)) AS DOUBLE)
+        |      / greatest(len(tl) - 2, 1), 4) AS dup_3gram_frac
+        |  FROM t)
+        |SELECT doc_id, n_tokens, dup_token_frac, dup_2gram_frac, dup_3gram_frac
+        |FROM m ORDER BY dup_3gram_frac DESC, doc_id LIMIT 25""".stripMargin),
+
     // Train/eval DECONTAMINATION — the pre-training hygiene pass: find
     // training documents sharing any 8-token shingle with the eval set
     // (doc_id % 20 == 0 plays the held-out benchmark) so they can be

@@ -76,6 +76,28 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("repetition fractions equal brute force") {
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def gramFrac(toks: Array[String], w: Int): Double = {
+      val grams = if (toks.length < w) Array(toks.mkString(" "))
+        else toks.sliding(w).map(_.mkString(" ")).toArray
+      r4(1.0 - grams.distinct.length.toDouble / math.max(toks.length - (w - 1), 1))
+    }
+    val want = Tables.documents(spark, sf).select($"doc_id", $"text")
+      .as[(Long, String)].collect()
+      .map { case (id, t) =>
+        val toks = t.toLowerCase.split("\\s+")
+        (id, toks.length.toLong,
+          r4(1.0 - toks.distinct.length.toDouble / toks.length),
+          gramFrac(toks, 2), gramFrac(toks, 3))
+      }
+      .sortBy(r => (-r._5, r._1)).take(25).toSeq
+    val got = run("llm_repetition")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == want, s"got.head=${got.headOption} want.head=${want.headOption}")
+  }
+
   test("decontamination equals brute-force shingle overlap") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
       .as[(Long, String)].collect()
