@@ -31,6 +31,31 @@ object TableFunctions {
         |      FROM documents WHERE doc_id < 50) s
         |ORDER BY doc_id, pos""".stripMargin),
 
+    // explode_*_outer variants: rows whose array is EMPTY survive with a
+    // NULL element (Doris LATERAL VIEW ... OUTER semantics; inner explode
+    // would drop them). Demonstrated on a genuinely-often-empty array —
+    // tokens starting with 'q' (26 of the first 100 docs have none at
+    // sf0.01) — so both branches execute. NULL ordering pinned explicitly
+    // on both sides (Spark default NULLS FIRST vs DuckDB NULLS LAST).
+    "tf_explode_outer" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val qToks = filter(graft.text.TextOps.tokens($"text"),
+          x => x.startsWith("q"))
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 100)
+          .select($"doc_id", explode_outer(qToks).as("tok"))
+          .orderBy($"doc_id", $"tok".asc_nulls_first)
+      },
+      """SELECT doc_id,
+        |  unnest(CASE WHEN len(zl) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |         ELSE zl END) AS tok
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '),
+        |                    x -> x LIKE 'q%') AS zl
+        |      FROM documents WHERE doc_id < 100) s
+        |ORDER BY doc_id, tok NULLS FIRST""".stripMargin),
+
     // explode_json_array_int analogue: per-row JSON array -> rows.
     "tf_explode_json" -> QueryDef(
       (s, dir) => {
