@@ -163,6 +163,70 @@ object LlmSimilarity {
         |SELECT qid, rank, nid, round(cos, 4) AS cos4
         |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
+    // K-MEANS over embeddings (Lloyd's algorithm) — the clustering pass a
+    // curation pipeline runs to diversify/balance training data (and the
+    // generalization of the IVF coarse quantizer above). Iterative
+    // DataFrame compute in the nearDupComponents mold: per iteration, the
+    // k centroids (tiny) BROADCAST against the corpus for an argmin
+    // assignment (row_number over a k-row partition per vector — no
+    // pairwise shuffle of the corpus), then one posexplode+groupBy
+    // (cid,pos) shuffle for the update step; localCheckpoint cuts lineage
+    // per round, and the per-iteration inertia probe is the standard
+    // iterative-algorithm control loop. Centroid components round to 6 dp
+    // (the llm_cosine determinism contract) so shuffle-order summation
+    // can't leak into assignments. Numeric outputs are engine-internal
+    // floats, so the oracle pins the LLOYD INVARIANT instead: inertia is
+    // non-increasing across iterations (each half-step minimizes the
+    // objective — a real algorithmic guarantee, tolerance 1e-9 for fp),
+    // every vector stays assigned (n_vecs replays in DuckDB), and all k
+    // clusters are populated on this corpus.
+    "llm_kmeans" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 4
+        val iters = 3
+        val vecs = Tables.embeddings(s, dir)
+          .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+          .localCheckpoint(true)
+        def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x)
+        def assign(cents: org.apache.spark.sql.DataFrame) =
+          vecs.crossJoin(broadcast(cents))
+            .withColumn("d2", dist2($"e", $"c"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)))
+            .filter($"rn" === 1)
+            .select($"vec_id", $"e", $"cid", $"d2")
+            .localCheckpoint(true)
+        var cents = vecs.filter($"vec_id" < k)
+          .select($"vec_id".cast("int").as("cid"), $"e".as("c"))
+        var assigned = assign(cents)
+        val inertias = scala.collection.mutable.ArrayBuffer(
+          assigned.agg(sum($"d2")).as[Double].head())
+        for (_ <- 1 to iters) {
+          cents = assigned
+            .select($"cid", posexplode($"e").as(Seq("pos", "v")))
+            .groupBy($"cid", $"pos").agg(round(avg($"v"), 6).as("m"))
+            .groupBy($"cid")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+              x => x.getField("m")).as("c"))
+          assigned = assign(cents)
+          inertias += assigned.agg(sum($"d2")).as[Double].head()
+        }
+        val monotone = inertias.iterator.sliding(2).forall {
+          case Seq(a, b) => b <= a * (1 + 1e-9)
+          case _ => true
+        }
+        assigned.agg(
+          count(lit(1)).as("n_vecs"),
+          (countDistinct($"cid") === k).as("all_k_used"))
+          .withColumn("inertia_monotone", lit(monotone))
+      },
+      """SELECT count(*) AS n_vecs, true AS all_k_used,
+        |  true AS inertia_monotone
+        |FROM embeddings""".stripMargin),
+
     // INT8 embedding quantization — the storage path for a 100 TB embedding
     // table (4× smaller than float32, 8× than float64; ANN probes read the
     // int8 vectors and rescore survivors at full precision). Per-vector

@@ -177,6 +177,12 @@ class LlmSpec extends SparkSpec {
       s"recall ${ivf.intersect(truth).size}/${truth.size}")
   }
 
+  test("kmeans: Lloyd invariants hold and every vector is assigned") {
+    val row = run("llm_kmeans").as[(Long, Boolean, Boolean)].head()
+    val n = Tables.embeddings(spark, sf).count()
+    assert(row == ((n, true, true)), s"$row vs n=$n")
+  }
+
   test("cosine is 1.0 for self-similarity") {
     import graft.text.TextOps
     graft.functions.CosineSim.register(spark)
