@@ -394,27 +394,43 @@ object LlmText {
     // filtering (llm_quality covers length/stopword/lexical-diversity):
     // the fraction of duplicated tokens / 2-grams / 3-grams inside each
     // document, the signals repetition-heavy boilerplate and
-    // degenerate-generation text trip. Pure per-row codegen expressions
-    // (no shuffle until the final top-k sort), so at 100 TB this is a
-    // map-only pass like the rest of the scoring family. Short docs
-    // (< n tokens) have one n-gram by convention -> fraction 0.
+    // degenerate-generation text trip. Per-row only (no shuffle until the
+    // final top-k sort), so at 100 TB this is a map-only pass like the
+    // rest of the scoring family. ALL four signals come from ONE
+    // imperative UDF pass (one tokenize, shared token array) — the
+    // measured choice documented at TextOps.minhashBandsUdf: the HOF
+    // spelling re-inlines the tokenizer into every projection
+    // (interpreted, 3.5 s at sf0.1) vs 0.3 s for the single pass. Short
+    // docs (< n tokens) have one n-gram by convention -> fraction 0.
     "llm_repetition" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val t = TextOps.tokens($"text")
-        def gramFrac(w: Int) = {
-          val total = greatest(size(t) - (w - 1), lit(1)).cast("double")
-          val dist = size(TextOps.shingles($"text", w)).cast("double")
-          round(lit(1.0) - dist / total, 4)
+        val rep = udf { text: String =>
+          val toks = text.toLowerCase.split("\\s+")
+          def r4(x: Double) =
+            BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          def gramFrac(w: Int): Double =
+            if (toks.length < w) 0.0
+            else {
+              val total = toks.length - w + 1
+              val seen = new java.util.HashSet[String](total * 2)
+              var i = 0
+              while (i < total) {
+                seen.add(toks.slice(i, i + w).mkString(" ")); i += 1
+              }
+              r4(1.0 - seen.size.toDouble / total)
+            }
+          (toks.length.toLong,
+            r4(1.0 - toks.distinct.length.toDouble / toks.length),
+            gramFrac(2), gramFrac(3))
         }
         Tables.documents(s, dir)
+          .select($"doc_id", rep($"text").as("r"))
           .select($"doc_id",
-            size(t).cast("long").as("n_tokens"),
-            round(lit(1.0) -
-              size(array_distinct(t)).cast("double") / size(t), 4)
-              .as("dup_token_frac"),
-            gramFrac(2).as("dup_2gram_frac"),
-            gramFrac(3).as("dup_3gram_frac"))
+            $"r._1".as("n_tokens"),
+            $"r._2".as("dup_token_frac"),
+            $"r._3".as("dup_2gram_frac"),
+            $"r._4".as("dup_3gram_frac"))
           .orderBy($"dup_3gram_frac".desc, $"doc_id")
           .limit(25)
       },
