@@ -35,25 +35,11 @@ object TextOps {
         .otherwise(array(array_join(t, " "))))
   }
 
-  /** MinHash signature: for each of k seeded hash functions, the minimum
-    * xxhash64 over the shingle set. Returns array<long> of length k.
-    */
-  def minhashSignature(shingleCol: Column, k: Int = 16): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleCol,
-        s => xxhash64(concat(seed.cast("string"), lit("|"), s)))))
-
-  /** LSH band keys from a minhash signature: bands of `rows` values, each
-    * hashed to one long. Returns array<struct<band:int, key:long>>.
-    */
-  def lshBands(sig: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.cast("int").as("band"),
-        xxhash64(concat_ws("_", slice(sig, b * rows + 1, lit(rows)))).as("key")))
-
-  /** Imperative shingle UDF for hot dedup paths — same output as
-    * [[shingles]], one pass, no interpreted HOF tree (see minhashBandsUdf
-    * rationale).
+  /** Imperative shingle UDF for hot dedup paths — same output (values AND
+    * first-occurrence order) as the declarative [[shingles]] reference
+    * above, one pass, no interpreted HOF tree (see minhashBandsUdf
+    * rationale). The equivalence is pinned in LlmSpec over the documents
+    * table.
     */
   def shinglesUdf(w: Int) = udf { text: String =>
     val toks = text.toLowerCase.split("\\s+")

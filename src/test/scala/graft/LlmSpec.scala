@@ -76,6 +76,21 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("imperative shingle UDF equals the declarative HOF reference") {
+    // shinglesUdf is the hot-path spelling; TextOps.shingles is the
+    // declarative reference its doc claims to equal (values and
+    // first-occurrence order). Pin the claim for the widths in use.
+    import graft.text.TextOps
+    Seq(2, 3, 8).foreach { w =>
+      val mismatch = Tables.documents(spark, sf)
+        .select(TextOps.shingles($"text", w).as("hof"),
+          TextOps.shinglesUdf(w)($"text").as("imp"))
+        .filter($"hof" =!= $"imp")
+        .count()
+      assert(mismatch == 0, s"w=$w: $mismatch docs differ")
+    }
+  }
+
   test("repetition fractions equal brute force") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
