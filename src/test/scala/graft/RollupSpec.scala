@@ -148,6 +148,53 @@ class RollupSpec extends SparkSpec {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("GraftExtensions injection serves rollups with no install call") {
+    // The config-time wiring a production cluster uses:
+    // spark.sql.extensions=graft.GraftExtensions on the submit conf (a
+    // STATIC conf, read when the SparkContext is created — verified
+    // standalone). On the test suite's pre-existing context we attach the
+    // same injection object through builder.withExtensions, the public
+    // API for exactly this case; either route exercises
+    // GraftExtensions.apply end-to-end. No Graft.install /
+    // RollupRewrite.install call anywhere on this session.
+    import org.apache.spark.sql.SparkSession
+    operators.Rollups.ensureRollup(spark, sf) // publishes the RollupDef
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // fresh session on the shared context with the extensions attached
+      val s2 = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      assert(s2 ne spark, "test needs a fresh session to prove injection")
+      val df = Tables.lineitem(s2, sf)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("sq"))
+      val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+        .flatMap(_.output.map(_.name)).toSet
+      assert(leafCols.contains("sum_qty") && !leafCols.contains("l_orderkey"),
+        s"extensions-injected rule did not retarget (leaf cols: $leafCols)")
+    } finally {
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+
+  test("Graft.install registers the full SQL-name surface in one call") {
+    Graft.install(spark)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    Seq("to_quantile_state", "quantile_union", "bitmap_union",
+      "cosine_sim", "token_count")
+      .foreach { fn =>
+        assert(spark.sessionState.functionRegistry
+          .functionExists(FunctionIdentifier(fn)), s"missing: $fn")
+      }
+  }
+
   test("HAVING over the aggregate output is served (filter sits above the rewrite)") {
     // HAVING references the AGGREGATE'S OUTPUT, not base columns; the
     // rewrite preserves output exprIds, so the parent Filter resolves
