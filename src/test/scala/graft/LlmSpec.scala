@@ -113,6 +113,15 @@ class LlmSpec extends SparkSpec {
     assert(got == want, s"got.head=${got.headOption} want.head=${want.headOption}")
   }
 
+  test("decontamination plan: eval index broadcasts, corpus side is a semi join") {
+    // the 100 TB shape contract: the training corpus must stream through a
+    // broadcast LEFT SEMI join against the (tiny) eval shingle index — no
+    // shuffle of the corpus, no pair explosion
+    val plan = run("llm_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join in:\n$plan")
+  }
+
   test("decontamination equals brute-force shingle overlap") {
     val docs = Tables.documents(spark, sf).select($"doc_id", $"text")
       .as[(Long, String)].collect()

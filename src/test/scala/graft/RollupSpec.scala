@@ -148,6 +148,48 @@ class RollupSpec extends SparkSpec {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("randomized shapes: rule-visible answers always equal the base-table answers") {
+    // Property harness for the widened rule: random grouping sets,
+    // aggregate mixes (merge-mapped, key-distinct, FILTER clauses, avg),
+    // and filters (key-only, non-key, none). For every shape, the answer
+    // with the rule available must equal the same aggregate forced to the
+    // base table (vacuous non-key conjunct -> guaranteed bail). Covers
+    // both outcomes: shapes the rule serves must merge correctly; shapes
+    // it cannot serve must bail rather than mis-aggregate.
+    operators.Rollups.ensureRollup(spark, sf)
+    RollupRewrite.install(spark)
+    val rnd = new scala.util.Random(8)
+    val groupings = Seq(
+      Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"), Seq("l_suppkey"))
+    val aggs = Seq(
+      () => round(sum($"l_quantity"), 2).as("a1"),
+      () => count(lit(1)).as("a2"),
+      () => round(avg($"l_quantity"), 4).as("a3"),
+      () => countDistinct($"l_linestatus").as("a4"),
+      () => max($"l_returnflag").as("a5"),
+      () => expr("count(*) FILTER (WHERE l_linestatus = 'F')").as("a6"),
+      () => round(expr("sum(l_quantity) FILTER (WHERE l_returnflag <> 'N')"), 2).as("a7"),
+      () => round(sum($"l_extendedprice"), 2).as("a8"))
+    val filters: Seq[org.apache.spark.sql.Column] = Seq(
+      lit(true), $"l_returnflag" =!= "A", $"l_linestatus" === "F",
+      $"l_quantity" > 10, $"l_partkey" % 2 === 0)
+    (0 until 20).foreach { i =>
+      val g = groupings(rnd.nextInt(groupings.length))
+      val picked = rnd.shuffle(aggs).take(1 + rnd.nextInt(3)).map(_.apply())
+      val f = filters(rnd.nextInt(filters.length))
+      def q(extra: org.apache.spark.sql.Column) = Tables.lineitem(spark, sf)
+        .filter(f && extra)
+        .groupBy(g.map(col): _*)
+        .agg(picked.head, picked.tail: _*)
+        .orderBy(g.map(col): _*)
+      val withRule = q(lit(true)).collect().toSeq
+      val baseOnly = q($"l_orderkey" >= 0).collect().toSeq // forced bail
+      assert(withRule == baseOnly,
+        s"shape $i: g=$g f=$f got=${withRule.take(2)} want=${baseOnly.take(2)}")
+    }
+  }
+
   test("GraftExtensions injection serves rollups with no install call") {
     // The config-time wiring a production cluster uses:
     // spark.sql.extensions=graft.GraftExtensions on the submit conf (a
