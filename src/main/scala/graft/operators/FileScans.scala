@@ -46,6 +46,28 @@ object FileScans {
       (csv, json, orc)
     })
 
+  /** Embedded-Derby JDBC database staged once per sf dir — the federated /
+    * external-table scan surface (Doris JDBC catalog,
+    * [doris: be/src/vec/exec/vjdbc_connector.cpp]) exercised without any
+    * external service: Derby ships in Spark's jars and runs in-JVM. The
+    * nation table is written THROUGH Spark's distributed JDBC sink
+    * (df.write.jdbc) and read back through the partitioned JDBC source, so
+    * the key covers the full external round trip. VARCHAR column types are
+    * forced at create (Derby's default CLOB mapping for StringType rejects
+    * comparison predicates, which would break pushdown). */
+  private val jdbcStaged = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private[graft] def ensureJdbc(s: SparkSession, dir: String): String =
+    jdbcStaged.computeIfAbsent(dir, { _ =>
+      val db = graft.TempDirs.create("graft_derby") + "/db"
+      val url = s"jdbc:derby:$db;create=true"
+      Tables.nation(s, dir)
+        .write.mode("overwrite")
+        .option("createTableColumnTypes", "n_name VARCHAR(64)")
+        .jdbc(url, "nation_jdbc", new java.util.Properties)
+      s"jdbc:derby:$db"
+    })
+
   /** Typed row for the Dataset[T] demo (top-level so Encoders derive). */
   final case class Ord(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
       o_totalprice: Double)
@@ -95,6 +117,30 @@ object FileScans {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(avg(o_totalprice), 4) AS avg_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Federated JDBC scan (embedded Derby, staged via Spark's distributed
+    // JDBC sink): PARTITIONED read — 4 parallel range queries on
+    // n_nationkey, the shape a 1000-executor cluster uses against an
+    // external RDBMS — with the filter pushed into the remote SQL
+    // (PushedFilters on the JDBCRelation, plan-asserted in
+    // RelationalSpec). Oracled against the same rows' parquet provenance,
+    // so the compare covers the full write->external->read round trip.
+    "scan_jdbc" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val url = ensureJdbc(s, dir)
+        s.read
+          .option("partitionColumn", "n_nationkey")
+          .option("lowerBound", 0).option("upperBound", 25)
+          .option("numPartitions", 4)
+          .jdbc(url, "nation_jdbc", new java.util.Properties)
+          .filter($"n_regionkey" < 3)
+          .select($"n_nationkey", $"n_name", $"n_regionkey")
+          .orderBy($"n_nationkey")
+      },
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation WHERE n_regionkey < 3
+        |ORDER BY n_nationkey""".stripMargin),
 
     // Typed Dataset path: case-class Encoder + typed filter/groupByKey — the
     // Dataset[T] API surface (SURVEY §1.2) over the same engine.

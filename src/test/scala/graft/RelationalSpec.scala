@@ -39,6 +39,14 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("l_extendedprice"), "column pruning failed")
   }
 
+  test("scan_jdbc: partitioned external read with filter pushed to remote SQL") {
+    val plan = run("scan_jdbc").queryExecution.executedPlan.toString
+    assert(plan.contains("JDBCRelation(nation_jdbc) [numPartitions=4]"),
+      s"expected a 4-way partitioned JDBC scan in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("LessThan(n_regionkey,3)"),
+      s"filter not pushed into the external query:\n$plan")
+  }
+
   test("q1_agg: group count bounded by returnflag x linestatus domain") {
     val rows = run("q1_agg").collect()
     assert(rows.nonEmpty && rows.length <= 9)
