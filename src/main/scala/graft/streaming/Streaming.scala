@@ -268,6 +268,40 @@ object Streaming {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Streaming -> EXTERNAL RDBMS sink: each micro-batch appends to a JDBC
+    // table through Spark's distributed JDBC writer inside foreachBatch —
+    // the standard shape for serving stream results to an operational
+    // database (Doris's mysql-protocol result delivery / EXPORT path).
+    // Embedded Derby plays the external DB (same fixture as scan_jdbc; no
+    // external service). The read-back + aggregate closes the loop so the
+    // DuckDB oracle checks the stream -> JDBC -> query round trip
+    // end-to-end. Fresh DB per call: append semantics stay exactly-once
+    // per run without needing an idempotent upsert here (stream_upsert
+    // covers merge semantics).
+    "stream_jdbc_sink" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        val db = graft.TempDirs.create("graft_derbysink") + "/db"
+        val url = s"jdbc:derby:$db;create=true"
+        val props = new java.util.Properties
+        val q = eventStream(s, dir)
+          .select($"event_id", $"event_type", $"value")
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("append")
+              .option("createTableColumnTypes", "event_type VARCHAR(32)")
+              .jdbc(url, "events_sink", props)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.jdbc(s"jdbc:derby:$db", "events_sink", props)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // UNIQUE-key upsert on ingest: batches append (Doris versions), merge on
     // read = last-write-wins — identical to model_unique_key semantics.
     "stream_upsert" -> streamKey(
