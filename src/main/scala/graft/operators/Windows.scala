@@ -93,6 +93,38 @@ object Windows {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY user_id, event_id""".stripMargin),
 
+    // IGNORE NULLS variants of the offset/value family — the gap-filling
+    // idiom (last known sensor reading, previous non-null price). Same
+    // deterministic (ts, event_id) window as win_offset; the nullable
+    // column is derived (value >= 50) so both null and non-null branches
+    // execute on every user partition.
+    "win_ignore_nulls" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val v = when($"value" >= 50, $"value")
+        Tables.events(s, dir)
+          .select(
+            $"user_id", $"event_id", v.as("v"),
+            lag(v, 1, null, true).over(w).as("prev_nn"),
+            lead(v, 1, null, true).over(w).as("next_nn"),
+            first_value(v, lit(true)).over(wRun).as("first_nn"),
+            last_value(v, lit(true)).over(wRun).as("run_nn"))
+          .orderBy($"user_id", $"event_id")
+      },
+      """SELECT user_id, event_id,
+        |  CASE WHEN value >= 50 THEN value END AS v,
+        |  lag(CASE WHEN value >= 50 THEN value END, 1 IGNORE NULLS) OVER w AS prev_nn,
+        |  lead(CASE WHEN value >= 50 THEN value END, 1 IGNORE NULLS) OVER w AS next_nn,
+        |  first_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_nn,
+        |  last_value(CASE WHEN value >= 50 THEN value END IGNORE NULLS)
+        |    OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_nn
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, event_id""".stripMargin),
+
     // Aggregate-over-ROWS-frame: running totals + moving averages.
     // Runs over orders (o_orderkey unique) so the ROWS frame content is
     // deterministic cross-engine.
