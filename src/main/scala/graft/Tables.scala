@@ -40,7 +40,7 @@ object Tables {
     * TimestampType is microseconds and Spark 4 refuses TIMESTAMP(NANOS)
     * outright. Read nanos as long (legacy conf) and truncate to µs — the
     * oracle side (DuckDB, ns-native) agrees once results are compared at µs
-    * precision or coarser (see .claude/skills/verify gotchas).
+    * precision or coarser (FIXTURES.md records the ns-precision fixture).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // lazily-consumed read-schema conf: single-value engine default, cannot

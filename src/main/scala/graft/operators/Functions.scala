@@ -276,31 +276,33 @@ object Functions {
           .select($"r_regionkey", v.as("v"))
           .select(
             $"r_regionkey",
-            $"v",
-            try_add($"v", $"v").as("dbl_v"), // NULL exactly at v = 5e37
-            (-$"v").as("neg_v"),
-            (-(-$"v")).as("neg_neg_v"), // total on Decimal — equals v
-            (max38 - $"v").as("headroom_v"), // distance to the Decimal edge
-            ($"v" % lit(97)).cast(d38).as("mod_v"),
-            expr("try_sum(v) over ()").as("sum_all_v")) // 1.5e38 -> NULL
+            $"v".cast("string").as("v"),
+            try_add($"v", $"v").cast("string").as("dbl_v"), // NULL at v = 5e37
+            (-$"v").cast("string").as("neg_v"),
+            (-(-$"v")).cast("string").as("neg_neg_v"), // total on Decimal — equals v
+            (max38 - $"v").cast("string").as("headroom_v"), // distance to Decimal edge
+            ($"v" % lit(97)).cast(d38).cast("string").as("mod_v"),
+            expr("cast(try_sum(v) over () as string)").as("sum_all_v")) // 1.5e38 -> NULL
           .orderBy($"r_regionkey")
       },
       // The int128 arithmetic runs in HUGEINT, but every OUTPUT column is
-      // cast to DECIMAL(38,0) — the driver's hash layer is physical-type-
-      // sensitive, and Spark's side is DECIMAL(38,0). The cast cannot
-      // overflow: all non-NULL values here are Decimal(38,0)-representable
-      // by construction (the overflow cases are spelled as literal NULLs).
+      // rendered as VARCHAR on BOTH engines: two rounds of hash-red showed
+      // the driver's hash diverges below the logical type when both sides
+      // are DECIMAL(38,0) (Spark's parquet FIXED_LEN_BYTE_ARRAY(16) vs
+      // DuckDB's int128 decimal). Scale-0 integer text is representation-
+      // unambiguous; NULL stays NULL; the int128-edge semantics (overflow
+      // -> NULL via try_*) are unchanged.
       """SELECT r_regionkey,
-        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS v,
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS VARCHAR) AS v,
         |  CAST(CASE WHEN r_regionkey + 1 >= 5 THEN NULL
         |       ELSE 2 * CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT)
-        |  END AS DECIMAL(38,0)) AS dbl_v,
-        |  CAST(-CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS neg_v,
-        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS neg_neg_v,
+        |  END AS VARCHAR) AS dbl_v,
+        |  CAST(-CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS VARCHAR) AS neg_v,
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS VARCHAR) AS neg_neg_v,
         |  CAST(CAST('99999999999999999999999999999999999999' AS HUGEINT)
-        |    - CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS DECIMAL(38,0)) AS headroom_v,
-        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) % 97 AS DECIMAL(38,0)) AS mod_v,
-        |  CAST(NULL AS DECIMAL(38,0)) AS sum_all_v
+        |    - CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) AS VARCHAR) AS headroom_v,
+        |  CAST(CAST(concat(CAST(r_regionkey + 1 AS VARCHAR), repeat('0', 37)) AS HUGEINT) % 97 AS VARCHAR) AS mod_v,
+        |  CAST(NULL AS VARCHAR) AS sum_all_v
         |FROM region ORDER BY r_regionkey""".stripMargin),
 
     "fn_json" -> QueryDef(
@@ -494,10 +496,15 @@ object Functions {
     // claims are oracle-pinnable: (a) known-answer vectors — the same four
     // inputs DorisFunctionsSpec pins against spec implementations computed
     // outside Spark — fold into one boolean, so a seed/endianness
-    // regression breaks the driver hash; (b) injectivity over the full
-    // customer scan (distinct hashes == distinct names, which holds on
-    // every SF and is deterministic), so the per-row codegen path is still
-    // exercised end-to-end rather than only on the 4 vectors.
+    // regression breaks the driver hash; (b) a full-scan distinctness claim
+    // per hash, calibrated to its width. Injectivity is only assertable for
+    // the 64+-bit hashes (xxhash64/sha1: first birthday collision expected
+    // near 2^32 inputs). For the 32-bit hashes (murmur3, crc32) injectivity
+    // FAILS by the birthday bound at larger SFs (~150k distinct names at
+    // sf1 collide with >90% probability), so those assert a collision
+    // BOUND instead: observed collisions ≤ 8 + 10× the n²/2^33 birthday
+    // expectation — true at every SF with overwhelming probability, and
+    // still exercises the per-row codegen path end-to-end.
     "fn_hash_native" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -526,14 +533,21 @@ object Functions {
             countDistinct(sha1($"c_name".cast("binary"))).as("nd_s"))
           .select($"n_rows", $"nd_names",
             ($"nd_x" === $"nd_names").as("xxh64_injective"),
-            ($"nd_m" === $"nd_names").as("murmur3_injective"),
-            ($"nd_c" === $"nd_names").as("crc32_injective"),
+            // 32-bit birthday bound: allowed collisions = 8 + 10·n²/2^33
+            // (n²/2^33 is the expected count; the 10× + 8 slack makes a
+            // false failure vanishingly unlikely at any SF)
+            ($"nd_names" - $"nd_m" <=
+              lit(8) + $"nd_names" * $"nd_names" / lit(858993459L))
+              .as("murmur3_low_collision"),
+            ($"nd_names" - $"nd_c" <=
+              lit(8) + $"nd_names" * $"nd_names" / lit(858993459L))
+              .as("crc32_low_collision"),
             ($"nd_s" === $"nd_names").as("sha1_injective"),
             vectorsOk.as("vectors_ok"))
       },
       """SELECT count(*) AS n_rows, count(DISTINCT c_name) AS nd_names,
-        |  true AS xxh64_injective, true AS murmur3_injective,
-        |  true AS crc32_injective, true AS sha1_injective,
+        |  true AS xxh64_injective, true AS murmur3_low_collision,
+        |  true AS crc32_low_collision, true AS sha1_injective,
         |  true AS vectors_ok
         |FROM customer""".stripMargin),
 

@@ -53,6 +53,39 @@ object Joins {
       (out, dimDir)
     })
 
+  /** One-time bucketed-table layout per sf dir (the colocate-group storage
+    * contract join_bucketed demonstrates). Idempotent via tableExists, so
+    * the Bench warm-up hook and the key itself can both call it — whichever
+    * runs first pays the write; at 100 TB this is the standing layout cost
+    * the cluster pays once to make every later join on the key local.
+    * Returns the (orders, customer) table names. */
+  def stageBuckets(s: SparkSession, dir: String): (String, String) = {
+    import s.implicits._
+    val db = "graft_buckets"
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val (ordT, custT) = (s"$db.orders_b_$tag", s"$db.cust_b_$tag")
+    if (!s.catalog.tableExists(ordT)) {
+      val loc = graft.TempDirs.createPath("graft_bucketdb")
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
+      // repartition on the bucket key BEFORE bucketBy: otherwise every
+      // input split writes up to 8 bucket files (32 splits x 8 = 256
+      // tiny files); pre-partitioned, the layout is exactly 1 file per
+      // bucket — the write is faster and every later bucketed read
+      // opens 8 files instead of 256
+      Tables.orders(s, dir)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .repartition(8, $"o_custkey")
+        .write.mode("overwrite").bucketBy(8, "o_custkey")
+        .sortBy("o_custkey").saveAsTable(ordT)
+      Tables.customer(s, dir)
+        .select($"c_custkey", $"c_mktsegment")
+        .repartition(8, $"c_custkey")
+        .write.mode("overwrite").bucketBy(8, "c_custkey")
+        .sortBy("c_custkey").saveAsTable(custT)
+    }
+    (ordT, custT)
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // INNER hash join, broadcast distribution: TPC-H Q3-shaped 3-way join.
     "join_inner" -> QueryDef(
@@ -236,33 +269,14 @@ object Joins {
     // (join_colocate above shows the per-query repartition emulation; this is
     // the storage-level version). Zero-Exchange-before-join is asserted in
     // JoinsSpec. At 100 TB the bucketed write is the one-time layout cost the
-    // cluster pays to make every later fact⋈fact join on that key local.
+    // cluster pays to make every later fact⋈fact join on that key local —
+    // which is why Bench stages it in warm-up (same accounting rule as
+    // stageDpp/ensureRollup/ensureJdbc): the timed key demonstrates the
+    // steady-state zero-exchange join, not the layout build.
     "join_bucketed" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val db = "graft_buckets"
-        val loc = graft.TempDirs.createPath("graft_bucketdb")
-        s.sql(s"CREATE DATABASE IF NOT EXISTS $db LOCATION '$loc'")
-        // one-time layout: re-write only if this sf dir isn't loaded yet
-        val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-        val (ordT, custT) = (s"$db.orders_b_$tag", s"$db.cust_b_$tag")
-        if (!s.catalog.tableExists(ordT)) {
-          // repartition on the bucket key BEFORE bucketBy: otherwise every
-          // input split writes up to 8 bucket files (32 splits x 8 = 256
-          // tiny files); pre-partitioned, the layout is exactly 1 file per
-          // bucket — the write is faster and every later bucketed read
-          // opens 8 files instead of 256
-          Tables.orders(s, dir)
-            .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-            .repartition(8, $"o_custkey")
-            .write.mode("overwrite").bucketBy(8, "o_custkey")
-            .sortBy("o_custkey").saveAsTable(ordT)
-          Tables.customer(s, dir)
-            .select($"c_custkey", $"c_mktsegment")
-            .repartition(8, $"c_custkey")
-            .write.mode("overwrite").bucketBy(8, "c_custkey")
-            .sortBy("c_custkey").saveAsTable(custT)
-        }
+        val (ordT, custT) = stageBuckets(s, dir)
         s.table(ordT).hint("merge")
           .join(s.table(custT).hint("merge"), $"o_custkey" === $"c_custkey")
           .groupBy($"c_mktsegment")
@@ -282,8 +296,8 @@ object Joins {
     // (orders⋈lineitem) shuffles once on orderkey, and the o_orderdate /
     // r_name filters push into the scans + seed bloom runtime filters on the
     // fact side (spark.sql.optimizer.runtime.bloomFilter.enabled is on in
-    // Verify/Bench). Plan shape (broadcasts + PushedFilters) is asserted in
-    // JoinsSpec, not just eyeballed.
+    // Verify/Bench). Plan shape — 4 broadcast dim joins, the orderkey
+    // shuffle as the only pre-agg exchange — is asserted in JoinsSpec.
     "join_flagship_q5" -> QueryDef(
       (s, dir) => {
         import s.implicits._

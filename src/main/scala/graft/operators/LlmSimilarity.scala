@@ -199,8 +199,13 @@ object LlmSimilarity {
             .filter($"rn" === 1)
             .select($"vec_id", $"e", $"cid", $"d2")
             .localCheckpoint(true)
-        var cents = vecs.filter($"vec_id" < k)
-          .select($"vec_id".cast("int").as("cid"), $"e".as("c"))
+        // seed from the first k rows BY ORDER, not by assuming ids 0..k-1
+        // exist (a 1-based or filtered embeddings fixture would otherwise
+        // silently start with < k centroids and only surface later as an
+        // opaque all_k_used=false mismatch)
+        var cents = vecs.orderBy($"vec_id").limit(k)
+          .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+            .cast("int").as("cid"), $"e".as("c"))
         var assigned = assign(cents)
         val inertias = scala.collection.mutable.ArrayBuffer(
           assigned.agg(sum($"d2")).as[Double].head())

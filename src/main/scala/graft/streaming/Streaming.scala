@@ -275,9 +275,11 @@ object Streaming {
     // Embedded Derby plays the external DB (same fixture as scan_jdbc; no
     // external service). The read-back + aggregate closes the loop so the
     // DuckDB oracle checks the stream -> JDBC -> query round trip
-    // end-to-end. Fresh DB per call: append semantics stay exactly-once
-    // per run without needing an idempotent upsert here (stream_upsert
-    // covers merge semantics).
+    // end-to-end. Exactly-once is the canonical foreachBatch contract:
+    // each batch carries its batchId and is DELETE-then-INSERTed, so a
+    // micro-batch retried after a transient failure replaces its own rows
+    // instead of double-appending (a fresh DB per call only guards
+    // cross-run duplication, not intra-run retries).
     "stream_jdbc_sink" -> streamKey(
       (s, dir) => {
         import s.implicits._
@@ -287,8 +289,20 @@ object Streaming {
         val q = eventStream(s, dir)
           .select($"event_id", $"event_type", $"value")
           .writeStream
-          .foreachBatch { (batch: DataFrame, _: Long) =>
-            batch.write.mode("append")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            // delete-then-insert per batchId = idempotent replay; the
+            // DELETE no-ops on the first attempt (or first batch, where
+            // the table doesn't exist yet — swallowed)
+            val conn = java.sql.DriverManager.getConnection(url)
+            try {
+              val st = conn.createStatement()
+              try st.executeUpdate(
+                s"DELETE FROM events_sink WHERE batch_id = $batchId")
+              catch { case _: java.sql.SQLException => () }
+              finally st.close()
+            } finally conn.close()
+            batch.withColumn("batch_id", lit(batchId))
+              .write.mode("append")
               .option("createTableColumnTypes", "event_type VARCHAR(32)")
               .jdbc(url, "events_sink", props)
           }

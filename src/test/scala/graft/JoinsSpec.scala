@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-shape contracts for the join tier (SURVEY.md §2.3) — the flagship
+  * TPC-H shapes are asserted structurally, not eyeballed: each must plan as
+  * a broadcast dim chain with the fact⋈fact shuffle as the ONLY hash
+  * exchange ahead of aggregation. At the test SF the default 10 MB
+  * broadcast threshold would broadcast the facts too (orders at sf0.001 is
+  * 35 KB), so these tests pin the threshold between the COLUMN-PRUNED dim
+  * and fact size estimates (Spark scales the file size by the projected
+  * width ratio: pruned dims land at ~0.4–1.7 KB, pruned facts at ≥4.8 KB,
+  * so 3 KB splits them with ~2× margin each way) — the same relative
+  * geometry a 100 TB cluster sees with the default threshold.
+  */
+class JoinsSpec extends SparkSpec {
+
+  /** Run `body` with the broadcast threshold pinned so dims broadcast and
+    * facts don't, mirroring cluster-scale size geometry at test SF. */
+  private def withDimOnlyBroadcast[A](body: => A): A = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "3000")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** All hash-exchange key column names in the plan, e.g. Set("l_orderkey"). */
+  private def hashExchangeKeys(plan: String): Seq[String] =
+    "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+
+  private def countBhj(plan: String): Int =
+    "BroadcastHashJoin".r.findAllIn(plan).size
+
+  test("q5: broadcast dim chain, the orderkey fact shuffle is the only pre-agg exchange") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q5"))
+      // 4 broadcast dims: customer, supplier, nation, region
+      assert(countBhj(plan) == 4, s"expected 4 broadcast dim joins:\n$plan")
+      // the only hash exchanges are the fact⋈fact shuffle on orderkey
+      // (one per side) and the final groupBy(n_name)
+      val keys = hashExchangeKeys(plan)
+      val allowed = Set("l_orderkey", "o_orderkey", "n_name")
+      assert(keys.nonEmpty && keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
+      assert(keys.count(Set("l_orderkey", "o_orderkey")) == 2,
+        s"fact join should shuffle each side exactly once: $keys")
+    }
+  }
+
+  test("q9: broadcast dims (part/supplier/nation), single fact shuffle on orderkey") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q9"))
+      assert(countBhj(plan) == 3, s"expected 3 broadcast dim joins:\n$plan")
+      val keys = hashExchangeKeys(plan)
+      // o_year is the computed group column; Spark names it after the alias
+      val allowed = Set("l_orderkey", "o_orderkey", "n_name", "o_year")
+      assert(keys.nonEmpty && keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
+      assert(keys.count(Set("l_orderkey", "o_orderkey")) == 2,
+        s"fact join should shuffle each side exactly once: $keys")
+    }
+  }
+
+  test("q18: HAVING aggregate broadcasts back; lineitem aggregates exactly once") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q18"))
+      // the hinted broadcast of the aggregated HAVING side — the shape that
+      // prevents a correlated per-order re-scan of lineitem
+      assert(countBhj(plan) >= 1, s"HAVING side not broadcast:\n$plan")
+      val keys = hashExchangeKeys(plan)
+      // lineitem shuffles once for its groupBy; orders⋈customer may shuffle
+      // on custkey (at 100 TB customer is fact-sized and never broadcasts —
+      // that exchange is part of the honest at-scale plan)
+      val allowed = Set("l_orderkey", "o_custkey", "c_custkey")
+      assert(keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
+      assert(keys.count(_ == "l_orderkey") == 1,
+        s"lineitem should aggregate exactly once: $keys")
+    }
+  }
+
+  test("join_inner uses broadcast joins for dimension sides") {
+    val plan = planOf(run("join_inner"))
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("join_bucketed joins shuffle-free off bucketed storage") {
+    val plan = planOf(run("join_bucketed"))
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the colocate contract: no exchange on either join key — the only
+    // shuffles allowed are the post-join groupBy/orderBy
+    assert(!plan.contains("hashpartitioning(o_custkey"), "orders side shuffled")
+    assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
+  }
+
+  test("join_dpp plants a dynamic partition pruning filter on the fact scan") {
+    val plan = planOf(run("join_dpp"))
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
+  }
+}

@@ -62,24 +62,7 @@ class RelationalSpec extends SparkSpec {
     assert(semi + anti == cust)
   }
 
-  test("join_inner uses broadcast joins for dimension sides") {
-    val plan = run("join_inner").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
-  }
-
-  test("join_bucketed joins shuffle-free off bucketed storage") {
-    val plan = run("join_bucketed").queryExecution.executedPlan.toString
-    assert(plan.contains("SortMergeJoin"), plan)
-    // the colocate contract: no exchange on either join key — the only
-    // shuffles allowed are the post-join groupBy/orderBy
-    assert(!plan.contains("hashpartitioning(o_custkey"), "orders side shuffled")
-    assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
-  }
-
-  test("join_flagship_q18 broadcasts the aggregated HAVING side") {
-    val plan = run("join_flagship_q18").queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
-  }
+  // join plan-shape contracts live in JoinsSpec (flagships, bucketed, DPP)
 
   test("sql_api_q3 pushes segment and both date filters into the scans") {
     val plan = run("sql_api_q3").queryExecution.executedPlan.toString
@@ -95,11 +78,6 @@ class RelationalSpec extends SparkSpec {
     val a = df.collect()
     assert(a.forall(_.getLong(2) <= 50), "stratum cap exceeded")
     assert(a.sameElements(run("llm_sample").collect()))
-  }
-
-  test("join_dpp plants a dynamic partition pruning filter on the fact scan") {
-    val plan = run("join_dpp").queryExecution.executedPlan.toString
-    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))
   }
 
   test("set ops algebra: |A| = |A∩B| + |A\\B|") {
