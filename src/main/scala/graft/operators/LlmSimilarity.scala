@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object LlmSimilarity {
 
+  /** One k-means assignment step: corpus × broadcast k-row centroid set,
+    * argmin by squared distance via a per-vector window. INTENTIONALLY a
+    * broadcast-BNLJ (the non-equi "join" is against k rows, never
+    * corpus×corpus) — exposed so LlmSpec can audit this interior plan
+    * directly: the key materializes each iteration via localCheckpoint,
+    * which hides the join shape from PlanAuditSpec's sweep (its documented
+    * blind spot). */
+  private[graft] def kmeansAssign(
+      vecs: org.apache.spark.sql.DataFrame,
+      cents: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2", dist2(col("e"), col("c")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+  }
+
   /** label centroids with components rounded for determinism: (label, c: array<double>) */
   private def centroids(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -188,17 +209,8 @@ object LlmSimilarity {
         val vecs = Tables.embeddings(s, dir)
           .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
           .localCheckpoint(true)
-        def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-            lit(0.0), (acc, x) => acc + x)
         def assign(cents: org.apache.spark.sql.DataFrame) =
-          vecs.crossJoin(broadcast(cents))
-            .withColumn("d2", dist2($"e", $"c"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)))
-            .filter($"rn" === 1)
-            .select($"vec_id", $"e", $"cid", $"d2")
-            .localCheckpoint(true)
+          kmeansAssign(vecs, cents).localCheckpoint(true)
         // seed from the first k rows BY ORDER, not by assuming ids 0..k-1
         // exist (a 1-based or filtered embeddings fixture would otherwise
         // silently start with < k centroids and only surface later as an

@@ -35,9 +35,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * with the merge), as are DISTINCT aggregates and min/max whose arguments
   * are all key columns (duplicate-insensitive over the preserved distinct
   * key-tuple set) and aggregate FILTER clauses over key columns (the
-  * predicate transplants onto the merged aggregate); filters or FILTER
-  * clauses touching non-key columns, non-key DISTINCT aggregates, and
-  * decimal avg make the rewrite bail (conservative by design).
+  * predicate transplants onto the merged aggregate). Decimal avg is served
+  * by reproducing Average's own decimal lowering over the merged sums (see
+  * the rewrite case). Filters or FILTER clauses touching non-key columns
+  * and non-key DISTINCT aggregates make the rewrite bail (conservative by
+  * design).
   */
 object RollupRewrite {
 
@@ -210,8 +212,7 @@ object RollupRewrite {
             // non-decimal inputs. Requires the rollup to carry the COLUMN'S
             // OWN non-null count (("count", col) mapping): count(*) is only
             // equal when the column has no nulls, which parquet schemas
-            // can't promise, so no count(*) fallback. Decimal avg changes
-            // scale through the merge -> bail.
+            // can't promise, so no count(*) fallback.
             case Average(a: AttributeReference, _)
                 if !a.dataType.isInstanceOf[DecimalType] =>
               for {
@@ -220,6 +221,30 @@ object RollupRewrite {
               } yield Divide(
                 Cast(mergedExpr(Sum(rollupAttr(sc))), DoubleType),
                 Cast(mergedExpr(Sum(rollupAttr(cc))), DoubleType))
+            // decimal avg reproduces Average's OWN decimal lowering over the
+            // merged sums — divide at sumDataType decimal(p+10, s) by the
+            // count at decimal(20,0), then cast to decimal(p+4, s+4) — so
+            // every intermediate precision/scale (and hence rounding) is
+            // identical to the base-table Average. Re-casting sum(sum_c)
+            // down to decimal(p+10, s) is what pins the divide's input type:
+            // sum-over-rollup widens to (p+20, s), and dividing at that
+            // precision would round differently once the 38-digit cap
+            // adjusts the result scale. Pinned by RollupSpec's decimal fuzz.
+            case Average(a: AttributeReference, _) =>
+              val dt = a.dataType.asInstanceOf[DecimalType]
+              // DecimalType.bounded is private[sql]; same cap-at-38 rule
+              def bounded(p: Int, s: Int) =
+                DecimalType(math.min(p, 38), math.min(s, 38))
+              for {
+                sc <- d.columns.get(("sum", a.name))
+                cc <- d.columns.get(("count", a.name))
+              } yield Cast(
+                Divide(
+                  Cast(mergedExpr(Sum(rollupAttr(sc))),
+                    bounded(dt.precision + 10, dt.scale)),
+                  Cast(mergedExpr(Sum(rollupAttr(cc))), DecimalType(20, 0)),
+                  EvalMode.LEGACY),
+                bounded(dt.precision + 4, dt.scale + 4))
             case _ => None
           }
         // DISTINCT aggregates whose arguments are all plain KEY columns are

@@ -207,6 +207,30 @@ class LlmSpec extends SparkSpec {
     assert(row == ((n, true, true)), s"$row vs n=$n")
   }
 
+  test("kmeans assign step: broadcast-BNLJ vs k rows, never corpus×corpus") {
+    // PlanAuditSpec can't see this plan (each iteration is materialized via
+    // localCheckpoint — its documented blind spot), so the interior
+    // assignment join is audited here at its source: the non-equi argmin
+    // join must BROADCAST the k-row centroid side, and the corpus side must
+    // reach it without any exchange (the only shuffle is the per-vector
+    // argmin window AFTER the join).
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+    val cents = vecs.orderBy($"vec_id").limit(4)
+      .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+        .cast("int").as("cid"), $"e".as("c"))
+    val plan = operators.LlmSimilarity.kmeansAssign(vecs, cents)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1000))
+    assert(!plan.contains("CartesianProduct"), plan.take(1000))
+    // exactly one hash exchange: the post-join argmin window on vec_id
+    val exchanges = "Exchange hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchanges == Seq("vec_id"),
+      s"unexpected exchanges $exchanges:\n${plan.take(1500)}")
+  }
+
   test("cosine is 1.0 for self-similarity") {
     import graft.text.TextOps
     graft.functions.CosineSim.register(spark)

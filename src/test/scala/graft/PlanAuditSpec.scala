@@ -11,6 +11,15 @@ package graft
   * hash join into an n² plan on any key. Streaming keys are excluded —
   * their build functions execute the stream — and carry their own
   * plan/state assertions in StreamingSpec.
+  *
+  * KNOWN BLIND SPOT — localCheckpoint: keys that materialize intermediates
+  * via localCheckpoint (llm_kmeans's per-iteration assignment, the shared
+  * jaccard pair table) expose only a post-checkpoint LogicalRDD here, so
+  * their internal join shapes are invisible to this sweep (and building the
+  * plan silently executes those checkpoint jobs). Those interior plans are
+  * audited at their source instead: LlmSpec asserts the kmeans assign-step
+  * plan (intentionally a broadcast-BNLJ against the k-row centroid set) and
+  * the jaccard pair plans directly.
   */
 class PlanAuditSpec extends SparkSpec {
 

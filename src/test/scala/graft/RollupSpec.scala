@@ -226,6 +226,63 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("decimal avg merges with Average's exact decimal typing (fuzz)") {
+    // The fixture lineitem is double-typed, so decimal avg gets its own
+    // base + rollup: quantity re-typed decimal(12,3) gives avg type
+    // decimal(16,7). The merged plan must match the base-table Average
+    // EXACTLY (java.math.BigDecimal equality is scale-sensitive, so this
+    // pins Spark's decimal-division typing through the merge, not just the
+    // approximate value).
+    import RollupRewrite.RollupDef
+    val base = graft.TempDirs.create("graft_decbase")
+    Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+        $"l_quantity".cast("decimal(12,3)").as("d_qty"))
+      .write.mode("overwrite").parquet(base)
+    val roll = graft.TempDirs.create("graft_decroll")
+    spark.read.parquet(base)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"d_qty").as("sum_dqty"),
+        count($"d_qty").as("cnt_dqty"),
+        count(lit(1)).as("cnt"))
+      .coalesce(1).write.mode("overwrite").parquet(roll)
+    RollupRewrite.register(RollupDef(
+      basePath = base,
+      rollupPath = roll,
+      keys = Seq("l_returnflag", "l_linestatus"),
+      columns = Map(
+        ("sum", "d_qty") -> "sum_dqty",
+        ("count", "d_qty") -> "cnt_dqty",
+        ("count", "*") -> "cnt")))
+    RollupRewrite.install(spark)
+    val planCheck = spark.read.parquet(base)
+      .groupBy($"l_returnflag").agg(avg($"d_qty").as("avg_d"))
+    val leafCols = planCheck.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("sum_dqty") && !leafCols.contains("d_qty"),
+      s"decimal avg not retargeted onto rollup (leaf cols: $leafCols)")
+    assert(planCheck.schema("avg_d").dataType.simpleString == "decimal(16,7)",
+      "merged avg must keep Average's decimal(p+4,s+4) result type")
+    val rnd = new scala.util.Random(9)
+    val groupings = Seq(Seq("l_returnflag"), Seq("l_linestatus"),
+      Seq("l_returnflag", "l_linestatus"))
+    val keyFilters: Seq[org.apache.spark.sql.Column] = Seq(
+      lit(true), $"l_returnflag" =!= "A", $"l_linestatus" === "F")
+    (0 until 10).foreach { i =>
+      val g = groupings(rnd.nextInt(groupings.length))
+      val f = keyFilters(rnd.nextInt(keyFilters.length))
+      def q(extra: org.apache.spark.sql.Column) = spark.read.parquet(base)
+        .filter(f && extra)
+        .groupBy(g.map(col): _*)
+        .agg(avg($"d_qty").as("avg_d"), sum($"d_qty").as("sum_d"))
+        .orderBy(g.map(col): _*)
+      val withRule = q(lit(true)).collect().toSeq
+      val baseOnly = q($"l_orderkey" >= 0).collect().toSeq // forced bail
+      assert(withRule == baseOnly,
+        s"shape $i: g=$g f=$f got=${withRule.take(2)} want=${baseOnly.take(2)}")
+    }
+  }
+
   test("Graft.install registers the full SQL-name surface in one call") {
     Graft.install(spark)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
