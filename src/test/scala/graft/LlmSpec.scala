@@ -231,6 +231,29 @@ class LlmSpec extends SparkSpec {
       s"unexpected exchanges $exchanges:\n${plan.take(1500)}")
   }
 
+  test("langid profile cache: repeat serves the standing artifact, mutation invalidates") {
+    // same contract CacheSpec pins for ResultCache: the 5-row profile is
+    // served by reference on repeat (no corpus re-shuffle), and a rewritten
+    // documents table recomputes instead of serving stale rows
+    val dir = TempDirs.create("graft_langsrc")
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val p1 = operators.LlmText.langProfile(spark, dir)
+    val p2 = operators.LlmText.langProfile(spark, dir)
+    assert(p1 eq p2, "repeat must serve the cached profile object")
+    val nLangs = p1.count()
+    assert(nLangs > 1, "fixture should carry several languages")
+    // mutate: collapse the corpus to one language; bump mtime explicitly so
+    // the test is deterministic on coarse-mtime filesystems
+    Tables.documents(spark, sf).filter($"lang" === "en")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/documents.parquet")
+      .setLastModified(System.currentTimeMillis() + 5000)
+    val p3 = operators.LlmText.langProfile(spark, dir)
+    assert(!(p3 eq p1), "source mutation must recompute the profile")
+    assert(p3.count() == 1, "recomputed profile must reflect the new corpus")
+  }
+
   test("cosine is 1.0 for self-similarity") {
     import graft.text.TextOps
     graft.functions.CosineSim.register(spark)
