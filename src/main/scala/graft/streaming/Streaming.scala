@@ -184,6 +184,37 @@ object Streaming {
       build: (SparkSession, String) => DataFrame, oracle: String): QueryDef =
     QueryDef((s, dir) => Confs.withStreamShuffle(s)(build(s, dir)), oracle)
 
+  /** The canonical exactly-once foreachBatch sink body: tag every row with
+    * its batchId and DELETE-then-INSERT, so a micro-batch retried after a
+    * transient failure REPLACES its own rows instead of double-appending.
+    * The DELETE no-ops on the first attempt (and throws-and-is-swallowed on
+    * the very first batch, where the table doesn't exist yet). Exposed
+    * private[graft] so StreamingSpec can drive the retry path directly —
+    * processAllAvailable() never retries on a healthy run. */
+  private[graft] def jdbcIdempotentAppend(
+      url: String, batch: DataFrame, batchId: Long): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      // "batch_id" must be QUOTED: Spark's JDBC writer quotes column
+      // identifiers at CREATE TABLE, making them case-sensitive in Derby —
+      // an unquoted batch_id normalizes to BATCH_ID, misses, and the
+      // swallowed error would silently turn the replay into an append
+      // (caught by StreamingSpec's replay test). Only table-not-exists
+      // (first batch, SQLState 42X05) is swallowable.
+      try st.executeUpdate(
+        s"""DELETE FROM events_sink WHERE "batch_id" = $batchId""")
+      catch {
+        case e: java.sql.SQLException if e.getSQLState == "42X05" => ()
+      }
+      finally st.close()
+    } finally conn.close()
+    batch.withColumn("batch_id", lit(batchId))
+      .write.mode("append")
+      .option("createTableColumnTypes", "event_type VARCHAR(32)")
+      .jdbc(url, "events_sink", new java.util.Properties)
+  }
+
   private def eventStream(s: SparkSession, dir: String,
       withSentinel: Boolean = false): DataFrame = {
     Confs.ensureNanosAsLong(s)
@@ -289,23 +320,8 @@ object Streaming {
         val q = eventStream(s, dir)
           .select($"event_id", $"event_type", $"value")
           .writeStream
-          .foreachBatch { (batch: DataFrame, batchId: Long) =>
-            // delete-then-insert per batchId = idempotent replay; the
-            // DELETE no-ops on the first attempt (or first batch, where
-            // the table doesn't exist yet — swallowed)
-            val conn = java.sql.DriverManager.getConnection(url)
-            try {
-              val st = conn.createStatement()
-              try st.executeUpdate(
-                s"DELETE FROM events_sink WHERE batch_id = $batchId")
-              catch { case _: java.sql.SQLException => () }
-              finally st.close()
-            } finally conn.close()
-            batch.withColumn("batch_id", lit(batchId))
-              .write.mode("append")
-              .option("createTableColumnTypes", "event_type VARCHAR(32)")
-              .jdbc(url, "events_sink", props)
-          }
+          .foreachBatch((batch: DataFrame, batchId: Long) =>
+            jdbcIdempotentAppend(url, batch, batchId))
           .start()
         try q.processAllAvailable() finally q.stop()
         s.read.jdbc(s"jdbc:derby:$db", "events_sink", props)

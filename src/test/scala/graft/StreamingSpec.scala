@@ -207,4 +207,30 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == Map("10:00" -> 4.0, "10:10" -> 4.5))
     } finally q.stop()
   }
+
+  test("jdbc sink replay: a retried micro-batch replaces its rows, not appends") {
+    // drives the retry path processAllAvailable() never takes on a healthy
+    // run: replaying batchId=1 (Spark retries a failed micro-batch under
+    // the SAME id) must leave the table exactly as if it ran once, while a
+    // genuinely new batchId appends.
+    import streaming.Streaming.jdbcIdempotentAppend
+    val db = TempDirs.create("graft_derbyretry") + "/db"
+    val url = s"jdbc:derby:$db;create=true"
+    def batch(ids: Seq[Int]) =
+      ids.toDF("event_id").select($"event_id",
+        lit("click").as("event_type"), lit(1.0).as("value"))
+    def readBack() = spark.read
+      .jdbc(url, "events_sink", new java.util.Properties)
+    jdbcIdempotentAppend(url, batch(Seq(1, 2)), 0L)
+    jdbcIdempotentAppend(url, batch(Seq(3, 4, 5)), 1L)
+    assert(readBack().count() == 5)
+    // retry batch 1 verbatim -> idempotent
+    jdbcIdempotentAppend(url, batch(Seq(3, 4, 5)), 1L)
+    assert(readBack().count() == 5, "retried batch double-appended")
+    assert(readBack().select("event_id").as[Long].collect().sorted
+      .sameElements(Array(1L, 2L, 3L, 4L, 5L)))
+    // a NEW batch id appends
+    jdbcIdempotentAppend(url, batch(Seq(6)), 2L)
+    assert(readBack().count() == 6)
+  }
 }
