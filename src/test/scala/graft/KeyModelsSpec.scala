@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Randomized property tests for the Doris key-model merge semantics
+  * (SURVEY.md §1.1). The driver oracle pins each model at one fixed shape;
+  * these fuzz the MERGE RULES themselves against a driver-side brute-force
+  * fold over random versioned batches — edge interactions the fixed shapes
+  * can't reach (a key whose first-ever row is a delete marker, a partial
+  * update arriving before any full row, keys that churn every batch).
+  *
+  * Semantics under test are exactly the repo's operator definitions:
+  *  - UNIQUE + delete sign (model_delete_sign): latest version wins per
+  *    key; the key disappears when the winner carries sign=1.
+  *  - UNIQUE partial update (model_partial_update): per COLUMN, the latest
+  *    non-null version wins (null = column omitted from that load — the
+  *    documented emulation of Doris partial_columns, which cannot carry an
+  *    explicit NULL).
+  */
+class KeyModelsSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private val nKeys = 20
+  private val nBatches = 6
+
+  test("unique-key + delete sign: engine merge equals brute-force fold (fuzz)") {
+    val rnd = new scala.util.Random(17)
+    // batches: each key appears at most once per batch -> version is unique
+    // per key by construction (Doris versions are monotone per tablet)
+    val rows = for {
+      ver <- 1 to nBatches
+      key <- 0 until nKeys
+      if rnd.nextDouble() < 0.6
+    } yield (key.toLong, s"t${rnd.nextInt(3)}", rnd.nextInt(1000).toDouble,
+      if (rnd.nextDouble() < 0.15) 1 else 0, ver.toLong)
+    val df = rows.toDF("key", "etype", "value", "_sign", "_ver")
+
+    val w = Window.partitionBy($"key").orderBy($"_ver".desc)
+    val engine = df.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1 && $"_sign" === 0)
+      .select($"key", $"etype", $"value")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getDouble(2))))
+      .toMap
+
+    val brute = rows.groupBy(_._1).flatMap { case (k, versions) =>
+      val (_, et, v, sign, _) = versions.maxBy(_._5)
+      if (sign == 0) Some(k -> ((et, v))) else None
+    }
+    assert(engine == brute,
+      s"merge mismatch: engine-only=${engine.keySet -- brute.keySet} " +
+        s"brute-only=${brute.keySet -- engine.keySet}")
+    // the fuzz must actually exercise deletion (a vacuous pass would hide
+    // a broken sign filter)
+    assert(engine.size < rows.map(_._1).distinct.size,
+      "fixture never deleted a key — weaken of the fuzz")
+  }
+
+  test("unique-key partial update: per-column last-non-null equals brute force (fuzz)") {
+    val rnd = new scala.util.Random(23)
+    // each row carries each value column with prob 0.7 (null = omitted);
+    // some keys' FIRST row is already partial — the edge the fixed-shape
+    // key never hits
+    val rows = for {
+      ver <- 1 to nBatches
+      key <- 0 until nKeys
+      if rnd.nextDouble() < 0.6
+    } yield (key.toLong,
+      if (rnd.nextDouble() < 0.7) s"t${rnd.nextInt(3)}" else null,
+      if (rnd.nextDouble() < 0.7) rnd.nextInt(1000).toDouble: java.lang.Double
+      else null,
+      ver.toLong)
+    val df = rows.toDF("key", "etype", "value", "_ver")
+
+    val w = Window.partitionBy($"key").orderBy($"_ver".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val engine = df
+      .select($"key",
+        last($"etype", ignoreNulls = true).over(w).as("etype"),
+        last($"value", ignoreNulls = true).over(w).as("value"))
+      .distinct()
+      .collect()
+      .map(r => (r.getLong(0),
+        (Option(r.getString(1)), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+
+    val brute = rows.groupBy(_._1).map { case (k, versions) =>
+      val sorted = versions.sortBy(_._4)
+      k -> ((sorted.flatMap(v => Option(v._2)).lastOption,
+        sorted.flatMap(v => Option(v._3).map(_.doubleValue)).lastOption))
+    }
+    assert(engine == brute)
+    // the edge cases must be present in the fixture, not just possible
+    assert(rows.groupBy(_._1).exists { case (_, vs) =>
+      vs.minBy(_._4)._2 == null || vs.minBy(_._4)._3 == null },
+      "no key started with a partial row — weaken of the fuzz")
+    assert(engine.values.exists(v => v._1.isEmpty || v._2.isEmpty),
+      "no merged row kept a never-filled column — weaken of the fuzz")
+  }
+}
