@@ -18,6 +18,23 @@ class SketchSpec extends SparkSpec {
     assert(got == exact)
   }
 
+  test("bitmap union: partition-layout invariant (distributed merge path)") {
+    // TypedImperativeAggregate's serialize/merge branches only run in
+    // multi-partition plans — the classic bug class a single-layout test
+    // can't see. The union must give the same answer at 1 partition (update
+    // path only), 13 (ragged merges), and 32 (empty-partition buffers at
+    // sf0.001, where events has far fewer rows per partition).
+    graft.functions.NativeAggregates.register(spark)
+    val ev = Tables.events(spark, sf).select($"event_type", $"user_id")
+    def counts(parts: Int) = ev.repartition(parts)
+      .groupBy($"event_type")
+      .agg(BF.bitmap_union_count($"user_id").as("nd"))
+      .as[(String, Long)].collect().toMap
+    val base = counts(1)
+    assert(base.nonEmpty && base == counts(13), "13-partition merge diverged")
+    assert(base == counts(32), "32-partition merge diverged")
+  }
+
   test("bitmap serialize/deserialize round-trips 64-bit values") {
     val m = new Roaring64NavigableMap()
     Seq(0L, 1L, 42L, Int.MaxValue.toLong + 7, Long.MaxValue - 1).foreach(m.addLong)
