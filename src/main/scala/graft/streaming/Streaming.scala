@@ -188,9 +188,12 @@ object Streaming {
     * its batchId and DELETE-then-INSERT, so a micro-batch retried after a
     * transient failure REPLACES its own rows instead of double-appending.
     * The DELETE no-ops on the first attempt (and throws-and-is-swallowed on
-    * the very first batch, where the table doesn't exist yet). Exposed
-    * private[graft] so StreamingSpec can drive the retry path directly —
-    * processAllAvailable() never retries on a healthy run. */
+    * the very first batch, where the table doesn't exist yet). At
+    * production scale the sink table carries an index on batch_id so the
+    * per-batch DELETE is a range probe, not a table scan (here the Derby
+    * fixture table is tiny). Exposed private[graft] so StreamingSpec can
+    * drive the retry path directly — processAllAvailable() never retries
+    * on a healthy run. */
   private[graft] def jdbcIdempotentAppend(
       url: String, batch: DataFrame, batchId: Long): Unit = {
     val conn = java.sql.DriverManager.getConnection(url)
