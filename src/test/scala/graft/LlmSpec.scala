@@ -18,6 +18,15 @@ class LlmSpec extends SparkSpec {
     assert(one == pre,
       s"one-shot\\prefix=${(one diff pre).take(3)} prefix\\one-shot=${(pre diff one).take(3)}")
     assert(one.nonEmpty, "degenerate test: no qualifying pairs at t=0.6")
+    // interior plan audit (PlanAuditSpec can't see these — the shared pair
+    // table is served post-localCheckpoint): both pair plans must be pure
+    // equi-join + aggregate shapes, never a cartesian/nested-loop fallback
+    Seq(LlmDedup.jaccardPairsOneShot(spark, sf, 0.6),
+      LlmDedup.jaccardPairsPrefix(spark, sf, 0.6)).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    }
   }
 
   test("near-dup components: pairs co-grouped, labels are component minima") {
