@@ -1,8 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute load average from /proc/loadavg, or -1 when unreadable.
+    * Recorded at bench start and end so round-over-round comparisons can
+    * cite host contention as a measured fact instead of a narrative
+    * (r9: three streaming keys regressed 2-4× with no code change and the
+    * record had no way to show the host was loaded).
+    */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,6 +29,11 @@ object Bench {
     val keyFilter = sys.env.get("SPARK_GRAFT_KEYS").map(_.split(",").toSeq)
     val selected = SparkEntry.queries.filter { case (name, _) =>
       keyFilter.forall(_.exists(name.startsWith)) }
+    // keys whose one-time artifact build was moved into untimed warm-up —
+    // recorded in the JSON so a cross-round diff can tell an accounting
+    // change (key newly staged) from a real speedup without reading
+    // BASELINE.md prose
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
     // warm-up outside the timed loop: JIT + codegen + parquet footers, so the
     // first timed key doesn't absorb session start (~5s skew otherwise).
     // Also initialize JVM-wide write machinery that otherwise lands on
@@ -43,30 +60,36 @@ object Bench {
       spark.read.parquet(s"$warm/p").count()
       // stage the DPP layout here so join_dpp times the pruned join, not
       // the one-time partitioned re-write of the fact table
-      if (selected.contains("join_dpp"))
-        operators.Joins.stageDpp(spark, sfDir)
+      if (selected.contains("join_dpp")) {
+        operators.Joins.stageDpp(spark, sfDir); staged += "join_dpp"
+      }
       // same accounting rule for the rollup: the one-time physical build is
       // a staging cost (in production, a standing materialization), so the
       // timed key demonstrates what the rewrite rule is FOR — a 6-row
       // rollup scan answering a base-table aggregate
-      if (selected.keys.exists(_.startsWith("rollup_rewrite")))
+      if (selected.keys.exists(_.startsWith("rollup_rewrite"))) {
         operators.Rollups.ensureRollup(spark, sfDir)
+        staged ++= selected.keys.filter(_.startsWith("rollup_rewrite"))
+      }
       // same rule for the embedded-Derby staging: the one-time external-DB
       // load is a fixture, so scan_jdbc times the partitioned JDBC read
-      if (selected.contains("scan_jdbc"))
-        operators.FileScans.ensureJdbc(spark, sfDir)
+      if (selected.contains("scan_jdbc")) {
+        operators.FileScans.ensureJdbc(spark, sfDir); staged += "scan_jdbc"
+      }
       // same rule for the bucketed-table layout: a one-time storage cost
       // (driver r8: ~1 s of join_bucketed's 2.2 s was this write), so the
       // timed key shows the steady-state zero-exchange bucketed SMJ
-      if (selected.contains("join_bucketed"))
-        operators.Joins.stageBuckets(spark, sfDir)
+      if (selected.contains("join_bucketed")) {
+        operators.Joins.stageBuckets(spark, sfDir); staged += "join_bucketed"
+      }
       // same rule for the langid language profile: a standing artifact in
       // production (5 rows, rebuilt only when the corpus changes), so the
       // timed key shows the map-only scoring pass, not the corpus-wide
       // profile shuffle (driver r8: profile rebuild made llm_langid the
       // slowest key in the tree at 8.15 s)
-      if (selected.contains("llm_langid"))
-        operators.LlmText.langProfile(spark, sfDir)
+      if (selected.contains("llm_langid")) {
+        operators.LlmText.langProfile(spark, sfDir); staged += "llm_langid"
+      }
       // streaming-engine warm-up: the first streaming query in a JVM pays
       // one-time micro-batch/state-store init (~2.5 s measured at sf0.1 —
       // the r6→r7 stream_session 2.0→5.4 s "regression" was exactly this
@@ -74,6 +97,7 @@ object Bench {
       // stateful stream at the same capped state parallelism the stream_*
       // keys use absorbs it here instead.
       if (selected.keys.exists(_.startsWith("stream_"))) {
+        staged += "stream_*" // engine-wide micro-batch/state-store init
         val sdir = TempDirs.create("graft_streamwarm")
         spark.range(4L).selectExpr("id", "timestamp_micros(id * 1000000) ts")
           .write.mode("overwrite").parquet(s"$sdir/in")
@@ -119,36 +143,50 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val stagedJson = staged.sorted.map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
     // errored keys are listed in errors[] and excluded from the headline
     // total so a key that throws partway through can't distort
     // round-over-round comparisons (their elapsed is still in queries{})
     val total = results.collect {
       case (k, v) if !errors.contains(k) => v }.sum
+    val loadEnd = loadAvg()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"staged":$stagedJson,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir","cpus":$cpus}"""
     // also persist to a repo file: the single-line JSON can exceed the
     // driver's stdout tail window (round-1 BENCH parsed=null), and a file
     // gives round-over-round comparability either way
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_result.json"), json + "\n")
-    catch { case _: Throwable => () }
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_result.json write failed: $e") }
     // FULL runs also land a per-round copy (bench_result_rNN.json, NN =
     // max committed BENCH_r round + 1) that later SCOPED iteration runs
     // (SPARK_GRAFT_KEYS set) can't overwrite — r8's BENCH artifact lost
     // its parsed tail and only the mutable bench_result.json carried the
     // data; the round-stamped file makes the full-run record durable.
+    // WRITE-ONCE per round: a later FULL run on a loaded machine must not
+    // shadow the committed quiet-host record within the same round.
     if (keyFilter.isEmpty) try {
       val here = java.nio.file.Paths.get(".")
-      val rounds = java.nio.file.Files.list(here).iterator()
-      var maxR = 0
-      while (rounds.hasNext) {
-        val n = rounds.next().getFileName.toString
-        val m = "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
-        m.foreach(mm => maxR = math.max(maxR, mm.group(1).toInt))
-      }
-      java.nio.file.Files.writeString(
-        here.resolve(f"bench_result_r${maxR + 1}%02d.json"), json + "\n")
-    } catch { case _: Throwable => () }
+      val rounds = java.nio.file.Files.list(here)
+      val maxR =
+        try {
+          val it = rounds.iterator()
+          var m = 0
+          while (it.hasNext) {
+            val n = it.next().getFileName.toString
+            "BENCH_r(\\d+)\\.json".r.findFirstMatchIn(n)
+              .foreach(mm => m = math.max(m, mm.group(1).toInt))
+          }
+          m
+        } finally rounds.close()
+      val stamped = here.resolve(f"bench_result_r${maxR + 1}%02d.json")
+      if (java.nio.file.Files.exists(stamped))
+        System.err.println(s"[bench] $stamped exists; keeping first record")
+      else java.nio.file.Files.writeString(stamped, json + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] round-stamped record write failed: $e") }
     println(json)
     spark.stop()
   }
