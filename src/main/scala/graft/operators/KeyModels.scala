@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object KeyModels {
 
+  /** UNIQUE-key merge with a SEQUENCE column (Doris
+    * `function_column.sequence_col`, [doris: fe/.../load/Load.java hidden
+    * __DORIS_SEQUENCE_COL__]): out-of-order upserts are resolved by a USER
+    * column, not arrival order — the winner per key is the row with the
+    * highest `_seq`, ties broken by load version (`_ver`), and the key
+    * disappears when that winner is a delete marker (`_sign=1`; a STALE
+    * delete with lower seq than the standing winner loses the merge and
+    * deletes nothing, exactly Doris's sequence/delete interaction). One
+    * window shuffle on the key — the same plan shape as every other
+    * merge-on-read model, so the sequencing is free at 100 TB.
+    * Expects columns `_seq`, `_ver`, `_sign` plus the key + payload. */
+  private[graft] def sequenceMerge(
+      df: org.apache.spark.sql.DataFrame, keyCol: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("_seq").desc, col("_ver").desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("_sign") === 0)
+      .drop("rn", "_seq", "_ver", "_sign")
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // UNIQUE KEY upsert view: latest event wins per user_id (ts = version).
     "model_unique_key" -> QueryDef(
@@ -106,6 +125,50 @@ object KeyModels {
       },
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE event_type <> 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // UNIQUE-key SEQUENCE COLUMN (see sequenceMerge above): six batches land
+    // OUT OF ORDER — a late-arriving stale update (lower seq, higher
+    // version) must lose, a stale delete must delete nothing, an equal-seq
+    // re-load resolves by version, and only a delete whose seq tops the
+    // standing winner removes its key. Batch plan, derived deterministically
+    // from events so the oracle can replay the outcome:
+    //   _ver=1 all rows                    seq=2  (baseline)
+    //   _ver=2 'view'     value+111        seq=1  → stale update, loses
+    //   _ver=3 'click'    value+222        seq=3  → fresh update, wins
+    //   _ver=4 'purchase' delete marker    seq=1  → stale delete, no-op
+    //   _ver=5 'error'    value+333        seq=2  → equal seq, wins by _ver
+    //   _ver=6 'signup'   delete marker    seq=9  → fresh delete, key gone
+    "model_sequence_col" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_seqcol")
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        def batch(slice: org.apache.spark.sql.DataFrame, seq: Long, ver: Long,
+            sign: Int) =
+          slice.withColumn("_seq", lit(seq)).withColumn("_ver", lit(ver))
+            .withColumn("_sign", lit(sign))
+            .write.mode("append").parquet(out)
+        batch(ev, 2L, 1L, 0)
+        batch(ev.filter($"event_type" === "view")
+          .withColumn("value", $"value" + 111.0), 1L, 2L, 0)
+        batch(ev.filter($"event_type" === "click")
+          .withColumn("value", $"value" + 222.0), 3L, 3L, 0)
+        batch(ev.filter($"event_type" === "purchase"), 1L, 4L, 1)
+        batch(ev.filter($"event_type" === "error")
+          .withColumn("value", $"value" + 333.0), 2L, 5L, 0)
+        batch(ev.filter($"event_type" === "signup"), 9L, 6L, 1)
+        sequenceMerge(s.read.parquet(out), "event_id")
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value + 222.0
+        |                 WHEN event_type = 'error' THEN value + 333.0
+        |                 ELSE value END), 2) AS total_value
+        |FROM events WHERE event_type <> 'signup'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // BASE COMPACTION (Doris base compaction: [doris: be/src/olap/

@@ -56,6 +56,45 @@ class KeyModelsSpec extends SparkSpec {
       "fixture never deleted a key — weaken of the fuzz")
   }
 
+  test("sequence-column merge: engine equals brute-force max-by-(seq,ver) fold (fuzz)") {
+    val rnd = new scala.util.Random(31)
+    // out-of-order by construction: _seq is random per row while _ver is the
+    // batch index, so later batches routinely carry LOWER sequence values —
+    // the regime the fixed-shape key samples only six points of. At most one
+    // row per key per batch keeps (key,_ver) unique; (seq, ver) ties are
+    // therefore impossible and the brute winner is well-defined.
+    val rows = for {
+      ver <- 1 to nBatches
+      key <- 0 until nKeys
+      if rnd.nextDouble() < 0.6
+    } yield (key.toLong, rnd.nextInt(4).toLong, ver.toLong,
+      if (rnd.nextDouble() < 0.2) 1 else 0, rnd.nextInt(1000).toDouble)
+    val df = rows.toDF("key", "_seq", "_ver", "_sign", "value")
+
+    val engine = operators.KeyModels.sequenceMerge(df, "key")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val brute = rows.groupBy(_._1).flatMap { case (k, versions) =>
+      val (_, _, _, sign, v) = versions.maxBy(r => (r._2, r._3))
+      if (sign == 0) Some(k -> v) else None
+    }
+    assert(engine == brute,
+      s"merge mismatch: engine-only=${engine.keySet -- brute.keySet} " +
+        s"brute-only=${brute.keySet -- engine.keySet}")
+    // the interactions under test must occur in the fixture: some key's
+    // winner must NOT be its latest-version row (out-of-order resolution),
+    // and some stale delete must lose to a higher-seq live row
+    assert(rows.groupBy(_._1).exists { case (_, vs) =>
+      vs.maxBy(r => (r._2, r._3))._3 != vs.maxBy(_._3)._3
+    }, "no key resolved out of arrival order — weaken of the fuzz")
+    assert(rows.groupBy(_._1).exists { case (_, vs) =>
+      val winner = vs.maxBy(r => (r._2, r._3))
+      winner._4 == 0 && vs.exists(r => r._4 == 1 && r._2 < winner._2)
+    }, "no stale delete lost a merge — weaken of the fuzz")
+    assert(engine.size < rows.map(_._1).distinct.size,
+      "fixture never deleted a key — weaken of the fuzz")
+  }
+
   test("unique-key partial update: per-column last-non-null equals brute force (fuzz)") {
     val rnd = new scala.util.Random(23)
     // each row carries each value column with prob 0.7 (null = omitted);
