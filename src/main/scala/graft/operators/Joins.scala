@@ -398,6 +398,61 @@ object Joins {
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin),
 
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
+    // planner topology in the kit — a fact SELF-semi-join plus a fact
+    // self-ANTI-join, both correlated on l_orderkey, under a dim filter.
+    // This testdata carries no receipt/commit dates, so the "late line"
+    // predicate is l_returnflag = 'R' (same selectivity role, same shape):
+    // find suppliers (in 4 nations) whose 'F' orders have a returned line
+    // from THIS supplier, where the order involves ANOTHER supplier
+    // (EXISTS), and no other supplier's line was returned (NOT EXISTS) —
+    // i.e. the supplier is solely at fault. At 100 TB the plan that
+    // survives is: supplier/nation broadcast; lineitem shuffles on
+    // l_orderkey and that SAME partitioning serves the orders join, the
+    // semi probe, and the anti probe (no per-order re-scan, no extra
+    // shuffle key). JoinsSpec pins exactly that: every hash exchange is on
+    // the orderkey (modulo the final tiny groupBy), one LeftSemi, one
+    // LeftAnti, suppkey-inequality as join residuals.
+    "join_flagship_q21" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val nations = Seq("NATION_3", "NATION_7", "NATION_11", "NATION_19")
+        val li = Tables.lineitem(s, dir)
+        val l1 = li.filter($"l_returnflag" === "R")
+          .select($"l_orderkey", $"l_suppkey")
+        val l2 = li.select($"l_orderkey".as("k2"), $"l_suppkey".as("s2"))
+        val l3 = li.filter($"l_returnflag" === "R")
+          .select($"l_orderkey".as("k3"), $"l_suppkey".as("s3"))
+        val ord = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+          .select($"o_orderkey")
+        val supp = Tables.supplier(s, dir)
+        val nat = Tables.nation(s, dir).filter($"n_name".isin(nations: _*))
+        l1.join(ord, $"l_orderkey" === $"o_orderkey")
+          .join(l2, $"l_orderkey" === $"k2" && $"l_suppkey" =!= $"s2", "left_semi")
+          .join(l3, $"l_orderkey" === $"k3" && $"l_suppkey" =!= $"s3", "left_anti")
+          .join(supp, $"l_suppkey" === $"s_suppkey")
+          .join(nat, $"s_nationkey" === $"n_nationkey")
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+          .limit(100)
+      },
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |  JOIN nation ON n_nationkey = s_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11', 'NATION_19')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+
     // Dynamic partition pruning: fact written partitioned on the join key's
     // column; the dim-side filter turns into a runtime partition filter on
     // the fact scan (Spark plants a DPP subquery in PartitionFilters), so at

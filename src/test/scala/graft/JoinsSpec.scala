@@ -27,10 +27,16 @@ class JoinsSpec extends SparkSpec {
   private def planOf(df: DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  /** All hash-exchange key column names in the plan, e.g. Set("l_orderkey"). */
+  /** ALL hash-exchange key column names in the plan — every column of every
+    * `Exchange hashpartitioning(k1#1, k2#2, …, N)`, not just the first, so a
+    * multi-key exchange smuggling in an unexpected secondary shuffle key
+    * fails the allowed-set checks (the trailing N is the partition count). */
   private def hashExchangeKeys(plan: String): Seq[String] =
-    "Exchange hashpartitioning\\(([a-z_]+)".r
-      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    "Exchange hashpartitioning\\((.*?), \\d+\\)".r
+      .findAllMatchIn(plan)
+      .flatMap(_.group(1).split(",\\s*"))
+      .map(_.trim.takeWhile(_ != '#'))
+      .toSeq
 
   private def countBhj(plan: String): Int =
     "BroadcastHashJoin".r.findAllIn(plan).size
@@ -56,8 +62,12 @@ class JoinsSpec extends SparkSpec {
       val plan = planOf(run("join_flagship_q9"))
       assert(countBhj(plan) == 3, s"expected 3 broadcast dim joins:\n$plan")
       val keys = hashExchangeKeys(plan)
-      // o_year is the computed group column; Spark names it after the alias
-      val allowed = Set("l_orderkey", "o_orderkey", "n_name", "o_year")
+      // the computed year(o_orderdate) group key surfaces as Spark's
+      // internal _groupingexpression attribute (o_year if the alias
+      // survives) — visible at all only since hashExchangeKeys captures
+      // every column of the multi-key groupBy exchange, not just n_name
+      val allowed = Set("l_orderkey", "o_orderkey", "n_name", "o_year",
+        "_groupingexpression")
       assert(keys.nonEmpty && keys.forall(allowed),
         s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
       assert(keys.count(Set("l_orderkey", "o_orderkey")) == 2,
@@ -80,6 +90,26 @@ class JoinsSpec extends SparkSpec {
         s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
       assert(keys.count(_ == "l_orderkey") == 1,
         s"lineitem should aggregate exactly once: $keys")
+    }
+  }
+
+  test("q21: semi+anti self-joins ride the orderkey partitioning; dims broadcast") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q21"))
+      // one semi probe (another supplier exists) + one anti probe (no other
+      // supplier's line was returned) — the NOT-EXISTS planner shape
+      assert(plan.contains("LeftSemi"), s"missing semi join:\n$plan")
+      assert(plan.contains("LeftAnti"), s"missing anti join:\n$plan")
+      // supplier and nation broadcast; no fact side does
+      assert(countBhj(plan) >= 2, s"dims not broadcast:\n$plan")
+      // every hash exchange is on the orderkey (l1/orders/semi/anti probes —
+      // k2/k3 are the probe-side aliases of l_orderkey) or the final tiny
+      // groupBy(s_name); any other key would mean a fact re-shuffle the
+      // 100 TB plan can't afford
+      val keys = hashExchangeKeys(plan)
+      val allowed = Set("l_orderkey", "o_orderkey", "k2", "k3", "s_name")
+      assert(keys.nonEmpty && keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
     }
   }
 
