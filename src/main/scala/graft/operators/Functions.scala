@@ -272,17 +272,30 @@ object Functions {
         val v = concat(($"r_regionkey" + 1).cast("string"),
           lit("0" * 37)).cast(d38)
         val max38 = lit(new java.math.BigDecimal("9" * 38)).cast(d38)
-        Tables.region(s, dir)
+        val dec = Tables.region(s, dir)
           .select($"r_regionkey", v.as("v"))
           .select(
             $"r_regionkey",
-            $"v".cast("string").as("v"),
-            try_add($"v", $"v").cast("string").as("dbl_v"), // NULL at v = 5e37
-            (-$"v").cast("string").as("neg_v"),
-            (-(-$"v")).cast("string").as("neg_neg_v"), // total on Decimal — equals v
-            (max38 - $"v").cast("string").as("headroom_v"), // distance to Decimal edge
-            ($"v" % lit(97)).cast(d38).cast("string").as("mod_v"),
-            expr("cast(try_sum(v) over () as string)").as("sum_all_v")) // 1.5e38 -> NULL
+            $"v",
+            try_add($"v", $"v").as("dbl_v"), // NULL at v = 5e37
+            (-$"v").as("neg_v"),
+            (-(-$"v")).as("neg_neg_v"), // total on Decimal — equals v
+            (max38 - $"v").as("headroom_v"), // distance to Decimal edge
+            ($"v" % lit(97)).cast(d38).as("mod_v"),
+            expr("try_sum(v) over ()").as("sum_all_v")) // 1.5e38 -> NULL
+        // the int128 arithmetic must actually RUN at DECIMAL(38,0) — the
+        // VARCHAR projection below exists only to dodge a comparator hash
+        // divergence on physical decimal encodings, so a type regression
+        // (some expression silently widening to double or string) must fail
+        // here, not vanish behind the cast
+        val badTypes = dec.schema.fields.filter(f =>
+          f.name != "r_regionkey" && f.dataType != d38)
+        require(badTypes.isEmpty,
+          s"fn_largeint pre-cast columns must be DECIMAL(38,0): " +
+            badTypes.map(f => s"${f.name}: ${f.dataType}").mkString(", "))
+        dec.select(
+            $"r_regionkey" +: dec.columns.filter(_ != "r_regionkey")
+              .map(c => col(c).cast("string").as(c)): _*)
           .orderBy($"r_regionkey")
       },
       // The int128 arithmetic runs in HUGEINT, but every OUTPUT column is

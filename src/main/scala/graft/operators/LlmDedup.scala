@@ -119,7 +119,10 @@ object LlmDedup {
       s: SparkSession, dir: String, t: Double, w: Int = 3): DataFrame = {
     val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
     val e = pairsCache.get((dir, t, w))
-    if (e != null && e.mtime == srcMtime) e.pairs
+    // session guard (same as LlmText.profileCache): the checkpointed pairs
+    // are bound to the creating session — recompute if the session changed
+    if (e != null && e.mtime == srcMtime && (e.pairs.sparkSession eq s))
+      e.pairs
     else {
       import s.implicits._
       // tokenize ONCE: the checkpointed shingle table feeds both the density

@@ -36,7 +36,11 @@ object LlmText {
   private[graft] def langProfile(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
     val e = profileCache.get(dir)
-    if (e != null && e.mtime == srcMtime) e.profile
+    // session guard: a checkpointed DataFrame is bound to the session that
+    // created it — its RDD blocks die with that session, so a hit from a
+    // stopped-and-recreated session would serve a dead plan
+    if (e != null && e.mtime == srcMtime && (e.profile.sparkSession eq s))
+      e.profile
     else {
       import s.implicits._
       val tok = Tables.documents(s, dir)
