@@ -52,4 +52,89 @@ class PlanAuditSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("; "))
   }
+
+  // ---------------------------------------------------------------------
+  // Plan-fingerprint regression tripwire: a bench-noise-free detector for
+  // "a refactor turned a broadcast into a shuffle". Every batch key's
+  // physical plan is canonicalized to its operator-name sequence (exprIds,
+  // paths, codegen stage ids stripped; Exchange keeps its partitioning
+  // kind so hash↔range↔broadcast repartitioning drift is visible) and
+  // diffed against the committed record in
+  // src/test/resources/plan_fingerprints.tsv. Shape drift fails the suite
+  // with a per-key first-divergence report — no timing involved.
+  //
+  // INTENTIONAL plan changes (a new key, a deliberate strategy change):
+  // regenerate the record with
+  //   GRAFT_UPDATE_FINGERPRINTS=1 sbt "testOnly graft.PlanAuditSpec"
+  // and commit the diff — the review of that diff IS the shape review.
+  // ---------------------------------------------------------------------
+
+  /** Keys whose plan depends on JVM-wide mutable state and is therefore
+    * not comparable across differently-ordered runs:
+    *   cache_result — first build computes, later builds serve the
+    *                  mtime-guarded result cache (that flip is the feature)
+    */
+  private val fpExcluded = Set("cache_result")
+
+  private val fpPath =
+    java.nio.file.Paths.get("src/test/resources/plan_fingerprints.tsv")
+
+  /** Operator-name sequence of a physical plan string: one token per plan
+    * line, codegen `*(n)` markers and tree-drawing prefixes stripped;
+    * Exchange nodes keep the partitioning kind. */
+  private def fingerprint(plan: String): String = {
+    val node = """^[\s:+\-]*(?:\*\(\d+\)\s*)?([A-Za-z][A-Za-z0-9_]*)(.*)$""".r
+    plan.linesIterator.collect {
+      case node(name, rest) if name != "isFinalPlan" =>
+        if (name == "Exchange") {
+          val kind = rest.trim.takeWhile(c => c != '(' && c != ',' && c != ' ')
+          s"Exchange:$kind"
+        } else name
+    }.mkString(">")
+  }
+
+  private def currentFingerprints(): Seq[(String, String)] =
+    SparkEntry.defs.toSeq.sortBy(_._1).collect {
+      case (name, d) if !name.startsWith("stream_") && !fpExcluded(name) =>
+        name -> fingerprint(d.build(spark, sf).queryExecution.executedPlan.toString)
+    }
+
+  test("physical plan fingerprints match the committed record") {
+    val current = currentFingerprints()
+    if (sys.env.contains("GRAFT_UPDATE_FINGERPRINTS")) {
+      java.nio.file.Files.createDirectories(fpPath.getParent)
+      java.nio.file.Files.writeString(fpPath,
+        current.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+      info(s"regenerated ${current.size} fingerprints at $fpPath")
+    } else {
+      assert(java.nio.file.Files.exists(fpPath),
+        s"no committed fingerprint record at $fpPath — generate one with " +
+          "GRAFT_UPDATE_FINGERPRINTS=1")
+      val recorded = java.nio.file.Files.readString(fpPath).linesIterator
+        .filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("\t", 2); k -> v
+        }.toMap
+      val report = scala.collection.mutable.ArrayBuffer.empty[String]
+      current.foreach { case (k, fp) =>
+        recorded.get(k) match {
+          case None => report += s"$k: NEW KEY (not in record)"
+          case Some(old) if old != fp =>
+            val (o, n) = (old.split('>'), fp.split('>'))
+            val i = o.zip(n).indexWhere { case (a, b) => a != b }
+            val at = if (i >= 0) i else math.min(o.length, n.length)
+            report += s"$k: drift at node $at: " +
+              s"recorded ${o.lift(at).getOrElse("<end>")} vs " +
+              s"now ${n.lift(at).getOrElse("<end>")}"
+          case _ => ()
+        }
+      }
+      val gone = recorded.keySet -- current.map(_._1).toSet
+      gone.foreach(k => report += s"$k: key removed (still in record)")
+      assert(report.isEmpty,
+        report.mkString(
+          "plan-shape drift vs committed record (if INTENTIONAL, " +
+            "regenerate with GRAFT_UPDATE_FINGERPRINTS=1 and commit):\n",
+          "\n", ""))
+    }
+  }
 }
