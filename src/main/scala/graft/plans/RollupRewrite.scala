@@ -120,12 +120,21 @@ object RollupRewrite {
         // serve the collected predicate
         val (conds, scanChild) = peelFiltersAndProjects(child, Nil)
         val cond = conds.reduceOption(And)
-        val rewritten = for {
-          path <- scanPath(scanChild)
-          rollup <- registry.toArray(Array.empty[RollupDef])
-            .find(d => path == d.rollupBaseNorm || path == d.basePath)
-          out <- tryRewrite(agg, rollup, cond)
-        } yield out
+        // MULTI-CANDIDATE selection (Doris MaterializedViewSelector: among
+        // all rollups that can serve the aggregate, take the cheapest): try
+        // every registered rollup of this base and keep the one whose scan
+        // is smallest by file-size stats — at 100 TB a coarse 6-row rollup
+        // vs a fine million-row one is the difference between a metadata
+        // read and a real scan. Tiebreak on path for determinism.
+        val rewritten = scanPath(scanChild).flatMap { path =>
+          val served = registry.toArray(Array.empty[RollupDef])
+            .filter(d => path == d.rollupBaseNorm || path == d.basePath)
+            .flatMap(d => tryRewrite(agg, d, cond).map(out => (d, out)))
+          served.sortBy { case (d, _) =>
+            (rollupScan(d.rollupPath).map(_.stats.sizeInBytes)
+              .getOrElse(BigInt(Long.MaxValue)), d.rollupPath)
+          }.headOption.map(_._2)
+        }
         rewritten.getOrElse(agg)
     }
 

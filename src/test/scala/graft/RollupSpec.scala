@@ -283,6 +283,65 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("among multiple serving rollups the smallest is chosen") {
+    // Two rollups of one base both serve groupBy(l_returnflag): a FINE one
+    // keyed (returnflag, linestatus, suppkey) — hundreds of groups — and a
+    // COARSE 6-row one keyed (returnflag, linestatus). Registration order
+    // is fine-first, so only size-based selection (not first-match) can
+    // pick the coarse one. Doris MaterializedViewSelector behavior.
+    import RollupRewrite.RollupDef
+    val base = graft.TempDirs.create("graft_mcbase")
+    Tables.lineitem(spark, sf)
+      .select($"l_returnflag", $"l_linestatus", $"l_suppkey",
+        $"l_orderkey", $"l_quantity")
+      .write.mode("overwrite").parquet(base)
+    def buildRollup(keys: Seq[String], sumName: String, cntName: String) = {
+      val out = graft.TempDirs.create("graft_mcroll")
+      spark.read.parquet(base)
+        .groupBy(keys.map(col): _*)
+        .agg(sum($"l_quantity").as(sumName), count(lit(1)).as(cntName))
+        .coalesce(1).write.mode("overwrite").parquet(out)
+      out
+    }
+    val fine = buildRollup(
+      Seq("l_returnflag", "l_linestatus", "l_suppkey"), "sum_qty_f", "cnt_f")
+    val coarse = buildRollup(
+      Seq("l_returnflag", "l_linestatus"), "sum_qty_c", "cnt_c")
+    RollupRewrite.register(RollupDef(base, fine,
+      Seq("l_returnflag", "l_linestatus", "l_suppkey"),
+      Map(("sum", "l_quantity") -> "sum_qty_f", ("count", "*") -> "cnt_f")))
+    RollupRewrite.register(RollupDef(base, coarse,
+      Seq("l_returnflag", "l_linestatus"),
+      Map(("sum", "l_quantity") -> "sum_qty_c", ("count", "*") -> "cnt_c")))
+    RollupRewrite.install(spark)
+    val df = spark.read.parquet(base)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+    val leafCols = df.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(leafCols.contains("sum_qty_c"),
+      s"smallest rollup not chosen (leaf cols: $leafCols)")
+    assert(!leafCols.contains("sum_qty_f") && !leafCols.contains("l_orderkey"),
+      s"should scan ONLY the coarse rollup (leaf cols: $leafCols)")
+    // a grouping only the fine rollup can serve still gets served — by it
+    val bySupp = spark.read.parquet(base)
+      .groupBy($"l_suppkey")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"))
+      .orderBy($"l_suppkey")
+    val suppLeaf = bySupp.queryExecution.optimizedPlan.collectLeaves()
+      .flatMap(_.output.map(_.name)).toSet
+    assert(suppLeaf.contains("sum_qty_f") && !suppLeaf.contains("l_orderkey"),
+      s"fine-only grouping not served by the fine rollup (leaf cols: $suppLeaf)")
+    // answers equal the true base computation (forced-bail shape)
+    val bail = spark.read.parquet(base)
+      .filter($"l_orderkey" >= 0)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+    assert(df.collect().toSeq == bail.collect().toSeq)
+  }
+
   test("Graft.install registers the full SQL-name surface in one call") {
     Graft.install(spark)
     import org.apache.spark.sql.catalyst.FunctionIdentifier
