@@ -149,16 +149,21 @@ object KeyModels {
             sign: Int) =
           slice.withColumn("_seq", lit(seq)).withColumn("_ver", lit(ver))
             .withColumn("_sign", lit(sign))
-            .write.mode("append").parquet(out)
-        batch(ev, 2L, 1L, 0)
-        batch(ev.filter($"event_type" === "view")
-          .withColumn("value", $"value" + 111.0), 1L, 2L, 0)
-        batch(ev.filter($"event_type" === "click")
-          .withColumn("value", $"value" + 222.0), 3L, 3L, 0)
-        batch(ev.filter($"event_type" === "purchase"), 1L, 4L, 1)
-        batch(ev.filter($"event_type" === "error")
-          .withColumn("value", $"value" + 333.0), 2L, 5L, 0)
-        batch(ev.filter($"event_type" === "signup"), 9L, 6L, 1)
+        // one unioned write, not six append jobs: the fixture is six logical
+        // loads, but the merge reads files, not load boundaries — landing
+        // them in one write keeps the timed key about the merge
+        Seq(
+          batch(ev, 2L, 1L, 0),
+          batch(ev.filter($"event_type" === "view")
+            .withColumn("value", $"value" + 111.0), 1L, 2L, 0),
+          batch(ev.filter($"event_type" === "click")
+            .withColumn("value", $"value" + 222.0), 3L, 3L, 0),
+          batch(ev.filter($"event_type" === "purchase"), 1L, 4L, 1),
+          batch(ev.filter($"event_type" === "error")
+            .withColumn("value", $"value" + 333.0), 2L, 5L, 0),
+          batch(ev.filter($"event_type" === "signup"), 9L, 6L, 1))
+          .reduce(_.unionByName(_))
+          .write.mode("overwrite").parquet(out)
         sequenceMerge(s.read.parquet(out), "event_id")
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
@@ -208,6 +213,40 @@ object KeyModels {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events WHERE event_type <> 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // DELETE-BY-PREDICATE (Doris DELETE FROM t WHERE …,
+    // [doris: fe/.../load/DeleteHandler.java]): the delete is a VERSIONED
+    // PREDICATE in FE metadata — an O(1) op, no data touched — applied at
+    // read to every rowset with version < the delete version, and folded in
+    // physically only at compaction. Crucially it is NOT a plain filter:
+    // rows matching the predicate loaded AFTER the delete survive. Modeled
+    // exactly: v1 = all events, a delete predicate (event_type='click')
+    // lands at version 2, v3 re-loads click rows (+500) — the read filter
+    // is NOT(pred AND _ver < 2), so v1 clicks vanish and v3 clicks live. At
+    // 100 TB the predicate list is broadcast metadata compiled into the
+    // scan filter; cost is zero data movement until compaction.
+    "model_delete_predicate" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_delpred")
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"event_type", $"value")
+        ev.withColumn("_ver", lit(1L))
+          .unionByName(ev.filter($"event_type" === "click")
+            .withColumn("value", $"value" + 500.0)
+            .withColumn("_ver", lit(3L)))
+          .write.mode("overwrite").parquet(out)
+        val deleteVer = 2L // DELETE FROM … WHERE event_type='click' @ v2
+        s.read.parquet(out)
+          .filter(!($"event_type" === "click" && $"_ver" < deleteVer))
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value + 500.0
+        |                 ELSE value END), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // UNIQUE-key PARTIAL column update (Doris 2.x partial_columns stream
     // load): a second batch carries only (key, value) — other columns arrive
