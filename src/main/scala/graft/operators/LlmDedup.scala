@@ -341,6 +341,62 @@ object LlmDedup {
         |    AS n_new_unique
         |FROM d""".stripMargin),
 
+    // TWO-PHASE BLOOM incremental dedup — the shape for when even the
+    // fingerprint INDEX is too big to join the whole delta against (multi-PB
+    // corpus, index in the hundreds of GB): phase 1 probes every delta row
+    // against a ~KB-MB Bloom sketch of the index (map-only, broadcast —
+    // no shuffle of anything), phase 2 exact-joins ONLY the Bloom-positive
+    // survivors to confirm. Bloom has no false negatives, so bloom-negative
+    // rows are definitively new without touching the index; the join cost
+    // scales with |true dups| + |false positives| ≈ |true dups| at fpp=1%,
+    // not |delta|. The fp_rate_ok bound (FPs ≤ max(1, 5% of true negatives),
+    // 5× margin over the configured 1% fpp) pins the sketch sizing; exact
+    // dup/new counts are DuckDB-replayable, so the oracle hash covers the
+    // phase-2 confirmation too. Spark's stat.bloomFilter builds the sketch
+    // distributed (treeAggregate) and ships the merged bits to the driver —
+    // the same control-flow pattern as the kmeans centroid collect.
+    "llm_dedup_bloom" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val baseH = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 =!= 0)
+          .select(sha2($"text", 256).as("h")).distinct()
+        val bloom = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 =!= 0)
+          .select(sha2($"text", 256).as("h"))
+          .stat.bloomFilter("h", 100000L, 0.01)
+        val bcBloom = s.sparkContext.broadcast(bloom)
+        val bloomPos = udf((h: String) => bcBloom.value.mightContainString(h))
+        val delta = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 === 0)
+          .select($"doc_id", sha2($"text", 256).as("h"))
+          .withColumn("bloom_pos", bloomPos($"h"))
+        // phase 2: ONLY bloom-positives reach the exact index join (in
+        // production the pos/neg split is one pass over a cached/persisted
+        // delta; here the two filters re-read the tiny delta scan)
+        val confirmed = delta.filter($"bloom_pos")
+          .join(baseH.withColumn("in_base", lit(1)), Seq("h"), "left")
+          .select($"doc_id", coalesce($"in_base", lit(0)).as("in_base"),
+            lit(1L).as("bp"))
+        val negatives = delta.filter(!$"bloom_pos")
+          .select($"doc_id", lit(0).as("in_base"), lit(0L).as("bp"))
+        confirmed.unionByName(negatives).agg(
+          count(lit(1)).as("n_delta"),
+          sum($"in_base").cast("long").as("n_dup_vs_base"),
+          sum(when($"in_base" === 0, 1L).otherwise(0L)).as("n_new"),
+          ((sum($"bp") - sum($"in_base")) <=
+            greatest(lit(1.0), sum(when($"in_base" === 0, 1L).otherwise(0L)) * 0.05))
+            .as("fp_rate_ok"))
+      },
+      """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0),
+        |d AS (SELECT doc_id, text IN (SELECT text FROM base) AS in_base
+        |      FROM documents WHERE doc_id % 10 = 0)
+        |SELECT count(*) AS n_delta,
+        |  CAST(sum(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_base,
+        |  CAST(sum(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  true AS fp_rate_ok
+        |FROM d""".stripMargin),
+
     // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index,
     // with the plan chosen by posting-list density (see jaccardPairsAuto):
     // dense corpus -> one-shot inverted join; sparse (the real-corpus / 100 TB
