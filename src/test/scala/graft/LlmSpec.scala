@@ -304,6 +304,29 @@ class LlmSpec extends SparkSpec {
     assert(groups <= removed || removed == 0)
   }
 
+  test("bloom dedup: counts equal the exact path; phase-2 join is bloom-gated") {
+    // cross-operator consistency: the two-phase bloom path must land on the
+    // SAME exact counts as the join-everything incremental path (bloom can
+    // only add false positives, and those are filtered by the confirm join)
+    val b = run("llm_dedup_bloom").collect().head
+    val e = run("llm_dedup_incremental").collect().head
+    assert(b.getAs[Long]("n_delta") == e.getAs[Long]("n_delta"))
+    assert(b.getAs[Long]("n_dup_vs_base") == e.getAs[Long]("n_dup_vs_base"))
+    assert(b.getAs[Long]("n_new") ==
+      e.getAs[Long]("n_intra_dup") + e.getAs[Long]("n_new_unique"))
+    assert(b.getAs[Boolean]("fp_rate_ok"), "bloom FP bound violated")
+    // plan contract: exactly ONE exact join (the confirm), and both sides
+    // of the bloom split are UDF-gated filters — the whole-delta join the
+    // operator exists to avoid would show as a second join or an ungated
+    // index probe
+    val plan = run("llm_dedup_bloom").queryExecution.executedPlan.toString
+    val joins = "SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size
+    assert(joins == 1, s"expected exactly one confirm join, got $joins:\n$plan")
+    assert("UDF".r.findAllIn(plan).size >= 2,
+      s"bloom probe filters missing from plan:\n$plan")
+  }
+
   test("int8 quantization: per-element error bounded by scale/2, fidelity high") {
     // symmetric round-to-nearest guarantees |v - dequant(quant(v))| <= sc/2
     val bad = Tables.embeddings(spark, sf)
