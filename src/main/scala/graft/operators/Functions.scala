@@ -318,6 +318,39 @@ object Functions {
         |  CAST(NULL AS VARCHAR) AS sum_all_v
         |FROM region ORDER BY r_regionkey""".stripMargin),
 
+    // AES encryption family (Doris aes_encrypt/aes_decrypt,
+    // [doris: be/src/util/encryption_util.cpp]). ECB mode with a fixed key
+    // so the ciphertext is deterministic (GCM's random IV would break the
+    // hash compare — and bench comparability). DuckDB has no AES, so the
+    // oracle pins what it CAN replay exactly: the decrypt(encrypt(x)) == x
+    // roundtrip as a boolean, and the ciphertext length from PKCS7 padding
+    // (16·⌊bytes/16⌋ + 16) — a wrong mode, key handling, or padding breaks
+    // one of the two. Plaintext built from short ASCII columns so char
+    // length == byte length on both engines.
+    "fn_crypto" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val key = lit("0123456789abcdef") // 16-byte AES-128 key
+        val plain = concat($"lang", lit(":"), $"source", lit(":"),
+          $"doc_id".cast("string"))
+        val ct = aes_encrypt(plain.cast("binary"), key.cast("binary"),
+          lit("ECB"))
+        Tables.documents(s, dir)
+          .select(
+            $"doc_id",
+            plain.as("plain"),
+            (aes_decrypt(ct, key.cast("binary"), lit("ECB")).cast("string")
+              === plain).as("rt_ok"),
+            length(ct).as("ct_len"))
+          .orderBy($"doc_id")
+      },
+      """SELECT doc_id,
+        |  lang || ':' || source || ':' || CAST(doc_id AS VARCHAR) AS plain,
+        |  true AS rt_ok,
+        |  CAST(16 * (strlen(lang || ':' || source || ':'
+        |    || CAST(doc_id AS VARCHAR)) // 16) + 16 AS INTEGER) AS ct_len
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     "fn_json" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -398,6 +398,41 @@ object Joins {
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin),
 
+    // SALT-AND-REPLICATE skew join — the manual fallback when one join key
+    // is so hot a single reducer can't hold it and AQE's OptimizeSkewedJoin
+    // isn't available/sufficient (agg_salted_skew is the groupBy flavor of
+    // the same pattern; Doris: bucket-shuffle join sizing in
+    // [doris: fe/.../planner/DistributedPlanner.java]). The skewed side
+    // salts its key into 8 sub-keys; the other side replicates each row
+    // once per salt (a Generate, not a join); joining on (key, salt)
+    // spreads the hot key's rows over 8 reducers. Provably equal to the
+    // plain join — the oracle IS the unsalted SQL. This key salts EVERY
+    // key (deterministic, self-contained); at 100 TB you'd split the fact
+    // into hot/cold by key-frequency stats, salt only the hot slice, and
+    // union — paying the ×8 replication only for the few keys that need it.
+    "join_salted_skew" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val salted = Tables.lineitem(s, dir)
+          .withColumn("salt",
+            pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(8)).cast("int"))
+          .hint("merge")
+        val replicated = Tables.orders(s, dir)
+          .select($"o_orderkey", $"o_orderpriority")
+          .withColumn("salt", explode(sequence(lit(0), lit(7))))
+          .hint("merge")
+        salted.join(replicated,
+            $"l_orderkey" === $"o_orderkey" && salted("salt") === replicated("salt"))
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            round(sum($"l_quantity"), 2).as("sum_qty"))
+          .orderBy($"o_orderpriority")
+      },
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // TPC-H Q21 shape (suppliers who kept orders waiting): the hardest
     // planner topology in the kit — a fact SELF-semi-join plus a fact
     // self-ANTI-join, both correlated on l_orderkey, under a dim filter.
