@@ -80,6 +80,50 @@ object LlmText {
         |FROM documents WHERE lang IN ('es', 'de', 'zh')
         |ORDER BY doc_id""".stripMargin),
 
+    // Unigram log-probability quality score (the CCNet/KenLM-perplexity
+    // idea with a unigram model, fully oracle-replayable): score(doc) =
+    // avg over tokens of ln(count(tok)/N) = avg(ln c) − ln N. Low scores
+    // flag gibberish/rare-token junk; high scores flag stopword soup —
+    // both tails get cut in real pipelines. The unigram table is a
+    // corpus-wide standing artifact at 100 TB (rebuilt with the corpus,
+    // like the langid profile); the scoring pass is one tok-join against
+    // it plus a per-doc aggregate, and the 1-row corpus total attaches to
+    // the per-DOC aggregates (broadcast crossJoin of aggregated rows ×
+    // 1 row — the llm_decontaminate pattern), never to the token stream.
+    "llm_unigram_logprob" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        // three independent codegen'd explodes beat one cached explode here
+        // (measured: caching the ~1M-row token table costs more than the
+        // recompute and breaks whole-stage codegen); at 100 TB the unigram
+        // model + total are a persisted standing artifact, not a per-query
+        // recompute, so the scoring pass is the only explode that remains
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id", $"source", explode(TextOps.tokens($"text")).as("tok"))
+        val uni = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens($"text")).as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("c"))
+        val totalN = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens($"text")).as("tok"))
+          .agg(count(lit(1)).as("n_total"))
+        toks.join(uni, "tok")
+          .groupBy($"doc_id", $"source")
+          .agg(avg(log($"c")).as("alc"), count(lit(1)).as("n_toks"))
+          .crossJoin(broadcast(totalN))
+          .select($"doc_id", $"source", $"n_toks",
+            round($"alc" - log($"n_total"), 4).as("logprob"))
+          .orderBy($"doc_id")
+      },
+      """WITH toks AS (SELECT doc_id, source,
+        |                unnest(string_split(lower(text), ' ')) AS tok
+        |              FROM documents),
+        |uni AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT doc_id, source, count(*) AS n_toks,
+        |  round(avg(ln(c)) - (SELECT ln(n) FROM tot), 4) AS logprob
+        |FROM toks JOIN uni USING (tok)
+        |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin),
+
     // Quality scoring: length/stopword/repetition signals -> one score.
     "llm_quality" -> QueryDef(
       (s, dir) => {
