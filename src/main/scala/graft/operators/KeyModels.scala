@@ -43,6 +43,17 @@ object KeyModels {
       .drop("rn", "_seq", "_ver", "_sign")
   }
 
+  /** Read-side application of versioned DELETE predicates (Doris
+    * DeleteHandler: each DELETE FROM … WHERE lands as (predicate, version)
+    * in FE metadata; a row is visible iff NO delete with a LATER version
+    * matches it — rows loaded at or after a delete's version survive even
+    * when they match its predicate). Pure filter composition: at 100 TB the
+    * predicate list is broadcast metadata compiled into the scan filter. */
+  private[graft] def applyDeletePredicates(
+      df: org.apache.spark.sql.DataFrame,
+      preds: Seq[(org.apache.spark.sql.Column, Long)]): org.apache.spark.sql.DataFrame =
+    preds.foldLeft(df) { case (d, (p, v)) => d.filter(!(p && col("_ver") < lit(v))) }
+
   def queries: Map[String, QueryDef] = Map(
     // UNIQUE KEY upsert view: latest event wins per user_id (ts = version).
     "model_unique_key" -> QueryDef(
@@ -236,9 +247,9 @@ object KeyModels {
             .withColumn("value", $"value" + 500.0)
             .withColumn("_ver", lit(3L)))
           .write.mode("overwrite").parquet(out)
-        val deleteVer = 2L // DELETE FROM … WHERE event_type='click' @ v2
-        s.read.parquet(out)
-          .filter(!($"event_type" === "click" && $"_ver" < deleteVer))
+        // DELETE FROM … WHERE event_type='click' @ v2
+        applyDeletePredicates(s.read.parquet(out),
+          Seq(($"event_type" === "click", 2L)))
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
           .orderBy($"event_type")

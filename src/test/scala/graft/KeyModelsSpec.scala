@@ -95,6 +95,41 @@ class KeyModelsSpec extends SparkSpec {
       "fixture never deleted a key — weaken of the fuzz")
   }
 
+  test("delete predicates: multi-predicate versioned visibility equals brute force (fuzz)") {
+    val rnd = new scala.util.Random(47)
+    // rows across load versions; several DELETE predicates land at random
+    // versions. A row is visible iff no delete with a LATER version matches
+    // its type — in particular a row loaded AT or AFTER a matching delete's
+    // version must survive (the interaction the fixed-shape key samples one
+    // point of, here hit from every side including predicates on the same
+    // type at different versions).
+    val rows = for {
+      ver <- 1 to nBatches
+      key <- 0 until nKeys
+      if rnd.nextDouble() < 0.6
+    } yield (key.toLong * 100 + ver, s"t${rnd.nextInt(3)}", ver.toLong)
+    val preds = (0 until 4).map { _ =>
+      (s"t${rnd.nextInt(3)}", 1L + rnd.nextInt(nBatches + 1))
+    }
+    val df = rows.toDF("id", "etype", "_ver")
+    val engine = operators.KeyModels.applyDeletePredicates(df,
+        preds.map { case (t, v) => (col("etype") === t, v) })
+      .select($"id").as[Long].collect().toSet
+    val brute = rows.collect {
+      case (id, t, ver) if preds.forall { case (dt, dv) => !(t == dt && ver < dv) } => id
+    }.toSet
+    assert(engine == brute,
+      s"visibility mismatch: engine-only=${engine -- brute} brute-only=${brute -- engine}")
+    // the fixture must exercise both outcomes: some matching row deleted,
+    // and some matching row surviving because it loaded at/after the delete
+    assert(rows.exists { case (_, t, ver) =>
+      preds.exists { case (dt, dv) => t == dt && ver < dv } },
+      "no row was ever deleted — weaken of the fuzz")
+    assert(rows.exists { case (id, t, ver) =>
+      engine(id) && preds.exists { case (dt, dv) => t == dt && ver >= dv } },
+      "no post-delete re-load survived — weaken of the fuzz")
+  }
+
   test("unique-key partial update: per-column last-non-null equals brute force (fuzz)") {
     val rnd = new scala.util.Random(23)
     // each row carries each value column with prob 0.7 (null = omitted);
