@@ -191,6 +191,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream join state is evicted as the watermark advances") {
+    // The 100 TB claim behind stream_stream_join is that join state is
+    // WATERMARK-CAPPED, not stream-length-shaped — asserted here with the
+    // state-store metrics themselves, not timing: buffer two 100-row sides,
+    // then advance event time far past delay+range and check numRowsTotal
+    // collapses to just the fresh rows (eviction happens in the batch AFTER
+    // the watermark advances, hence the nudge batch).
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp)]
+    val a = left.toDF().toDF("id", "ts").withWatermark("ts", "1 minute")
+    val b = right.toDF().toDF("id2", "ts2").withWatermark("ts2", "1 minute")
+    val joined = a.join(b, $"id" === $"id2" &&
+      $"ts2" >= $"ts" - expr("interval 1 minute") &&
+      $"ts2" <= $"ts" + expr("interval 1 minute"))
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_state").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      left.addData((1L to 100L).map(i => (i, t0)): _*)
+      right.addData((1L to 100L).map(i => (i, t0)): _*)
+      q.processAllAvailable()
+      val buffered = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(buffered >= 200, s"expected both sides buffered, got $buffered")
+      assert(spark.table("ssj_state").count() == 100, "all pairs should match")
+      // jump event time 2h ahead (≫ 1 min delay + 1 min range)…
+      val t1 = Timestamp.valueOf("2024-01-01 14:00:00")
+      left.addData((1001L, t1)); right.addData((1001L, t1))
+      q.processAllAvailable()
+      // …and a nudge batch so the advanced watermark actually evicts
+      left.addData((1002L, t1)); right.addData((1002L, t1))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators(0).numRowsTotal
+      assert(after < buffered && after <= 20,
+        s"state not watermark-evicted: $buffered -> $after rows")
+    } finally q.stop()
+  }
+
   test("incremental window agg across batches equals batch result") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
