@@ -201,6 +201,34 @@ object FileScans {
         |  CAST(sum(n_regionkey) AS BIGINT) AS sum_rk
         |FROM nation""".stripMargin),
 
+    // MULTI-CATALOG federated scan (Doris 2.x external catalogs,
+    // [doris: fe/.../datasource/]): a second catalog registered purely via
+    // session conf (sources/GraftCatalog — Spark's DSv2 CatalogPlugin, the
+    // same API Iceberg/Delta/Hive connectors use), queried through
+    // three-part identifiers and JOINED ACROSS CATALOGS with a
+    // session-catalog view — the federation shape Doris's `SELECT … FROM
+    // hive_prod.db.t JOIN local_t` serves. Pushdown/pruning through the
+    // federated table is plan-asserted in CatalogSpec; at 100 TB the
+    // federated side scans only the pushed-filter survivors, same as a
+    // native scan.
+    "scan_catalog" -> QueryDef(
+      (s, dir) => {
+        val cat = graft.sources.GraftCatalog.register(s, dir)
+        graft.Tables.customer(s, dir).createOrReplaceTempView("cat_customer_v")
+        s.sql(
+          s"""SELECT c.c_mktsegment, count(*) AS n,
+             |  round(sum(o.o_totalprice), 2) AS revenue
+             |FROM $cat.main.orders o
+             |JOIN cat_customer_v c ON o.o_custkey = c.c_custkey
+             |WHERE o.o_orderstatus = 'F'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Schema catalog scan (Doris information_schema.columns
     // [doris: fe/.../catalog/InfoSchemaDb.java]): column metadata of
     // registered relations through spark.catalog. The key registers its OWN

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Multi-catalog federation contracts (sources/GraftCatalog, SURVEY §2.1):
+  * the DSv2 catalog must expose its tables through SQL metadata commands,
+  * push filters and prune columns through the federated scan exactly like a
+  * native one, resolve lazily from pure session conf, and reject writes.
+  */
+class CatalogSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private lazy val cat = sources.GraftCatalog.register(spark, sf)
+
+  test("SHOW TABLES lists every parquet table in the federated root") {
+    val tables = spark.sql(s"SHOW TABLES IN $cat.main")
+      .select($"tableName").as[String].collect().toSet
+    val expected = Set("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    assert(expected.subsetOf(tables), s"missing: ${expected -- tables}")
+  }
+
+  test("filters push down and columns prune through the federated scan") {
+    val df = spark.sql(
+      s"SELECT o_orderkey FROM $cat.main.orders WHERE o_orderstatus = 'F'")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]")
+      || plan.contains("PushedFilters: [EqualTo(o_orderstatus,F)"),
+      s"filter not pushed into federated scan:\n$plan")
+    assert("ReadSchema: [^,\n]*o_orderkey".r.findFirstIn(plan).isDefined &&
+      !plan.contains("o_totalprice"),
+      s"columns not pruned to the projection:\n$plan")
+  }
+
+  test("cross-catalog join answers equal the single-catalog spelling") {
+    val federated = run("scan_catalog").collect().toSeq
+    val native = Tables.orders(spark, sf).filter($"o_orderstatus" === "F")
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"o_totalprice"), 2).as("revenue"))
+      .orderBy($"c_mktsegment").collect().toSeq
+    assert(federated == native)
+  }
+
+  test("the federated catalog is read-only") {
+    intercept[Exception] {
+      spark.sql(s"DROP TABLE $cat.main.orders")
+    }
+    intercept[Exception] {
+      spark.sql(
+        s"INSERT INTO $cat.main.orders SELECT * FROM $cat.main.orders LIMIT 1")
+    }
+    // and the source data is untouched
+    assert(Tables.orders(spark, sf).count() > 0)
+  }
+}
