@@ -201,6 +201,34 @@ object FileScans {
         |  CAST(sum(n_regionkey) AS BIGINT) AS sum_rk
         |FROM nation""".stripMargin),
 
+    // LOAD-TIME TRANSFORM (Doris broker/stream load `COLUMNS (...) SET
+    // (derived = expr) ... WHERE`, [doris: fe/.../load/loadv2/LoadJob.java]):
+    // Doris loads are not raw copies — column mapping, derived-column SET
+    // expressions, and a WHERE reject-filter run inside the load pipeline.
+    // Spark spelling: the same read→select(exprs)→filter plan as a query,
+    // codegen'd per-row over the CSV scan, so at 100 TB the transform costs
+    // one pass with zero shuffles and writes land pre-shaped.
+    "load_transform" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (csv, _, _) = ensureStaged(s, dir)
+        s.read.schema(ordersSchema).option("header", "true").csv(csv)
+          .filter($"o_totalprice" > 1000.0 && $"o_orderstatus".isin("F", "O"))
+          .select(
+            $"o_orderkey".as("id"),
+            ($"o_custkey" % 16).as("cust_bucket"),
+            substring($"o_orderpriority", 1, 1).as("priority_class"),
+            round($"o_totalprice" * 100, 0).cast("bigint").as("total_cents"))
+          .orderBy($"id")
+      },
+      """SELECT o_orderkey AS id,
+        |  o_custkey % 16 AS cust_bucket,
+        |  substr(o_orderpriority, 1, 1) AS priority_class,
+        |  CAST(round(o_totalprice * 100, 0) AS BIGINT) AS total_cents
+        |FROM orders
+        |WHERE o_totalprice > 1000.0 AND o_orderstatus IN ('F', 'O')
+        |ORDER BY id""".stripMargin),
+
     // MULTI-CATALOG federated scan (Doris 2.x external catalogs,
     // [doris: fe/.../datasource/]): a second catalog registered purely via
     // session conf (sources/GraftCatalog — Spark's DSv2 CatalogPlugin, the

@@ -182,6 +182,88 @@ object Relational {
         |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_custkey""".stripMargin),
 
+    // INTERSECT ALL — multiplicity-preserving intersection (min of the two
+    // sides' copy counts per row), the bag-semantics twin of set_intersect.
+    // Spark plans intersectAll as one hash aggregate per side + a join on
+    // the full row — one shuffle each, no row explosion. Aggregated to
+    // (custkey, n_common) so the key's output is compact at any SF.
+    "set_intersect_all" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val a = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+          .select($"o_custkey")
+        val b = Tables.orders(s, dir).filter($"o_orderstatus" === "O")
+          .select($"o_custkey")
+        a.intersectAll(b)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_common"))
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey, count(*) AS n_common FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // EXCEPT ALL — bag difference (max(0, countA - countB) copies per row).
+    "set_except_all" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val big = Tables.orders(s, dir).filter($"o_totalprice" > 100000.0)
+          .select($"o_custkey")
+        val fin = Tables.orders(s, dir).filter($"o_orderstatus" === "F")
+          .select($"o_custkey")
+        big.exceptAll(fin)
+          .groupBy($"o_custkey")
+          .agg(count(lit(1)).as("n_left"))
+          .orderBy($"o_custkey")
+      },
+      """SELECT o_custkey, count(*) AS n_left FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0
+        |  EXCEPT ALL
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // RECURSIVE CTE (SQL:1999 recursion, Spark 4 WITH RECURSIVE): calendar
+    // gap-fill, the classic OLAP time-series shape — generate every month of
+    // the fixed business range from the recursion (84 rows, driver-side
+    // tiny), LEFT JOIN the monthly aggregate so empty months surface as 0
+    // instead of vanishing. At 100 TB the recursion is a constant-size
+    // broadcast dim; the fact side pays one groupBy shuffle on ~84 keys.
+    "sql_cte_recursive" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        s.sql(
+          """WITH RECURSIVE months(m) AS (
+            |  SELECT DATE '1995-01-01'
+            |  UNION ALL
+            |  SELECT add_months(m, 1) FROM months WHERE m < DATE '2001-12-01'
+            |)
+            |SELECT m.m AS month_start,
+            |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_urgent,
+            |  coalesce(round(a.total, 2), 0.0) AS total
+            |FROM months m LEFT JOIN (
+            |  SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS mo,
+            |    count(*) AS n, sum(o_totalprice) AS total
+            |  FROM orders WHERE o_orderpriority LIKE '1-%'
+            |  GROUP BY 1) a ON m.m = a.mo
+            |ORDER BY month_start""".stripMargin)
+      },
+      """WITH RECURSIVE months(m) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL
+        |  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months WHERE m < DATE '2001-12-01'
+        |)
+        |SELECT m.m AS month_start,
+        |  CAST(coalesce(a.n, 0) AS BIGINT) AS n_urgent,
+        |  coalesce(round(a.total, 2), 0.0) AS total
+        |FROM months m LEFT JOIN (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+        |    count(*) AS n, sum(o_totalprice) AS total
+        |  FROM orders WHERE o_orderpriority LIKE '1-%'
+        |  GROUP BY 1) a ON m.m = a.mo
+        |ORDER BY month_start""".stripMargin),
+
     // Full SQL-API path (the way a Doris user actually talks to the engine):
     // register tables as views, run a TPC-H Q3-shaped query through
     // spark.sql — same text (minus dialect) the DuckDB oracle runs. Catalyst

@@ -57,6 +57,36 @@ object Subqueries {
         |  AND EXISTS (SELECT 1 FROM orders o
         |              WHERE o.o_custkey = c.c_custkey
         |                AND o.o_totalprice > 100000.0)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — top-k-per-group
+    // as a join shape (Doris lateral view / MySQL 8 LATERAL,
+    // [doris: fe/.../analysis/LateralViewRef.java] for the lateral surface).
+    // The hard part is the planner's: Catalyst decorrelates the per-group
+    // TopN into a DomainJoin + rank filter instead of re-running the inner
+    // query per outer row, so at 100 TB this is one shuffle on the group
+    // key + a bounded per-group sort, never nested-loop re-execution.
+    // o_orderkey is unique (probed on every SF), so the (price DESC,
+    // orderkey) tiebreak makes the LIMIT-3 slice deterministic.
+    "subq_lateral" -> QueryDef(
+      (s, dir) => withViews(s, dir,
+        """SELECT c.c_mktsegment, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+          |FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+          |LATERAL (
+          |  SELECT o.o_orderkey, o.o_totalprice
+          |  FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+          |  WHERE c2.c_mktsegment = c.c_mktsegment
+          |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+          |  LIMIT 3) t
+          |ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey""".stripMargin),
+      """SELECT c.c_mktsegment, t.o_orderkey, round(t.o_totalprice, 2) AS totalprice
+        |FROM (SELECT DISTINCT c_mktsegment FROM customer) c,
+        |LATERAL (
+        |  SELECT o.o_orderkey, o.o_totalprice
+        |  FROM orders o JOIN customer c2 ON o.o_custkey = c2.c_custkey
+        |  WHERE c2.c_mktsegment = c.c_mktsegment
+        |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+        |  LIMIT 3) t
+        |ORDER BY c.c_mktsegment, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
   )
 }

@@ -93,4 +93,66 @@ class RelationalSpec extends SparkSpec {
     val page = run("limit_offset").select($"o_orderkey").as[Long].collect()
     assert(page.sameElements(all.slice(50, 70)))
   }
+
+  test("bag set ops: INTERSECT ALL = min(multiplicities), EXCEPT ALL = clamped diff") {
+    // brute-force the multiplicity algebra per custkey and compare with the
+    // operator keys' aggregated outputs
+    val o = Tables.orders(spark, sf)
+    val cnt = (p: org.apache.spark.sql.Column) => o.filter(p)
+      .groupBy($"o_custkey").count().as[(Long, Long)].collect().toMap
+    val f = cnt($"o_orderstatus" === "F")
+    val op = cnt($"o_orderstatus" === "O")
+    val big = cnt($"o_totalprice" > 100000.0)
+    val expInter = f.keySet.intersect(op.keySet)
+      .map(k => k -> math.min(f(k), op(k))).filter(_._2 > 0).toMap
+    val expExcept = big.map { case (k, n) =>
+      k -> math.max(0L, n - f.getOrElse(k, 0L)) }.filter(_._2 > 0)
+    assert(run("set_intersect_all").as[(Long, Long)].collect().toMap == expInter)
+    assert(run("set_except_all").as[(Long, Long)].collect().toMap == expExcept)
+  }
+
+  test("subq_lateral decorrelates to a rank-pushdown, never a nested-loop re-execution") {
+    val plan = run("subq_lateral").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-group LIMIT should plan as WindowGroupLimit (rank pushdown):\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"lateral must not fall back to a nested loop:\n$plan")
+    // exactly the top-3 per segment, verified against a window spelling
+    val rows = run("subq_lateral").collect()
+    val segs = rows.map(_.getString(0)).distinct
+    assert(rows.groupBy(_.getString(0)).values.forall(_.length <= 3))
+    val expected = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"c_mktsegment")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")))
+      .filter($"rk" <= 3).count()
+    assert(rows.length == expected && segs.length >= 2)
+  }
+
+  test("sql_cte_recursive gap-fills the full fixed month range") {
+    val rows = run("sql_cte_recursive").collect()
+    assert(rows.length == 84, s"1995-01..2001-12 must yield 84 months, got ${rows.length}")
+    // conservation: filled counts sum to the direct filtered count
+    val direct = Tables.orders(spark, sf)
+      .filter($"o_orderpriority".like("1-%")).count()
+    assert(rows.map(_.getLong(1)).sum == direct)
+    // months outside the data's span exist with zero counts (the gap-fill)
+    assert(rows.exists(_.getLong(1) == 0L), "expected at least one gap month")
+    val plan = run("sql_cte_recursive").queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), "recursion should plan as UnionLoop")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the 84-row recursion dim must broadcast, not shuffle:\n$plan")
+  }
+
+  test("load_transform is a single-pass map over the staged file — no pre-sort shuffle") {
+    val plan = run("load_transform").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"load transform must not shuffle before the output sort:\n$plan")
+    // reject-filter plus SET-derived columns match a direct computation
+    val n = run("load_transform").count()
+    val direct = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 1000.0 && $"o_orderstatus".isin("F", "O")).count()
+    assert(n == direct)
+  }
 }
