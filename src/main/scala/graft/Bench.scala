@@ -79,8 +79,11 @@ object Bench {
       // same rule for the bucketed-table layout: a one-time storage cost
       // (driver r8: ~1 s of join_bucketed's 2.2 s was this write), so the
       // timed key shows the steady-state zero-exchange bucketed SMJ
-      if (selected.contains("join_bucketed")) {
-        operators.Joins.stageBuckets(spark, sfDir); staged += "join_bucketed"
+      if (selected.contains("join_bucketed") ||
+          selected.contains("join_bucket_shuffle")) {
+        operators.Joins.stageBuckets(spark, sfDir)
+        staged ++= selected.keys
+          .filter(k => k == "join_bucketed" || k == "join_bucket_shuffle")
       }
       // same rule for the langid language profile: a standing artifact in
       // production (5 rows, rebuilt only when the corpus changes), so the

@@ -289,6 +289,34 @@ object Joins {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // BUCKET SHUFFLE JOIN (Doris's third distribution between broadcast and
+    // full shuffle, [doris: fe/.../planner/DistributedPlanner.java]): when
+    // ONE side already lives in a bucketed layout, only the other side moves
+    // — re-hashed into the existing bucket distribution — so the join pays
+    // half of join_shuffle's exchange cost. Spark spelling: join the
+    // bucketBy-saved orders table with the raw parquet customer under a
+    // merge hint; the bucketed scan satisfies the SMJ distribution
+    // requirement, so EnsureRequirements plans exactly ONE pre-join Exchange
+    // (customer, re-partitioned to the 8-bucket layout) and reads orders in
+    // place. JoinsSpec asserts the single-exchange contract. At 100 TB every
+    // ad-hoc probe against a bucket-resident fact gets this plan for free.
+    "join_bucket_shuffle" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val (ordT, _) = stageBuckets(s, dir)
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        s.table(ordT).hint("merge")
+          .join(cust.hint("merge"), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(round(avg($"o_totalprice"), 2).as("avg_price"),
+            count(lit(1)).as("n_orders"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, round(avg(o_totalprice), 2) AS avg_price,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Deep multi-join flagship (TPC-H Q5 shape, 6 tables): local-supplier
     // revenue by nation within a region/year. This is the query shape that
     // actually exercises Catalyst's join planning at scale: the dim chain

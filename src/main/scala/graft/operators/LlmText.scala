@@ -124,6 +124,47 @@ object LlmText {
         |FROM toks JOIN uni USING (tok)
         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin),
 
+    // TF-IDF top terms per document — the classic corpus-relevance signal
+    // (keyword extraction, near-dup triage, topic labeling). score(d, t) =
+    // tf(d,t) * ln(N / df(t)). Same standing-artifact economics as the
+    // unigram model: at 100 TB the df table persists with the corpus and
+    // the scoring pass is one token join + a per-doc WindowGroupLimit
+    // (row_number <= k pushes the top-k INTO the sort, never a full
+    // per-doc rank materialization). The rank ties only between terms with
+    // identical (tf, df) — identical doubles on both engines — and the tok
+    // tiebreak makes the k-boundary deterministic, so the DuckDB QUALIFY
+    // replay slices identically.
+    "llm_tfidf" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val tl = Tables.documents(s, dir)
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        val tf = tl.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        // df falls out of tf (rows per tok = docs containing tok) — no
+        // second explode, no distinct shuffle over the raw token stream
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+        tf.join(df, "tok")
+          .crossJoin(broadcast(n))
+          .withColumn("score", $"tf" * log($"n_docs".cast("double") / $"df"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy($"doc_id").orderBy($"score".desc, $"tok")))
+          .filter($"rk" <= 3)
+          .select($"doc_id", $"tok", round($"score", 4).as("score"))
+          .orderBy($"doc_id", $"tok")
+      },
+      """WITH tl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tl GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tl GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, tok, round(score, 4) AS score FROM (
+        |  SELECT doc_id, tok, tf * ln(n_docs * 1.0 / df) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) <= 3) t
+        |ORDER BY doc_id, tok""".stripMargin),
+
     // Quality scoring: length/stopword/repetition signals -> one score.
     "llm_quality" -> QueryDef(
       (s, dir) => {

@@ -434,6 +434,69 @@ object Streaming {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Stream-stream LEFT OUTER join: matched rows emit like the inner join,
+    // but an UNMATCHED left row can only emit once the watermark proves no
+    // right row can still arrive inside the time bound — the null extension
+    // is a watermark-driven state eviction, not a batch-shape concept.
+    // Bounded-source caveat: the tail's unmatched rows would wait forever
+    // for that proof, so the sentinel row (eventStream(withSentinel)) pushes
+    // the closing watermark past all real data and the final no-data batch
+    // flushes them — the same bounded-replay trick the append-mode window
+    // keys use; an unbounded production stream needs none of this. The right
+    // side keeps only event_id % 3 == 0 so matched and unmatched rows
+    // coexist in every event_type group, making the oracle a FILTERed
+    // aggregate over the plain batch table.
+    //
+    // PUSHDOWN TRAP (measured, 9 tail rows lost): any pre-join selection on
+    // a NON-time column ends up BELOW the EventTimeWatermark node — a
+    // .filter above withWatermark is pushed under it (the predicate doesn't
+    // reference the event-time column), and a single-side predicate inside
+    // the join condition is likewise pushed into the branch (legal for the
+    // right side of a left outer) — so it eats the sentinel before the
+    // watermark collector sees it and the closing watermark stops at
+    // max(real ts) − delay, stranding every unmatched row of the last
+    // window in state forever. The robust bounded-replay rule: every
+    // pre-join selection must be SENTINEL-INCLUSIVE (here pmod(eid2,3)=0
+    // OR eid2 < 0), letting the sentinel reach the watermark stats no
+    // matter where Catalyst lands the filter. The sentinel pair then meets
+    // itself in the join (-1 = -1, same ts) and emits one matched row,
+    // which the event_id >= 0 read-back filter removes.
+    "stream_stream_left" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        val a = eventStream(s, dir, withSentinel = true)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .withWatermark("ts", "1 hour")
+        val b = eventStream(s, dir, withSentinel = true)
+          .select($"event_id".as("eid2"), $"ts".as("ts2"))
+          .withWatermark("ts2", "1 hour")
+          .filter(pmod($"eid2", lit(3)) === 0 || $"eid2" < 0)
+        val joined = a.join(b,
+          $"event_id" === $"eid2" &&
+            $"ts2" >= $"ts" - expr("interval 1 minute") &&
+            $"ts2" <= $"ts" + expr("interval 1 minute"),
+          "left_outer")
+        val out = graft.TempDirs.create("graft_ssjl")
+        val q = joined.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .filter($"event_id" >= 0)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"),
+            count($"eid2").as("n_matched"),
+            round(sum(when($"eid2".isNotNull, $"value").otherwise(0.0)), 2)
+              .as("matched_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(*) AS n,
+        |  count(*) FILTER (WHERE event_id % 3 = 0) AS n_matched,
+        |  round(coalesce(sum(value) FILTER (WHERE event_id % 3 = 0), 0), 2)
+        |    AS matched_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Tumbling window aggregate (1 hour).
     "stream_tumble" -> streamKey(
       (s, dir) => {

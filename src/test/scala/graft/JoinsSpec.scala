@@ -127,6 +127,17 @@ class JoinsSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(c_custkey"), "customer side shuffled")
   }
 
+  test("join_bucket_shuffle exchanges ONLY the non-bucketed probe side") {
+    val plan = planOf(run("join_bucket_shuffle"))
+    assert(plan.contains("SortMergeJoin"), plan)
+    // the bucket-shuffle contract: orders reads its bucket layout in place,
+    // customer re-hashes INTO that layout (8 buckets) — one pre-join
+    // exchange total, on the probe side's key, at the bucket count
+    assert(!plan.contains("hashpartitioning(o_custkey"), "bucketed side shuffled")
+    assert("hashpartitioning\\(c_custkey#\\d+L?, 8\\)".r.findFirstIn(plan).isDefined,
+      s"probe side must re-hash to the 8-bucket layout:\n$plan")
+  }
+
   test("join_dpp plants a dynamic partition pruning filter on the fact scan") {
     val plan = planOf(run("join_dpp"))
     assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(1500))

@@ -344,4 +344,29 @@ class LlmSpec extends SparkSpec {
       .agg(min($"recon_cos")).as[Double].head()
     assert(minCos >= 0.999, s"int8 reconstruction cosine dropped to $minCos")
   }
+
+  test("llm_tfidf: top-k pushes into the sort and equals a driver brute force") {
+    val plan = run("llm_tfidf").queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"per-doc top-3 must plan as WindowGroupLimit, not full rank:\n$plan")
+    val rows = run("llm_tfidf")
+      .as[(Long, String, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // brute force the same scoring on the driver (same JVM Math.log Spark's
+    // log codegen calls, so scores are bit-identical, rounding included)
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    val n = docs.length.toDouble
+    val tokd = docs.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val dfm = tokd.flatMap(_._2.distinct).groupBy(identity)
+      .map { case (k, v) => k -> v.size }
+    val exp = tokd.flatMap { case (id, ts) =>
+      ts.groupBy(identity).toSeq
+        .map { case (tok, occ) => (id, tok, occ.size * math.log(n / dfm(tok))) }
+        .sortBy { case (_, tok, sc) => (-sc, tok) }.take(3)
+        .map { case (i, tok, sc) => (i, tok,
+          BigDecimal(sc).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+    }.sortBy(r => (r._1, r._2)).toSeq
+    assert(rows == exp,
+      s"diff=${rows.diff(exp).take(3)} / ${exp.diff(rows).take(3)}")
+  }
 }

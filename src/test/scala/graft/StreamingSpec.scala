@@ -229,6 +229,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join null-extends only after watermark proof") {
+    // the outer-join contract stream_stream_left relies on: a matched row
+    // emits immediately, an unmatched left row emits (null-extended) ONLY
+    // once the watermark proves no in-range right row can still arrive
+    implicit val sqlCtx = spark.sqlContext
+    val left = MemoryStream[(Long, Timestamp)]
+    val right = MemoryStream[(Long, Timestamp)]
+    val a = left.toDF().toDF("id", "ts").withWatermark("ts", "1 minute")
+    val b = right.toDF().toDF("id2", "ts2").withWatermark("ts2", "1 minute")
+    val joined = a.join(b, $"id" === $"id2" &&
+      $"ts2" >= $"ts" - expr("interval 1 minute") &&
+      $"ts2" <= $"ts" + expr("interval 1 minute"), "left_outer")
+    val q = joined.writeStream.format("memory")
+      .queryName("ssj_left").outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 12:00:00")
+      left.addData((1L, t0), (2L, t0))
+      right.addData((2L, t0))
+      q.processAllAvailable()
+      val early = spark.table("ssj_left").collect()
+      assert(early.length == 1 && early.head.getLong(0) == 2L,
+        s"only the matched row may emit pre-proof: ${early.mkString(",")}")
+      // advance the watermark far past t0 + delay + range, plus a nudge
+      // batch (eviction lands in the batch AFTER the watermark advances)
+      val t1 = Timestamp.valueOf("2024-01-01 14:00:00")
+      left.addData((1001L, t1)); right.addData((1001L, t1))
+      q.processAllAvailable()
+      left.addData((1002L, t1)); right.addData((1002L, t1))
+      q.processAllAvailable()
+      val one = spark.table("ssj_left").collect().filter(_.getLong(0) == 1L)
+      assert(one.length == 1 && one.head.isNullAt(2),
+        s"unmatched row must flush null-extended after eviction: ${one.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("incremental window agg across batches equals batch result") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
