@@ -8,6 +8,7 @@ DuckDB oracle result, sorts columns by name, and compares values.
 
 Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 """
+import decimal
 import json
 import math
 import sys
@@ -23,6 +24,10 @@ def norm(v):
         if math.isnan(v):
             return "NaN"
         return f"{v:.6g}"
+    if isinstance(v, decimal.Decimal):
+        # compare decimals as logical values: Decimal('5.00') == Decimal('5')
+        # regardless of the physical scale the engine materialized
+        return f"{v.normalize():f}"
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)

@@ -233,6 +233,32 @@ object Aggregates {
         |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS p_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // UNPIVOT — pivot's inverse (wide measures → long (metric, value)
+    // rows), the standard shape for feeding generic metric sinks and
+    // chart layers. Spark's Dataset.unpivot is a zero-shuffle Expand over
+    // the already-aggregated wide table, so the melt itself is free at
+    // any scale; only the upstream aggregate shuffles.
+    "agg_unpivot" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderstatus")
+          .agg(count(lit(1)).cast("double").as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("sum_price"),
+            round(avg($"o_totalprice"), 2).as("avg_price"))
+          .unpivot(Array($"o_orderstatus"),
+            Array($"n_orders", $"sum_price", $"avg_price"),
+            "metric", "value")
+          .orderBy($"o_orderstatus", $"metric")
+      },
+      """SELECT o_orderstatus, metric, value FROM (
+        |  SELECT o_orderstatus, CAST(count(*) AS DOUBLE) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS sum_price,
+        |    round(avg(o_totalprice), 2) AS avg_price
+        |  FROM orders GROUP BY 1) w
+        |UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
+        |ORDER BY o_orderstatus, metric""".stripMargin),
+
     // Statistical aggregates: stddev/variance/corr/covar.
     "agg_stats" -> QueryDef(
       (s, dir) => {

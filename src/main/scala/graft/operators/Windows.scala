@@ -174,6 +174,33 @@ object Windows {
         |             RANGE BETWEEN 5000.0 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin),
 
+    // Time-interval RANGE frame — the event-time twin of win_range_frame's
+    // numeric range: a trailing 1-hour running sum per event_type, the
+    // batch spelling of a sliding window aggregate (each row sees the sum
+    // of its partition's preceding hour). One sort-shuffle on the
+    // partition key; the frame scan is a per-partition two-pointer pass,
+    // so the window cost is linear at any SF. ts is second-truncated on
+    // both engines (events.ts is ns-precision; Spark holds µs, DuckDB ns —
+    // TESTDATA.md rule: never compare raw ts), and RANGE frames are
+    // peer-inclusive so truncation ties can't diverge the frame contents.
+    "win_time_range" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("v_events_wtr")
+        s.sql(
+          """SELECT event_id,
+            |  round(sum(value) OVER (
+            |    PARTITION BY event_type ORDER BY date_trunc('second', ts)
+            |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+            |    AS hour_sum
+            |FROM v_events_wtr ORDER BY event_id""".stripMargin)
+      },
+      """SELECT event_id,
+        |  round(sum(value) OVER (
+        |    PARTITION BY event_type ORDER BY date_trunc('second', ts)
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 2)
+        |    AS hour_sum
+        |FROM events ORDER BY event_id""".stripMargin),
+
     // QUALIFY (Doris 2.x / DuckDB): filter on a window result without a
     // subquery. Spark has no QUALIFY keyword; the translation is the window
     // column + filter + drop — Catalyst plans it identically to the
