@@ -89,6 +89,33 @@ object TableFunctions {
       },
       """SELECT range AS id, range * range AS sq,
         |  CAST(range % 5 + 1 AS INTEGER) AS seq_len
-        |FROM range(0, 100) ORDER BY id""".stripMargin)
+        |FROM range(0, 100) ORDER BY id""".stripMargin),
+
+    // EXPLODE_BITMAP (Doris [doris: be/src/vec/exec/table_function/
+    // vexplode_bitmap.cpp]): materialize a stored BITMAP column back into
+    // rows. Round-trips the whole Roaring layer — per-group bitmap_union
+    // (TypedImperativeAggregate), then bitmap_to_array → explode planned as
+    // one GenerateExec. The Doris pattern this enables at 100 TB: audience
+    // bitmaps stored per segment (the AGGREGATE-key BITMAP_UNION rollup),
+    // exploded only for the final small result — the fan-out happens AFTER
+    // aggregation, on ndv-sized bitmaps, never on raw rows. Exact, so the
+    // oracle is plain DISTINCT.
+    "tf_explode_bitmap" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.NativeAggregates.register(s)
+        Tables.orders(s, dir)
+          .filter($"o_custkey" < 200)
+          .groupBy($"o_orderstatus")
+          .agg(graft.functions.NativeAggregates
+            .bitmap_union_native($"o_custkey").as("bm"))
+          .select($"o_orderstatus",
+            explode(graft.functions.BitmapFunctions.bitmap_to_array($"bm"))
+              .as("o_custkey"))
+          .orderBy($"o_orderstatus", $"o_custkey")
+      },
+      """SELECT DISTINCT o_orderstatus, o_custkey
+        |FROM orders WHERE o_custkey < 200
+        |ORDER BY o_orderstatus, o_custkey""".stripMargin)
   )
 }
