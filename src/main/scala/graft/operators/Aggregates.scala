@@ -259,6 +259,29 @@ object Aggregates {
         |UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
         |ORDER BY o_orderstatus, metric""".stripMargin),
 
+    // Boolean aggregate family — count_if / bool_and (EVERY) / bool_or
+    // (ANY/SOME), the predicate-summary aggregates. Thresholds chosen so
+    // both quantifiers split the 50 buckets (probed at sf0.01: 7/43 and
+    // 30/20 true/false) — an all-True column would oracle nothing.
+    // Codegen'd partial+final like any hash agg; no extra shuffle.
+    "agg_boolean" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy(($"o_custkey" % 50).as("bucket"))
+          .agg(count_if($"o_totalprice" > 200000.0).as("n_big"),
+            bool_and($"o_totalprice" > 5000.0).as("floor_5k"),
+            bool_or($"o_totalprice" > 498000.0).as("any_jumbo"),
+            every($"o_custkey" >= 0).as("ids_nonneg"))
+          .orderBy($"bucket")
+      },
+      """SELECT o_custkey % 50 AS bucket,
+        |  count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        |  bool_and(o_totalprice > 5000.0) AS floor_5k,
+        |  bool_or(o_totalprice > 498000.0) AS any_jumbo,
+        |  bool_and(o_custkey >= 0) AS ids_nonneg
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Statistical aggregates: stddev/variance/corr/covar.
     "agg_stats" -> QueryDef(
       (s, dir) => {

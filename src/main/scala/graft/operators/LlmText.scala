@@ -165,6 +165,41 @@ object LlmText {
         |    PARTITION BY doc_id ORDER BY score DESC, tok) <= 3) t
         |ORDER BY doc_id, tok""".stripMargin),
 
+    // RAG-style document chunking — fixed token windows (64) with stride 48
+    // (16-token overlap), the standard retrieval-corpus preparation step.
+    // One transform-over-sequence builds every chunk's slice lazily and
+    // posexplode fans them out in a single GenerateExec: per-row codegen,
+    // zero shuffles before the output sort, so at 100 TB chunking is a
+    // map-only pass whose output row count is corpus_tokens/stride. The
+    // short final chunk is kept (slice clamps), matching what a retrieval
+    // index wants — dropping tails would lose document endings.
+    "llm_chunk" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .filter($"doc_id" < 60)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(toks)/48.0) as int) - 1)," +
+              " i -> slice(toks, i*48 + 1, 64))")).as(Seq("chunk_idx", "ctoks")))
+          .select($"doc_id", $"chunk_idx",
+            size($"ctoks").as("chunk_tokens"),
+            array_join($"ctoks", " ").as("chunk"))
+          .orderBy($"doc_id", $"chunk_idx")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents WHERE doc_id < 60),
+        |c AS (SELECT doc_id, toks,
+        |        unnest(generate_series(0, CAST(ceil(len(toks)/48.0) AS INT) - 1))
+        |          AS chunk_idx
+        |      FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64]) AS INT)
+        |    AS chunk_tokens,
+        |  array_to_string(toks[chunk_idx*48 + 1 : chunk_idx*48 + 64], ' ')
+        |    AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+
     // Quality scoring: length/stopword/repetition signals -> one score.
     "llm_quality" -> QueryDef(
       (s, dir) => {

@@ -1,0 +1,25 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Doc-drift tripwire: SURVEY.md §8's coverage matrix is hand-maintained and
+  * silently dropped six keys during round 10. This pins it to the code: the
+  * matrix must list exactly `SparkEntry.defs.keySet`, so adding a key without
+  * its matrix row (or leaving a stale row) fails the suite instead of lying
+  * to the coverage audit.
+  */
+class DocsSpec extends AnyFunSuite {
+
+  test("SURVEY.md §8 matrix lists exactly the implemented query keys") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val row = """(?m)^\| `([a-z0-9_]+)` \| [a-zA-Z.]+ \| duckdb-hash \|$""".r
+    val matrix = row.findAllMatchIn(survey).map(_.group(1)).toSet
+    val code = SparkEntry.defs.keySet
+    val missing = code -- matrix
+    val stale = matrix -- code
+    assert(missing.isEmpty && stale.isEmpty,
+      s"matrix missing=${missing.toSeq.sorted} stale=${stale.toSeq.sorted}")
+  }
+}

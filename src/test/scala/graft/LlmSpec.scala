@@ -369,4 +369,24 @@ class LlmSpec extends SparkSpec {
     assert(rows == exp,
       s"diff=${rows.diff(exp).take(3)} / ${exp.diff(rows).take(3)}")
   }
+
+  test("llm_chunk: stride-48 windows tile every doc, tails kept, slices exact") {
+    val rows = run("llm_chunk").as[(Long, Int, Int, String)].collect()
+    val docs = Tables.documents(spark, sf).filter($"doc_id" < 60)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect().toMap
+    assert(rows.map(_._1).toSet == docs.keySet, "every doc must chunk")
+    rows.groupBy(_._1).foreach { case (id, cs) =>
+      val toks = docs(id).split("\\s+")
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0 until cs.length), s"doc $id gaps")
+      sorted.foreach { case (_, i, n, chunk) =>
+        val exp = toks.slice(i * 48, i * 48 + 64)
+        assert(n == exp.length && chunk == exp.mkString(" "),
+          s"doc $id chunk $i mismatch")
+      }
+      // the last chunk must reach the document's final token (tail kept)
+      assert((sorted.length - 1) * 48 + sorted.last._3 == toks.length,
+        s"doc $id tail dropped")
+    }
+  }
 }
