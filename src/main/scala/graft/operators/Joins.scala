@@ -130,6 +130,30 @@ object Joins {
         |  ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
+    // RIGHT OUTER join — the matrix's mirror entry. Doris's planner
+    // normalizes RIGHT to LEFT by swapping inputs
+    // ([doris: fe/.../planner/DistributedPlanner.java]); Spark keeps the
+    // type and picks the build side independently, so the preserved
+    // (customer) side streams and the filtered orders side builds.
+    // count(*) vs count(o_orderkey) separates matched rows from the
+    // null-extended customers the RIGHT join must keep.
+    "join_right" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val jumbo = Tables.orders(s, dir).filter($"o_totalprice" > 400000.0)
+          .select($"o_custkey", $"o_orderkey")
+        val cust = Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment")
+        jumbo.join(cust, $"o_custkey" === $"c_custkey", "right_outer")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_rows"), count($"o_orderkey").as("n_orders"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n_rows, count(o_orderkey) AS n_orders
+        |FROM (SELECT o_custkey, o_orderkey FROM orders
+        |      WHERE o_totalprice > 400000.0) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // FULL OUTER join of two aggregates (nations with suppliers vs customers).
     "join_full" -> QueryDef(
       (s, dir) => {

@@ -200,6 +200,54 @@ object LlmText {
         |    AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
 
+    // BM25 retrieval scoring (Robertson/Okapi, k1=1.2 b=0.75, the +1 idf
+    // variant) — the standard lexical ranker a retrieval corpus serves.
+    // The query is data-derived (top-3 tokens by document frequency,
+    // deterministic per dataset) so the key replays at any SF. Shape at
+    // 100 TB: tf/dl/df are the same standing artifacts the tfidf key
+    // maintains; the query-term table is 3 rows BROADCAST into the tf
+    // stream, so scoring is one map-side join + a per-doc aggregate —
+    // the corpus never shuffles for a query. Every matching doc is
+    // emitted ordered by doc_id (the top-k cut composes with sort_topk);
+    // n_terms_hit pins the join fan-in alongside the float score.
+    "llm_bm25" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val tl = Tables.documents(s, dir)
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        val tf = tl.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val dl = tl.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val q = df.orderBy($"df".desc, $"tok").limit(3)
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg($"dl").as("avgdl"))
+        tf.join(broadcast(q), "tok")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("w",
+            log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+              ($"tf" * 2.2) /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2))
+          .groupBy($"doc_id")
+          .agg(round(sum($"w"), 4).as("bm25"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy($"doc_id")
+      },
+      """WITH tl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tl GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tl GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |q AS (SELECT tok, df FROM df ORDER BY df DESC, tok LIMIT 3),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |      FROM dl)
+        |SELECT doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * 2.2) / (tf + (0.25 + dl / avgdl * 0.75) * 1.2)), 4) AS bm25,
+        |  count(*) AS n_terms_hit
+        |FROM tf JOIN q USING (tok) JOIN dl USING (doc_id) CROSS JOIN s
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Quality scoring: length/stopword/repetition signals -> one score.
     "llm_quality" -> QueryDef(
       (s, dir) => {

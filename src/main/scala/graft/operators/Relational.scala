@@ -126,6 +126,29 @@ object Relational {
         |ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
         |LIMIT 100""".stripMargin),
 
+    // Explicit NULL ordering — a genuine dialect trap: Spark's default is
+    // NULLS FIRST for ASC, DuckDB's is NULLS LAST, MySQL/Doris sort NULLs
+    // first ascending — so only an explicit NULLS clause is portable. The
+    // driver compare re-sorts rows before hashing, which would hide the
+    // placement; row_number over the null-ordered sort bakes the observed
+    // order into a VALUE the hash does check. nullif plants the nulls
+    // deterministically.
+    "sort_nulls" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.customer(s, dir)
+          .select($"c_custkey",
+            expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+          .withColumn("rk", row_number().over(org.apache.spark.sql.expressions
+            .Window.orderBy($"seg".asc_nulls_last, $"c_custkey".desc)))
+          .orderBy($"rk")
+      },
+      """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+        |  CAST(row_number() OVER (
+        |    ORDER BY nullif(c_mktsegment, 'BUILDING') ASC NULLS LAST,
+        |             c_custkey DESC) AS INT) AS rk
+        |FROM customer ORDER BY rk""".stripMargin),
+
     // LIMIT/OFFSET pagination without full sort semantics (order fixed first
     // so the page is deterministic for the oracle).
     "limit_offset" -> QueryDef(

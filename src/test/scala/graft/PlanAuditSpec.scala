@@ -35,13 +35,14 @@ class PlanAuditSpec extends SparkSpec {
   //   llm_langid            — 5-row broadcast language-profile crossJoin
   //   llm_unigram_logprob   — per-doc aggregates × 1-row corpus-total
   //                           broadcast crossJoin
-  //   llm_tfidf             — tf×df join output × 1-row doc-count broadcast
+  //   llm_tfidf, llm_bm25   — scoring stream × 1-row corpus-stats broadcast
   //                           crossJoin (same shape as llm_unigram_logprob)
   private val bnljAllowed = Set(
     "join_cross", "llm_knn", "llm_embed_neardup",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
-    "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf")
+    "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf",
+    "llm_bm25")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
