@@ -57,6 +57,35 @@ object LlmText {
     }
   }
 
+  /** Corpus term-frequency table (doc_id, tok, tf) — the standing artifact
+    * of the lexical-scoring family: llm_tfidf and llm_bm25 both consume it,
+    * and their df (rows per tok) and dl (sum(tf) per doc) tables DERIVE
+    * from it, so one checkpointed build replaces what was five separate
+    * corpus explodes across the two keys. NOTE this caches the AGGREGATED
+    * pair table (~tokens/doc_len smaller than the raw token stream) — the
+    * measured anti-pattern was caching the exploded stream itself, which
+    * broke whole-stage codegen for cheap recomputes; the post-shuffle
+    * aggregate is the right materialization grain. Same mtime + session
+    * freshness contract as langProfile above. */
+  private case class TermStatsEntry(mtime: Long, tf: org.apache.spark.sql.DataFrame)
+  private val termStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, TermStatsEntry]()
+
+  private[graft] def termStats(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = termStatsCache.get(dir)
+    if (e != null && e.mtime == srcMtime && (e.tf.sparkSession eq s)) e.tf
+    else {
+      import s.implicits._
+      val tf = Tables.documents(s, dir)
+        .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
+      termStatsCache.put(dir, TermStatsEntry(srcMtime, tf))
+      tf
+    }
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Tokenization + basic text stats (also exercises metadata filters).
     "llm_tokenize" -> QueryDef(
@@ -137,9 +166,7 @@ object LlmText {
     "llm_tfidf" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val tl = Tables.documents(s, dir)
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-        val tf = tl.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
+        val tf = termStats(s, dir)
         // df falls out of tf (rows per tok = docs containing tok) — no
         // second explode, no distinct shuffle over the raw token stream
         val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -213,10 +240,8 @@ object LlmText {
     "llm_bm25" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val tl = Tables.documents(s, dir)
-          .select($"doc_id", explode(TextOps.tokens($"text")).as("tok"))
-        val tf = tl.groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-        val dl = tl.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+        val tf = termStats(s, dir)
+        val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
         val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
         val q = df.orderBy($"df".desc, $"tok").limit(3)
         val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
