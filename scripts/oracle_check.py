@@ -25,9 +25,11 @@ def norm(v):
             return "NaN"
         return f"{v:.6g}"
     if isinstance(v, decimal.Decimal):
-        # compare decimals as logical values: Decimal('5.00') == Decimal('5')
-        # regardless of the physical scale the engine materialized
-        return f"{v.normalize():f}"
+        # route decimals through the SAME 6-sig-digit normalization as
+        # floats: Spark results read back from parquet are DOUBLE, so a
+        # DuckDB decimal-typed cell of the same logical value must land in
+        # the float tolerance class, not compare at full precision
+        return f"{float(v):.6g}"
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)

@@ -96,10 +96,13 @@ object Bench {
       // same rule for the term-frequency table the lexical scorers share:
       // a standing corpus artifact (rebuilt only when the corpus changes),
       // so llm_tfidf/llm_bm25 time the scoring pass, not the corpus explode
-      if (selected.contains("llm_tfidf") || selected.contains("llm_bm25")) {
-        operators.LlmText.termStats(spark, sfDir)
-        staged ++= selected.keys
-          .filter(k => k == "llm_tfidf" || k == "llm_bm25")
+      locally {
+        val termStatsKeys =
+          Set("llm_tfidf", "llm_bm25", "llm_unigram_logprob")
+        if (selected.keys.exists(termStatsKeys)) {
+          operators.LlmText.termStats(spark, sfDir)
+          staged ++= selected.keys.filter(termStatsKeys)
+        }
       }
       // streaming-engine warm-up: the first streaming query in a JVM pays
       // one-time micro-batch/state-store init (~2.5 s measured at sf0.1 —

@@ -52,7 +52,12 @@ object KeyModels {
   private[graft] def applyDeletePredicates(
       df: org.apache.spark.sql.DataFrame,
       preds: Seq[(org.apache.spark.sql.Column, Long)]): org.apache.spark.sql.DataFrame =
-    preds.foldLeft(df) { case (d, (p, v)) => d.filter(!(p && col("_ver") < lit(v))) }
+    // coalesce pins three-valued logic: a predicate that evaluates to NULL
+    // on a row (e.g. an equality against a NULL column) did NOT match, so
+    // the row must stay visible — without it, !(NULL && true) is NULL and
+    // the filter would silently delete the row
+    preds.foldLeft(df) { case (d, (p, v)) =>
+      d.filter(!(coalesce(p, lit(false)) && col("_ver") < lit(v))) }
 
   def queries: Map[String, QueryDef] = Map(
     // UNIQUE KEY upsert view: latest event wins per user_id (ts = version).

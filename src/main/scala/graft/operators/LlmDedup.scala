@@ -361,10 +361,16 @@ object LlmDedup {
         val baseH = Tables.documents(s, dir)
           .filter($"doc_id" % 10 =!= 0)
           .select(sha2($"text", 256).as("h")).distinct()
+        // capacity derives from the actual base size (floored at 100k so
+        // tiny SFs keep the production-shaped sketch): a fixed 100k would
+        // overload at sf >= ~2, inflate the effective fpp past the pinned
+        // 5x margin, and flip fp_rate_ok against the oracle's `true`
+        val baseRows = Tables.documents(s, dir)
+          .filter($"doc_id" % 10 =!= 0).count()
         val bloom = Tables.documents(s, dir)
           .filter($"doc_id" % 10 =!= 0)
           .select(sha2($"text", 256).as("h"))
-          .stat.bloomFilter("h", 100000L, 0.01)
+          .stat.bloomFilter("h", math.max(100000L, baseRows), 0.01)
         val bcBloom = s.sparkContext.broadcast(bloom)
         val bloomPos = udf((h: String) => bcBloom.value.mightContainString(h))
         val delta = Tables.documents(s, dir)

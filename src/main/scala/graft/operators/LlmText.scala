@@ -122,22 +122,20 @@ object LlmText {
     "llm_unigram_logprob" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        // three independent codegen'd explodes beat one cached explode here
-        // (measured: caching the ~1M-row token table costs more than the
-        // recompute and breaks whole-stage codegen); at 100 TB the unigram
-        // model + total are a persisted standing artifact, not a per-query
-        // recompute, so the scoring pass is the only explode that remains
-        val toks = Tables.documents(s, dir)
-          .select($"doc_id", $"source", explode(TextOps.tokens($"text")).as("tok"))
-        val uni = Tables.documents(s, dir)
-          .select(explode(TextOps.tokens($"text")).as("tok"))
-          .groupBy($"tok").agg(count(lit(1)).as("c"))
-        val totalN = Tables.documents(s, dir)
-          .select(explode(TextOps.tokens($"text")).as("tok"))
-          .agg(count(lit(1)).as("n_total"))
-        toks.join(uni, "tok")
-          .groupBy($"doc_id", $"source")
-          .agg(avg(log($"c")).as("alc"), count(lit(1)).as("n_toks"))
+        // everything derives from the shared termStats checkpoint (the
+        // lexical family's standing artifact): the unigram model c(tok) is
+        // sum(tf) per tok, the corpus total is sum(tf), and the per-doc
+        // average over token INSTANCES folds to sum(tf·ln c)/sum(tf) — so
+        // the key re-explodes the corpus zero times (it used to pay three
+        // explodes; the raw token stream itself is never worth caching)
+        val tf = termStats(s, dir)
+        val uni = tf.groupBy($"tok").agg(sum($"tf").as("c"))
+        val totalN = tf.agg(sum($"tf").as("n_total"))
+        tf.join(uni, "tok")
+          .groupBy($"doc_id")
+          .agg((sum($"tf" * log($"c")) / sum($"tf")).as("alc"),
+            sum($"tf").as("n_toks"))
+          .join(Tables.documents(s, dir).select($"doc_id", $"source"), "doc_id")
           .crossJoin(broadcast(totalN))
           .select($"doc_id", $"source", $"n_toks",
             round($"alc" - log($"n_total"), 4).as("logprob"))

@@ -89,11 +89,13 @@ object Sketches {
       (s, dir) => {
         import s.implicits._
         // the sketch is one-pass; only the rank-check ORACLE needs a second
-        // look at the data, so both passes share one cached 2-column
-        // projection — the second pass reads memory, not parquet (the same
-        // cache-the-narrow-slice move a 100 TB two-pass audit would make)
+        // look at the data, so both passes share one materialized 2-column
+        // projection. localCheckpoint, NOT .cache(): an unpersisted cache
+        // entry outlives the key and lets CacheManager rewrite any later
+        // plan containing this subtree (cross-key fingerprint
+        // nondeterminism), while a checkpoint is private to this plan.
         val narrow = Tables.lineitem(s, dir)
-          .select($"l_returnflag", $"l_extendedprice").cache()
+          .select($"l_returnflag", $"l_extendedprice").localCheckpoint(true)
         val approx = narrow
           .groupBy($"l_returnflag")
           .agg(

@@ -84,10 +84,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val f = tablePath(ident.name)
     if (!ident.namespace.sameElements(NS) || !f.exists())
       throw new NoSuchTableException(ident)
-    // Spark's own v2 parquet table: vectorized scan + pushdown + pruning
-    ParquetTable(ident.name, SparkSession.active,
+    // Spark's own v2 parquet table: vectorized scan + pushdown + pruning.
+    // Wrapped read-only: FileTable advertises BATCH_WRITE, so returning it
+    // bare would let `INSERT INTO <cat>.main.t` plan an AppendData that
+    // never consults this catalog's throwing createTable/alterTable — the
+    // wrapper strips the write capabilities so writes fail at ANALYSIS
+    // with a clear unsupported-operation error, not by I/O accident.
+    new GraftCatalog.ReadOnlyTable(ParquetTable(ident.name, SparkSession.active,
       CaseInsensitiveStringMap.empty(), Seq(f.getAbsolutePath),
-      None, classOf[ParquetFileFormat])
+      None, classOf[ParquetFileFormat]))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -113,5 +118,28 @@ object GraftCatalog {
     s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
     s.conf.set(s"spark.sql.catalog.$cat.root", dir)
     cat
+  }
+
+  /** Read-capability-only view over a delegate table: every write
+    * capability is stripped, so DML against the federated catalog is
+    * rejected by the analyzer regardless of what the delegate supports. */
+  private[sources] class ReadOnlyTable(delegate: Table)
+      extends Table with SupportsRead {
+    override def name(): String = delegate.name()
+    override def schema(): StructType = delegate.schema()
+    override def partitioning(): Array[Transform] = delegate.partitioning()
+    override def properties(): util.Map[String, String] = delegate.properties()
+    override def capabilities(): util.Set[TableCapability] = {
+      val caps = new util.HashSet[TableCapability](delegate.capabilities())
+      caps.remove(TableCapability.BATCH_WRITE)
+      caps.remove(TableCapability.V1_BATCH_WRITE)
+      caps.remove(TableCapability.STREAMING_WRITE)
+      caps.remove(TableCapability.OVERWRITE_BY_FILTER)
+      caps.remove(TableCapability.OVERWRITE_DYNAMIC)
+      caps.remove(TableCapability.TRUNCATE)
+      caps
+    }
+    override def newScanBuilder(options: CaseInsensitiveStringMap) =
+      delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
 }

@@ -46,10 +46,16 @@ class CatalogSpec extends SparkSpec {
     intercept[Exception] {
       spark.sql(s"DROP TABLE $cat.main.orders")
     }
-    intercept[Exception] {
+    // INSERT must die at ANALYSIS (capability check), not at I/O: the bare
+    // ParquetTable advertises BATCH_WRITE, so without the ReadOnlyTable
+    // wrapper this would plan an AppendData and only fail because the
+    // single-file layout happens not to be appendable
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(
         s"INSERT INTO $cat.main.orders SELECT * FROM $cat.main.orders LIMIT 1")
     }
+    assert(e.getMessage.toLowerCase.contains("does not support"),
+      s"expected a capability rejection, got: ${e.getMessage}")
     // and the source data is untouched
     assert(Tables.orders(spark, sf).count() > 0)
   }

@@ -103,11 +103,15 @@ class KeyModelsSpec extends SparkSpec {
     // version must survive (the interaction the fixed-shape key samples one
     // point of, here hit from every side including predicates on the same
     // type at different versions).
+    // ~10% NULL etype rows: a predicate evaluating to NULL did NOT match,
+    // so the row must stay visible (three-valued logic — without the
+    // coalesce in applyDeletePredicates these rows silently vanish)
     val rows = for {
       ver <- 1 to nBatches
       key <- 0 until nKeys
       if rnd.nextDouble() < 0.6
-    } yield (key.toLong * 100 + ver, s"t${rnd.nextInt(3)}", ver.toLong)
+    } yield (key.toLong * 100 + ver,
+      if (rnd.nextDouble() < 0.1) null else s"t${rnd.nextInt(3)}", ver.toLong)
     val preds = (0 until 4).map { _ =>
       (s"t${rnd.nextInt(3)}", 1L + rnd.nextInt(nBatches + 1))
     }
@@ -128,6 +132,9 @@ class KeyModelsSpec extends SparkSpec {
     assert(rows.exists { case (id, t, ver) =>
       engine(id) && preds.exists { case (dt, dv) => t == dt && ver >= dv } },
       "no post-delete re-load survived — weaken of the fuzz")
+    assert(rows.exists { case (id, t, ver) =>
+      t == null && engine(id) && preds.exists { case (_, dv) => ver < dv } },
+      "no NULL-typed row in a deletable version survived — weaken of the fuzz")
   }
 
   test("unique-key partial update: per-column last-non-null equals brute force (fuzz)") {
