@@ -259,6 +259,38 @@ object Aggregates {
         |UNPIVOT (value FOR metric IN (n_orders, sum_price, avg_price))
         |ORDER BY o_orderstatus, metric""".stripMargin),
 
+    // Linear-regression aggregate family — regr_slope/intercept/r2/avgx/
+    // avgy/count, the standard OLAP trend primitives (price-vs-quantity
+    // per returnflag here). All codegen'd DeclarativeAggregates: one
+    // partial+final hash agg, no extra pass. `+ 0.0` normalizes a
+    // near-zero r2 that rounds to -0.0 on one engine and +0.0 on the
+    // other (IEEE: -0.0 + 0.0 = +0.0).
+    "agg_regr" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            regr_count($"l_extendedprice", $"l_quantity").as("n"),
+            (round(regr_slope($"l_extendedprice", $"l_quantity"), 4) + 0.0)
+              .as("slope"),
+            (round(regr_intercept($"l_extendedprice", $"l_quantity"), 4) + 0.0)
+              .as("icept"),
+            (round(regr_r2($"l_extendedprice", $"l_quantity"), 6) + 0.0)
+              .as("r2"),
+            round(regr_avgx($"l_extendedprice", $"l_quantity"), 4).as("avgx"),
+            round(regr_avgy($"l_extendedprice", $"l_quantity"), 4).as("avgy"))
+          .orderBy($"l_returnflag")
+      },
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) + 0.0 AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) + 0.0 AS icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) + 0.0 AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avgy
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Boolean aggregate family — count_if / bool_and (EVERY) / bool_or
     // (ANY/SOME), the predicate-summary aggregates. Thresholds chosen so
     // both quantifiers split the 50 buckets (probed at sf0.01: 7/43 and

@@ -201,6 +201,33 @@ object Windows {
         |    AS hour_sum
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // nth_value over the FULL partition frame (UNBOUNDED PRECEDING..
+    // UNBOUNDED FOLLOWING — the default running frame would make it a
+    // per-row prefix-nth instead): third-highest price per status, reduced
+    // to one row per partition since the full-frame value is constant.
+    "win_nth" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"o_orderstatus")
+          .orderBy($"o_totalprice".desc, $"o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(s, dir)
+          .withColumn("third", nth_value($"o_totalprice", 3).over(w))
+          .groupBy($"o_orderstatus")
+          .agg(round(max($"third"), 2).as("third_price"),
+            count(lit(1)).as("n_rows"))
+          .orderBy($"o_orderstatus")
+      },
+      """SELECT o_orderstatus,
+        |  round(max(third), 2) AS third_price, count(*) AS n_rows
+        |FROM (SELECT o_orderstatus, nth_value(o_totalprice, 3) OVER (
+        |        PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice DESC, o_orderkey
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |        AS third
+        |      FROM orders) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // QUALIFY (Doris 2.x / DuckDB): filter on a window result without a
     // subquery. Spark has no QUALIFY keyword; the translation is the window
     // column + filter + drop — Catalyst plans it identically to the
