@@ -190,6 +190,53 @@ object LlmText {
         |    PARTITION BY doc_id ORDER BY score DESC, tok) <= 3) t
         |ORDER BY doc_id, tok""".stripMargin),
 
+    // WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    // algorithm): hash every k=4-token gram, slide a w=5 window over the
+    // hash sequence, keep each window's minimum — the selected set carries
+    // a GUARANTEE MinHash can't give: any two documents sharing a
+    // contiguous run of >= w+k-1 = 8 tokens share at least one
+    // fingerprint (spec-pinned), with density ~2/(w+1) of the grams.
+    // (Classic winnowing breaks min-ties rightmost to thin the selection
+    // further; plain min keeps the guarantee and stays HOF-expressible.)
+    // Pure per-row codegen HOFs — a map-only pass at any corpus size; the
+    // cross-engine hash is the md5-hex-prefix idiom llm_split uses.
+    "llm_winnow" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .withColumn("grams", expr(
+            "transform(sequence(1, greatest(size(toks) - 3, 1)), i -> " +
+              "cast(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), " +
+              "1, 8), 16, 10) as bigint))"))
+          .withColumn("fps", expr(
+            "array_distinct(transform(sequence(1, greatest(size(grams) - 4, 1)), " +
+              "j -> array_min(slice(grams, j, 5))))"))
+          .select($"doc_id",
+            size($"grams").as("n_grams"),
+            size($"fps").as("n_fps"),
+            array_min($"fps").as("fp_min"),
+            array_max($"fps").as("fp_max"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+        |          i -> CAST(concat('0x',
+        |            substr(md5(array_to_string(toks[i : i+3], ' ')), 1, 8))
+        |            AS BIGINT)) grams
+        |      FROM t),
+        |f AS (SELECT doc_id, grams,
+        |        list_distinct(list_transform(
+        |          generate_series(1, greatest(len(grams) - 4, 1)),
+        |          j -> list_min(grams[j : j+4]))) fps
+        |      FROM g)
+        |SELECT doc_id, CAST(len(grams) AS INT) AS n_grams,
+        |  CAST(len(fps) AS INT) AS n_fps,
+        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+        |FROM f ORDER BY doc_id""".stripMargin),
+
     // RAG-style document chunking — fixed token windows (64) with stride 48
     // (16-token overlap), the standard retrieval-corpus preparation step.
     // One transform-over-sequence builds every chunk's slice lazily and

@@ -370,6 +370,37 @@ class LlmSpec extends SparkSpec {
       s"diff=${rows.diff(exp).take(3)} / ${exp.diff(rows).take(3)}")
   }
 
+  test("llm_winnow: equals brute force; shared-run guarantee holds") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def fps(text: String): Seq[Long] = {
+      val toks = text.split("\\s+")
+      val grams = (0 until math.max(toks.length - 3, 1)).map { i =>
+        java.lang.Long.parseLong(
+          md5hex(toks.slice(i, i + 4).mkString(" ")).take(8), 16)
+      }
+      (0 until math.max(grams.length - 4, 1))
+        .map(j => grams.slice(j, j + 5).min).distinct
+    }
+    val rows = run("llm_winnow").as[(Long, Int, Int, Long, Long)].collect()
+    val docs = Tables.documents(spark, sf)
+      .select($"doc_id", lower($"text")).as[(Long, String)].collect()
+    docs.foreach { case (id, t) =>
+      val f = fps(t)
+      val r = rows.find(_._1 == id).get
+      assert(r._2 == math.max(t.split("\\s+").length - 3, 1) &&
+        r._3 == f.length && r._4 == f.min && r._5 == f.max,
+        s"doc $id fingerprint mismatch")
+    }
+    // the winnowing guarantee: two docs sharing a contiguous run of
+    // >= w+k-1 = 8 tokens must share at least one fingerprint
+    val run8 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val other = "one two " + run8 + " tail tokens trailing here"
+    assert(fps(run8).intersect(fps(other)).nonEmpty,
+      "shared 10-token run produced disjoint fingerprint sets")
+  }
+
   test("llm_chunk: stride-48 windows tile every doc, tails kept, slices exact") {
     val rows = run("llm_chunk").as[(Long, Int, Int, String)].collect()
     val docs = Tables.documents(spark, sf).filter($"doc_id" < 60)
