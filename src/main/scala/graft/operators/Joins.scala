@@ -130,6 +130,37 @@ object Joins {
         |  ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin),
 
+    // NULL-SAFE equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of dropping — the semantics Doris/MySQL's
+    // `<=>` gives and ordinary equi-joins silently don't. Spark hashes
+    // EqualNullSafe keys like any equi-key (NULL gets a partition), so the
+    // plan stays a hash join, not a nested loop. nullif plants the NULL
+    // keys deterministically; the NULLKEY output row existing at all is
+    // what the oracle verifies (a plain join would lose those rows).
+    "join_null_safe" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val l = Tables.orders(s, dir)
+          .select(expr("nullif(o_orderstatus, 'P')").as("st"), $"o_totalprice")
+        val r = Tables.orders(s, dir)
+          .select(expr("nullif(o_orderstatus, 'P')").as("st2"))
+          .distinct()
+          .withColumn("label", coalesce($"st2", lit("NULLKEY")))
+        l.join(broadcast(r), $"st" <=> $"st2")
+          .groupBy($"label")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"o_totalprice"), 2).as("total"))
+          .orderBy($"label")
+      },
+      """WITH l AS (SELECT nullif(o_orderstatus, 'P') AS st, o_totalprice
+        |           FROM orders),
+        |r AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS st2,
+        |        coalesce(nullif(o_orderstatus, 'P'), 'NULLKEY') AS label
+        |      FROM orders)
+        |SELECT label, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM l JOIN r ON l.st IS NOT DISTINCT FROM r.st2
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // RIGHT OUTER join — the matrix's mirror entry. Doris's planner
     // normalizes RIGHT to LEFT by swapping inputs
     // ([doris: fe/.../planner/DistributedPlanner.java]); Spark keeps the
