@@ -104,6 +104,14 @@ object Bench {
           staged ++= selected.keys.filter(termStatsKeys)
         }
       }
+      // same rule for the winnowing fingerprint table (llm_winnow*)
+      locally {
+        val winnowKeys = Set("llm_winnow", "llm_winnow_pairs")
+        if (selected.keys.exists(winnowKeys)) {
+          operators.LlmText.winnowFps(spark, sfDir)
+          staged ++= selected.keys.filter(winnowKeys)
+        }
+      }
       // streaming-engine warm-up: the first streaming query in a JVM pays
       // one-time micro-batch/state-store init (~2.5 s measured at sf0.1 —
       // the r6→r7 stream_session 2.0→5.4 s "regression" was exactly this

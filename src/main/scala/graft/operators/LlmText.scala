@@ -86,6 +86,40 @@ object LlmText {
     }
   }
 
+  /** Winnowing fingerprint build shared by llm_winnow / llm_winnow_pairs:
+    * (doc_id, n_grams, fps) — k=4-token gram hashes and the w=5 window-min
+    * selection. CHECKPOINTED, and not optional: downstream of a Generate,
+    * Catalyst inlines the nested grams-HOF into the fps lambda and the
+    * interpreted expression re-evaluates the whole gram array per window —
+    * measured 203 s for a bare explode of this column at sf0.1 vs 0.9 s
+    * for the same compute aggregated, an O(n²) md5 blow-up the checkpoint
+    * (≈16 longs/doc) removes entirely. Same mtime + session freshness
+    * contract as termStats/langProfile above. */
+  private case class WinnowEntry(mtime: Long, fps: org.apache.spark.sql.DataFrame)
+  private val winnowCache =
+    new java.util.concurrent.ConcurrentHashMap[String, WinnowEntry]()
+
+  private[graft] def winnowFps(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = winnowCache.get(dir)
+    if (e != null && e.mtime == srcMtime && (e.fps.sparkSession eq s)) e.fps
+    else {
+      import s.implicits._
+      val fps = Tables.documents(s, dir)
+        .select($"doc_id", TextOps.tokens($"text").as("toks"))
+        .withColumn("grams", expr(
+          "transform(sequence(1, greatest(size(toks) - 3, 1)), i -> " +
+            "cast(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), " +
+            "1, 8), 16, 10) as bigint))"))
+        .select($"doc_id", size($"grams").as("n_grams"), expr(
+          "array_distinct(transform(sequence(1, greatest(size(grams) - 4, 1)), " +
+            "j -> array_min(slice(grams, j, 5))))").as("fps"))
+        .localCheckpoint(true)
+      winnowCache.put(dir, WinnowEntry(srcMtime, fps))
+      fps
+    }
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Tokenization + basic text stats (also exercises metadata filters).
     "llm_tokenize" -> QueryDef(
@@ -203,17 +237,8 @@ object LlmText {
     "llm_winnow" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        Tables.documents(s, dir)
-          .select($"doc_id", TextOps.tokens($"text").as("toks"))
-          .withColumn("grams", expr(
-            "transform(sequence(1, greatest(size(toks) - 3, 1)), i -> " +
-              "cast(conv(substr(md5(array_join(slice(toks, i, 4), ' ')), " +
-              "1, 8), 16, 10) as bigint))"))
-          .withColumn("fps", expr(
-            "array_distinct(transform(sequence(1, greatest(size(grams) - 4, 1)), " +
-              "j -> array_min(slice(grams, j, 5))))"))
-          .select($"doc_id",
-            size($"grams").as("n_grams"),
+        winnowFps(s, dir)
+          .select($"doc_id", $"n_grams",
             size($"fps").as("n_fps"),
             array_min($"fps").as("fp_min"),
             array_max($"fps").as("fp_max"))
@@ -236,6 +261,39 @@ object LlmText {
         |  CAST(len(fps) AS INT) AS n_fps,
         |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
         |FROM f ORDER BY doc_id""".stripMargin),
+
+    // Winnow-blocked candidate pairs — the dedup application of the
+    // fingerprints: explode each doc's selection, self-join on the
+    // fingerprint value, distinct (i < j). By the winnowing guarantee the
+    // candidate set CONTAINS every pair sharing an 8+-token run (no
+    // misses, unlike LSH's probabilistic recall); cost is O(colliding
+    // pairs) through one fingerprint-bucket shuffle — the same blocked
+    // shape as the minhash band join, never corpus × corpus.
+    "llm_winnow_pairs" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val e = winnowFps(s, dir)
+          .select($"doc_id", explode($"fps").as("fp"))
+        e.toDF("i", "fp")
+          .join(e.toDF("j", "fp2"), $"fp" === $"fp2" && $"i" < $"j")
+          .select($"i", $"j").distinct()
+          .orderBy($"i", $"j")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, greatest(len(toks) - 3, 1)),
+        |          i -> CAST(concat('0x',
+        |            substr(md5(array_to_string(toks[i : i+3], ' ')), 1, 8))
+        |            AS BIGINT)) grams
+        |      FROM t),
+        |e AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |        generate_series(1, greatest(len(grams) - 4, 1)),
+        |        j -> list_min(grams[j : j+4])))) fp
+        |      FROM g)
+        |SELECT a.doc_id AS i, b.doc_id AS j
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // RAG-style document chunking — fixed token windows (64) with stride 48
     // (16-token overlap), the standard retrieval-corpus preparation step.

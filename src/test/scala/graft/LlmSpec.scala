@@ -399,6 +399,16 @@ class LlmSpec extends SparkSpec {
     val other = "one two " + run8 + " tail tokens trailing here"
     assert(fps(run8).intersect(fps(other)).nonEmpty,
       "shared 10-token run produced disjoint fingerprint sets")
+    // and the blocked pair key equals the brute-force all-pairs scan
+    val bySet = docs.map { case (id, t) => id -> fps(t).toSet }
+    val expPairs = (for {
+      (i, fi) <- bySet; (j, fj) <- bySet
+      if i < j && fi.intersect(fj).nonEmpty
+    } yield (i, j)).toSet
+    val gotPairs = run("llm_winnow_pairs").as[(Long, Long)].collect().toSet
+    assert(gotPairs == expPairs,
+      s"pair diff: got-only=${(gotPairs -- expPairs).take(3)} " +
+        s"exp-only=${(expPairs -- gotPairs).take(3)}")
   }
 
   test("llm_chunk: stride-48 windows tile every doc, tails kept, slices exact") {
