@@ -497,6 +497,57 @@ object Streaming {
         |    AS matched_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Stream-stream FULL OUTER join — all three emission paths at once:
+    // matched rows emit immediately, left-only rows (non-error types with
+    // event_id % 3 != 0) and right-only rows (error types with
+    // event_id % 3 == 0) each null-extend once the watermark proves no
+    // counterpart can arrive. Both pre-join selections are
+    // sentinel-inclusive (see stream_stream_left's pushdown-trap note);
+    // the sentinels match each other and are dropped at read-back.
+    // Error events with event_id % 3 != 0 are in NEITHER side and must
+    // not appear — the oracle's WHERE pins that.
+    "stream_stream_full" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        val a = eventStream(s, dir, withSentinel = true)
+          .select($"event_id", $"ts", $"event_type", $"value")
+          .withWatermark("ts", "1 hour")
+          .filter($"event_type" =!= "error" || $"event_id" < 0)
+        val b = eventStream(s, dir, withSentinel = true)
+          .select($"event_id".as("eid2"), $"ts".as("ts2"))
+          .withWatermark("ts2", "1 hour")
+          .filter(pmod($"eid2", lit(3)) === 0 || $"eid2" < 0)
+        val joined = a.join(b,
+          $"event_id" === $"eid2" &&
+            $"ts2" >= $"ts" - expr("interval 1 minute") &&
+            $"ts2" <= $"ts" + expr("interval 1 minute"),
+          "full_outer")
+        val out = graft.TempDirs.create("graft_ssjf")
+        val q = joined.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) =>
+            batch.write.mode("append").parquet(out)
+        }.start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(out)
+          .filter(coalesce($"event_id", $"eid2") >= 0)
+          .groupBy(coalesce($"event_type", lit("(right-only)")).as("side"))
+          .agg(count(lit(1)).as("n"),
+            count($"eid2").as("n_right"),
+            round(sum(coalesce($"value", lit(0.0))), 2).as("left_value"))
+          .orderBy($"side")
+      },
+      """WITH c AS (
+        |  SELECT CASE WHEN event_type <> 'error' THEN event_type END AS lt,
+        |         event_id % 3 = 0 AS r, value
+        |  FROM events)
+        |SELECT coalesce(lt, '(right-only)') AS side,
+        |  count(*) AS n,
+        |  count(*) FILTER (WHERE r) AS n_right,
+        |  round(coalesce(sum(value) FILTER (WHERE lt IS NOT NULL), 0), 2)
+        |    AS left_value
+        |FROM c WHERE lt IS NOT NULL OR r
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Tumbling window aggregate (1 hour).
     "stream_tumble" -> streamKey(
       (s, dir) => {
