@@ -237,20 +237,29 @@ object Sketches {
       (s, dir) => {
         import s.implicits._
         val est = Tables.events(s, dir)
-          .select($"event_type", SS.hll_hash($"user_id").as("h"))
+          .select($"event_type", SS.hll_hash($"user_id").as("h"),
+            // VARCHAR spelling of hll_hash: same estimate over the string
+            // domain (Doris hll_hash accepts both)
+            SS.hll_hash_str(concat($"user_id".cast("string"), lit(":s")))
+              .as("hs"))
           .groupBy($"event_type")
-          .agg(SS.hll_cardinality(hll_union_agg($"h")).as("est_users"))
+          .agg(SS.hll_cardinality(hll_union_agg($"h")).as("est_users"),
+            SS.hll_cardinality(hll_union_agg($"hs")).as("est_users_str"))
         val exact = Tables.events(s, dir)
           .groupBy($"event_type")
           .agg(countDistinct($"user_id").as("exact_users"))
         est.join(exact, Seq("event_type"))
           .select($"event_type", $"exact_users",
             (abs($"est_users" - $"exact_users") / $"exact_users" <= 0.05)
-              .as("est_within_5pct"))
+              .as("est_within_5pct"),
+            (abs($"est_users_str" - $"exact_users") / $"exact_users" <= 0.05)
+              .as("est_str_within_5pct"),
+            SS.hll_cardinality(SS.hll_empty()).as("n_empty"))
           .orderBy($"event_type")
       },
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
-        |  true AS est_within_5pct
+        |  true AS est_within_5pct, true AS est_str_within_5pct,
+        |  CAST(0 AS BIGINT) AS n_empty
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Bitmap set algebra on two audience bitmaps (signup vs purchase users):
@@ -283,7 +292,12 @@ object Sketches {
           BF.bitmap_count(BF.bitmap_subset_in_range($"bm_signup", lit(10L), lit(40L)))
             .as("n_in_10_40"),
           BF.bitmap_to_string(BF.bitmap_subset_limit($"bm_signup", lit(10L), lit(5L)))
-            .as("first5_from_10"))
+            .as("first5_from_10"),
+          BF.bitmap_count(BF.to_bitmap(lit(7L))).as("n_single"),
+          BF.bitmap_has_any($"bm_signup", $"bm_purchase").cast("int")
+            .as("signup_any_purchase"),
+          BF.bitmap_count(BF.bitmap_not($"bm_purchase", $"bm_signup"))
+            .as("n_purchase_only"))
       },
       """SELECT
         |  (SELECT count(DISTINCT user_id) FROM events WHERE event_type = 'signup') AS n_signup,
@@ -319,7 +333,16 @@ object Sketches {
         |  (SELECT string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id) FROM
         |    (SELECT DISTINCT user_id FROM events
         |     WHERE event_type = 'signup' AND user_id >= 10
-        |     ORDER BY user_id LIMIT 5) t) AS first5_from_10""".stripMargin),
+        |     ORDER BY user_id LIMIT 5) t) AS first5_from_10,
+        |  1 AS n_single,
+        |  (SELECT CAST(count(*) > 0 AS INTEGER) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        |     INTERSECT SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'purchase') t) AS signup_any_purchase,
+        |  (SELECT count(*) FROM
+        |    (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        |     EXCEPT SELECT DISTINCT user_id FROM events
+        |     WHERE event_type = 'signup') t) AS n_purchase_only""".stripMargin),
 
     // UDF/UDAF surface through SQL registration (SURVEY §2.13): the bitmap
     // layer exposed under Doris names via spark.udf.register, exercised from
