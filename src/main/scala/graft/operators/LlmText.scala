@@ -479,6 +479,61 @@ object LlmText {
         |WHERE list_contains(tl, 'spark') OR list_contains(tl, 'flink')
         |ORDER BY doc_id""".stripMargin),
 
+    // MATCH_PHRASE (Doris 2.x inverted index, [doris: be/src/olap/rowset/
+    // segment_v2/inverted_index_reader.cpp]): ordered token ADJACENCY, the
+    // semantics MATCH_ALL can't express (both words present ≠ the phrase).
+    // The phrase is data-derived (the bigram in the most docs — the
+    // llm_bm25 data-derived-query pattern, so the key replays at any SF),
+    // built by the single-pass shingle UDF (the interpreted nested-HOF
+    // spelling measured 2× slower — same class as the llm_repetition
+    // finding), and broadcast as one row. The probe mirrors how a real
+    // inverted index serves MATCH_PHRASE at 100 TB: the index first
+    // narrows to docs containing BOTH tokens (codegen'd array_contains =
+    // llm_match's shape), and only those candidates pay the positional
+    // adjacency check.
+    "llm_match_phrase" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.documents(s, dir)
+          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
+          .groupBy($"bg").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bg").limit(1)
+          .select(split($"bg", " ").as("ph"))
+        // single-pass imperative adjacency probe: the declarative exists-
+        // over-positions spelling re-evaluates the inlined split per
+        // position (interpreted lambda — measured no faster than the
+        // nested-HOF bigram build it replaced), while this UDF walks the
+        // token array once; array_contains (codegen) narrows first
+        val phraseHit = udf((toks: Seq[String], ph: Seq[String]) =>
+          toks.length >= 2 && toks.indices.init.exists(i =>
+            toks(i) == ph.head && toks(i + 1) == ph(1)))
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .crossJoin(broadcast(top))
+          .filter(array_contains($"toks", expr("element_at(ph, 1)")) &&
+            array_contains($"toks", expr("element_at(ph, 2)")))
+          .filter(phraseHit($"toks", $"ph"))
+          .select($"doc_id", size($"toks").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |        THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1]))
+        |        ELSE [array_to_string(toks, ' ')] END) bg
+        |      FROM t),
+        |q AS (SELECT string_split(bg, ' ') ph FROM (
+        |        SELECT bg, count(*) n FROM b GROUP BY 1
+        |        ORDER BY n DESC, bg LIMIT 1))
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
+        |FROM t CROSS JOIN q
+        |WHERE list_contains(toks, ph[1]) AND list_contains(toks, ph[2])
+        |  AND len(list_filter(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] = ph[1] AND toks[i+1] = ph[2])) > 0
+        |ORDER BY doc_id""".stripMargin),
+
     // Token counting: whitespace split, the zero-allocation codegen'd
     // TokenCount expression, BPE-ish regex pieces, chars/4 heuristic.
     "llm_token_count" -> QueryDef(
