@@ -496,6 +496,11 @@ object LlmText {
         import s.implicits._
         val top = Tables.documents(s, dir)
           .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
+          // sub-2-token docs emit their whole text as a pseudo-shingle;
+          // a phrase query must be a true bigram, and without this guard a
+          // degenerate corpus would leave ph with one element (the probe
+          // would throw where the oracle degrades to empty)
+          .filter(size(split($"bg", " ")) === 2)
           .groupBy($"bg").agg(count(lit(1)).as("n"))
           .orderBy($"n".desc, $"bg").limit(1)
           .select(split($"bg", " ").as("ph"))
@@ -525,8 +530,9 @@ object LlmText {
         |        ELSE [array_to_string(toks, ' ')] END) bg
         |      FROM t),
         |q AS (SELECT string_split(bg, ' ') ph FROM (
-        |        SELECT bg, count(*) n FROM b GROUP BY 1
-        |        ORDER BY n DESC, bg LIMIT 1))
+        |        SELECT bg, count(*) n FROM b
+        |        WHERE len(string_split(bg, ' ')) = 2
+        |        GROUP BY 1 ORDER BY n DESC, bg LIMIT 1))
         |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
         |FROM t CROSS JOIN q
         |WHERE list_contains(toks, ph[1]) AND list_contains(toks, ph[2])
