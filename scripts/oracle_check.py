@@ -19,7 +19,14 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def norm(v):
+def norm(v, int_col=False):
+    # int_col: the PAIRED Spark column is integer-typed, so an oracle-side
+    # integral DECIMAL/float must normalize as an exact int, not through the
+    # 6-sig-digit float class — a DuckDB DECIMAL 1234567 against a Spark
+    # BIGINT 1234567 used to land as '1.23457e+06' vs '1234567' and falsely
+    # FAIL (ADVICE r10); exactness above 2^53 is also preserved this way
+    if int_col and type(v) in (float, decimal.Decimal) and v == int(v):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
@@ -35,9 +42,22 @@ def norm(v):
     return str(v)
 
 
-def table_key(rows, cols):
+def int_col_flags(rows, cols):
+    """Per-column: every non-null Spark-side cell is a python int (bool is
+    an int subclass — excluded). These columns drive exact-int
+    normalization on BOTH sides of the compare."""
+    flags = {}
+    for i, c in enumerate(cols):
+        vals = [r[i] for r in rows if r[i] is not None]
+        flags[c] = bool(vals) and all(type(x) is int for x in vals)
+    return flags
+
+
+def table_key(rows, cols, flags):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm(r[i]) for i in order) for r in rows)
+    return sorted(
+        tuple(norm(r[i], flags.get(cols[i], False)) for i in order)
+        for r in rows)
 
 
 def main(sf_dir, out_dir):
@@ -68,7 +88,9 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows spark={len(got_rows)} oracle={len(exp_rows)}")
             n_fail += 1
             continue
-        g, e = table_key(got_rows, got_cols), table_key(exp_rows, exp_cols)
+        flags = int_col_flags(got_rows, got_cols)
+        g = table_key(got_rows, got_cols, flags)
+        e = table_key(exp_rows, exp_cols, flags)
         if g != e:
             bad = next(i for i, (a, b) in enumerate(zip(g, e)) if a != b)
             print(f"FAIL {name}: value mismatch at sorted-row {bad}:")

@@ -1,5 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-key WORK metrics listener: shuffle bytes read/written and spilled
+  * bytes, accumulated across every task that runs while a key executes.
+  * Wall-clock seconds vary ±60% with host load (r9/r10 post-mortems); these
+  * byte counts are load-INVARIANT — a round-over-round regression in them is
+  * a real plan/code regression, full stop, which is exactly the attribution
+  * the r10 verdict could not make for the +16% common-key drift. Keys run
+  * sequentially, so a snapshot-before/snapshot-after delta attributes work
+  * to the key that scheduled it; `drain()` waits for job completion events
+  * (listener delivery is async) before the closing snapshot.
+  */
+private class WorkListener extends org.apache.spark.scheduler.SparkListener {
+  import java.util.concurrent.atomic.AtomicLong
+  val shuffleRead = new AtomicLong
+  val shuffleWrite = new AtomicLong
+  val spill = new AtomicLong
+  private val running = new AtomicLong
+  override def onJobStart(
+      j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+    running.incrementAndGet()
+  override def onJobEnd(
+      j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+    running.decrementAndGet()
+  override def onTaskEnd(
+      t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = t.taskMetrics
+    if (m != null) {
+      shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+    }
+  }
+  /** Wait (bounded) until every started job's end event has been delivered.
+    * Untimed — called after the key's wall-clock is already recorded. */
+  def drain(): Unit = {
+    var i = 0
+    while (running.get > 0 && i < 500) { Thread.sleep(10); i += 1 }
+    Thread.sleep(50) // grace for trailing task-end events behind the job end
+  }
+  def snapshot(): (Long, Long, Long) =
+    (shuffleRead.get, shuffleWrite.get, spill.get)
+}
+
 object Bench {
   /** 1-minute load average from /proc/loadavg, or -1 when unreadable.
     * Recorded at bench start and end so round-over-round comparisons can
@@ -153,16 +196,32 @@ object Bench {
       if (name == "llm_dedup_jaccard") "llm_dedup_" else name
     }
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
+    val listener = new WorkListener
+    spark.sparkContext.addSparkListener(listener)
+    // work{} carries the load-invariant per-key metrics (shuffle bytes,
+    // spill, result rows) next to the wall-clock seconds in queries{}.
+    // queries{} keeps its flat name->sec shape — the driver parses it.
+    val work = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = ordered.map { case (name, fn) =>
+      listener.drain() // don't let the previous key's stragglers leak in
+      val (r0, w0, s0) = listener.snapshot()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      var rows = -1L
+      try { rows = fn(spark, sfDir).count() }
       catch { case e: Throwable =>
         errors += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      listener.drain() // untimed: sec is already recorded
+      val (r1, w1, s1) = listener.snapshot()
+      work(name) = s"""{"sec":$sec,"rows":$rows,"shuffle_read":${r1 - r0},""" +
+        s""""shuffle_write":${w1 - w0},"spill":${s1 - s0}}"""
+      name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val workJson = work.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val stagedJson = staged.sorted.map("\"" + _ + "\"")
@@ -174,14 +233,28 @@ object Bench {
       case (k, v) if !errors.contains(k) => v }.sum
     val loadEnd = loadAvg()
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"staged":$stagedJson,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"work":$workJson,"errors":$errJson,"staged":$stagedJson,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir","cpus":$cpus}"""
     // also persist to a repo file: the single-line JSON can exceed the
     // driver's stdout tail window (round-1 BENCH parsed=null), and a file
-    // gives round-over-round comparability either way
+    // gives round-over-round comparability either way.
+    // Guards (r10 verdict #2): SCOPED runs land in bench_scoped.json so
+    // local iteration can never shadow the committed full-run record, and a
+    // CONTENDED full run (load_start > 1.5 — the quiet band is <= ~1.0 per
+    // BASELINE.md) is diverted to bench_result_contended.json: its wall
+    // times carry no comparison value, only its work{} bytes do.
+    val target =
+      if (keyFilter.nonEmpty) "bench_scoped.json"
+      else if (loadStart > 1.5 &&
+        java.nio.file.Files.exists(java.nio.file.Paths.get("bench_result.json"))) {
+        System.err.println(s"[bench] load_start $loadStart > 1.5: keeping " +
+          "the existing quiet bench_result.json; this run -> " +
+          "bench_result_contended.json")
+        "bench_result_contended.json"
+      } else "bench_result.json"
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("bench_result.json"), json + "\n")
+      java.nio.file.Paths.get(target), json + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_result.json write failed: $e") }
+      System.err.println(s"[bench] $target write failed: $e") }
     // FULL runs also land a per-round copy (bench_result_rNN.json, NN =
     // max committed BENCH_r round + 1) that later SCOPED iteration runs
     // (SPARK_GRAFT_KEYS set) can't overwrite — r8's BENCH artifact lost
@@ -204,9 +277,23 @@ object Bench {
           m
         } finally rounds.close()
       val stamped = here.resolve(f"bench_result_r${maxR + 1}%02d.json")
-      if (java.nio.file.Files.exists(stamped))
-        System.err.println(s"[bench] $stamped exists; keeping first record")
-      else java.nio.file.Files.writeString(stamped, json + "\n")
+      // Write-once, with one exception: a QUIET run may replace a CONTENDED
+      // record (the r10 gap in reverse — first-writer-wins must not let a
+      // loaded driver run permanently shadow a later quiet measurement).
+      val existingLoad =
+        if (!java.nio.file.Files.exists(stamped)) None
+        else "\"load_start\":([0-9.\\-]+)".r
+          .findFirstMatchIn(java.nio.file.Files.readString(stamped))
+          .map(_.group(1).toDouble)
+      existingLoad match {
+        case Some(l) if l <= 1.5 || loadStart > 1.5 =>
+          System.err.println(s"[bench] $stamped exists; keeping first record")
+        case Some(l) =>
+          System.err.println(s"[bench] replacing contended $stamped " +
+            s"(load_start $l) with quiet run (load_start $loadStart)")
+          java.nio.file.Files.writeString(stamped, json + "\n")
+        case None => java.nio.file.Files.writeString(stamped, json + "\n")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] round-stamped record write failed: $e") }
     println(json)

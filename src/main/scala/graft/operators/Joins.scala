@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join matrix (SURVEY.md §2.3).
@@ -425,7 +426,11 @@ object Joins {
     "join_flagship_q9" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val part = Tables.part(s, dir).filter($"p_name".like("%0%"))
+        // '%red%' matches ~13% of the synthetic vocabulary ("red bolt",
+        // "red rod", …) — Q9's ~1/17 '%green%' selectivity class. The
+        // previous '%0%' matched NOTHING (p_names carry no digits), so the
+        // key was vacuously green on an empty result since it landed.
+        val part = Tables.part(s, dir).filter($"p_name".like("%red%"))
         val li = Tables.lineitem(s, dir)
         val supp = Tables.supplier(s, dir)
         val ord = Tables.orders(s, dir)
@@ -446,7 +451,7 @@ object Joins {
         |  JOIN supplier ON l_suppkey = s_suppkey
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN nation ON s_nationkey = n_nationkey
-        |WHERE p_name LIKE '%0%'
+        |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, year(o_orderdate)
         |ORDER BY n_name, o_year DESC""".stripMargin),
 
@@ -480,6 +485,49 @@ object Joins {
         |  JOIN orders ON o_orderkey = l_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |ORDER BY sum_qty DESC, o_orderkey""".stripMargin),
+
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated SCALAR
+    // aggregate over the SAME fact — `l_quantity < 0.2 * avg(l_quantity)
+    // per part` — the one classic planner topology Q18 doesn't cover (Q18's
+    // subquery aggregates the fact on its own natural key; Q17's is
+    // correlated per-part and compares row-vs-group). The 100 TB plan:
+    // the brand-filtered part dim BROADCASTS to narrow the fact map-side
+    // first (only ~1/25 of lineitem survives), then ONE shuffle on
+    // l_partkey computes the per-part average as a WINDOW over the narrowed
+    // fact — the average is computed once per part and flows to every row
+    // of its partition with no join-back and no second fact scan (the
+    // aggregate-then-rejoin spelling reads the narrowed fact twice or needs
+    // a checkpoint). JoinsSpec pins it: one broadcast join, exactly one
+    // hash exchange (on l_partkey), one Window, no self-join of lineitem.
+    "join_flagship_q17" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val brands = Seq("Brand#1", "Brand#2")
+        val part = Tables.part(s, dir)
+          .filter($"p_brand".isin(brands: _*))
+          .select($"p_partkey", $"p_brand")
+        val li = Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_quantity", $"l_extendedprice")
+        val w = Window.partitionBy($"l_partkey")
+        li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+          .withColumn("avg_qty", avg($"l_quantity").over(w))
+          .filter($"l_quantity" < lit(0.2) * $"avg_qty")
+          .groupBy($"p_brand")
+          .agg(
+            round(sum($"l_extendedprice") / 7.0, 2).as("avg_yearly"),
+            count(lit(1)).as("n_small"))
+          .orderBy($"p_brand")
+      },
+      """WITH n AS (
+        |  SELECT p_brand, l_quantity, l_extendedprice,
+        |    avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand IN ('Brand#1', 'Brand#2'))
+        |SELECT p_brand,
+        |  round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |  count(*) AS n_small
+        |FROM n WHERE l_quantity < 0.2 * avg_qty
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // SALT-AND-REPLICATE skew join — the manual fallback when one join key
     // is so hot a single reducer can't hold it and AQE's OptimizeSkewedJoin

@@ -185,11 +185,29 @@ object KeyModels {
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
           .orderBy($"event_type")
       },
-      """SELECT event_type, count(*) AS n,
-        |  round(sum(CASE WHEN event_type = 'click' THEN value + 222.0
-        |                 WHEN event_type = 'error' THEN value + 333.0
-        |                 ELSE value END), 2) AS total_value
-        |FROM events WHERE event_type <> 'signup'
+      // the oracle REPLAYS the six-batch merge (same CTE-over-events batch
+      // derivation, same (_seq DESC, _ver DESC) window, same delete-sign
+      // filter) rather than hand-stating the expected winners — so a merge
+      // bug that happens to preserve the aggregates still diverges from the
+      // replay (r10 verdict #3)
+      """WITH b AS (
+        |  SELECT event_id, event_type, value, 2 AS _seq, 1 AS _ver, 0 AS _sign
+        |  FROM events
+        |  UNION ALL SELECT event_id, event_type, value + 111.0, 1, 2, 0
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL SELECT event_id, event_type, value + 222.0, 3, 3, 0
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT event_id, event_type, value, 1, 4, 1
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL SELECT event_id, event_type, value + 333.0, 2, 5, 0
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL SELECT event_id, event_type, value, 9, 6, 1
+        |  FROM events WHERE event_type = 'signup'),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY _seq DESC, _ver DESC) AS rn FROM b)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM m WHERE rn = 1 AND _sign = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // BASE COMPACTION (Doris base compaction: [doris: be/src/olap/

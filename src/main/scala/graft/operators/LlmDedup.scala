@@ -277,6 +277,49 @@ object LlmDedup {
     labels
   }
 
+  /** TWO-PHASE BLOOM incremental dedup, full frame including the raw
+    * `n_false_pos` (= bloom-positives that phase 2 disconfirmed). The
+    * llm_dedup_bloom key selects only the exactly-replayable counts for the
+    * DuckDB oracle; LlmSpec asserts the FP bound on this frame directly.
+    * See the key's comment for the phase structure and scale rationale. */
+  private[graft] def bloomDedup(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val baseH = Tables.documents(s, dir)
+      .filter($"doc_id" % 10 =!= 0)
+      .select(sha2($"text", 256).as("h")).distinct()
+    // capacity derives from the actual base size (floored at 100k so
+    // tiny SFs keep the production-shaped sketch): a fixed 100k would
+    // overload at sf >= ~2 and inflate the effective fpp past the 5x
+    // margin LlmSpec pins
+    val baseRows = Tables.documents(s, dir)
+      .filter($"doc_id" % 10 =!= 0).count()
+    val bloom = Tables.documents(s, dir)
+      .filter($"doc_id" % 10 =!= 0)
+      .select(sha2($"text", 256).as("h"))
+      .stat.bloomFilter("h", math.max(100000L, baseRows), 0.01)
+    val bcBloom = s.sparkContext.broadcast(bloom)
+    val bloomPos = udf((h: String) => bcBloom.value.mightContainString(h))
+    val delta = Tables.documents(s, dir)
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", sha2($"text", 256).as("h"))
+      .withColumn("bloom_pos", bloomPos($"h"))
+    // phase 2: ONLY bloom-positives reach the exact index join (in
+    // production the pos/neg split is one pass over a cached/persisted
+    // delta; here the two filters re-read the tiny delta scan)
+    val confirmed = delta.filter($"bloom_pos")
+      .join(baseH.withColumn("in_base", lit(1)), Seq("h"), "left")
+      .select($"doc_id", coalesce($"in_base", lit(0)).as("in_base"),
+        lit(1L).as("bp"))
+    val negatives = delta.filter(!$"bloom_pos")
+      .select($"doc_id", lit(0).as("in_base"), lit(0L).as("bp"))
+    confirmed.unionByName(negatives).agg(
+      count(lit(1)).as("n_delta"),
+      sum($"in_base").cast("long").as("n_dup_vs_base"),
+      sum(when($"in_base" === 0, 1L).otherwise(0L)).as("n_new"),
+      (sum($"bp") - sum($"in_base")).cast("long").as("n_false_pos"))
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Exact dedup over content hash: corpus-level stats + per-group merge.
     "llm_dedup_exact" -> QueryDef(
@@ -356,51 +399,22 @@ object LlmDedup {
     // distributed (treeAggregate) and ships the merged bits to the driver —
     // the same control-flow pattern as the kmeans centroid collect.
     "llm_dedup_bloom" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val baseH = Tables.documents(s, dir)
-          .filter($"doc_id" % 10 =!= 0)
-          .select(sha2($"text", 256).as("h")).distinct()
-        // capacity derives from the actual base size (floored at 100k so
-        // tiny SFs keep the production-shaped sketch): a fixed 100k would
-        // overload at sf >= ~2, inflate the effective fpp past the pinned
-        // 5x margin, and flip fp_rate_ok against the oracle's `true`
-        val baseRows = Tables.documents(s, dir)
-          .filter($"doc_id" % 10 =!= 0).count()
-        val bloom = Tables.documents(s, dir)
-          .filter($"doc_id" % 10 =!= 0)
-          .select(sha2($"text", 256).as("h"))
-          .stat.bloomFilter("h", math.max(100000L, baseRows), 0.01)
-        val bcBloom = s.sparkContext.broadcast(bloom)
-        val bloomPos = udf((h: String) => bcBloom.value.mightContainString(h))
-        val delta = Tables.documents(s, dir)
-          .filter($"doc_id" % 10 === 0)
-          .select($"doc_id", sha2($"text", 256).as("h"))
-          .withColumn("bloom_pos", bloomPos($"h"))
-        // phase 2: ONLY bloom-positives reach the exact index join (in
-        // production the pos/neg split is one pass over a cached/persisted
-        // delta; here the two filters re-read the tiny delta scan)
-        val confirmed = delta.filter($"bloom_pos")
-          .join(baseH.withColumn("in_base", lit(1)), Seq("h"), "left")
-          .select($"doc_id", coalesce($"in_base", lit(0)).as("in_base"),
-            lit(1L).as("bp"))
-        val negatives = delta.filter(!$"bloom_pos")
-          .select($"doc_id", lit(0).as("in_base"), lit(0L).as("bp"))
-        confirmed.unionByName(negatives).agg(
-          count(lit(1)).as("n_delta"),
-          sum($"in_base").cast("long").as("n_dup_vs_base"),
-          sum(when($"in_base" === 0, 1L).otherwise(0L)).as("n_new"),
-          ((sum($"bp") - sum($"in_base")) <=
-            greatest(lit(1.0), sum(when($"in_base" === 0, 1L).otherwise(0L)) * 0.05))
-            .as("fp_rate_ok"))
-      },
+      // the key's oracled result carries ONLY the exactly-replayable counts;
+      // the Bloom-statistical n_false_pos is computed by bloomDedup below
+      // and bound-asserted in LlmSpec (FPs <= max(1, 5% of true negatives)).
+      // A `true AS fp_rate_ok` pin here would turn a sketch-sizing drift on
+      // a new SF/corpus (or a Spark bloom-hash change) into a misleading
+      // CORRECTNESS failure (ADVICE r10); the counts still route through the
+      // two-phase bloom path, so a false NEGATIVE — the property Bloom
+      // actually guarantees — still breaks the hash.
+      (s, dir) => bloomDedup(s, dir)
+        .select(col("n_delta"), col("n_dup_vs_base"), col("n_new")),
       """WITH base AS (SELECT DISTINCT text FROM documents WHERE doc_id % 10 <> 0),
         |d AS (SELECT doc_id, text IN (SELECT text FROM base) AS in_base
         |      FROM documents WHERE doc_id % 10 = 0)
         |SELECT count(*) AS n_delta,
         |  CAST(sum(CASE WHEN in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_base,
-        |  CAST(sum(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-        |  true AS fp_rate_ok
+        |  CAST(sum(CASE WHEN NOT in_base THEN 1 ELSE 0 END) AS BIGINT) AS n_new
         |FROM d""".stripMargin),
 
     // Exact n-gram (3-token shingle) Jaccard >= 0.6 pairs via inverted index,

@@ -49,7 +49,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private val NS = Array("main")
 
-  private def tablePath(t: String) = new java.io.File(root, s"$t.parquet")
+  private def tablePath(t: String) = {
+    // identifier hygiene: a backtick-quoted name like `../../x` would
+    // otherwise resolve parquet OUTSIDE the configured root (ADVICE r10) —
+    // reject separators/.. up front and double-check the canonical path
+    // still lands under root (canonical also neutralizes symlink tricks)
+    if (t.contains("/") || t.contains("\\") || t.contains(".."))
+      throw new NoSuchTableException(Identifier.of(NS, t))
+    val f = new java.io.File(root, s"$t.parquet")
+    if (!f.getCanonicalPath.startsWith(new java.io.File(root).getCanonicalPath
+        + java.io.File.separator))
+      throw new NoSuchTableException(Identifier.of(NS, t))
+    f
+  }
 
   override def listNamespaces(): Array[Array[String]] = Array(NS)
 

@@ -113,6 +113,27 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("q17: per-part average computed once as a window; single fact shuffle on partkey") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q17"))
+      // the brand-filtered part dim broadcasts (narrows lineitem map-side);
+      // a second join would mean the aggregate-then-rejoin spelling that
+      // re-reads the narrowed fact
+      assert(countBhj(plan) == 1, s"expected exactly 1 broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"lineitem must not self-join:\n$plan")
+      // the per-part average is a Window riding the ONE l_partkey exchange —
+      // computed once per part, flowing to every row of its partition
+      assert(plan.contains("Window"), s"missing window:\n$plan")
+      val keys = hashExchangeKeys(plan)
+      val allowed = Set("l_partkey", "p_brand")
+      assert(keys.nonEmpty && keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
+      assert(keys.count(_ == "l_partkey") == 1,
+        s"fact should shuffle on partkey exactly once: $keys")
+    }
+  }
+
   test("join_inner uses broadcast joins for dimension sides") {
     val plan = planOf(run("join_inner"))
     assert(plan.contains("BroadcastHashJoin"))

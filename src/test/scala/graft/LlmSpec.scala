@@ -308,13 +308,18 @@ class LlmSpec extends SparkSpec {
     // cross-operator consistency: the two-phase bloom path must land on the
     // SAME exact counts as the join-everything incremental path (bloom can
     // only add false positives, and those are filtered by the confirm join)
-    val b = run("llm_dedup_bloom").collect().head
+    val b = operators.LlmDedup.bloomDedup(spark, sf).collect().head
     val e = run("llm_dedup_incremental").collect().head
     assert(b.getAs[Long]("n_delta") == e.getAs[Long]("n_delta"))
     assert(b.getAs[Long]("n_dup_vs_base") == e.getAs[Long]("n_dup_vs_base"))
     assert(b.getAs[Long]("n_new") ==
       e.getAs[Long]("n_intra_dup") + e.getAs[Long]("n_new_unique"))
-    assert(b.getAs[Boolean]("fp_rate_ok"), "bloom FP bound violated")
+    // FP bound on the RAW count (5% of true negatives, 5x margin over the
+    // configured 1% fpp) lives HERE, not in the oracle hash: it is a
+    // statistical property of the sketch, not replayable SQL (ADVICE r10)
+    assert(b.getAs[Long]("n_false_pos") <=
+      math.max(1L, (b.getAs[Long]("n_new") * 0.05).toLong),
+      s"bloom FP bound violated: ${b.getAs[Long]("n_false_pos")} FPs")
     // plan contract: exactly ONE exact join (the confirm), and both sides
     // of the bloom split are UDF-gated filters — the whole-delta join the
     // operator exists to avoid would show as a second join or an ungated
