@@ -279,6 +279,114 @@ object Streaming {
     }
   }
 
+  /** Pre-split the events table into 3 parquet files once per (dir, JVM) so
+    * a maxFilesPerTrigger=1 stream delivers 3 REAL micro-batches — the
+    * merge-per-batch ingest keys below must demonstrate multi-batch
+    * re-aggregation (the single-file eventStream yields exactly one batch).
+    * Columns are pre-projected: the ingest keys never need ts/props. */
+  private val splitCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val splitSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+  private def splitEventsDir(s: SparkSession, dir: String): String =
+    splitCache.computeIfAbsent(dir, { _ =>
+      Confs.ensureNanosAsLong(s) // events.ts is ns-precision (see Tables.events)
+      val out = graft.TempDirs.create("graft_stream_split")
+      s.read.parquet(s"$dir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  /** Merge-per-micro-batch ingest harness shared by the sketch and rollup
+    * ingest keys: stream the 3-file split source one file per trigger; each
+    * batch computes a per-key PARTIAL (`partialOf`), unions it with the
+    * standing table version, re-aggregates (`mergeOf` — must be shape-
+    * preserving so merge(merge(a,b),c) composes), and writes the NEXT
+    * version dir. Returns the final version's path. Versioned dirs are the
+    * Doris load-version contract: readers of vN never see a half-written
+    * vN+1, and per-batch cost is O(|keys| + |batch|) regardless of how much
+    * history the table has absorbed. Exposed private[graft] so
+    * StreamingSpec can drive partial/merge composition directly. */
+  private[graft] def mergeIngest(s: SparkSession, dir: String,
+      partialOf: DataFrame => DataFrame,
+      mergeOf: DataFrame => DataFrame): String = {
+    val table = graft.TempDirs.createPath("graft_merge_table")
+    @volatile var current: Option[String] = None
+    val q = s.readStream.schema(splitSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(splitEventsDir(s, dir))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val partial = partialOf(batch)
+        val unioned = current
+          .map(v => s.read.parquet(v).unionByName(partial))
+          .getOrElse(partial)
+        val next = table.resolve(s"v$id").toString
+        mergeOf(unioned).write.mode("overwrite").parquet(next)
+        current = Some(next)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    current.getOrElse(sys.error("mergeIngest: no micro-batch ran"))
+  }
+
+  /** Sketch-ingest partial/merge pair (see stream_agg_sketch), factored out
+    * so StreamingSpec can drive reload-and-remerge composition directly.
+    * `sketchMerge` must be shape-preserving over `sketchPartial`'s output —
+    * that closure property IS the re-aggregability contract. */
+  private[graft] def sketchPartial(batch: DataFrame): DataFrame = batch
+    .groupBy(col("event_type"))
+    .agg(hll_sketch_agg(col("user_id")).as("user_hll"),
+      graft.functions.BitmapFunctions.bitmap_union(col("user_id")).as("user_bm"),
+      count(lit(1)).as("n"))
+  private[graft] def sketchMerge(u: DataFrame): DataFrame = u
+    .groupBy(col("event_type"))
+    .agg(hll_union_agg(col("user_hll")).as("user_hll"),
+      graft.functions.NativeAggregates.bitmap_union_binary(col("user_bm"))
+        .as("user_bm"),
+      sum(col("n")).as("n"))
+  private val sketchIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def sketchIngest(s: SparkSession, dir: String): String =
+    sketchIngested.computeIfAbsent(dir, { _ =>
+      graft.functions.NativeAggregates.register(s)
+      mergeIngest(s, dir, sketchPartial, sketchMerge)
+    })
+
+  /** The streaming-maintained events rollup (see stream_rollup): built once
+    * per (dir, JVM) and registered with RollupRewrite once — repeated key
+    * runs in one JVM must not append duplicate registry entries. */
+  private val rollupIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def streamRollupIngest(s: SparkSession, dir: String): String =
+    rollupIngested.computeIfAbsent(dir, { _ =>
+      val path = mergeIngest(s, dir,
+        batch => batch.groupBy(col("event_type"))
+          .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"),
+            count(col("value")).as("cnt_value"),
+            min(col("value")).as("min_value"),
+            max(col("value")).as("max_value")),
+        u => u.groupBy(col("event_type"))
+          .agg(sum(col("sum_value")).as("sum_value"),
+            sum(col("cnt")).as("cnt"), sum(col("cnt_value")).as("cnt_value"),
+            min(col("min_value")).as("min_value"),
+            max(col("max_value")).as("max_value")))
+      graft.plans.RollupRewrite.register(graft.plans.RollupRewrite.RollupDef(
+        basePath = s"$dir/events.parquet",
+        rollupPath = path,
+        keys = Seq("event_type"),
+        columns = Map(
+          ("sum", "value") -> "sum_value",
+          ("count", "*") -> "cnt",
+          ("count", "value") -> "cnt_value",
+          ("min", "value") -> "min_value",
+          ("max", "value") -> "max_value")))
+      path
+    })
+
   def queries: Map[String, QueryDef] = Map(
     // Stream Load analogue: micro-batch ingest through foreachBatch into
     // partitioned parquet (atomic per batch), then read-back stats.
@@ -737,6 +845,65 @@ object Streaming {
         |    ELSE 0 END AS funnel_level
         |  FROM u)
         |SELECT funnel_level, count(*) AS n_users
-        |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lvl GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // AGGREGATE-key table with SKETCH value columns maintained on streaming
+    // ingest — Doris's routine-load-into-AGGREGATE-key pattern where value
+    // columns are HLL_UNION / BITMAP_UNION states merged per load batch
+    // [doris: fe/.../load/routineload/RoutineLoadJob.java;
+    //  be/src/olap/aggregate_func.cpp]. Each micro-batch pre-aggregates its
+    // rows into per-key sketch PARTIALS, then merges them with the standing
+    // table (hll_union_agg / bitmap_union over the two-sided union) and
+    // writes a new table version — per-batch cost scales with |keys| + the
+    // batch, never the table history, and the standing table stays O(keys)
+    // rows at any ingest volume. Reads serve exact distincts from the
+    // bitmap and estimates from the HLL without touching raw rows. The
+    // oracle replays the exactly-deterministic columns (row counts + bitmap
+    // distinct = exact distinct); the HLL estimate is statistical, so its
+    // accuracy bound and the across-restart re-aggregability contract live
+    // in StreamingSpec, not the oracle hash (the ADVICE-r10 rule).
+    "stream_agg_sketch" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        val BF = graft.functions.BitmapFunctions
+        val table = sketchIngest(s, dir)
+        s.read.parquet(table)
+          .select($"event_type", BF.bitmap_count($"user_bm").as("n_users"),
+            $"n".as("n_events"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Rollup maintenance UNDER streaming ingest: the serving rollup of the
+    // events table is kept fresh by the same delta-merge rollup_incremental
+    // proves in batch (rollup(base ∪ delta) = re-agg(rollup(base) ∪
+    // rollup(delta))), applied per micro-batch in foreachBatch — Doris
+    // maintains rollups transactionally on every load
+    // [doris: fe/.../alter/MaterializedViewHandler.java]. After ingest the
+    // final rollup version registers with RollupRewrite and the returned
+    // query aggregates THE BASE events scan — the optimizer retargets it
+    // onto the O(event_types)-row rollup (StreamingSpec asserts the
+    // rewritten scan; the oracle recomputes from the base table).
+    "stream_rollup" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        streamRollupIngest(s, dir)
+        graft.plans.RollupRewrite.install(s)
+        Tables.events(s, dir)
+          .groupBy($"event_type")
+          .agg(round(sum($"value"), 2).as("sum_value"),
+            count(lit(1)).as("n"),
+            round(min($"value"), 2).as("min_value"),
+            round(max($"value"), 2).as("max_value"),
+            round(avg($"value"), 4).as("avg_value"))
+          .orderBy($"event_type")
+      },
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+        |  count(*) AS n, round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

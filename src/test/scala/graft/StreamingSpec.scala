@@ -281,6 +281,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_agg_sketch: per-batch sketch merge is exact, reload-mergeable, HLL in bound") {
+    import streaming.Streaming
+    val BF = functions.BitmapFunctions
+    functions.NativeAggregates.register(spark)
+    val table = Streaming.sketchIngest(spark, sf)
+    val exact = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("nd"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fin = spark.read.parquet(table)
+      .select($"event_type", BF.bitmap_count($"user_bm").as("bm"),
+        hll_sketch_estimate($"user_hll").as("est"), $"n")
+      .collect()
+    assert(fin.length == exact.size, "one standing row per AGGREGATE key")
+    fin.foreach { r =>
+      val (nd, n) = exact(r.getString(0))
+      assert(r.getLong(1) == nd, s"bitmap distinct for ${r.getString(0)}")
+      assert(r.getLong(3) == n, s"row count for ${r.getString(0)}")
+      // the statistical HLL bound lives HERE, not in the oracle hash
+      assert(math.abs(r.getLong(2) - nd) <= math.max(1L, (nd * 0.05).toLong),
+        s"HLL estimate ${r.getLong(2)} off exact $nd for ${r.getString(0)}")
+    }
+    // RESTART re-aggregability: sketch state RELOADED from parquet (a fresh
+    // read = a restarted job's view) absorbs a replayed partial through the
+    // same merge. Set sketches are union-idempotent, so replaying the whole
+    // corpus must leave bitmap distincts exactly unchanged (and HLL in
+    // bound), while the additive count doubles.
+    val replay = Streaming.sketchPartial(Tables.events(spark, sf)
+      .select($"event_id", $"user_id", $"event_type", $"value"))
+    val again = Streaming.sketchMerge(
+        spark.read.parquet(table).unionByName(replay))
+      .select($"event_type", BF.bitmap_count($"user_bm").as("bm"),
+        hll_sketch_estimate($"user_hll").as("est"), $"n")
+      .collect()
+    again.foreach { r =>
+      val (nd, n) = exact(r.getString(0))
+      assert(r.getLong(1) == nd, "reloaded bitmap state lost exactness")
+      assert(math.abs(r.getLong(2) - nd) <= math.max(1L, (nd * 0.05).toLong),
+        "reloaded HLL state left the bound")
+      assert(r.getLong(3) == 2 * n, "additive column must double on replay")
+    }
+  }
+
+  test("stream_rollup: post-ingest aggregate is served by the streamed rollup") {
+    val df = run("stream_rollup")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_merge_table"),
+      s"aggregate not retargeted onto the streaming-maintained rollup:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"base fact still scanned post-rewrite:\n$plan")
+    // and the rollup-served answer equals the base-table recompute
+    val base = Tables.events(spark, sf).groupBy($"event_type")
+      .agg(round(sum($"value"), 2).as("sum_value"), count(lit(1)).as("n"),
+        round(min($"value"), 2).as("min_value"),
+        round(max($"value"), 2).as("max_value"),
+        round(avg($"value"), 4).as("avg_value"))
+      .orderBy($"event_type")
+    assert(df.collect().toSeq == base.collect().toSeq)
+  }
+
   test("jdbc sink replay: a retried micro-batch replaces its rows, not appends") {
     // drives the retry path processAllAvailable() never takes on a healthy
     // run: replaying batchId=1 (Spark retries a failed micro-batch under
