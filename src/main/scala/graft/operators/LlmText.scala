@@ -540,6 +540,61 @@ object LlmText {
         |        i -> toks[i] = ph[1] AND toks[i+1] = ph[2])) > 0
         |ORDER BY doc_id""".stripMargin),
 
+    // MATCH_PHRASE_PREFIX with slop<=1 — the as-you-type phrase predicate
+    // (Doris match_phrase_prefix [doris: be/src/olap/rowset/segment_v2/
+    // inverted_index_reader.cpp]): first word exact, TRAILING word matched
+    // by prefix ("machine lea" hits "machine learning"), and one optional
+    // intervening token (slop 1). Same post-index verify shape as
+    // llm_match_phrase: codegen'd candidate narrowing first
+    // (array_contains on the exact word + an exists-HOF prefix probe —
+    // both whole-stage codegen over the token array), then only the
+    // narrowed candidates pay the single-pass positional UDF. At 100 TB
+    // the narrowing is the inverted-index lookup and the verify touches
+    // O(candidate) rows, never the corpus.
+    "llm_match_phrase_prefix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.documents(s, dir)
+          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
+          .filter(size(split($"bg", " ")) === 2)
+          .groupBy($"bg").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bg").limit(1)
+          .select(expr("element_at(split(bg, ' '), 1)").as("w1"),
+            expr("substring(element_at(split(bg, ' '), 2), 1, 3)").as("p2"))
+        val prefixHit = udf((toks: Seq[String], w1: String, p2: String) =>
+          toks.length >= 2 && toks.indices.init.exists(i =>
+            toks(i) == w1 && (toks(i + 1).startsWith(p2) ||
+              (i + 2 < toks.length && toks(i + 2).startsWith(p2)))))
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .crossJoin(broadcast(top))
+          .filter(array_contains($"toks", $"w1") &&
+            exists($"toks", t => t.startsWith($"p2")))
+          .filter(prefixHit($"toks", $"w1", $"p2"))
+          .select($"doc_id", size($"toks").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |        THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1]))
+        |        ELSE [array_to_string(toks, ' ')] END) bg
+        |      FROM t),
+        |q AS (SELECT ph[1] AS w1, ph[2][1:3] AS p2 FROM (
+        |        SELECT string_split(bg, ' ') ph FROM (
+        |          SELECT bg, count(*) n FROM b
+        |          WHERE len(string_split(bg, ' ')) = 2
+        |          GROUP BY 1 ORDER BY n DESC, bg LIMIT 1)))
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
+        |FROM t CROSS JOIN q
+        |WHERE list_contains(toks, w1)
+        |  AND len(list_filter(generate_series(1, len(toks) - 1),
+        |        i -> toks[i] = w1 AND (starts_with(toks[i+1], p2)
+        |          OR (i + 2 <= len(toks) AND starts_with(toks[i+2], p2))))) > 0
+        |ORDER BY doc_id""".stripMargin),
+
     // Token counting: whitespace split, the zero-allocation codegen'd
     // TokenCount expression, BPE-ish regex pieces, chars/4 heuristic.
     "llm_token_count" -> QueryDef(

@@ -37,14 +37,15 @@ class PlanAuditSpec extends SparkSpec {
   //                           broadcast crossJoin
   //   llm_tfidf, llm_bm25   — scoring stream × 1-row corpus-stats broadcast
   //                           crossJoin (same shape as llm_unigram_logprob)
-  //   llm_match_phrase      — corpus × 1-row derived-phrase broadcast
+  //   llm_match_phrase, llm_match_phrase_prefix
+  //                         — corpus × 1-row derived-phrase broadcast
   //                           crossJoin
   private val bnljAllowed = Set(
     "join_cross", "llm_knn", "llm_embed_neardup",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
     "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf",
-    "llm_bm25", "llm_match_phrase")
+    "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
