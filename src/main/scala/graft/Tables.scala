@@ -36,18 +36,43 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "region")
-  /** events.ts is nanosecond-precision in the source Parquet; Spark's
-    * TimestampType is microseconds and Spark 4 refuses TIMESTAMP(NANOS)
-    * outright. Read nanos as long (legacy conf) and truncate to µs — the
-    * oracle side (DuckDB, ns-native) agrees once results are compared at µs
-    * precision or coarser (FIXTURES.md records the ns-precision fixture).
+  /** events.ts has shipped in TWO physical layouts across driver testdata
+    * generations: ns-precision INT64 (Spark 4 refuses TIMESTAMP(NANOS), so
+    * it reads as Long under the nanosAsLong legacy conf and is truncated to
+    * µs here) and, since the 2026-08-13 regeneration, plain µs TIMESTAMP_NTZ.
+    * Normalize both to session-TZ TimestampType (session is pinned UTC, so
+    * the NTZ→LTZ cast preserves the wall-clock instant the DuckDB oracle
+    * sees). Detection is per-DataFrame from the read schema — no global
+    * state, correct even if two dirs with different layouts are read in one
+    * session.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // lazily-consumed read-schema conf: single-value engine default, cannot
     // be save/restored (see Confs object doc)
     Confs.ensureNanosAsLong(spark)
-    raw(spark, dir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    normalizeEventTs(raw(spark, dir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType regardless of the
+    * on-disk layout (ns-as-long vs µs timestamp[_ntz]). */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType.type => df
+      case other => throw new IllegalStateException(s"unexpected events.ts type $other")
+    }
+  }
+
+  /** True when the on-disk events.ts column is the legacy ns-as-INT64
+    * layout (footer check; used by streaming readers that must declare an
+    * explicit readStream schema matching the files). */
+  def eventsTsIsLong(spark: SparkSession, dir: String): Boolean = {
+    Confs.ensureNanosAsLong(spark)
+    raw(spark, dir, "events").schema("ts").dataType ==
+      org.apache.spark.sql.types.LongType
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

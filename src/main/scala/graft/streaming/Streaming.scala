@@ -57,34 +57,43 @@ class TwsTotals extends org.apache.spark.sql.streaming.StatefulProcessor[
 
 object Streaming {
 
-  /** events schema for readStream (ts arrives as ns int64; normalized to µs). */
-  private val rawSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** events schema for readStream. The file source needs an explicit schema
+    * that matches the on-disk layout, and the driver's testdata has shipped
+    * two (Tables.scala doc): legacy ns-as-INT64 and, since 2026-08-13, µs
+    * TIMESTAMP_NTZ. Callers probe the dir via Tables.eventsTsIsLong and pass
+    * the result here; Tables.normalizeEventTs converts either to µs
+    * TimestampType after read. */
+  private def rawSchema(tsLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts",
+      if (tsLong) LongType else org.apache.spark.sql.types.TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** Sentinel event time (2100-01-01, ns) — far past every real event. */
-  private val SentinelNs = 4102444800L * 1000000000L
+  /** Sentinel event time (2100-01-01) — far past every real event. */
+  private val SentinelEpochSec = 4102444800L
 
-  /** One-row sentinel parquet, written once per JVM (each withSentinel
-    * stream used to pay a full write job for the identical file). */
+  /** One-row sentinel parquet per ts layout, written once per JVM (each
+    * withSentinel stream used to pay a full write job for the identical
+    * file). The sentinel shares the stream dir with the real events file, so
+    * its physical ts type must match. */
   private val sentinelCache =
-    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path]()
+    new java.util.concurrent.ConcurrentHashMap[Boolean, java.nio.file.Path]()
 
-  private def sentinelFile(s: SparkSession): java.nio.file.Path = {
-    val cached = sentinelCache.get()
-    if (cached != null) cached
-    else {
+  private def sentinelFile(s: SparkSession, tsLong: Boolean): java.nio.file.Path =
+    sentinelCache.computeIfAbsent(tsLong, { tsl =>
       val tmp = graft.TempDirs.createPath("graft_sentinel")
-      val row = org.apache.spark.sql.Row(-1L, SentinelNs, -1L, "sentinel", 0.0, "{}")
-      s.createDataFrame(java.util.List.of(row), rawSchema)
+      val tsVal: Any =
+        if (tsl) SentinelEpochSec * 1000000000L
+        else java.time.LocalDateTime.ofEpochSecond(SentinelEpochSec, 0,
+          java.time.ZoneOffset.UTC)
+      val row = org.apache.spark.sql.Row(-1L, tsVal, -1L, "sentinel", 0.0, "{}")
+      s.createDataFrame(java.util.List.of(row), rawSchema(tsl))
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
         .find(_.endsWith(".parquet")).get
-      val p = java.nio.file.Paths.get(part)
-      if (!sentinelCache.compareAndSet(null, p)) sentinelCache.get() else p
-    }
-  }
+      java.nio.file.Paths.get(part)
+    })
 
   /** view→click→purchase funnel window: 12 hours, in µs. */
   private[graft] val FunnelWindowUs = 12L * 3600 * 1000000L
@@ -227,6 +236,7 @@ object Streaming {
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val tsLong = graft.Tables.eventsTsIsLong(s, dir)
     if (withSentinel) {
       // Append-mode aggregations only emit state finalized BELOW the
       // watermark; with a bounded source the tail windows/sessions would
@@ -237,10 +247,10 @@ object Streaming {
       // unbounded and no sentinel is needed. The one-row parquet is written
       // once per JVM and copied into each stream dir.
       java.nio.file.Files.copy(
-        sentinelFile(s), streamDir.resolve("zz_sentinel.parquet"))
+        sentinelFile(s, tsLong), streamDir.resolve("zz_sentinel.parquet"))
     }
-    s.readStream.schema(rawSchema).parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    graft.Tables.normalizeEventTs(
+      s.readStream.schema(rawSchema(tsLong)).parquet(streamDir.toString))
   }
 
   /** Update-mode foreachBatch sink + merge-on-read: each micro-batch's
@@ -735,8 +745,9 @@ object Streaming {
           java.nio.file.Files.createSymbolicLink(
             streamDir.resolve(name),
             java.nio.file.Paths.get(s"$dir/events.parquet"))
-        val deduped = s.readStream.schema(rawSchema).parquet(streamDir.toString)
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        val deduped = graft.Tables.normalizeEventTs(
+            s.readStream.schema(rawSchema(graft.Tables.eventsTsIsLong(s, dir)))
+              .parquet(streamDir.toString))
           .withWatermark("ts", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
           .select($"event_type", $"value")
