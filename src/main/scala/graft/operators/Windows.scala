@@ -128,10 +128,25 @@ object Windows {
     // Aggregate-over-ROWS-frame: running totals + moving averages.
     // Runs over orders (o_orderkey unique) so the ROWS frame content is
     // deterministic cross-engine.
+    //
+    // Scale trap (caught by the round-11 sf1 verify): `count(*) OVER (...
+    // CURRENT ROW AND UNBOUNDED FOLLOWING)` executes as Spark's
+    // UnboundedFollowingWindowFunctionFrame, which RE-AGGREGATES the frame
+    // from every row position — O(rows²) per partition. orders partitioned
+    // by o_orderstatus has only 3 partitions, so at sf1 (~500k rows each)
+    // the key effectively hung (10× data → 100× work). The remaining-rows
+    // count is re-expressed with the subtraction identity
+    // `count over FULL frame − row_number() + 1`: the full-frame aggregate
+    // is computed ONCE per partition (UnboundedWindowFunctionFrame) and
+    // row_number is a running frame — both O(rows). Same value, linear
+    // cost; the oracle keeps the declarative UNBOUNDED FOLLOWING spelling
+    // (DuckDB's segment-tree frames are O(n log n) either way).
     "win_frame" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val w = Window.partitionBy($"o_orderstatus").orderBy($"o_orderkey")
+        val full = w.rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)
         Tables.orders(s, dir)
           .select(
             $"o_orderkey", $"o_orderstatus",
@@ -139,8 +154,8 @@ object Windows {
               w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
             round(avg($"o_totalprice").over(
               w.rowsBetween(-2, Window.currentRow)), 4).as("mv3_price"),
-            count(lit(1)).over(
-              w.rowsBetween(Window.currentRow, Window.unboundedFollowing)).as("remaining"))
+            (count(lit(1)).over(full) - row_number().over(w) + 1L)
+              .as("remaining"))
           .orderBy($"o_orderstatus", $"o_orderkey")
       },
       """SELECT o_orderkey, o_orderstatus,
