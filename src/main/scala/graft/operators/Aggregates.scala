@@ -427,22 +427,46 @@ object Aggregates {
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
-    // any_value/max_by/min_by.
+    // any_value/max_by/min_by. Tie rule pinned explicitly: max_by/min_by
+    // with a plain ordering column is NONDETERMINISTIC under ties in every
+    // engine (Doris, Spark, DuckDB alike), and ties are not hypothetical —
+    // the r11 sf1 sweep hit a 10-way exact tie at max(o_totalprice) and the
+    // two engines picked different winners. The deterministic spelling
+    // orders by a (measure, key) struct so ties resolve by key; the oracle
+    // says the same thing with ranked windows (DuckDB's max_by has no
+    // struct-ordering overload).
+    //
+    // Plan note: struct-valued aggregate buffers are not mutable-buffer
+    // types, so Catalyst plans SortAggregate instead of HashAggregate here
+    // (fingerprint pinned). Still a two-phase partial/final aggregate —
+    // each task keeps one running argmax and only 3 merged rows shuffle —
+    // the cost is a per-partition sort by the 3-value grouping key, the
+    // price of deterministic tie-breaking. At 100 TB that is O(n log n)
+    // map-side with a 3-row exchange, not a scale hazard.
     "agg_minmax_by" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         Tables.orders(s, dir)
           .groupBy($"o_orderstatus")
           .agg(
-            max_by($"o_orderkey", $"o_totalprice").as("top_order"),
-            min_by($"o_orderkey", $"o_totalprice").as("bottom_order"),
+            max_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("top_order"),
+            min_by($"o_orderkey", struct($"o_totalprice", $"o_orderkey"))
+              .as("bottom_order"),
             round(max($"o_totalprice"), 2).as("max_price"))
           .orderBy($"o_orderstatus")
       },
-      """SELECT o_orderstatus,
-        |  max_by(o_orderkey, o_totalprice) AS top_order,
-        |  min_by(o_orderkey, o_totalprice) AS bottom_order,
+      """WITH ranked AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn_max,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rn_min
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_order,
+        |  max(CASE WHEN rn_min = 1 THEN o_orderkey END) AS bottom_order,
         |  round(max(o_totalprice), 2) AS max_price
-        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
+        |FROM ranked GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)
   )
 }

@@ -396,16 +396,28 @@ object Sketches {
     // TOPN as the native mergeable heavy-hitters counter (the actual Doris
     // TOPN internals, vs agg_topn_values' exact composition): map-side
     // SpaceSaving-style eviction, commutative count-map merge through the
-    // shuffle, canonical collapse at eval. capacity 256 > distinct users, so
-    // counts here are exact and the same SQL oracle applies; the
-    // under-pressure overestimate bound is asserted in SketchSpec.
+    // shuffle, canonical collapse at eval. Capacity is SELF-SIZED from an
+    // NDV estimate of the counted column (the corpus-derived-sizing pattern
+    // llm_dedup_bloom uses): capacity > ndv ⇒ no eviction ever fires and
+    // SpaceSaving counts are EXACT, so the exact SQL oracle applies at any
+    // SF — a fixed 256 was exact at sf0.1 (1.5k users) and silently entered
+    // the overestimate regime at sf1 (15k users), caught by the r11 sf1
+    // sweep. The clamp at 2^20 is the honest 100 TB answer: past ~1M
+    // distinct keys per group you are BUYING the approximate regime
+    // (SpaceSaving's documented overestimates, bound asserted in
+    // SketchSpec) in exchange for bounded memory — exactly Doris TOPN's
+    // contract. The NDV probe is one cheap column-pruned aggregate scan,
+    // the same stats lookup a warehouse planner does for free.
     "agg_topn_counter" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         NA.register(s)
+        val ndv = Tables.events(s, dir)
+          .agg(approx_count_distinct($"user_id", 0.02)).head.getLong(0)
+        val cap = math.min(1 << 20, math.max(256L, 2L * ndv)).toInt
         Tables.events(s, dir)
           .groupBy($"event_type")
-          .agg(NA.topn_counter($"user_id", 3, 256).as("top_users"))
+          .agg(NA.topn_counter($"user_id", 3, cap).as("top_users"))
           .orderBy($"event_type")
       },
       """SELECT event_type,
