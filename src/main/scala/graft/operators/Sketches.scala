@@ -158,6 +158,48 @@ object Sketches {
     // table with bitmap_union columns) and every boolean audience query is
     // set algebra over a handful of KB-sized bitmaps. Exact, oracled via
     // INTERSECT/EXCEPT.
+    // Orthogonal bitmap aggregation (Doris orthogonal_bitmap_union_count
+    // [doris: upstream Doris docs, orthogonal BITMAP functions]): at true
+    // scale a SINGLE bitmap per group is the failure mode — 10^9 distinct
+    // ids in one RoaringBitmap is a multi-hundred-MB aggregation buffer
+    // that must serialize through every partial merge. The orthogonal fix
+    // bucketizes the ID SPACE (pmod(user_id, B)) so per-(group, bucket)
+    // bitmaps partition the ids: no two buckets can share an id, so the
+    // cross-bucket merge needs no bitmap OR at all — cardinalities simply
+    // ADD. The expensive exact-distinct state stays bounded per bucket
+    // (B× smaller, merged in parallel across the cluster), and the final
+    // pass moves only (group, bucket, count) longs, never bitmap bytes.
+    // This mirrors Doris's colocate-by-distribution-key orthogonal bitmap
+    // pattern; in this engine the same bucketing doubles as the shuffle
+    // key, so partial merge parallelism scales with B, not with group
+    // count. Exact at every SF, oracled against count(DISTINCT) replayed
+    // per bucket.
+    "agg_bitmap_orthogonal" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        NA.register(s)
+        val buckets = Tables.events(s, dir)
+          .groupBy($"event_type", pmod($"user_id", lit(16)).as("bkt"))
+          .agg(BF.bitmap_union($"user_id").as("bm"))
+        buckets
+          .select($"event_type", $"bkt", BF.bitmap_count($"bm").as("c"))
+          .groupBy($"event_type")
+          .agg(
+            sum($"c").as("nd_users"),
+            count(lit(1)).as("n_buckets"),
+            max($"c").as("max_bucket_card"))
+          .orderBy($"event_type")
+      },
+      """WITH b AS (
+        |  SELECT event_type, user_id % 16 AS bkt,
+        |    count(DISTINCT user_id) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(c) AS BIGINT) AS nd_users,
+        |  count(*) AS n_buckets,
+        |  CAST(max(c) AS BIGINT) AS max_bucket_card
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "agg_bitmap_intersect" -> QueryDef(
       (s, dir) => {
         import s.implicits._
