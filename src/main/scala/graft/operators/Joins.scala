@@ -529,6 +529,69 @@ object Joins {
         |FROM n WHERE l_quantity < 0.2 * avg_qty
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // TPC-H Q20 shape (significant shippers of red parts): the NESTED
+    // double-aggregate semi-join topology — the last classic planner shape
+    // in the kit (Q18 = aggregate-then-semi, Q17 = correlated scalar agg,
+    // Q21 = self-semi+anti, Q20 = aggregate COMPARED AGAINST a coarser
+    // aggregate of the same fact, feeding a semi-join). This testdata has
+    // no partsupp/ps_availqty, so the availability predicate is recast on
+    // lineitem alone with identical topology: a supplier "significantly
+    // ships" a red part if its 1996 shipped quantity of that part exceeds
+    // 30% of ALL suppliers' 1996 quantity of that part.
+    //
+    // The 100 TB plan: the red-part dim broadcasts (narrows the fact
+    // map-side); the fact shuffles ONCE on (l_partkey, l_suppkey) with
+    // map-side partial aggregation — the per-part total is then a window
+    // re-aggregation over the ALREADY-AGGREGATED per-(part,supp) rows
+    // (orders of magnitude smaller than the fact), never a second fact
+    // scan or self-join. The qualified-supplier set is tiny and broadcasts
+    // back as a semi probe. JoinsSpec pins: one lineitem scan, exchanges
+    // only on l_partkey/l_suppkey, a Window, and a semi join.
+    "join_flagship_q20" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val red = Tables.part(s, dir)
+          .filter($"p_name".like("red%")).select($"p_partkey")
+        val li = Tables.lineitem(s, dir)
+          .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+            $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+          .select($"l_partkey", $"l_suppkey", $"l_quantity")
+        val perSupp = li.join(broadcast(red), $"l_partkey" === $"p_partkey")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum($"l_quantity").as("supp_qty"))
+        val qualified = perSupp
+          .withColumn("part_qty",
+            sum($"supp_qty").over(Window.partitionBy($"l_partkey")))
+          .filter($"supp_qty" > lit(0.3) * $"part_qty")
+          .select($"l_suppkey").distinct()
+        // the qualified set is bounded by |supplier| — broadcast it
+        // explicitly (static stats derive its size from lineitem and
+        // would shuffle supplier instead)
+        Tables.supplier(s, dir)
+          .join(broadcast(qualified), $"s_suppkey" === $"l_suppkey", "left_semi")
+          .join(Tables.nation(s, dir), $"s_nationkey" === $"n_nationkey")
+          .select($"s_name", $"n_name", round($"s_acctbal", 2).as("acctbal"))
+          .orderBy($"s_name")
+      },
+      """WITH per_supp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'red%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY 1, 2),
+        |qualified AS (
+        |  SELECT DISTINCT l_suppkey FROM (
+        |    SELECT l_suppkey, supp_qty,
+        |      sum(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+        |    FROM per_supp)
+        |  WHERE supp_qty > 0.3 * part_qty)
+        |SELECT s_name, n_name, round(s_acctbal, 2) AS acctbal
+        |FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |WHERE s_suppkey IN (SELECT l_suppkey FROM qualified)
+        |ORDER BY s_name""".stripMargin),
+
     // SALT-AND-REPLICATE skew join — the manual fallback when one join key
     // is so hot a single reducer can't hold it and AQE's OptimizeSkewedJoin
     // isn't available/sufficient (agg_salted_skew is the groupBy flavor of

@@ -134,6 +134,28 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("q20: nested double-aggregate rides one fact shuffle; semi probe broadcasts") {
+    withDimOnlyBroadcast {
+      val plan = planOf(run("join_flagship_q20"))
+      // the per-part total must be a window over the per-(part,supp)
+      // aggregate — never a second lineitem scan or a fact self-join
+      assert("lineitem".r.findAllIn(
+        "Scan parquet.*".r.findAllIn(plan).mkString("\n")).size <= 1,
+        s"lineitem scanned more than once:\n$plan")
+      assert(plan.contains("Window"), s"missing window re-aggregate:\n$plan")
+      assert(plan.contains("LeftSemi"), s"missing semi probe:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"no fact self-join allowed:\n$plan")
+      // exchanges confined to the aggregate/window keys (the fact shuffles
+      // once on (l_partkey, l_suppkey); the window re-shuffle and DISTINCT
+      // move only aggregated rows)
+      val keys = hashExchangeKeys(plan)
+      val allowed = Set("l_partkey", "l_suppkey")
+      assert(keys.nonEmpty && keys.forall(allowed),
+        s"unexpected exchange keys ${keys.filterNot(allowed)}:\n$plan")
+    }
+  }
+
   test("join_inner uses broadcast joins for dimension sides") {
     val plan = planOf(run("join_inner"))
     assert(plan.contains("BroadcastHashJoin"))
