@@ -22,6 +22,7 @@ object SparkEntry {
       operators.LlmSimilarity.queries ++
       operators.LlmText.queries ++
       operators.Rollups.queries ++
+      operators.MaterializedViews.queries ++
       operators.FileScans.queries ++
       streaming.Streaming.queries
 
