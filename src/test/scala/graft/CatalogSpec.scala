@@ -42,6 +42,36 @@ class CatalogSpec extends SparkSpec {
     assert(federated == native)
   }
 
+  test("identifiers cannot escape the catalog root (path traversal)") {
+    // a backtick-quoted identifier like `../../x` must resolve to
+    // table-not-found, never to a parquet file outside the configured root
+    // (GraftCatalog.tablePath rejects separators/.. and re-checks the
+    // canonical path). Plant a real parquet OUTSIDE the root to prove the
+    // guard is what stops it, not a missing file.
+    val outside = java.nio.file.Files.createTempDirectory("cat_escape")
+    try {
+      Seq((1, "leaked")).toDF("id", "v").coalesce(1).write
+        .mode("overwrite").parquet(outside.resolve("secret.parquet").toString)
+      // a RELATIVE identifier that, unguarded, canonicalizes exactly onto
+      // the planted parquet — proving the guard (not a 404) is what stops it
+      val escape = java.nio.file.Paths.get(sf).toAbsolutePath.normalize
+        .relativize(outside.resolve("secret")).toString
+      assert(new java.io.File(new java.io.File(sf), s"$escape.parquet")
+        .getCanonicalFile.exists(), "test setup: escape path must resolve")
+      for (bad <- Seq(escape, "../secret", "a/../../secret", "..")) {
+        val e = intercept[Exception] {
+          spark.sql(s"SELECT * FROM $cat.main.`$bad`").collect()
+        }
+        assert(e.getMessage.toLowerCase.matches("(?s).*(not.?found|cannot be found).*"),
+          s"identifier '$bad' should be table-not-found, got: ${e.getMessage}")
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(outside).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists)
+    }
+  }
+
   test("the federated catalog is read-only") {
     intercept[Exception] {
       spark.sql(s"DROP TABLE $cat.main.orders")
