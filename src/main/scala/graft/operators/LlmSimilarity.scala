@@ -46,6 +46,58 @@ object LlmSimilarity {
       .select(col("vec_id"), col("e"), col("cid"), col("d2"))
   }
 
+  /** Product-quantization building blocks shared by llm_knn_pq and
+    * llm_knn_ivfpq (M=8 subspaces × 16 codes; deterministic one-step
+    * codebook from the vec_id%16 seed groups, 6-dp rounded — see the
+    * llm_knn_pq key comment for the full design rationale):
+    *  - sub:   exploded subvector view (vec_id, pos, m, spos, v)
+    *  - cb:    codebook (m, j, spos, c)  [broadcast-sized: M×16×subD rows]
+    *  - cnorm: per-code reconstruction norm² (m, j, nn)
+    *  - codes: corpus encoding, argmin-d² code per (vec_id, m) — at 100 TB
+    *           this is computed once at ingest and persisted (8 B/vector)
+    *  - lut:   per-query ADC lookup tables (qid, m, j, dot)
+    *  - qnorm: per-query norms (qid, qn) */
+  private case class PqParts(
+      sub: org.apache.spark.sql.DataFrame, cb: org.apache.spark.sql.DataFrame,
+      cnorm: org.apache.spark.sql.DataFrame,
+      codes: org.apache.spark.sql.DataFrame,
+      lut: org.apache.spark.sql.DataFrame, qnorm: org.apache.spark.sql.DataFrame)
+
+  private def pqParts(s: SparkSession, dir: String): PqParts = {
+    import s.implicits._
+    val M = 8
+    val codesK = 16
+    val emb = Tables.embeddings(s, dir)
+    val subD = emb.select(size($"embedding")).head.getInt(0) / M
+    val sub = emb.select($"vec_id",
+        posexplode(transform($"embedding", _.cast("double")))
+          .as(Seq("pos", "v")))
+      .withColumn("m", ($"pos" / subD).cast("int"))
+      .withColumn("spos", $"pos" % subD)
+      .localCheckpoint(true)
+    val cb = sub.withColumn("j", ($"vec_id" % codesK).cast("int"))
+      .groupBy($"m", $"j", $"spos")
+      .agg(round(avg($"v"), 6).as("c"))
+      .localCheckpoint(true)
+    val cnorm = cb.groupBy($"m", $"j").agg(sum($"c" * $"c").as("nn"))
+    val codes = sub.filter($"vec_id" >= 5)
+      .join(broadcast(cb), Seq("m", "spos"))
+      .groupBy($"vec_id", $"m", $"j")
+      .agg(round(sum(($"v" - $"c") * ($"v" - $"c")), 6).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)))
+      .filter($"rn" === 1).select($"vec_id", $"m", $"j")
+    val lut = sub.filter($"vec_id" < 5)
+      .join(broadcast(cb), Seq("m", "spos"))
+      .groupBy($"vec_id", $"m", $"j")
+      .agg(sum($"v" * $"c").as("dot"))
+      .withColumnRenamed("vec_id", "qid")
+    val qnorm = sub.filter($"vec_id" < 5)
+      .groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("qn"))
+      .withColumnRenamed("vec_id", "qid")
+    PqParts(sub, cb, cnorm, codes, lut, qnorm)
+  }
+
   /** label centroids with components rounded for determinism: (label, c: array<double>) */
   private def centroids(s: SparkSession, dir: String) = {
     import s.implicits._
@@ -204,49 +256,14 @@ object LlmSimilarity {
       (s, dir) => {
         import s.implicits._
         graft.functions.CosineSim.register(s)
-        val M = 8
-        val codesK = 16
         val emb = Tables.embeddings(s, dir)
-        val subD = emb.select(size($"embedding")).head.getInt(0) / M
-        // exploded subvector view: (vec_id, pos, m, spos, v) — shared by
-        // codebook/codes/LUT builds, materialized once
-        val sub = emb.select($"vec_id",
-            posexplode(transform($"embedding", _.cast("double")))
-              .as(Seq("pos", "v")))
-          .withColumn("m", ($"pos" / subD).cast("int"))
-          .withColumn("spos", $"pos" % subD)
-          .localCheckpoint(true)
-        // codebook: per subspace m, centroid c of seed group j = vec_id%16
-        val cb = sub.withColumn("j", ($"vec_id" % codesK).cast("int"))
-          .groupBy($"m", $"j", $"spos")
-          .agg(round(avg($"v"), 6).as("c"))
-          .localCheckpoint(true)
-        val cnorm = cb.groupBy($"m", $"j").agg(sum($"c" * $"c").as("nn"))
-        // ENCODE the corpus: per (vector, subspace) the argmin-d² code.
-        // At 100 TB this runs once at ingest and persists as an 8-byte
-        // column; here it's computed inline against the broadcast codebook
-        val codes = sub.filter($"vec_id" >= 5)
-          .join(broadcast(cb), Seq("m", "spos"))
-          .groupBy($"vec_id", $"m", $"j")
-          .agg(round(sum(($"v" - $"c") * ($"v" - $"c")), 6).as("d2"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy($"vec_id", $"m").orderBy($"d2".asc, $"j".asc)))
-          .filter($"rn" === 1).select($"vec_id", $"m", $"j")
-        // ADC lookup tables: per query, dot(q_m, c_{m,j}) for every code
-        val lut = sub.filter($"vec_id" < 5)
-          .join(broadcast(cb), Seq("m", "spos"))
-          .groupBy($"vec_id", $"m", $"j")
-          .agg(sum($"v" * $"c").as("dot"))
-          .withColumnRenamed("vec_id", "qid")
-        val qnorm = sub.filter($"vec_id" < 5)
-          .groupBy($"vec_id").agg(sqrt(sum($"v" * $"v")).as("qn"))
-          .withColumnRenamed("vec_id", "qid")
+        val pq = pqParts(s, dir)
         // ADC scan: approx cos = Σ_m lut[m][code_m] / (|q|·|reconstruction|)
         // — map-side over the codes, all lookup sides broadcast
-        val adc = codes
-          .join(broadcast(lut), Seq("m", "j"))
-          .join(broadcast(cnorm), Seq("m", "j"))
-          .join(broadcast(qnorm), Seq("qid"))
+        val adc = pq.codes
+          .join(broadcast(pq.lut), Seq("m", "j"))
+          .join(broadcast(pq.cnorm), Seq("m", "j"))
+          .join(broadcast(pq.qnorm), Seq("qid"))
           .groupBy($"qid", $"vec_id")
           .agg(round(sum($"dot") / (first($"qn") * sqrt(sum($"nn"))), 6)
             .as("score"))
@@ -309,6 +326,121 @@ object LlmSimilarity {
         |  FROM exact)
         |SELECT qid, rank, nid, round(cos, 4) AS cos4
         |FROM ranked WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // IVF-PQ — the two halves composed (Jégou et al. 2011 §V: coarse
+    // quantizer prunes WHICH vectors are scored, product codes decide HOW
+    // cheaply): queries probe their top-2 coarse cells (nprobe=2, tighter
+    // than llm_knn_ivf's 3 to make the pruning visible), the ADC scan runs
+    // ONLY over codes whose storage cell is in the probe set (the IVF
+    // gate — at 100 TB: partition pruning picks the cells, then M=8
+    // byte-code adds per survivor, no raw-vector IO until re-rank), and
+    // the top-8 ADC survivors re-rank exactly on raw vectors. This is the
+    // full billion-scale ANN serving shape; both stages reuse the pinned
+    // deterministic building blocks (6-dp rounds, total tie-breaks), so
+    // the ENTIRE composition — cells → codes → gated ADC → re-rank —
+    // replays in DuckDB and hash-compares exactly.
+    "llm_knn_ivfpq" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val emb = Tables.embeddings(s, dir)
+        // coarse quantizer: the llm_knn_ivf cell ranking (localCheckpoint
+        // for the same self-join attribute-dedup reason documented there)
+        val cents = broadcast(centroids(s, dir).withColumnRenamed("label", "cell"))
+        val ranked = emb.crossJoin(cents)
+          .select($"vec_id", $"cell",
+            round(TextOps.cosine($"embedding", $"centroid"), 6).as("sim"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cell".asc)))
+          .localCheckpoint(true)
+        val probe = ranked.filter($"vec_id" < 5 && $"rn" <= 2)
+          .select($"vec_id".as("qid"), $"cell")
+        val storage = ranked.filter($"vec_id" >= 5 && $"rn" === 1)
+          .select($"vec_id", $"cell")
+        val pq = pqParts(s, dir)
+        // IVF gate: a code row survives only if its vector's storage cell
+        // is one of the query's probe cells (storage cell is unique per
+        // vector, so no (qid,nid) duplication through the cell join)
+        val gated = pq.codes.join(storage, Seq("vec_id"))
+          .join(broadcast(probe), Seq("cell"))
+        val adc = gated
+          .join(broadcast(pq.lut), Seq("qid", "m", "j"))
+          .join(broadcast(pq.cnorm), Seq("m", "j"))
+          .join(broadcast(pq.qnorm), Seq("qid"))
+          .groupBy($"qid", $"vec_id")
+          .agg(round(sum($"dot") / (first($"qn") * sqrt(sum($"nn"))), 6)
+            .as("score"))
+        val cand = adc.withColumn("crank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"score".desc, $"vec_id".asc)))
+          .filter($"crank" <= 8).select($"qid", $"vec_id".as("nid"))
+        val q = emb.filter($"vec_id" < 5)
+          .select($"vec_id".as("qid"), $"embedding".as("qvec"))
+        emb.select($"vec_id".as("nid"), $"embedding")
+          .join(broadcast(cand.join(broadcast(q), Seq("qid"))), Seq("nid"))
+          .select($"qid", $"nid",
+            round(TextOps.cosine($"qvec", $"embedding"), 6).as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)))
+          .filter($"rank" <= 3)
+          .select($"qid", $"rank", $"nid", round($"cos", 4).as("cos4"))
+          .orderBy($"qid", $"rank")
+      },
+      """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
+        |         FROM el GROUP BY 1, 2),
+        |sims AS (SELECT e.vec_id, ct.cell,
+        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
+        |  FROM el e JOIN cent ct ON e.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |rankedc AS (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |  FROM sims),
+        |probe AS (SELECT vec_id AS qid, cell FROM rankedc WHERE vec_id < 5 AND rn <= 2),
+        |storage AS (SELECT vec_id, cell FROM rankedc WHERE vec_id >= 5 AND rn = 1),
+        |sub AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS spos, v FROM el),
+        |cb AS (SELECT m, CAST(vec_id % 16 AS INT) AS j, spos, round(avg(v), 6) AS c
+        |       FROM sub GROUP BY 1, 2, 3),
+        |cnorm AS (SELECT m, j, sum(c * c) AS nn FROM cb GROUP BY 1, 2),
+        |d2 AS (SELECT s.vec_id, cb.m, cb.j,
+        |    round(sum((s.v - cb.c) * (s.v - cb.c)), 6) AS d2
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.spos
+        |  WHERE s.vec_id >= 5
+        |  GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, m, j FROM (
+        |    SELECT vec_id, m, j,
+        |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, j ASC) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |lut AS (SELECT s.vec_id AS qid, cb.m, cb.j, sum(s.v * cb.c) AS dot
+        |  FROM sub s JOIN cb ON s.m = cb.m AND s.spos = cb.spos
+        |  WHERE s.vec_id < 5
+        |  GROUP BY 1, 2, 3),
+        |qnorm AS (SELECT vec_id AS qid, sqrt(sum(v * v)) AS qn
+        |  FROM el WHERE vec_id < 5 GROUP BY 1),
+        |adc AS (SELECT p.qid, co.vec_id AS nid,
+        |    round(sum(l.dot) / (any_value(qn.qn) * sqrt(sum(cn.nn))), 6) AS score
+        |  FROM storage st
+        |    JOIN probe p ON p.cell = st.cell
+        |    JOIN codes co ON co.vec_id = st.vec_id
+        |    JOIN lut l ON l.qid = p.qid AND l.m = co.m AND l.j = co.j
+        |    JOIN cnorm cn ON cn.m = co.m AND cn.j = co.j
+        |    JOIN qnorm qn ON qn.qid = p.qid
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid ASC) AS crank
+        |    FROM adc) WHERE crank <= 8),
+        |exact AS (SELECT c.qid, c.nid,
+        |    round(sum(q.v * n.v) / (sqrt(sum(q.v * q.v)) * sqrt(sum(n.v * n.v))), 6) AS cos
+        |  FROM cand c
+        |    JOIN el q ON q.vec_id = c.qid
+        |    JOIN el n ON n.vec_id = c.nid AND n.pos = q.pos
+        |  GROUP BY 1, 2),
+        |rankedp AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM exact)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos4
+        |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     // K-MEANS over embeddings (Lloyd's algorithm) — the clustering pass a
     // curation pipeline runs to diversify/balance training data (and the

@@ -595,6 +595,62 @@ object LlmText {
         |          OR (i + 2 <= len(toks) AND starts_with(toks[i+2], p2))))) > 0
         |ORDER BY doc_id""".stripMargin),
 
+    // MATCH_PHRASE_EDGE — the third Doris inverted-index phrase variant
+    // ([doris: be/src/olap/rowset/segment_v2/inverted_index_reader.cpp],
+    // match_phrase_edge in 2.x): the LEADING word matches by SUFFIX and the
+    // TRAILING word by PREFIX ("ine lea" hits "machine learning") — the
+    // mid-phrase-as-you-type predicate, completing the family
+    // (llm_match_phrase = exact adjacency, _prefix = trailing prefix,
+    // _edge = both edges open). Query is data-derived like its siblings
+    // (suffix-3 of word 1 + prefix-3 of word 2 of the top bigram). Same
+    // post-index verify shape: candidate narrowing by two codegen'd
+    // exists-HOFs over the token array (at 100 TB this is the edge-ngram
+    // index lookup — Doris builds exactly such an edge n-gram dictionary),
+    // and only narrowed candidates pay the single-pass adjacency UDF.
+    "llm_match_phrase_edge" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.documents(s, dir)
+          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
+          .filter(size(split($"bg", " ")) === 2)
+          .groupBy($"bg").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"bg").limit(1)
+          .select(
+            expr("substring(element_at(split(bg, ' '), 1), " +
+              "-least(3, length(element_at(split(bg, ' '), 1))))").as("s1"),
+            expr("substring(element_at(split(bg, ' '), 2), 1, 3)").as("p2"))
+        val edgeHit = udf((toks: Seq[String], s1: String, p2: String) =>
+          toks.length >= 2 && toks.indices.init.exists(i =>
+            toks(i).endsWith(s1) && toks(i + 1).startsWith(p2)))
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .crossJoin(broadcast(top))
+          .filter(exists($"toks", t => t.endsWith($"s1")) &&
+            exists($"toks", t => t.startsWith($"p2")))
+          .filter(edgeHit($"toks", $"s1", $"p2"))
+          .select($"doc_id", size($"toks").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+        |        THEN list_distinct(list_transform(
+        |          generate_series(1, len(toks) - 1),
+        |          i -> toks[i] || ' ' || toks[i+1]))
+        |        ELSE [array_to_string(toks, ' ')] END) bg
+        |      FROM t),
+        |q AS (SELECT ph[1][-least(3, length(ph[1])):] AS s1, ph[2][1:3] AS p2
+        |      FROM (
+        |        SELECT string_split(bg, ' ') ph FROM (
+        |          SELECT bg, count(*) n FROM b
+        |          WHERE len(string_split(bg, ' ')) = 2
+        |          GROUP BY 1 ORDER BY n DESC, bg LIMIT 1)))
+        |SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens
+        |FROM t CROSS JOIN q
+        |WHERE len(list_filter(generate_series(1, len(toks) - 1),
+        |        i -> ends_with(toks[i], s1) AND starts_with(toks[i+1], p2))) > 0
+        |ORDER BY doc_id""".stripMargin),
+
     // Token counting: whitespace split, the zero-allocation codegen'd
     // TokenCount expression, BPE-ish regex pieces, chars/4 heuristic.
     "llm_token_count" -> QueryDef(
@@ -1026,6 +1082,51 @@ object LlmText {
         |        CAST(concat('0x', substr(md5(doc_id || ':42'), 1, 4)) AS INTEGER)
         |          % 100 AS bucket
         |      FROM documents) t
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // Temperature-based DOMAIN BALANCING — the data-mixing step a
+    // pretraining pipeline runs so a few giant sources don't drown the
+    // rest: per-domain quota ∝ count^τ with τ=0.5 (the sqrt-sampling rule
+    // popularized by multilingual pretraining — mBERT/XLM-R exponent-
+    // smoothed sampling), selection within a domain by quality proxy
+    // (n_chars desc, doc_id tiebreak — the llm_sample discipline).
+    // ONE window shuffle on source computes both the domain size and the
+    // rank (count + row_number share the partition); quota = ceil(sqrt(n)).
+    // At 100 TB the skew-safe spelling splits this: the per-domain counts
+    // are a tiny pre-aggregate broadcast back, and each scan partition
+    // pre-prunes to its LOCAL top-quota before the global window — the
+    // two-phase TopN-per-key trick that caps what a hot domain ships into
+    // the shuffle at quota×partitions rows instead of its full row count.
+    // Output pins the selection itself (sum of kept doc_ids), not just
+    // the counts.
+    "llm_domain_balance" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"source")
+        val ranked = Tables.documents(s, dir)
+          .withColumn("n_total", count(lit(1)).over(w))
+          .withColumn("rn", row_number().over(
+            w.orderBy($"n_chars".desc, $"doc_id")))
+        ranked.filter($"rn" <= ceil(sqrt($"n_total")))
+          .groupBy($"source")
+          .agg(first($"n_total").as("n_total"),
+            ceil(sqrt(first($"n_total"))).cast("long").as("quota"),
+            count(lit(1)).as("n_kept"),
+            sum($"doc_id").as("sum_kept_ids"),
+            sum($"n_chars").as("sum_kept_chars"))
+          .orderBy($"source")
+      },
+      """WITH ranked AS (SELECT source, doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY source) AS n_total,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(any_value(n_total) AS BIGINT) AS n_total,
+        |  CAST(ceil(sqrt(any_value(n_total))) AS BIGINT) AS quota,
+        |  count(*) AS n_kept,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
+        |FROM ranked WHERE rn <= ceil(sqrt(n_total))
+        |GROUP BY source ORDER BY source""".stripMargin)
   )
 }

@@ -37,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
   //                           broadcast crossJoin
   //   llm_tfidf, llm_bm25   — scoring stream × 1-row corpus-stats broadcast
   //                           crossJoin (same shape as llm_unigram_logprob)
-  //   llm_match_phrase, llm_match_phrase_prefix
+  //   llm_match_phrase, llm_match_phrase_prefix, llm_match_phrase_edge
   //                         — corpus × 1-row derived-phrase broadcast
   //                           crossJoin
   private val bnljAllowed = Set(
@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
     "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf",
-    "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix")
+    "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
+    "llm_match_phrase_edge")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
