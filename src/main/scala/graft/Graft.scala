@@ -26,8 +26,10 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
   * on sessions that never use rollups costs nothing.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(s => new plans.RollupRewrite.RollupRewriteRule(s))
+    ext.injectOptimizerRule(s => new plans.JoinMvRewrite.JoinMvRewriteRule(s))
+  }
 }
 
 object Graft {
@@ -35,6 +37,7 @@ object Graft {
     * library ships on an already-running session. Idempotent. */
   def install(spark: SparkSession): Unit = {
     plans.RollupRewrite.install(spark)
+    plans.JoinMvRewrite.install(spark)
     functions.NativeAggregates.register(spark)
     functions.BitmapFunctions.registerAll(spark)
     functions.CosineSim.register(spark)

@@ -118,7 +118,68 @@ object MaterializedViews {
       MvState(base, mv, List(r1, r2))
     })
 
+  final case class JoinMvState(
+      mvPath: String, def_ : graft.plans.JoinMvRewrite.JoinMvDef)
+
+  private val joinMvBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, JoinMvState]()
+
+  /** Build + register the demo JOIN MV once per sf dir: orders ⋈ customer
+    * pre-aggregated by (c_mktsegment, o_orderpriority) with re-aggregable
+    * state (cnt, sum, per-column cnt), then install the rewrite rule. The
+    * serving query groups by a SUBSET of the MV keys, so the rule must both
+    * retarget the join and merge across the collapsed dimension. */
+  def ensureJoinMv(s: SparkSession, dir: String): JoinMvState =
+    joinMvBuilt.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val mvPath = TempDirs.create("graft_joinmv")
+      Tables.orders(s, dir)
+        .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"o_totalprice").as("sum_price"),
+          count($"o_totalprice").as("cnt_price"))
+        .write.mode("overwrite").parquet(mvPath)
+      val d = graft.plans.JoinMvRewrite.JoinMvDef(
+        leftPath = s"$dir/orders.parquet",
+        rightPath = s"$dir/customer.parquet",
+        joinKeys = Seq(("o_custkey", "c_custkey")),
+        mvPath = mvPath,
+        keys = Seq("c_mktsegment", "o_orderpriority"),
+        columns = Map(
+          ("count", "*") -> "cnt",
+          ("sum", "o_totalprice") -> "sum_price",
+          ("count", "o_totalprice") -> "cnt_price"))
+      graft.plans.JoinMvRewrite.register(d)
+      graft.plans.JoinMvRewrite.install(s)
+      JoinMvState(mvPath, d)
+    })
+
   def queries: Map[String, QueryDef] = Map(
+    // Transparent JOIN-MV serving (Doris 2.1 MTMV): the USER QUERY below is
+    // a plain join+aggregate over the BASE tables — no MV reference — and
+    // the optimizer rule retargets it onto the pre-joined aggregate,
+    // merging sum/count/avg across the collapsed o_orderpriority dimension
+    // (plan-asserted in RollupSpec: the served plan scans the MV and
+    // NEITHER base table). The oracle recomputes from raw base tables, so
+    // the hash compare proves the MV answer IS the base answer.
+    "mv_join_rewrite" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        ensureJoinMv(s, dir)
+        Tables.orders(s, dir)
+          .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum($"o_totalprice"), 2).as("sum_price"),
+            round(avg($"o_totalprice"), 2).as("avg_price"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price,
+        |  round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
     // Serve from the refreshed MV: re-aggregate the per-(year, priority)
     // state across partitions. After the incremental refresh the MV must
     // equal the full base — the oracle recomputes from raw orders.

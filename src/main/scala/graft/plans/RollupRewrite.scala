@@ -179,119 +179,8 @@ object RollupRewrite {
           Some(c.transform { case a: AttributeReference => rollupAttr(a.name) })
       }
 
-      // generic rewrite: swap AggregateExpressions for their merge form and
-      // key attributes for rollup attributes; any unmappable node -> bail
-      def rewriteExpr(e: Expression): Option[Expression] = e match {
-        // non-distinct mergeable aggregates, with or without an aggregate
-        // FILTER clause. A key-only FILTER commutes with the merge for the
-        // same reason the pushed-down filter does (it keeps/drops whole
-        // rollup groups), so it transplants onto the merged aggregate:
-        // count(*) FILTER (p) -> sum(cnt) FILTER (p'), etc.
-        case ae @ AggregateExpression(fn, _, false, filt, _)
-            if filt.forall(keyOnlyPred) =>
-          val newFilt = filt.map(_.transform {
-            case a: AttributeReference => rollupAttr(a.name) })
-          def merged(f: AggregateFunction): Option[Expression] =
-            Some(ae.copy(aggregateFunction = f, filter = newFilt))
-          // merged aggregate as a fresh Complete-mode expression — the
-          // Average lowering needs TWO of them under one Divide
-          def mergedExpr(f: AggregateFunction): AggregateExpression =
-            AggregateExpression(f, Complete, isDistinct = false, newFilt,
-              NamedExpression.newExprId)
-          fn match {
-            case Sum(a: AttributeReference, _) =>
-              d.columns.get(("sum", a.name)).flatMap(c => merged(Sum(rollupAttr(c))))
-            // min/max over a KEY column need no mapped value column: they
-            // are duplicate-insensitive, and the rollup preserves the exact
-            // distinct key-tuple set, so min/max over rollup keys == base
-            case Min(a: AttributeReference) if d.keys.contains(a.name) =>
-              merged(Min(rollupAttr(a.name)))
-            case Max(a: AttributeReference) if d.keys.contains(a.name) =>
-              merged(Max(rollupAttr(a.name)))
-            case Min(a: AttributeReference) =>
-              d.columns.get(("min", a.name)).flatMap(c => merged(Min(rollupAttr(c))))
-            case Max(a: AttributeReference) =>
-              d.columns.get(("max", a.name)).flatMap(c => merged(Max(rollupAttr(c))))
-            case Count(Seq(Literal(1, _))) =>
-              d.columns.get(("count", "*")).flatMap(c => merged(Sum(rollupAttr(c))))
-            case Count(Seq(a: AttributeReference)) =>
-              d.columns.get(("count", a.name)).flatMap(c => merged(Sum(rollupAttr(c))))
-            // avg merges as sum(sum_c) / sum(cnt_c), both cast to double —
-            // the same evaluate shape Average itself lowers to for
-            // non-decimal inputs. Requires the rollup to carry the COLUMN'S
-            // OWN non-null count (("count", col) mapping): count(*) is only
-            // equal when the column has no nulls, which parquet schemas
-            // can't promise, so no count(*) fallback.
-            case Average(a: AttributeReference, _)
-                if !a.dataType.isInstanceOf[DecimalType] =>
-              for {
-                sc <- d.columns.get(("sum", a.name))
-                cc <- d.columns.get(("count", a.name))
-              } yield Divide(
-                Cast(mergedExpr(Sum(rollupAttr(sc))), DoubleType),
-                Cast(mergedExpr(Sum(rollupAttr(cc))), DoubleType))
-            // decimal avg reproduces Average's OWN decimal lowering over the
-            // merged sums — divide at sumDataType decimal(p+10, s) by the
-            // count at decimal(20,0), then cast to decimal(p+4, s+4) — so
-            // every intermediate precision/scale (and hence rounding) is
-            // identical to the base-table Average. Re-casting sum(sum_c)
-            // down to decimal(p+10, s) is what pins the divide's input type:
-            // sum-over-rollup widens to (p+20, s), and dividing at that
-            // precision would round differently once the 38-digit cap
-            // adjusts the result scale. Pinned by RollupSpec's decimal fuzz.
-            case Average(a: AttributeReference, _) =>
-              val dt = a.dataType.asInstanceOf[DecimalType]
-              // DecimalType.bounded is private[sql]; same cap-at-38 rule
-              def bounded(p: Int, s: Int) =
-                DecimalType(math.min(p, 38), math.min(s, 38))
-              for {
-                sc <- d.columns.get(("sum", a.name))
-                cc <- d.columns.get(("count", a.name))
-              } yield Cast(
-                Divide(
-                  Cast(mergedExpr(Sum(rollupAttr(sc))),
-                    bounded(dt.precision + 10, dt.scale)),
-                  Cast(mergedExpr(Sum(rollupAttr(cc))), DecimalType(20, 0)),
-                  EvalMode.LEGACY),
-                bounded(dt.precision + 4, dt.scale + 4))
-            case _ => None
-          }
-        // DISTINCT aggregates whose arguments are all plain KEY columns are
-        // served EXACTLY: DISTINCT erases row multiplicity, and the rollup
-        // preserves the exact set of distinct full-key tuples, so the
-        // distinct argument set within any served group is unchanged by the
-        // collapse (count/sum/avg DISTINCT over keys — the shapes Doris's
-        // MaterializedViewSelector serves from an AGGREGATE-key index). An
-        // aggregate FILTER clause, if present, must also reference only key
-        // columns (it then keeps/drops whole rollup groups).
-        case ae @ AggregateExpression(fn, _, true, filt, _)
-            if fn.children.forall {
-                 case a: AttributeReference => d.keys.contains(a.name)
-                 case _ => false
-               } &&
-               filt.forall(keyOnlyPred) =>
-          val newFn = fn.withNewChildren(fn.children.map {
-            case a: AttributeReference => rollupAttr(a.name)
-          }).asInstanceOf[AggregateFunction]
-          val newFilt = filt.map(_.transform {
-            case a: AttributeReference => rollupAttr(a.name) })
-          Some(ae.copy(aggregateFunction = newFn, filter = newFilt))
-        // every OTHER aggregate shape must bail EXPLICITLY rather than fall
-        // through to the generic child rewrite below: rebuilding a
-        // non-distinct aggregate verbatim over the rollup scan treats
-        // collapsed rows as base rows (wrong multiplicity). Before this
-        // guard, an unmergeable aggregate carrying a FILTER clause —
-        // outside the merge case's pattern — reached the fallthrough and
-        // was silently served a 6-row answer.
-        case _: AggregateExpression => None
-        case a: AttributeReference =>
-          if (d.keys.contains(a.name)) Some(rollupAttr(a.name)) else None
-        case other =>
-          val newChildren = other.children.map(rewriteExpr)
-          if (newChildren.exists(_.isEmpty)) None
-          else if (other.children.isEmpty) Some(other)
-          else Some(other.withNewChildren(newChildren.flatten))
-      }
+      def rewriteExpr(e: Expression): Option[Expression] =
+        MergeAgg.rewriteExpr(d.keys, d.columns, rollupAttr, keyOnlyPred)(e)
 
       val newAggExprs = agg.aggregateExpressions.map { ne =>
         rewriteExpr(ne).map {
@@ -312,5 +201,138 @@ object RollupRewrite {
   implicit private class DefOps(d: RollupDef) {
     // normalized base path (file:// prefix tolerance)
     def rollupBaseNorm: String = "file:" + d.basePath.stripPrefix("file:")
+  }
+}
+
+/** The merge-form rewrite shared by [[RollupRewrite]] (single-table rollups)
+  * and [[JoinMvRewrite]] (multi-table async MVs): given a pre-aggregated
+  * table whose schema is `attr`, swap every AggregateExpression for its
+  * re-aggregation over the collapsed rows and every key attribute for the
+  * table's own; any unmappable node bails the whole rewrite (conservative).
+  * The mapping and its correctness arguments are documented case-by-case
+  * below (moved verbatim from RollupRewrite round 9/10). */
+private[plans] object MergeAgg {
+
+  def rewriteExpr(
+      keys: Seq[String],
+      columns: Map[(String, String), String],
+      attr: Map[String, Attribute],
+      keyOnlyPred: Expression => Boolean)(expr0: Expression): Option[Expression] = {
+
+    // generic rewrite: swap AggregateExpressions for their merge form and
+    // key attributes for rollup attributes; any unmappable node -> bail
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+        // non-distinct mergeable aggregates, with or without an aggregate
+        // FILTER clause. A key-only FILTER commutes with the merge for the
+        // same reason the pushed-down filter does (it keeps/drops whole
+        // rollup groups), so it transplants onto the merged aggregate:
+        // count(*) FILTER (p) -> sum(cnt) FILTER (p'), etc.
+        case ae @ AggregateExpression(fn, _, false, filt, _)
+            if filt.forall(keyOnlyPred) =>
+          val newFilt = filt.map(_.transform {
+            case a: AttributeReference => attr(a.name) })
+          def merged(f: AggregateFunction): Option[Expression] =
+            Some(ae.copy(aggregateFunction = f, filter = newFilt))
+          // merged aggregate as a fresh Complete-mode expression — the
+          // Average lowering needs TWO of them under one Divide
+          def mergedExpr(f: AggregateFunction): AggregateExpression =
+            AggregateExpression(f, Complete, isDistinct = false, newFilt,
+              NamedExpression.newExprId)
+          fn match {
+            case Sum(a: AttributeReference, _) =>
+              columns.get(("sum", a.name)).flatMap(c => merged(Sum(attr(c))))
+            // min/max over a KEY column need no mapped value column: they
+            // are duplicate-insensitive, and the rollup preserves the exact
+            // distinct key-tuple set, so min/max over rollup keys == base
+            case Min(a: AttributeReference) if keys.contains(a.name) =>
+              merged(Min(attr(a.name)))
+            case Max(a: AttributeReference) if keys.contains(a.name) =>
+              merged(Max(attr(a.name)))
+            case Min(a: AttributeReference) =>
+              columns.get(("min", a.name)).flatMap(c => merged(Min(attr(c))))
+            case Max(a: AttributeReference) =>
+              columns.get(("max", a.name)).flatMap(c => merged(Max(attr(c))))
+            case Count(Seq(Literal(1, _))) =>
+              columns.get(("count", "*")).flatMap(c => merged(Sum(attr(c))))
+            case Count(Seq(a: AttributeReference)) =>
+              columns.get(("count", a.name)).flatMap(c => merged(Sum(attr(c))))
+            // avg merges as sum(sum_c) / sum(cnt_c), both cast to double —
+            // the same evaluate shape Average itself lowers to for
+            // non-decimal inputs. Requires the rollup to carry the COLUMN'S
+            // OWN non-null count (("count", col) mapping): count(*) is only
+            // equal when the column has no nulls, which parquet schemas
+            // can't promise, so no count(*) fallback.
+            case Average(a: AttributeReference, _)
+                if !a.dataType.isInstanceOf[DecimalType] =>
+              for {
+                sc <- columns.get(("sum", a.name))
+                cc <- columns.get(("count", a.name))
+              } yield Divide(
+                Cast(mergedExpr(Sum(attr(sc))), DoubleType),
+                Cast(mergedExpr(Sum(attr(cc))), DoubleType))
+            // decimal avg reproduces Average's OWN decimal lowering over the
+            // merged sums — divide at sumDataType decimal(p+10, s) by the
+            // count at decimal(20,0), then cast to decimal(p+4, s+4) — so
+            // every intermediate precision/scale (and hence rounding) is
+            // identical to the base-table Average. Re-casting sum(sum_c)
+            // down to decimal(p+10, s) is what pins the divide's input type:
+            // sum-over-rollup widens to (p+20, s), and dividing at that
+            // precision would round differently once the 38-digit cap
+            // adjusts the result scale. Pinned by RollupSpec's decimal fuzz.
+            case Average(a: AttributeReference, _) =>
+              val dt = a.dataType.asInstanceOf[DecimalType]
+              // DecimalType.bounded is private[sql]; same cap-at-38 rule
+              def bounded(p: Int, s: Int) =
+                DecimalType(math.min(p, 38), math.min(s, 38))
+              for {
+                sc <- columns.get(("sum", a.name))
+                cc <- columns.get(("count", a.name))
+              } yield Cast(
+                Divide(
+                  Cast(mergedExpr(Sum(attr(sc))),
+                    bounded(dt.precision + 10, dt.scale)),
+                  Cast(mergedExpr(Sum(attr(cc))), DecimalType(20, 0)),
+                  EvalMode.LEGACY),
+                bounded(dt.precision + 4, dt.scale + 4))
+            case _ => None
+          }
+        // DISTINCT aggregates whose arguments are all plain KEY columns are
+        // served EXACTLY: DISTINCT erases row multiplicity, and the rollup
+        // preserves the exact set of distinct full-key tuples, so the
+        // distinct argument set within any served group is unchanged by the
+        // collapse (count/sum/avg DISTINCT over keys — the shapes Doris's
+        // MaterializedViewSelector serves from an AGGREGATE-key index). An
+        // aggregate FILTER clause, if present, must also reference only key
+        // columns (it then keeps/drops whole rollup groups).
+        case ae @ AggregateExpression(fn, _, true, filt, _)
+            if fn.children.forall {
+                 case a: AttributeReference => keys.contains(a.name)
+                 case _ => false
+               } &&
+               filt.forall(keyOnlyPred) =>
+          val newFn = fn.withNewChildren(fn.children.map {
+            case a: AttributeReference => attr(a.name)
+          }).asInstanceOf[AggregateFunction]
+          val newFilt = filt.map(_.transform {
+            case a: AttributeReference => attr(a.name) })
+          Some(ae.copy(aggregateFunction = newFn, filter = newFilt))
+        // every OTHER aggregate shape must bail EXPLICITLY rather than fall
+        // through to the generic child rewrite below: rebuilding a
+        // non-distinct aggregate verbatim over the rollup scan treats
+        // collapsed rows as base rows (wrong multiplicity). Before this
+        // guard, an unmergeable aggregate carrying a FILTER clause —
+        // outside the merge case's pattern — reached the fallthrough and
+        // was silently served a 6-row answer.
+        case _: AggregateExpression => None
+        case a: AttributeReference =>
+          if (keys.contains(a.name)) Some(attr(a.name)) else None
+        case other =>
+          val newChildren = other.children.map(rewriteExpr)
+          if (newChildren.exists(_.isEmpty)) None
+          else if (other.children.isEmpty) Some(other)
+          else Some(other.withNewChildren(newChildren.flatten))
+      }
+
+    rewriteExpr(expr0)
   }
 }

@@ -473,4 +473,56 @@ class RollupSpec extends SparkSpec {
       .refresh(spark, st.basePath, st.mvPath)
     assert(again == 0, s"no-op refresh recomputed $again partitions")
   }
+
+  // ---- multi-table (join) MV: transparent SPJG-subset rewrite ----
+
+  test("join MV: the serving plan scans the MV and neither base table") {
+    val st = operators.MaterializedViews.ensureJoinMv(spark, sf)
+    val plan = run("mv_join_rewrite").queryExecution.executedPlan.toString
+    assert(plan.contains(st.mvPath.stripPrefix("file:")),
+      s"plan does not scan the MV:\n$plan")
+    assert(!plan.contains("orders.parquet") && !plan.contains("customer.parquet"),
+      s"plan still scans a base table:\n$plan")
+    // and the join itself is gone: serving cost is |MV|, not fact ⋈ dim
+    assert(!plan.contains("Join"), s"join survived the rewrite:\n$plan")
+  }
+
+  test("join MV: served answer equals the rule-off base join") {
+    operators.MaterializedViews.ensureJoinMv(spark, sf)
+    val served = run("mv_join_rewrite").collect().toSeq
+    plans.JoinMvRewrite.clear()
+    try {
+      val base = run("mv_join_rewrite").collect().toSeq
+      assert(served == base, s"MV serve drifted from base:\n$served\nvs\n$base")
+    } finally plans.JoinMvRewrite.register(
+      operators.MaterializedViews.ensureJoinMv(spark, sf).def_)
+  }
+
+  test("join MV: swapped orientation serves; extra filters and outer joins bail") {
+    val st = operators.MaterializedViews.ensureJoinMv(spark, sf)
+    // customer ⋈ orders (the defining join mirrored) must still serve
+    val swapped = Tables.customer(spark, sf)
+      .join(Tables.orders(spark, sf), $"c_custkey" === $"o_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    val sp = swapped.queryExecution.executedPlan.toString
+    assert(sp.contains(st.mvPath.stripPrefix("file:")) && !sp.contains("Join"),
+      s"swapped orientation not served:\n$sp")
+    // a predicate the MV did not pre-apply must bail to the base plan
+    val filtered = Tables.orders(spark, sf)
+      .filter($"o_totalprice" > 1000)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    val fp = filtered.queryExecution.executedPlan.toString
+    assert(fp.contains("orders.parquet"), s"selective query wrongly served:\n$fp")
+    // an outer join has different null semantics than the defining inner
+    val outer = Tables.orders(spark, sf)
+      .join(Tables.customer(spark, sf), $"o_custkey" === $"c_custkey", "left")
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+    val op = outer.queryExecution.executedPlan.toString
+    assert(op.contains("orders.parquet"), s"outer join wrongly served:\n$op")
+    // and the bailing shapes still answer correctly (fell back, not broke)
+    val nBase = Tables.orders(spark, sf).filter($"o_totalprice" > 1000).count()
+    assert(filtered.agg(org.apache.spark.sql.functions.sum($"n")).as[Long].head() == nBase)
+  }
 }
