@@ -651,6 +651,54 @@ object LlmText {
         |        i -> ends_with(toks[i], s1) AND starts_with(toks[i+1], p2))) > 0
         |ORDER BY doc_id""".stripMargin),
 
+    // MATCH_REGEXP (Doris 2.x inverted index) — regex matching served FROM
+    // the index, not by scanning every token: extract a literal PREFIX from
+    // the (anchored) pattern and narrow to docs owning a token with that
+    // prefix first — exactly how Lucene/Doris run regex queries against the
+    // term dictionary (determinize, walk the literal prefix range) — then
+    // only candidates pay the per-token regex verify. Query is data-derived
+    // (most frequent pure-alpha token ≥ 6 chars → pattern
+    // ^<first3>[a-z]*<last char>$, alpha-only so no metacharacter can leak
+    // into the pattern); the prefix probe is a codegen'd exists-HOF, the
+    // verify a non-foldable regexp_like (pattern arrives as a column from
+    // the 1-row broadcast). Both engines anchor-and-search with the same
+    // semantics, so the key hash-compares at any SF.
+    "llm_match_regexp" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val top = Tables.documents(s, dir)
+          .select(explode(TextOps.tokenSet($"text")).as("tok"))
+          .filter($"tok".rlike("^[a-z]{6,}$"))
+          .groupBy($"tok").agg(count(lit(1)).as("n"))
+          .orderBy($"n".desc, $"tok").limit(1)
+          .select(substring($"tok", 1, 3).as("p3"),
+            concat(lit("^"), substring($"tok", 1, 3), lit("[a-z]*"),
+              substring($"tok", -1, 1), lit("$")).as("rx"))
+        Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .crossJoin(broadcast(top))
+          .filter(exists($"toks", t => t.startsWith($"p3")))
+          .withColumn("n_match",
+            size(expr("filter(toks, t -> regexp_like(t, rx))")))
+          .filter($"n_match" > 0)
+          .select($"doc_id", $"n_match", size($"toks").as("n_tokens"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |tok AS (SELECT unnest(list_distinct(toks)) tok FROM t),
+        |q AS (SELECT tok[1:3] AS p3,
+        |        '^' || tok[1:3] || '[a-z]*' || tok[length(tok):] || '$' AS rx
+        |      FROM (SELECT tok, count(*) n FROM tok
+        |            WHERE regexp_matches(tok, '^[a-z]{6,}$')
+        |            GROUP BY 1 ORDER BY n DESC, tok LIMIT 1))
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, rx))) AS INT) AS n_match,
+        |  CAST(len(toks) AS INT) AS n_tokens
+        |FROM t CROSS JOIN q
+        |WHERE len(list_filter(toks, x -> regexp_matches(x, rx))) > 0
+        |ORDER BY doc_id""".stripMargin),
+
     // Token counting: whitespace split, the zero-allocation codegen'd
     // TokenCount expression, BPE-ish regex pieces, chars/4 heuristic.
     "llm_token_count" -> QueryDef(

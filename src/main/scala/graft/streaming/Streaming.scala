@@ -397,6 +397,48 @@ object Streaming {
       path
     })
 
+  /** The streaming-maintained JOIN MV (see stream_join_mv): per micro-batch
+    * the event rows enrich against the broadcast customer dim and fold into
+    * a pre-joined aggregate keyed (c_mktsegment, event_type) — the
+    * mergeIngest delta-merge, so per-batch cost is O(|keys| + |batch|) and
+    * the dim join is map-side. The final version registers with
+    * JoinMvRewrite exactly like streamRollupIngest registers its rollup. */
+  private val joinMvIngested = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, graft.plans.JoinMvRewrite.JoinMvDef)]()
+  private[graft] def streamJoinMvIngest(s: SparkSession, dir: String): String =
+    joinMvIngested.computeIfAbsent(dir, { _ =>
+      val dim = graft.Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val path = mergeIngest(s, dir,
+        batch => batch
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(sum(col("value")).as("sum_value"), count(lit(1)).as("cnt"),
+            count(col("value")).as("cnt_value")),
+        u => u.groupBy(col("c_mktsegment"), col("event_type"))
+          .agg(sum(col("sum_value")).as("sum_value"),
+            sum(col("cnt")).as("cnt"),
+            sum(col("cnt_value")).as("cnt_value")))
+      val d = graft.plans.JoinMvRewrite.JoinMvDef(
+        leftPath = s"$dir/events.parquet",
+        rightPath = s"$dir/customer.parquet",
+        joinKeys = Seq(("user_id", "c_custkey")),
+        mvPath = path,
+        keys = Seq("c_mktsegment", "event_type"),
+        columns = Map(
+          ("count", "*") -> "cnt",
+          ("sum", "value") -> "sum_value",
+          ("count", "value") -> "cnt_value"))
+      graft.plans.JoinMvRewrite.register(d)
+      (path, d)
+    })._1
+
+  /** The registered def of the streamed join MV (spec support: re-register
+    * after a registry clear without re-running the ingest). */
+  private[graft] def streamJoinMvDef(
+      dir: String): Option[graft.plans.JoinMvRewrite.JoinMvDef] =
+    Option(joinMvIngested.get(dir)).map(_._2)
+
   def queries: Map[String, QueryDef] = Map(
     // Stream Load analogue: micro-batch ingest through foreachBatch into
     // partitioned parquet (atomic per batch), then read-back stats.
@@ -915,6 +957,39 @@ object Streaming {
         |  count(*) AS n, round(min(value), 2) AS min_value,
         |  round(max(value), 2) AS max_value,
         |  round(avg(value), 4) AS avg_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // JOIN-MV maintenance under streaming ingest — the multi-table twin of
+    // stream_rollup, closing the MTMV lifecycle: micro-batches of events
+    // enrich map-side against the broadcast customer dim and delta-merge
+    // into a pre-joined aggregate (streamJoinMvIngest); the final version
+    // registers with JoinMvRewrite, and the returned query is a PLAIN
+    // batch join+aggregate over the BASE tables that the optimizer
+    // transparently retargets onto the streamed MV (StreamingSpec asserts
+    // the served plan scans the MV and contains no join; the oracle
+    // recomputes from raw events ⋈ customer). At 100 TB the serving cost
+    // is |mktsegment × event_type| rows however much stream history the
+    // MV has absorbed. Events side reads only (user_id, value) so the
+    // scan stays an attr-only projection the MV matcher recognizes.
+    "stream_join_mv" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        streamJoinMvIngest(s, dir)
+        graft.plans.JoinMvRewrite.install(s)
+        s.read.parquet(s"$dir/events.parquet").select($"user_id", $"value")
+          .join(s.read.parquet(s"$dir/customer.parquet")
+              .select($"c_custkey", $"c_mktsegment"),
+            $"user_id" === $"c_custkey")
+          .groupBy($"c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum($"value"), 2).as("total_value"),
+            round(avg($"value"), 2).as("avg_value"))
+          .orderBy($"c_mktsegment")
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(value), 2) AS total_value,
+        |  round(avg(value), 2) AS avg_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -295,6 +295,29 @@ class LlmSpec extends SparkSpec {
     assert(phrase.nonEmpty, "degenerate corpus: exact phrase matched nothing")
   }
 
+  test("match_regexp: narrowing is lossless and the derived pattern hits its own token") {
+    // the pattern ^abc[a-z]*z$ is derived from the top pure-alpha token, so
+    // every doc containing that token verbatim must be in the result …
+    val topTok = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextOps.tokenSet($"text")).as("tok"))
+      .filter($"tok".rlike("^[a-z]{6,}$"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok").limit(1).as[(String, Long)].head()._1
+    val withTok = Tables.documents(spark, sf)
+      .filter(array_contains(graft.text.TextOps.tokenSet($"text"), topTok))
+      .select($"doc_id").as[Long].collect().toSet
+    val got = run("llm_match_regexp").select($"doc_id").as[Long].collect().toSet
+    assert(withTok.subsetOf(got), s"missing: ${withTok -- got}")
+    // … and the prefix narrow is lossless vs a full-corpus regex scan
+    // (anchored pattern implies the 3-char prefix, so no candidate escapes)
+    val rx = "^" + topTok.take(3) + "[a-z]*" + topTok.last + "$"
+    val brute = Tables.documents(spark, sf)
+      .select($"doc_id", graft.text.TextOps.tokens($"text").as("toks"))
+      .filter(exists($"toks", t => t.rlike(rx)))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == brute, s"narrow lost/added docs: ${got.diff(brute)} ${brute.diff(got)}")
+  }
+
   test("domain balance: quota = ceil(sqrt(n)), selection is the top-quota by quality") {
     val bal = run("llm_domain_balance")
       .select($"source", $"n_total", $"quota", $"n_kept", $"sum_kept_ids")

@@ -46,7 +46,7 @@ class PlanAuditSpec extends SparkSpec {
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
     "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
-    "llm_match_phrase_edge")
+    "llm_match_phrase_edge", "llm_match_regexp")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

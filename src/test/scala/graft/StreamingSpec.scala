@@ -340,6 +340,31 @@ class StreamingSpec extends SparkSpec {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("stream_join_mv: post-ingest join+agg is served by the streamed join MV") {
+    val df = run("stream_join_mv")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_merge_table"),
+      s"join+agg not retargeted onto the streaming-maintained join MV:\n$plan")
+    assert(!plan.contains("events.parquet") && !plan.contains("customer.parquet"),
+      s"a base table is still scanned post-rewrite:\n$plan")
+    assert(!plan.contains("Join"), s"join survived the MV rewrite:\n$plan")
+    // and the MV-served answer equals the base-table join recompute
+    val base = spark.read.parquet(s"$sf/events.parquet")
+      .select($"user_id", $"value")
+      .join(spark.read.parquet(s"$sf/customer.parquet")
+          .select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"),
+        round(avg($"value"), 2).as("avg_value"))
+      .orderBy($"c_mktsegment")
+    val served = df.collect().toSeq
+    plans.JoinMvRewrite.clear()
+    try assert(served == base.collect().toSeq)
+    finally streaming.Streaming.streamJoinMvDef(sf)
+      .foreach(plans.JoinMvRewrite.register)
+  }
+
   test("jdbc sink replay: a retried micro-batch replaces its rows, not appends") {
     // drives the retry path processAllAvailable() never takes on a healthy
     // run: replaying batchId=1 (Spark retries a failed micro-batch under
