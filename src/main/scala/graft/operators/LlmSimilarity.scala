@@ -81,7 +81,9 @@ object LlmSimilarity {
   private def pqParts(s: SparkSession, dir: String): PqParts = {
     val mt = embMTime(dir)
     pqCache.compute(dir, (_, prev) =>
-      if (prev != null && prev._1 == mt) prev
+      // the session guard is the langProfile rule: a checkpointed DF is
+      // bound to the session that built it
+      if (prev != null && prev._1 == mt && (prev._2.sub.sparkSession eq s)) prev
       else (mt, buildPqParts(s, dir)))._2
   }
 
@@ -93,7 +95,7 @@ object LlmSimilarity {
     import s.implicits._
     val mt = embMTime(dir)
     cellCache.compute(dir, (_, prev) =>
-      if (prev != null && prev._1 == mt) prev
+      if (prev != null && prev._1 == mt && (prev._2.sparkSession eq s)) prev
       else {
         val cents = broadcast(centroids(s, dir).withColumnRenamed("label", "cell"))
         val ranked = Tables.embeddings(s, dir).crossJoin(cents)

@@ -57,6 +57,37 @@ object LlmText {
     }
   }
 
+  private case class BigramEntry(mtime: Long, q: org.apache.spark.sql.DataFrame)
+  private val bigramCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BigramEntry]()
+
+  /** The data-derived phrase query shared by the MATCH_PHRASE family
+    * (exact / prefix / edge): the corpus's most frequent true bigram as a
+    * 1-row (ph: array<string>) DataFrame. Query DERIVATION is an offline
+    * step at scale — a real deployment matches a user-given phrase against
+    * the index — so the three keys share one corpus shingle pass instead
+    * of re-deriving it each. Same mtime + session freshness contract as
+    * langProfile above. */
+  private[graft] def topBigram(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = bigramCache.get(dir)
+    if (e != null && e.mtime == srcMtime && (e.q.sparkSession eq s)) e.q
+    else {
+      import s.implicits._
+      val q = Tables.documents(s, dir)
+        .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
+        // sub-2-token docs emit their whole text as a pseudo-shingle; a
+        // phrase query must be a true bigram (see llm_match_phrase note)
+        .filter(size(split($"bg", " ")) === 2)
+        .groupBy($"bg").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"bg").limit(1)
+        .select(split($"bg", " ").as("ph"))
+        .localCheckpoint(true)
+      bigramCache.put(dir, BigramEntry(srcMtime, q))
+      q
+    }
+  }
+
   /** Corpus term-frequency table (doc_id, tok, tf) — the standing artifact
     * of the lexical-scoring family: llm_tfidf and llm_bm25 both consume it,
     * and their df (rows per tok) and dl (sum(tf) per doc) tables DERIVE
@@ -494,16 +525,11 @@ object LlmText {
     "llm_match_phrase" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val top = Tables.documents(s, dir)
-          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
-          // sub-2-token docs emit their whole text as a pseudo-shingle;
-          // a phrase query must be a true bigram, and without this guard a
-          // degenerate corpus would leave ph with one element (the probe
-          // would throw where the oracle degrades to empty)
-          .filter(size(split($"bg", " ")) === 2)
-          .groupBy($"bg").agg(count(lit(1)).as("n"))
-          .orderBy($"n".desc, $"bg").limit(1)
-          .select(split($"bg", " ").as("ph"))
+        // shared standing query artifact (see topBigram): without the
+        // true-bigram guard there, a degenerate corpus would leave ph with
+        // one element (the probe would throw where the oracle degrades to
+        // empty)
+        val top = topBigram(s, dir)
         // single-pass imperative adjacency probe: the declarative exists-
         // over-positions spelling re-evaluates the inlined split per
         // position (interpreted lambda — measured no faster than the
@@ -554,13 +580,9 @@ object LlmText {
     "llm_match_phrase_prefix" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val top = Tables.documents(s, dir)
-          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
-          .filter(size(split($"bg", " ")) === 2)
-          .groupBy($"bg").agg(count(lit(1)).as("n"))
-          .orderBy($"n".desc, $"bg").limit(1)
-          .select(expr("element_at(split(bg, ' '), 1)").as("w1"),
-            expr("substring(element_at(split(bg, ' '), 2), 1, 3)").as("p2"))
+        val top = topBigram(s, dir)
+          .select(expr("element_at(ph, 1)").as("w1"),
+            expr("substring(element_at(ph, 2), 1, 3)").as("p2"))
         val prefixHit = udf((toks: Seq[String], w1: String, p2: String) =>
           toks.length >= 2 && toks.indices.init.exists(i =>
             toks(i) == w1 && (toks(i + 1).startsWith(p2) ||
@@ -610,15 +632,11 @@ object LlmText {
     "llm_match_phrase_edge" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val top = Tables.documents(s, dir)
-          .select(explode(TextOps.shinglesUdf(2)($"text")).as("bg"))
-          .filter(size(split($"bg", " ")) === 2)
-          .groupBy($"bg").agg(count(lit(1)).as("n"))
-          .orderBy($"n".desc, $"bg").limit(1)
+        val top = topBigram(s, dir)
           .select(
-            expr("substring(element_at(split(bg, ' '), 1), " +
-              "-least(3, length(element_at(split(bg, ' '), 1))))").as("s1"),
-            expr("substring(element_at(split(bg, ' '), 2), 1, 3)").as("p2"))
+            expr("substring(element_at(ph, 1), " +
+              "-least(3, length(element_at(ph, 1))))").as("s1"),
+            expr("substring(element_at(ph, 2), 1, 3)").as("p2"))
         val edgeHit = udf((toks: Seq[String], s1: String, p2: String) =>
           toks.length >= 2 && toks.indices.init.exists(i =>
             toks(i).endsWith(s1) && toks(i + 1).startsWith(p2)))
