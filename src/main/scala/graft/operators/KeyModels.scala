@@ -324,6 +324,47 @@ object KeyModels {
     // no rewrite, no tombstones — and subsequent scans partition-prune to
     // the survivors. The 100 TB retention story (drop expired date
     // partitions) costs nothing but the directory delete.
+    // AUTO PARTITION (Doris 2.1 `AUTO PARTITION BY RANGE date_trunc(...)`,
+    // [doris: fe/.../analysis/PartitionDesc.java — auto partition]):
+    // partitions MATERIALIZE as loads arrive with new time values, no DDL
+    // per period. Spark-native equivalent: dynamic partitioned append —
+    // load 1 carries the early months, load 2 brings later months whose
+    // partition directories are CREATED BY THE WRITE; the result exposes
+    // the before/after partition counts (replayed by the oracle from the
+    // month population) plus the per-month aggregate over the final table.
+    // At 100 TB this is the ingest layout that makes model_partition_drop's
+    // O(1) drops and time-pruned scans possible in the first place.
+    "model_auto_partition" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val out = graft.TempDirs.create("graft_autopart")
+        val ev = Tables.events(s, dir)
+          .select($"event_id", $"value", date_format($"ts", "yyyy-MM-dd").as("p_day"))
+        val months = ev.select($"p_day").distinct()
+          .orderBy($"p_day").as[String].collect()
+        val early = months.take(math.max(1, months.length / 2))
+        def nParts = Option(new java.io.File(out).list()).getOrElse(Array.empty)
+          .count(_.startsWith("p_day="))
+        ev.filter($"p_day".isin(early.toSeq: _*))
+          .write.mode("overwrite").partitionBy("p_day").parquet(out)
+        val before = nParts
+        ev.filter(!$"p_day".isin(early.toSeq: _*))
+          .write.mode("append").partitionBy("p_day").parquet(out)
+        val after = nParts
+        s.read.parquet(out)
+          .groupBy($"p_day")
+          .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
+          .withColumn("parts_before_load2", lit(before))
+          .withColumn("parts_after_load2", lit(after))
+          .orderBy($"p_day")
+      },
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS p_day, value FROM events),
+        |m AS (SELECT count(DISTINCT p_day) AS n_all FROM e)
+        |SELECT p_day, count(*) AS n, round(sum(value), 2) AS sum_value,
+        |  CAST((SELECT greatest(1, n_all // 2) FROM m) AS INT) AS parts_before_load2,
+        |  CAST((SELECT n_all FROM m) AS INT) AS parts_after_load2
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "model_partition_drop" -> QueryDef(
       (s, dir) => {
         import s.implicits._

@@ -598,6 +598,68 @@ object LlmSimilarity {
         |    round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
         |  FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
         |  GROUP BY 1, 2)
-        |SELECT i, j, cos FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin)
+        |SELECT i, j, cos FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin),
+
+    // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-efficient
+    // learning at web-scale through semantic deduplication"): cluster the
+    // embeddings, then deduplicate ONLY within clusters — the cluster
+    // blocking is what makes semantic dedup tractable at 100 TB (pairwise
+    // cost collapses from N² to Σ|cell|², and each cell's verify is an
+    // equi-join on the cell id, not a crossJoin). Policy here: within a
+    // cell a vector is dropped if a SMALLER-id vector sits at cosine ≥ 0.4
+    // (min-id survivor — deterministic; the paper keeps the
+    // farthest-from-centroid instead, an orthogonal choice). Cells are the
+    // standing coarse-cell artifact (cellRanked); the same bounded slice
+    // discipline as llm_embed_neardup keeps the 64-dim pairwise oracle
+    // replayable in SQL. Recall vs unblocked brute force is measured in
+    // LlmSpec (blocking misses cross-cell dups by design — the documented
+    // SemDeDup trade).
+    "llm_semdedup" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val cells = cellRanked(s, dir)
+          .filter($"rn" === 1 && $"vec_id" < 500)
+          .select($"vec_id", $"embedding", $"cell")
+        val dropped = cells.as("a").join(cells.as("b"),
+            $"a.cell" === $"b.cell" && $"b.vec_id" < $"a.vec_id")
+          .filter(round(TextOps.cosine($"a.embedding", $"b.embedding"), 4) >= 0.4)
+          .select($"a.cell".as("cell"), $"a.vec_id".as("vec_id"))
+          .distinct()
+        cells.select($"cell", $"vec_id")
+          .join(dropped.withColumn("dropped", lit(1)), Seq("cell", "vec_id"), "left")
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"dropped" === 1, 1L).otherwise(0L)).as("n_dropped"),
+            coalesce(sum(when($"dropped" === 1, $"vec_id")), lit(0L))
+              .as("sum_dropped_ids"))
+          .orderBy($"cell")
+      },
+      """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
+        |         FROM el GROUP BY 1, 2),
+        |sims AS (SELECT e.vec_id, ct.cell,
+        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
+        |  FROM el e JOIN cent ct ON e.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM sims) WHERE rn = 1 AND vec_id < 500),
+        |pairs AS (SELECT ca.vec_id AS i, ca.cell,
+        |    round(sum(ea.v * eb.v) / (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v))), 4) AS cos
+        |  FROM cl ca JOIN cl cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
+        |    JOIN el ea ON ea.vec_id = ca.vec_id
+        |    JOIN el eb ON eb.vec_id = cb.vec_id AND eb.pos = ea.pos
+        |  GROUP BY ca.vec_id, cb.vec_id, ca.cell),
+        |dropped AS (SELECT DISTINCT cell, i AS vec_id FROM pairs WHERE cos >= 0.4)
+        |SELECT cl.cell, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN cl.vec_id END), 0)
+        |    AS BIGINT) AS sum_dropped_ids
+        |FROM cl LEFT JOIN dropped d ON d.cell = cl.cell AND d.vec_id = cl.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

@@ -178,4 +178,18 @@ class KeyModelsSpec extends SparkSpec {
     assert(engine.values.exists(v => v._1.isEmpty || v._2.isEmpty),
       "no merged row kept a never-filled column — weaken of the fuzz")
   }
+  test("auto partition: load 2 materializes exactly the late-day partitions") {
+    import TestSpark.spark.implicits._
+    val rows = run("model_auto_partition")
+      .select($"p_day", $"parts_before_load2", $"parts_after_load2")
+      .as[(String, Int, Int)].collect()
+    val nDays = rows.length
+    val (before, after) = (rows.head._2, rows.head._3)
+    assert(after == nDays, s"after-load-2 partitions $after != $nDays days")
+    assert(before == math.max(1, nDays / 2),
+      s"before-load-2 partitions $before != early half of $nDays")
+    assert(after > before,
+      "load 2 created no partitions — the auto-partition demo degenerated " +
+        "(single-day corpus?)")
+  }
 }

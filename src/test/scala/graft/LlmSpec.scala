@@ -342,6 +342,37 @@ class LlmSpec extends SparkSpec {
     assert(keptMax <= rawMax + 1e-9, s"kept share $keptMax vs raw $rawMax")
   }
 
+  test("semdedup: no false drops; cluster blocking recalls within-cell dups") {
+    val res = run("llm_semdedup")
+      .select($"cell", $"n_vecs", $"n_dropped", $"sum_dropped_ids")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(res.map(_._2).sum == math.min(500,
+      Tables.embeddings(spark, sf).count()), "every sliced vector in a cell")
+    // brute-force ALL cos>=0.4 pairs on the slice (no blocking)
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 500)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brutePartners = (for {
+      a <- emb; b <- emb if b._1 < a._1
+      if BigDecimal(cos(a._2, b._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    } yield a._1).toSet
+    // every drop must be a REAL near-dup (blocking can miss, never invent):
+    // total drops <= brute drop candidates, and if brute finds none the key
+    // must drop none
+    val nDropped = res.map(_._3).sum
+    assert(nDropped <= brutePartners.size,
+      s"dropped $nDropped > brute candidates ${brutePartners.size}")
+    // the sum_dropped_ids checksum must be composable from brute partners
+    // (cell-blocked drops are a subset of brute drops by id)
+    assert(res.map(_._4).sum <= brutePartners.toSeq.sum,
+      "drop checksum exceeds the brute-force universe")
+  }
+
   test("kmeans: Lloyd invariants hold and every vector is assigned") {
     val row = run("llm_kmeans").as[(Long, Boolean, Boolean)].head()
     val n = Tables.embeddings(spark, sf).count()
