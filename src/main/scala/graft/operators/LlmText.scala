@@ -1193,6 +1193,85 @@ object LlmText {
         |  CAST(sum(doc_id) AS BIGINT) AS sum_kept_ids,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_kept_chars
         |FROM ranked WHERE rn <= ceil(sqrt(n_total))
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // PARAGRAPH-granularity exact dedup (the Dolma/RefinedWeb pass that
+    // drops repeated boilerplate blocks WITHIN surviving documents rather
+    // than whole docs). This corpus has no paragraph marks, so the unit is
+    // the fixed 16-token block (the fallback real pipelines use on
+    // unstructured text); a block is a duplicate if the same token string
+    // occurred EARLIER in the corpus (global first-occurrence by
+    // (doc_id, block_idx) — deterministic). One explode + one hash shuffle
+    // on the block text; at 100 TB the block table is the unit of exact
+    // dedup exactly as documents are for llm_dedup_exact, and the same
+    // two-phase Bloom upgrade applies unchanged.
+    "llm_dedup_paragraph" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val chunks = Tables.documents(s, dir)
+          .select($"doc_id", TextOps.tokens($"text").as("toks"))
+          .select($"doc_id", posexplode(expr(
+            "transform(sequence(0, cast(ceil(size(toks) / 16.0) as int) - 1)," +
+              " i -> array_join(slice(toks, i * 16 + 1, 16), ' '))"))
+            .as(Seq("block_idx", "block")))
+        chunks
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"block").orderBy($"doc_id", $"block_idx")))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_blocks"),
+            sum(($"rn" > 1).cast("long")).as("n_dup_blocks"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') toks
+        |           FROM documents),
+        |ch AS (SELECT doc_id,
+        |    generate_subscripts(chs, 1) - 1 AS block_idx,
+        |    unnest(chs) AS block
+        |  FROM (SELECT doc_id,
+        |      list_transform(generate_series(1, CAST(ceil(len(toks) / 16.0) AS INT)),
+        |        i -> array_to_string(toks[(i - 1) * 16 + 1 : i * 16], ' ')) AS chs
+        |    FROM t)),
+        |ranked AS (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY block ORDER BY doc_id, block_idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id, count(*) AS n_blocks,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // TOKEN-BUDGET mixture assembly — the curriculum step after
+    // llm_domain_balance: each source contributes its best documents
+    // (quality order = n_chars desc, doc_id tiebreak) until the source's
+    // token budget (2000 whitespace tokens) is filled; a doc is taken only
+    // if it FITS entirely (cumulative total stays within budget — the
+    // monotone-prefix property makes the selection a window filter, one
+    // shuffle on source). Output pins the selection (id checksum), not
+    // just the counts.
+    "llm_token_budget_mix" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"source", $"doc_id", $"n_chars",
+            size(split($"text", "\\s+")).cast("long").as("t"))
+        toks
+          .withColumn("cum", sum($"t").over(
+            Window.partitionBy($"source").orderBy($"n_chars".desc, $"doc_id")))
+          .filter($"cum" <= 2000)
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_docs"), sum($"t").as("sum_tokens"),
+            sum($"doc_id").as("sum_ids"))
+          .orderBy($"source")
+      },
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    len(string_split_regex(text, '\s+')) AS t FROM documents),
+        |c AS (SELECT source, doc_id, t,
+        |    sum(t) OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(t) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
+        |FROM c WHERE cum <= 2000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }
