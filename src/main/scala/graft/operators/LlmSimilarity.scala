@@ -322,8 +322,9 @@ object LlmSimilarity {
           .orderBy($"qid", $"rank")
       },
       """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    len(embedding) // 8 AS subd,
         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |sub AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS spos, v FROM el),
+        |sub AS (SELECT vec_id, pos // subd AS m, pos % subd AS spos, v FROM el),
         |cb AS (SELECT m, CAST(vec_id % 16 AS INT) AS j, spos, round(avg(v), 6) AS c
         |       FROM sub GROUP BY 1, 2, 3),
         |cnorm AS (SELECT m, j, sum(c * c) AS nn FROM cb GROUP BY 1, 2),
@@ -418,6 +419,7 @@ object LlmSimilarity {
           .orderBy($"qid", $"rank")
       },
       """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |    len(embedding) // 8 AS subd,
         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
         |         FROM el GROUP BY 1, 2),
@@ -430,7 +432,7 @@ object LlmSimilarity {
         |  FROM sims),
         |probe AS (SELECT vec_id AS qid, cell FROM rankedc WHERE vec_id < 5 AND rn <= 2),
         |storage AS (SELECT vec_id, cell FROM rankedc WHERE vec_id >= 5 AND rn = 1),
-        |sub AS (SELECT vec_id, pos // 8 AS m, pos % 8 AS spos, v FROM el),
+        |sub AS (SELECT vec_id, pos // subd AS m, pos % subd AS spos, v FROM el),
         |cb AS (SELECT m, CAST(vec_id % 16 AS INT) AS j, spos, round(avg(v), 6) AS c
         |       FROM sub GROUP BY 1, 2, 3),
         |cnorm AS (SELECT m, j, sum(c * c) AS nn FROM cb GROUP BY 1, 2),

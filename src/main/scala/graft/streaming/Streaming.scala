@@ -296,12 +296,19 @@ object Streaming {
     * Columns are pre-projected: the ingest keys never need ts/props. */
   private val splitCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // events.parquet mtime observed when the split copy was cut — MV keys
+  // derived from the split must register THIS as their freshness horizon,
+  // not "now": a base edit between split-cache and registration would
+  // otherwise pass the mtime guard while the MV serves pre-edit data
+  private val splitSourceMtime =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private val splitSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),
     StructField("event_type", StringType), StructField("value", DoubleType)))
   private def splitEventsDir(s: SparkSession, dir: String): String =
     splitCache.computeIfAbsent(dir, { _ =>
       Confs.ensureNanosAsLong(s) // events.ts is ns-precision (see Tables.events)
+      splitSourceMtime.put(dir, graft.Freshness.mtime(s"$dir/events.parquet"))
       val out = graft.TempDirs.create("graft_stream_split")
       s.read.parquet(s"$dir/events.parquet")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -428,7 +435,9 @@ object Streaming {
         columns = Map(
           ("count", "*") -> "cnt",
           ("sum", "value") -> "sum_value",
-          ("count", "value") -> "cnt_value"))
+          ("count", "value") -> "cnt_value"),
+        registeredAt = Option(splitSourceMtime.get(dir))
+          .fold(graft.Freshness.mtime(s"$dir/events.parquet"))(_.longValue()))
       graft.plans.JoinMvRewrite.register(d)
       (path, d)
     })._1
