@@ -157,6 +157,14 @@ object LlmSimilarity {
 
   def queries: Map[String, QueryDef] = Map(
     // Cosine of every vector to its class centroid (broadcast join).
+    // The displayed value is round(x + 1e-9, 4) on BOTH engines: Spark
+    // rounds the shortest-decimal repr (BigDecimal HALF_UP) while DuckDB
+    // rounds the binary double, so a value sitting ulp-close to a .xxxx5
+    // boundary (the r11 sf1 residual: a by-construction-near-zero
+    // cross-replica pair) legitimately rounds differently. The 1e-9 nudge
+    // moves every boundary-straddling value decisively off the boundary in
+    // both engines; the trailing +0.0 collapses DuckDB's signed -0.0 to
+    // +0.0 (Spark's BigDecimal round never emits -0.0).
     "llm_cosine" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -164,7 +172,8 @@ object LlmSimilarity {
         Tables.embeddings(s, dir)
           .join(broadcast(centroids(s, dir)), Seq("label"))
           .select($"vec_id", $"label",
-            round(TextOps.cosine($"embedding", $"centroid"), 4).as("cos_to_centroid"))
+            round(TextOps.cosine($"embedding", $"centroid") + lit(1e-9), 4)
+              .as("cos_to_centroid"))
           .orderBy($"vec_id")
       },
       """WITH el AS (SELECT vec_id, label,
@@ -179,7 +188,8 @@ object LlmSimilarity {
         |        sqrt(sum(c.c * c.c)) AS nc
         |      FROM el e JOIN cent c ON e.label = c.label AND e.pos = c.pos
         |      GROUP BY 1, 2)
-        |SELECT vec_id, label, round(dot / (nv * nc), 4) AS cos_to_centroid
+        |SELECT vec_id, label,
+        |  round(dot / (nv * nc) + 1e-9, 4) + 0.0 AS cos_to_centroid
         |FROM j ORDER BY vec_id""".stripMargin),
 
     // Brute-force cosine top-k: queries (vec_id < 5) against the corpus.

@@ -415,15 +415,19 @@ object LlmText {
         val nTok = size(t).cast("double")
         val nStop = size(filter(t, x => x.isin(stopwords: _*))).cast("double")
         val nDist = size(array_distinct(t)).cast("double")
+        // round(x + 1e-9, 4): same boundary-stabilizing nudge as llm_cosine
+        // (Spark decimal-repr HALF_UP vs DuckDB binary round diverged by
+        // 1 ulp on one sf1 row, 0.5963 vs 0.5962); all inputs here are
+        // positive rationals so no signed-zero guard is needed
         Tables.documents(s, dir)
           .select($"doc_id",
-            round(nStop / nTok, 4).as("stopword_ratio"),
-            round(nDist / nTok, 4).as("distinct_ratio"),
-            round(nTok / 100.0, 4).as("len_signal"),
+            round(nStop / nTok + lit(1e-9), 4).as("stopword_ratio"),
+            round(nDist / nTok + lit(1e-9), 4).as("distinct_ratio"),
+            round(nTok / 100.0 + lit(1e-9), 4).as("len_signal"),
             round(
               least(nTok / 100.0, lit(1.0)) * 0.3
                 + (lit(1.0) - nStop / nTok) * 0.2
-                + (nDist / nTok) * 0.5, 4).as("quality"))
+                + (nDist / nTok) * 0.5 + lit(1e-9), 4).as("quality"))
           .orderBy($"doc_id")
       },
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
@@ -433,12 +437,12 @@ object LlmText {
         |    CAST(len(list_distinct(tl)) AS DOUBLE) AS n_dist
         |  FROM t)
         |SELECT doc_id,
-        |  round(n_stop / n_tok, 4) AS stopword_ratio,
-        |  round(n_dist / n_tok, 4) AS distinct_ratio,
-        |  round(n_tok / 100.0, 4) AS len_signal,
+        |  round(n_stop / n_tok + 1e-9, 4) AS stopword_ratio,
+        |  round(n_dist / n_tok + 1e-9, 4) AS distinct_ratio,
+        |  round(n_tok / 100.0 + 1e-9, 4) AS len_signal,
         |  round(least(n_tok / 100.0, 1.0) * 0.3
         |        + (1.0 - n_stop / n_tok) * 0.2
-        |        + (n_dist / n_tok) * 0.5, 4) AS quality
+        |        + (n_dist / n_tok) * 0.5 + 1e-9, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin),
 
     // Language ID: data-derived n-gram/token profiles (top-20 tokens per
