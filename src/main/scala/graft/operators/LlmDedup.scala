@@ -207,7 +207,7 @@ object LlmDedup {
   /** Per-doc banded MinHash signatures (band, key) — one fresh read per
     * call, so two calls give independent plans (fresh exprIds; avoids the
     * self-join filter-collapse hazard documented at llm_knn_ivf). */
-  private def bandSigs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def bandSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .select($"doc_id",

@@ -672,6 +672,66 @@ object LlmSimilarity {
         |  CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN cl.vec_id END), 0)
         |    AS BIGINT) AS sum_dropped_ids
         |FROM cl LEFT JOIN dropped d ON d.cell = cl.cell AND d.vec_id = cl.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // SemDeDup MULTI-PROBE variant: the rn=1 blocking above misses a
+    // near-dup pair whose members land in different cells. Multi-probe
+    // (the IVF nprobe idea applied to the PAIRING stage) assigns each
+    // vector to its top-2 cells for candidate generation only — a pair is
+    // compared if ANY probe cell is shared — while storage/accounting
+    // stays rn=1 (each vector is still owned by exactly one home cell, so
+    // the 100 TB storage bill is unchanged). Cost: candidate pairs grow
+    // from Σ|cell|² to Σ|probe-set|² ≈ 4× — still nothing like N².
+    // LlmSpec pins the recall ordering: multiprobe drops ⊇ single-probe
+    // drops, and both stay within the brute-force universe.
+    "llm_semdedup_multiprobe" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val ranked = cellRanked(s, dir).filter($"vec_id" < 500)
+        val probes = ranked.filter($"rn" <= 2)
+          .select($"vec_id", $"embedding", $"cell")
+        val home = ranked.filter($"rn" === 1).select($"vec_id", $"cell")
+        val dropped = probes.as("a").join(probes.as("b"),
+            $"a.cell" === $"b.cell" && $"b.vec_id" < $"a.vec_id")
+          .filter(round(TextOps.cosine($"a.embedding", $"b.embedding"), 4) >= 0.4)
+          .select($"a.vec_id".as("vec_id"))
+          .distinct()
+        home
+          .join(dropped.withColumn("dropped", lit(1)), Seq("vec_id"), "left")
+          .groupBy($"cell")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum(when($"dropped" === 1, 1L).otherwise(0L)).as("n_dropped"),
+            coalesce(sum(when($"dropped" === 1, $"vec_id")), lit(0L))
+              .as("sum_dropped_ids"))
+          .orderBy($"cell")
+      },
+      """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
+        |         FROM el GROUP BY 1, 2),
+        |sims AS (SELECT e.vec_id, ct.cell,
+        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
+        |  FROM el e JOIN cent ct ON e.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |rankedc AS (SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |  FROM sims WHERE vec_id < 500),
+        |probe AS (SELECT vec_id, cell FROM rankedc WHERE rn <= 2),
+        |home AS (SELECT vec_id, cell FROM rankedc WHERE rn = 1),
+        |pairs AS (SELECT ca.vec_id AS i,
+        |    round(sum(ea.v * eb.v) / (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v))), 4) AS cos
+        |  FROM probe ca JOIN probe cb ON ca.cell = cb.cell AND cb.vec_id < ca.vec_id
+        |    JOIN el ea ON ea.vec_id = ca.vec_id
+        |    JOIN el eb ON eb.vec_id = cb.vec_id AND eb.pos = ea.pos
+        |  GROUP BY ca.vec_id, cb.vec_id, ca.cell),
+        |dropped AS (SELECT DISTINCT i AS vec_id FROM pairs WHERE cos >= 0.4)
+        |SELECT h.cell, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN h.vec_id END), 0)
+        |    AS BIGINT) AS sum_dropped_ids
+        |FROM home h LEFT JOIN dropped d ON d.vec_id = h.vec_id
         |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

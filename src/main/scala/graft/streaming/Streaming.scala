@@ -448,6 +448,69 @@ object Streaming {
       dir: String): Option[graft.plans.JoinMvRewrite.JoinMvDef] =
     Option(joinMvIngested.get(dir)).map(_._2)
 
+  /** The streaming-maintained MinHash DEDUP INDEX (see stream_dedup_index):
+    * documents arrive in micro-batches; each batch is minhash-banded
+    * (per-row, map-only — signatures don't depend on corpus composition),
+    * probed against the STANDING band-bucket index plus itself for
+    * candidate pairs, then appended to the next index version. This is the
+    * daily-100 TB-ingest spelling of llm_dedup_minhash_incr with the batch
+    * boundary driven by the stream, not a modulo split: per-batch cost is
+    * O(|batch| bands + bucket-join vs index), never corpus×corpus, and the
+    * index is the same versioned-dir artifact mergeIngest maintains.
+    * Because bands are per-row, the union of per-batch candidate sets
+    * EQUALS the batch-built candidate set (every pair meets when its later
+    * member arrives) — the key pins that equality.
+    * Returns (final index version dir, accumulated candidate-pairs dir). */
+  private val dedupIndexIngested =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private[graft] def streamDedupIndexIngest(
+      s: SparkSession, dir: String): (String, String) =
+    dedupIndexIngested.computeIfAbsent(dir, { _ =>
+      import graft.text.TextOps
+      val split = graft.TempDirs.create("graft_docs_split")
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+        .repartition(3)
+        .write.mode("overwrite").parquet(split)
+      val table = graft.TempDirs.createPath("graft_dedup_index")
+      val candsDir = graft.TempDirs.create("graft_dedup_cands")
+      val docsSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      @volatile var current: Option[String] = None
+      val q = s.readStream.schema(docsSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(split)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          // band the batch once; both consumers below reuse the tiny result
+          val bands = batch.select(col("doc_id"),
+            posexplode(TextOps.minhashBandsUdf(4, 4)(
+              TextOps.shinglesUdf(3)(col("text")))).as(Seq("band", "key")))
+            .localCheckpoint(true)
+          val intra = bands.as("a")
+            .join(broadcast(bands.as("b")), Seq("band", "key"))
+            .filter(col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          val cands = current.fold(intra) { v =>
+            s.read.parquet(v).as("c")
+              .join(broadcast(bands.as("d")), Seq("band", "key"))
+              .select(least(col("c.doc_id"), col("d.doc_id")).as("i"),
+                greatest(col("c.doc_id"), col("d.doc_id")).as("j"))
+              .union(intra)
+          }
+          cands.distinct().write.mode("append").parquet(candsDir)
+          val next = table.resolve(s"v$id").toString
+          current.map(v => s.read.parquet(v).unionByName(bands))
+            .getOrElse(bands)
+            .write.mode("overwrite").parquet(next)
+          current = Some(next)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+      (current.getOrElse(sys.error("stream_dedup_index: no micro-batch ran")),
+        candsDir)
+    })
+
   def queries: Map[String, QueryDef] = Map(
     // Stream Load analogue: micro-batch ingest through foreachBatch into
     // partitioned parquet (atomic per batch), then read-back stats.
@@ -999,6 +1062,64 @@ object Streaming {
         |  round(sum(value), 2) AS total_value,
         |  round(avg(value), 2) AS avg_value
         |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Streaming-maintained MinHash dedup index (streamDedupIndexIngest):
+    // the one pipeline shape the streaming and dedup families compose at
+    // 100 TB — documents stream in, the band-bucket index is maintained
+    // per micro-batch, candidates accrue batch-vs-index. Oracled like
+    // llm_dedup_minhash (per-threshold recall over DuckDB-replayable exact
+    // truth pairs: the accumulated streaming candidates must catch every
+    // jaccard>=0.9 pair) plus two equality booleans the oracle pins true:
+    // the union of per-batch candidate sets equals the batch-built
+    // candidate set, and the final maintained index equals the batch-built
+    // band table (both driver-contract-sized comparisons over O(pairs) /
+    // O(docs×bands) rows).
+    "stream_dedup_index" -> streamKey(
+      (s, dir) => {
+        import s.implicits._
+        val (indexPath, candsDir) = streamDedupIndexIngest(s, dir)
+        val streamedCands = s.read.parquet(candsDir).distinct()
+        val batchCands = graft.operators.LlmDedup.minhashCandidates(s, dir)
+        val candsEqual =
+          streamedCands.exceptAll(batchCands).isEmpty &&
+          batchCands.exceptAll(streamedCands).isEmpty
+        val streamedIndex = s.read.parquet(indexPath)
+        val batchIndex = graft.operators.LlmDedup.bandSigs(s, dir)
+        val indexEqual =
+          streamedIndex.exceptAll(batchIndex).isEmpty &&
+          batchIndex.exceptAll(streamedIndex).isEmpty
+        val truth = graft.operators.LlmDedup.jaccardPairsAuto(s, dir, 0.6)
+          .filter($"jaccard" >= 0.9).select($"i", $"j", $"jaccard")
+        val marked = truth
+          .join(streamedCands.withColumn("c", lit(1)), Seq("i", "j"), "left")
+        val th = Seq(0.9, 0.95).toDF("threshold")
+        th.join(marked, marked("jaccard") >= th("threshold"), "left")
+          .groupBy($"threshold")
+          .agg(count($"i").as("n_truth"), count($"c").as("n_caught"))
+          .withColumn("cands_equal_batch", lit(candsEqual))
+          .withColumn("index_equals_batch", lit(indexEqual))
+          .orderBy($"threshold")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |pairs AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |          FROM ds a JOIN ds b USING (s)
+        |          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |p AS (SELECT i, j, round(common * 1.0 / (x.n + y.n - common), 3) AS jaccard
+        |      FROM pairs pr JOIN sz x ON pr.i = x.doc_id
+        |                    JOIN sz y ON pr.j = y.doc_id
+        |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
+        |th AS (SELECT CAST(x AS DOUBLE) AS threshold
+        |       FROM (VALUES (0.90), (0.95)) v(x))
+        |SELECT threshold, count(p.i) AS n_truth, count(p.i) AS n_caught,
+        |  true AS cands_equal_batch, true AS index_equals_batch
+        |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
+        |GROUP BY threshold ORDER BY threshold""".stripMargin)
   )
 }

@@ -373,6 +373,40 @@ class LlmSpec extends SparkSpec {
       "drop checksum exceeds the brute-force universe")
   }
 
+  test("semdedup multi-probe: recall dominates single-probe, no false drops") {
+    // drops(multiprobe) ⊇ drops(rn=1): any pair sharing the home cell also
+    // shares a probe cell (rn=1 ⊆ rn<=2), so single-probe's candidate set
+    // embeds in multi-probe's — per-home-cell drop counts must dominate
+    val single = run("llm_semdedup")
+      .select($"cell", $"n_dropped").as[(Int, Long)].collect().toMap
+    val multi = run("llm_semdedup_multiprobe")
+      .select($"cell", $"n_vecs", $"n_dropped", $"sum_dropped_ids")
+      .as[(Int, Long, Long, Long)].collect()
+    multi.foreach { case (cell, _, nd, _) =>
+      assert(nd >= single.getOrElse(cell, 0L),
+        s"cell $cell: multiprobe dropped $nd < single ${single(cell)}")
+    }
+    // and it can only drop REAL near-dups (the brute-force universe bounds
+    // it from above, same contract as the single-probe test)
+    val emb = Tables.embeddings(spark, sf).filter($"vec_id" < 500)
+      .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val brutePartners = (for {
+      a <- emb; b <- emb if b._1 < a._1
+      if BigDecimal(cos(a._2, b._2))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.4
+    } yield a._1).toSet
+    val nDropped = multi.map(_._3).sum
+    assert(nDropped <= brutePartners.size,
+      s"dropped $nDropped > brute candidates ${brutePartners.size}")
+    assert(multi.map(_._4).sum <= brutePartners.toSeq.sum,
+      "drop checksum exceeds the brute-force universe")
+  }
+
   test("kmeans: Lloyd invariants hold and every vector is assigned") {
     val row = run("llm_kmeans").as[(Long, Boolean, Boolean)].head()
     val n = Tables.embeddings(spark, sf).count()

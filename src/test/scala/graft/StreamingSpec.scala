@@ -365,6 +365,22 @@ class StreamingSpec extends SparkSpec {
       .foreach(plans.JoinMvRewrite.register)
   }
 
+  test("stream_dedup_index: maintained index and candidates equal the batch build") {
+    // the key's equality booleans are computed in-engine; assert them here
+    // so a drift between the streamed and batch-built artifacts fails the
+    // suite with the specific broken invariant, not just an oracle hash
+    val rows = run("stream_dedup_index")
+      .select($"threshold", $"n_truth", $"n_caught",
+        $"cands_equal_batch", $"index_equals_batch")
+      .as[(Double, Long, Long, Boolean, Boolean)].collect()
+    assert(rows.length == 2)
+    rows.foreach { case (t, nTruth, nCaught, candsEq, idxEq) =>
+      assert(nCaught == nTruth, s"t=$t: caught $nCaught of $nTruth truth pairs")
+      assert(candsEq, s"t=$t: streamed candidate set != batch-built candidate set")
+      assert(idxEq, s"t=$t: maintained band index != batch-built band table")
+    }
+  }
+
   test("jdbc sink replay: a retried micro-batch replaces its rows, not appends") {
     // drives the retry path processAllAvailable() never takes on a healthy
     // run: replaying batchId=1 (Spark retries a failed micro-batch under
