@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Rollups.queries ++
       operators.MaterializedViews.queries ++
       operators.FileScans.queries ++
+      operators.SqlDialect.queries ++
       streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -120,6 +120,47 @@ class DorisFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("doris sql dialect rewriter: covered deltas translate, rest passes through") {
+    import graft.sql.DorisSqlDialect.rewrite
+    // MySQL %-formats translate inside date_format/str_to_date only
+    assert(rewrite("SELECT date_format(ts, '%Y-%m-%d %H:%i:%s') FROM t")
+      == "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss') FROM t")
+    assert(rewrite("SELECT str_to_date(s, '%d/%m/%Y') FROM t")
+      == "SELECT to_timestamp(s, 'dd/MM/yyyy') FROM t")
+    // already-Spark formats pass through untouched (no %)
+    assert(rewrite("SELECT date_format(ts, 'yyyy-MM') FROM t")
+      == "SELECT date_format(ts, 'yyyy-MM') FROM t")
+    // group_concat forms
+    assert(rewrite("SELECT group_concat(x) FROM t")
+      == "SELECT concat_ws(',', sort_array(collect_list(x))) FROM t")
+    assert(rewrite("SELECT group_concat(DISTINCT x SEPARATOR '|') FROM t")
+      == "SELECT concat_ws('|', sort_array(collect_set(x))) FROM t")
+    assert(rewrite("SELECT group_concat(x ORDER BY x SEPARATOR ';') FROM t")
+      == "SELECT concat_ws(';', sort_array(collect_list(x))) FROM t")
+    assert(rewrite("SELECT group_concat(x, '-') FROM t")
+      == "SELECT concat_ws('-', sort_array(collect_list(x))) FROM t")
+    // an ORDER BY over a different expr is OUT of the deterministic subset
+    // and must pass through (fails in the parser, never silently mis-sorts)
+    assert(rewrite("SELECT group_concat(x ORDER BY y) FROM t")
+      == "SELECT group_concat(x ORDER BY y) FROM t")
+    // nested commas stay inside the nested call
+    assert(rewrite("SELECT group_concat(concat(a, b)) FROM t")
+      == "SELECT concat_ws(',', sort_array(collect_list(concat(a, b)))) FROM t")
+    // LIMIT offset, count
+    assert(rewrite("SELECT * FROM t LIMIT 5, 10") == "SELECT * FROM t LIMIT 10 OFFSET 5")
+    // name/arity shims
+    assert(rewrite("SELECT strleft(s, 3), strright(s, 2) FROM t")
+      == "SELECT left(s, 3), right(s, 2) FROM t")
+    assert(rewrite("SELECT money_format(v) FROM t")
+      == "SELECT format_number(round(v, 2), 2) FROM t")
+    // rewrites never fire inside string literals or backtick identifiers
+    assert(rewrite("SELECT 'group_concat(x)' AS s, `strleft(q, 1)` FROM t")
+      == "SELECT 'group_concat(x)' AS s, `strleft(q, 1)` FROM t")
+    // longer identifiers sharing a prefix are not calls of the short name
+    assert(rewrite("SELECT date_format_mysql(ts, '%Y') FROM t")
+      == "SELECT date_format_mysql(ts, '%Y') FROM t")
+  }
+
   test("native hash tier stays inside whole-stage codegen") {
     val df = Tables.customer(spark, sf)
       .select(xxhash64($"c_name").as("x"), hash($"c_name").as("m"),
