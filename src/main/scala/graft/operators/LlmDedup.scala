@@ -463,6 +463,60 @@ object LlmDedup {
         |WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6
         |ORDER BY i, j""".stripMargin),
 
+    // EXACT SUBSTRING-DUPLICATION detection (Lee et al. 2021, "Deduplicating
+    // Training Data Makes Language Models Better"): find fixed-width token
+    // spans (w=15 words — the corpus-scaled analogue of the paper's 50 BPE
+    // tokens) that occur verbatim in more than one document, and report each
+    // affected document's duplicated-span fraction. The paper builds a
+    // corpus-wide suffix array; for a FIXED span width the same answer falls
+    // out of a rolling-window explode + hash-bucketed group-by — the
+    // Spark-first spelling: one shuffle partitioned by span, partial
+    // map-side distinct, never a doc×doc comparison. The shuffle key is the
+    // 128-bit md5 of the span — ~16 bytes shipped instead of the ~90-byte
+    // span text (measured 30 MB → 13 MB shuffle at sf0.1), the same
+    // hash-not-text trick the paper's implementation uses; md5 collisions
+    // are negligible at any corpus size, and a collision would change a
+    // count and fail the string-grouped DuckDB oracle LOUDLY, not silently.
+    "llm_dedup_substring" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = 15
+        val t = TextOps.tokens($"text")
+        // same short-doc convention as the jaccard shingles: a doc with
+        // fewer than w tokens contributes its whole text as one span
+        val spans = Tables.documents(s, dir)
+          .select($"doc_id", explode(when(size(t) >= w,
+            transform(sequence(lit(0), size(t) - w),
+              i => array_join(slice(t, i + 1, lit(w)), " ")))
+            .otherwise(array(array_join(t, " ")))).as("s"))
+          .select($"doc_id", unhex(md5($"s")).as("h"))
+          .distinct()
+        val dup = spans.groupBy($"h")
+          .agg(count(lit(1)).as("ndocs")).filter($"ndocs" > 1)
+        spans.join(dup, Seq("h"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_spans"),
+            count($"ndocs").as("n_dup_spans"))
+          .filter($"n_dup_spans" > 0)
+          .select($"doc_id", $"n_spans", $"n_dup_spans",
+            round($"n_dup_spans" / $"n_spans" + lit(1e-9), 3)
+              .as("dup_frac"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sp AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 15
+        |         THEN list_transform(generate_series(1, len(tl) - 14),
+        |              i -> array_to_string(tl[i:i+14], ' '))
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sp),
+        |dup AS (SELECT s FROM ds GROUP BY s HAVING count(*) > 1),
+        |pd AS (SELECT doc_id, count(*) AS n_spans,
+        |         CAST(sum(CASE WHEN dup.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+        |       FROM ds LEFT JOIN dup ON ds.s = dup.s GROUP BY 1)
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  round(n_dup_spans * 1.0 / n_spans + 1e-9, 3) AS dup_frac
+        |FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin),
+
     // MinHash-LSH candidate stage (16 hashes, 4 bands x 4 rows), oracled via
     // a deterministic projection: per jaccard threshold, n_truth = exact
     // near-dup pairs (DuckDB replays this side) and n_caught = those truth

@@ -445,6 +445,76 @@ object LlmText {
         |        + (n_dist / n_tok) * 0.5 + 1e-9, 4) AS quality
         |FROM m ORDER BY doc_id""".stripMargin),
 
+    // GOPHER QUALITY RULES (Rae et al. 2021, Appendix A — the canonical
+    // public heuristic filter set for web-scale pretraining corpora), the
+    // document-level subset expressible over this corpus: word-count bounds
+    // [50, 100k], mean word length in [3, 10] chars, symbol-to-word ratio
+    // ('#' and '...') <= 0.1, >= 80% of words containing an alphabetic
+    // character, and >= 2 distinct stopwords present (the paper's "stop
+    // word" guard against keyword-stuffing pages). Every predicate is
+    // spelled over INTEGER comparisons (3*n <= chars <= 10*n instead of a
+    // float mean; 5*alpha >= 4*n instead of a 0.8 ratio) so the flags are
+    // bit-exact across engines with no round() boundary hazard — the
+    // llm_cosine/llm_quality 1-ulp lesson applied at design time. Per-row
+    // map-only work, no shuffle: the filter column costs nothing at 100 TB.
+    "llm_gopher_rules" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val t = TextOps.tokens($"text")
+        val nWords = size(t).cast("long")
+        val sumChars = aggregate(transform(t, x => length(x)),
+          lit(0), (a, x) => a + x).cast("long")
+        val nAlpha = size(filter(t, x => x.rlike("[a-z]"))).cast("long")
+        val nHash = (length($"text") -
+          length(replace($"text", lit("#"), lit("")))).cast("long")
+        val nEllipsis = ((length($"text") -
+          length(replace($"text", lit("..."), lit("")))) / 3).cast("long")
+        val stops = Seq("a", "the", "be", "to", "of", "and", "that",
+          "have", "with")
+        val stopHits = stops.map(w =>
+          when(array_contains(t, w), 1L).otherwise(0L)).reduce(_ + _)
+        Tables.documents(s, dir)
+          .select($"doc_id", nWords.as("n_words"),
+            nWords.between(50L, 100000L).as("r_word_count"),
+            (lit(3L) * nWords <= sumChars &&
+              sumChars <= lit(10L) * nWords).as("r_mean_word_len"),
+            (lit(10L) * (nHash + nEllipsis) <= nWords).as("r_symbol_ratio"),
+            (lit(5L) * nAlpha >= lit(4L) * nWords).as("r_alpha_words"),
+            (stopHits >= 2L).as("r_stopwords"))
+          .withColumn("keep", $"r_word_count" && $"r_mean_word_len" &&
+            $"r_symbol_ratio" && $"r_alpha_words" && $"r_stopwords")
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, text, string_split(lower(text), ' ') tl FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tl) AS BIGINT) AS n_words,
+        |    CAST(list_sum(list_transform(tl, x -> len(x))) AS BIGINT) AS sum_chars,
+        |    CAST(len(list_filter(tl, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+        |    CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+        |    (CASE WHEN list_contains(tl, 'a') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'the') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'be') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'to') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'of') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'and') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'that') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'have') THEN 1 ELSE 0 END
+        |     + CASE WHEN list_contains(tl, 'with') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  n_words BETWEEN 50 AND 100000 AS r_word_count,
+        |  3 * n_words <= sum_chars AND sum_chars <= 10 * n_words AS r_mean_word_len,
+        |  10 * (n_hash + n_ellipsis) <= n_words AS r_symbol_ratio,
+        |  5 * n_alpha >= 4 * n_words AS r_alpha_words,
+        |  stop_hits >= 2 AS r_stopwords,
+        |  (n_words BETWEEN 50 AND 100000)
+        |    AND (3 * n_words <= sum_chars AND sum_chars <= 10 * n_words)
+        |    AND (10 * (n_hash + n_ellipsis) <= n_words)
+        |    AND (5 * n_alpha >= 4 * n_words)
+        |    AND (stop_hits >= 2) AS keep
+        |FROM m ORDER BY doc_id""".stripMargin),
+
     // Language ID: data-derived n-gram/token profiles (top-20 tokens per
     // lang), broadcast back, argmax overlap. Reports per-lang accuracy.
     // Scoring is per-row set intersection against the 5-row broadcast
