@@ -517,6 +517,71 @@ object LlmDedup {
         |  round(n_dup_spans * 1.0 / n_spans + 1e-9, 3) AS dup_frac
         |FROM pd WHERE n_dup_spans > 0 ORDER BY doc_id""".stripMargin),
 
+    // The REMOVAL half of Lee et al. 2021: rewrite each affected document
+    // with every token covered by a cross-document duplicated span clipped
+    // out (the paper deletes the repeated substring from all but one
+    // occurrence; the common production variant implemented here drops every
+    // covered token — deterministic, order-independent, and exactly what the
+    // oracle can replay). Plan: the same hash-bucketed dup-span detection,
+    // then dup span-START sets flow BACK to their documents (collect_set per
+    // doc — bounded by spans-per-doc, never corpus-wide), and the rewrite is
+    // a pure per-row HOF chain: filter positions not covered by any dup
+    // start, rebuild the text. The rewritten text leaves the executor only
+    // as an md5 — at 100 TB the clean text is WRITTEN, not collected, and
+    // the oracle compares fingerprints. Cover test p <= i0+14 is universal:
+    // a short doc's whole-text span has i0=0 and every p <= len-1 <= 13.
+    "llm_dedup_substring_clip" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = 15
+        val t = TextOps.tokens($"text")
+        val base = Tables.documents(s, dir).select($"doc_id", t.as("toks"))
+        val spans = base.select($"doc_id", posexplode(
+            when(size($"toks") >= w,
+              transform(sequence(lit(0), size($"toks") - w),
+                i => array_join(slice($"toks", i + 1, lit(w)), " ")))
+              .otherwise(array(array_join($"toks", " "))))
+            .as(Seq("i0", "sp")))
+          .select($"doc_id", $"i0", unhex(md5($"sp")).as("h"))
+        val dup = spans.select($"doc_id", $"h").distinct()
+          .groupBy($"h").agg(count(lit(1)).as("nd"))
+          .filter($"nd" > 1).select($"h")
+        val starts = spans.join(dup, Seq("h"))
+          .groupBy($"doc_id").agg(collect_set($"i0").as("starts"))
+        val kept = filter(sequence(lit(0), size($"toks") - 1),
+          p => !exists($"starts", i => i <= p && p <= i + (w - 1)))
+        base.join(starts, Seq("doc_id"))
+          .select($"doc_id", size($"toks").cast("long").as("n_before"),
+            kept.as("kp"), $"toks")
+          .select($"doc_id", $"n_before",
+            size($"kp").cast("long").as("n_after"),
+            md5(array_join(
+              transform($"kp", p => element_at($"toks", p + 1)), " "))
+              .as("clean_md5"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sp AS (SELECT doc_id, tl, unnest(CASE WHEN len(tl) >= 15
+        |         THEN generate_series(0, len(tl) - 15) ELSE [0] END) AS i0 FROM t),
+        |sps AS (SELECT doc_id, i0, array_to_string(tl[i0+1:i0+15], ' ') AS s FROM sp),
+        |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM sps) GROUP BY s HAVING count(*) > 1),
+        |cov AS (SELECT DISTINCT sps.doc_id, i0 FROM sps JOIN dup USING (s)),
+        |aff AS (SELECT DISTINCT doc_id FROM cov),
+        |pos AS (SELECT doc_id, tl, unnest(generate_series(0, len(tl) - 1)) AS p FROM t JOIN aff USING (doc_id)),
+        |covp AS (SELECT DISTINCT pos.doc_id, pos.p AS p FROM pos
+        |         JOIN cov ON pos.doc_id = cov.doc_id
+        |           AND cov.i0 <= pos.p AND pos.p <= cov.i0 + 14),
+        |keep AS (SELECT pos.doc_id, pos.p AS p, tl[pos.p+1] AS tok FROM pos
+        |         LEFT JOIN covp ON pos.doc_id = covp.doc_id AND pos.p = covp.p
+        |         WHERE covp.p IS NULL),
+        |cl AS (SELECT doc_id, array_to_string(list(tok ORDER BY p), ' ') AS clean,
+        |         count(*) AS n_after FROM keep GROUP BY 1)
+        |SELECT t.doc_id, CAST(len(tl) AS BIGINT) AS n_before,
+        |  CAST(COALESCE(n_after, 0) AS BIGINT) AS n_after,
+        |  md5(COALESCE(clean, '')) AS clean_md5
+        |FROM t JOIN aff USING (doc_id) LEFT JOIN cl ON t.doc_id = cl.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+
     // MinHash-LSH candidate stage (16 hashes, 4 bands x 4 rows), oracled via
     // a deterministic projection: per jaccard threshold, n_truth = exact
     // near-dup pairs (DuckDB replays this side) and n_caught = those truth

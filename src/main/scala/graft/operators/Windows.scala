@@ -216,6 +216,46 @@ object Windows {
         |    AS hour_sum
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // Batch gap-based SESSIONIZATION — the classic lag+running-sum window
+    // composition (30-min inactivity gap ⇒ new session), the batch
+    // counterpart of stream_session's native session_window. Everything is
+    // partitioned by user_id: one hash shuffle feeds both window passes, and
+    // the session/per-user rollups re-aggregate within the same key space —
+    // no second wide shuffle of the event stream. Ordering is (ts, event_id)
+    // so equal-timestamp events assign deterministically in both engines.
+    "win_sessionize" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val prev = lag($"ts", 1).over(w)
+        Tables.events(s, dir).select($"user_id", $"ts", $"event_id")
+          .withColumn("new_s", when(prev.isNull ||
+            unix_timestamp($"ts") - unix_timestamp(prev) > 1800L, 1L)
+            .otherwise(0L))
+          .withColumn("sess", sum($"new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy($"user_id", $"sess")
+          .agg(count(lit(1)).as("n_ev"))
+          .groupBy($"user_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            max($"n_ev").as("max_session_events"),
+            sum($"n_ev").as("n_events"))
+          .orderBy($"user_id")
+      },
+      """WITH m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sx AS (SELECT user_id, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess FROM m),
+        |g AS (SELECT user_id, sess, count(*) AS n_ev FROM sx GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_ev) AS max_session_events,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // nth_value over the FULL partition frame (UNBOUNDED PRECEDING..
     // UNBOUNDED FOLLOWING — the default running frame would make it a
     // per-row prefix-nth instead): third-highest price per status, reduced

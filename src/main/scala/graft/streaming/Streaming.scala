@@ -233,9 +233,15 @@ object Streaming {
     // the file source requires a directory: expose the events parquet file
     // through a temp dir (in production this is the landing dir / Kafka topic)
     val streamDir = graft.TempDirs.createPath("graft_stream")
+    // absolutize the target: a relative sfDir (e.g. "data/sf1") would
+    // otherwise produce a symlink that resolves RELATIVE TO THE LINK'S OWN
+    // temp dir — a silently broken link and an empty stream (caught when a
+    // relative-dir scoped run read 0 rows at sf1; the driver always passes
+    // absolute dirs, which is why the full gates never saw it)
     java.nio.file.Files.createSymbolicLink(
       streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
+      java.nio.file.Paths.get(s"$dir/events.parquet")
+        .toAbsolutePath.normalize)
     val tsLong = graft.Tables.eventsTsIsLong(s, dir)
     if (withSentinel) {
       // Append-mode aggregations only emit state finalized BELOW the
@@ -856,9 +862,11 @@ object Streaming {
         Confs.ensureNanosAsLong(s)
         val streamDir = graft.TempDirs.createPath("graft_dedup")
         for (name <- Seq("events.parquet", "events_retry.parquet"))
+          // absolutized for the same relative-sfDir reason as eventStream
           java.nio.file.Files.createSymbolicLink(
             streamDir.resolve(name),
-            java.nio.file.Paths.get(s"$dir/events.parquet"))
+            java.nio.file.Paths.get(s"$dir/events.parquet")
+              .toAbsolutePath.normalize)
         val deduped = graft.Tables.normalizeEventTs(
             s.readStream.schema(rawSchema(graft.Tables.eventsTsIsLong(s, dir)))
               .parquet(streamDir.toString))
