@@ -463,6 +463,51 @@ object LlmDedup {
         |WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6
         |ORDER BY i, j""".stripMargin),
 
+    // ASYMMETRIC CONTAINMENT pairs: C(A,B) = |A∩B| / |A| over 5-token
+    // shingles — the measure that catches a short document quoted inside a
+    // long one, which symmetric Jaccard structurally misses (common/(na+nb
+    // −common) shrinks as the long side grows while common/na stays 1.0).
+    // Production pipelines (RefinedWeb-class) drop the CONTAINED side; this
+    // key reports both directions so that policy is a filter on the result.
+    // One-shot inverted join is the right plan here by the same density
+    // argument as llm_dedup_jaccard_prefix (w=5 ⇒ avg df ≈ 1.05, postings
+    // ≈1): candidate fan-out is O(true overlaps). In a high-df regime the
+    // prefix-filter lemma still applies one-sided (A's rarest |A|−⌈t·|A|⌉+1
+    // shingles must hit B when C(A,B) ≥ t).
+    "llm_dedup_containment" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val docs = shingleDocs(s, dir, 5)
+        val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val common = docs.as("a").join(docs.as("b"), Seq("s"))
+          .filter($"a.doc_id" < $"b.doc_id")
+          .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
+          .agg(count(lit(1)).as("common"))
+        common.join(sizes.as("x"), $"i" === $"x.doc_id")
+          .join(sizes.as("y"), $"j" === $"y.doc_id")
+          .select($"i", $"j",
+            round($"common" / $"x.n" + lit(1e-9), 3).as("c_ij"),
+            round($"common" / $"y.n" + lit(1e-9), 3).as("c_ji"))
+          .filter($"c_ij" >= 0.8 || $"c_ji" >= 0.8)
+          .orderBy($"i", $"j")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 5
+        |         THEN list_transform(generate_series(1, len(tl) - 4),
+        |              i -> array_to_string(tl[i:i+4], ' '))
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |p AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |      FROM ds a JOIN ds b USING (s)
+        |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT i, j, round(common * 1.0 / x.n + 1e-9, 3) AS c_ij,
+        |  round(common * 1.0 / y.n + 1e-9, 3) AS c_ji
+        |FROM p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+        |WHERE round(common * 1.0 / x.n + 1e-9, 3) >= 0.8
+        |   OR round(common * 1.0 / y.n + 1e-9, 3) >= 0.8
+        |ORDER BY i, j""".stripMargin),
+
     // EXACT SUBSTRING-DUPLICATION detection (Lee et al. 2021, "Deduplicating
     // Training Data Makes Language Models Better"): find fixed-width token
     // spans (w=15 words — the corpus-scaled analogue of the paper's 50 BPE
