@@ -29,6 +29,41 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("containment pairs contain every jaccard pair at the same threshold") {
+    // jaccard(A,B) >= t implies common >= t·(na+nb-common) >= t·na, so both
+    // directed containments are >= t: the symmetric measure's qualifying
+    // pairs are a SUBSET of the containment key's — the asymmetric measure
+    // only ever adds (the short-doc-quoted-in-long-doc cases).
+    import graft.operators.LlmDedup
+    val cont = LlmDedup.queries("llm_dedup_containment")
+      .build(TestSpark.spark, sf)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    val jac = LlmDedup.jaccardPairsAuto(TestSpark.spark, sf, 0.8, w = 5)
+      .select($"i", $"j").as[(Long, Long)].collect().toSet
+    assert(jac.subsetOf(cont), s"jaccard-only=${(jac diff cont).take(3)}")
+    assert(cont.nonEmpty, "degenerate test: no containment pairs at t=0.8")
+  }
+
+  test("substring clip: clipped docs = detected docs, always strictly shorter") {
+    import graft.operators.LlmDedup
+    val det = LlmDedup.queries("llm_dedup_substring")
+      .build(TestSpark.spark, sf)
+      .select($"doc_id").as[Long].collect().toSet
+    val clip = LlmDedup.queries("llm_dedup_substring_clip")
+      .build(TestSpark.spark, sf)
+      .select($"doc_id", $"n_before", $"n_after")
+      .as[(Long, Long, Long)].collect()
+    // the two keys run independent plans over the same dup-span definition,
+    // so the affected-document sets must agree exactly; and a doc is only
+    // reported because >=1 span (>=1 token) was clipped, so strictly shorter
+    assert(clip.map(_._1).toSet == det,
+      s"clip-only=${(clip.map(_._1).toSet diff det).take(3)} " +
+        s"det-only=${(det diff clip.map(_._1).toSet).take(3)}")
+    assert(clip.nonEmpty, "degenerate test: no clipped docs")
+    clip.foreach { case (id, b, a) =>
+      assert(a < b, s"doc $id: n_after $a !< n_before $b") }
+  }
+
   test("near-dup components: pairs co-grouped, labels are component minima") {
     import graft.operators.LlmDedup
     val labels = LlmDedup.nearDupComponents(spark, sf, 0.6)
