@@ -155,7 +155,151 @@ object LlmSimilarity {
         x => x.getField("c")).as("centroid"))
   }
 
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix — deterministic
+    * driver-side math on the metadata-sized (dim×dim) covariance (the
+    * kmeans-centroid precedent: the collect is O(dim²), never O(rows)).
+    * Returns (eigenvalues desc, eigenvectors aligned to them, each returned
+    * as the length-dim array of its components), every vector sign-fixed
+    * (largest-|component| positive) so projections reproduce run to run. */
+  private[graft] def jacobiEigen(m: Array[Array[Double]])
+      : (Array[Double], Array[Array[Double]]) = {
+    val n = m.length
+    val a = m.map(_.clone)
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    def off: Double = {
+      var s = 0.0; var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { s += a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var sweep = 0
+    while (sweep < 50 && off > 1e-18 * n * n) {
+      for (p <- 0 until n - 1; q <- p + 1 until n
+           if math.abs(a(p)(q)) > Double.MinPositiveValue) {
+        val theta = (a(q)(q) - a(p)(p)) / (2 * a(p)(q))
+        val sgn = if (theta >= 0) 1.0 else -1.0
+        val t = sgn / (math.abs(theta) + math.sqrt(theta * theta + 1))
+        val c = 1.0 / math.sqrt(t * t + 1)
+        val sn = t * c
+        var k = 0
+        while (k < n) { // right-rotate columns p,q
+          val akp = a(k)(p); val akq = a(k)(q)
+          a(k)(p) = c * akp - sn * akq; a(k)(q) = sn * akp + c * akq
+          k += 1
+        }
+        k = 0
+        while (k < n) { // left-rotate rows p,q
+          val apk = a(p)(k); val aqk = a(q)(k)
+          a(p)(k) = c * apk - sn * aqk; a(q)(k) = sn * apk + c * aqk
+          k += 1
+        }
+        k = 0
+        while (k < n) { // accumulate the rotation into V
+          val vkp = v(k)(p); val vkq = v(k)(q)
+          v(k)(p) = c * vkp - sn * vkq; v(k)(q) = sn * vkp + c * vkq
+          k += 1
+        }
+      }
+      sweep += 1
+    }
+    val order = (0 until n).sortBy(i => (-a(i)(i), i))
+    val eig = order.map(i => a(i)(i)).toArray
+    val vecs = order.map { i =>
+      val col0 = Array.tabulate(n)(k => v(k)(i))
+      val mx = col0.indices.maxBy(k => math.abs(col0(k)))
+      if (col0(mx) < 0) col0.map(x => -x) else col0
+    }.toArray
+    (eig, vecs)
+  }
+
   def queries: Map[String, QueryDef] = Map(
+    // PCA EMBEDDING REDUCTION — the standard pre-ANN step (FAISS PCAMatrix):
+    // project 64-d vectors onto the top-k=8 principal components before
+    // indexing. Distribution of work follows the kmeans pattern exactly:
+    // the covariance accumulates distributedly (per-row outer product via
+    // HOFs, posexplode, ONE 4096-row-keyed shuffle with map-side partial
+    // sums — at 100 TB this is the only pass over the data), the dim×dim
+    // eigenproblem is metadata-sized driver math (cyclic Jacobi above), and
+    // the projection is a map-only broadcast-literal dot product. The
+    // DuckDB-replayable projection is the covariance SIDE of the math
+    // (n, dim, trace = total variance); the eigensolver's guarantees are
+    // MATHEMATICAL identities pinned as booleans (not statistical bounds,
+    // so they cannot drift with data): eigenvalues sorted, eigenvectors
+    // orthonormal to 1e-8, Σλ = trace, and — the identity that ties the
+    // DISTRIBUTED projection back to the driver eigensolver — the mean
+    // projected energy E|Vᵀ(x−μ)|² equals Σ of the top-k eigenvalues.
+    "llm_embed_pca" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val k = 8
+        val emb = Tables.embeddings(s, dir)
+          .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+        val nVecs = emb.count()
+        val dim = emb.select(size($"e")).head().getInt(0)
+        val mu = emb.select(posexplode($"e").as(Seq("p", "x")))
+          .groupBy($"p").agg((sum($"x") / nVecs).as("m"))
+          .orderBy($"p").select($"m").as[Double].collect()
+        val muCol = array(mu.map(lit).toIndexedSeq: _*)
+        val centered = zip_with($"e", muCol, (x, m) => x - m)
+        // per-row outer product, flattened so pos = i*dim + j; partial sums
+        // collapse map-side, the shuffle carries <= dim² rows per partition
+        val covRows = emb
+          .select(posexplode(flatten(transform(centered,
+            x => transform(centered, y => x * y)))).as(Seq("pos", "xy")))
+          .groupBy($"pos").agg((sum($"xy") / nVecs).as("c"))
+          .orderBy($"pos").select($"c").as[Double].collect()
+        val cov = Array.tabulate(dim, dim)((i, j) => covRows(i * dim + j))
+        val (eig, vecs) = jacobiEigen(cov)
+        val trace = (0 until dim).map(i => cov(i)(i)).sum
+        // mathematical-identity pins (deterministic given the data)
+        val eigsSorted = eig.sliding(2).forall(w => w(0) >= w(1) - 1e-10)
+        val orthonormal = (0 until dim).forall { i =>
+          (i until dim).forall { j =>
+            val dot = (0 until dim).map(p => vecs(i)(p) * vecs(j)(p)).sum
+            math.abs(dot - (if (i == j) 1.0 else 0.0)) < 1e-8
+          }
+        }
+        val varConserved = math.abs(eig.sum - trace) < 1e-8 * math.max(1.0, trace)
+        // distributed projection onto the top-k components
+        val vk = typedlit(vecs.take(k).map(_.toSeq).toSeq)
+        val projected = emb.select($"vec_id",
+          transform(vk, row => aggregate(
+            zip_with(centered, row, (x, w) => x * w),
+            lit(0.0), (acc, x) => acc + x)).as("proj"))
+        val projEnergy = projected.select(
+          avg(aggregate(transform($"proj", x => x * x),
+            lit(0.0), (acc, x) => acc + x))).as[Double].head()
+        val topkSum = eig.take(k).sum
+        val energyOk = math.abs(projEnergy - topkSum) <
+          1e-6 * math.max(1.0, topkSum)
+        emb.sparkSession.range(1).select(
+          lit(nVecs).as("n_vecs"),
+          lit(dim.toLong).as("dim"),
+          round(lit(trace) + lit(1e-9), 4).as("trace_r"),
+          lit(k).as("k"),
+          lit(eigsSorted).as("eigs_sorted"),
+          lit(orthonormal).as("orthonormal"),
+          lit(varConserved).as("variance_conserved"),
+          lit(energyOk).as("projection_energy_ok"))
+      },
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |x AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS v,
+        |        generate_subscripts(embedding, 1) AS p FROM e),
+        |st AS (SELECT p,
+        |    sum(v * v) / (SELECT count(*) FROM e)
+        |      - pow(sum(v) / (SELECT count(*) FROM e), 2) AS var_p
+        |  FROM x GROUP BY p)
+        |SELECT (SELECT count(*) FROM e) AS n_vecs,
+        |  (SELECT CAST(max(len(embedding)) AS BIGINT) FROM e) AS dim,
+        |  round(sum(var_p) + 1e-9, 4) AS trace_r,
+        |  8 AS k,
+        |  TRUE AS eigs_sorted, TRUE AS orthonormal,
+        |  TRUE AS variance_conserved, TRUE AS projection_energy_ok
+        |FROM st""".stripMargin),
+
     // Cosine of every vector to its class centroid (broadcast join).
     // The displayed value is round(x + 1e-9, 4) on BOTH engines: Spark
     // rounds the shortest-decimal repr (BigDecimal HALF_UP) while DuckDB

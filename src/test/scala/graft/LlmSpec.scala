@@ -29,6 +29,23 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("jacobi eigensolver: known-answer 3x3 (analytic eigenpairs, sign-fixed)") {
+    import graft.operators.LlmSimilarity
+    // [[2,1,0],[1,2,0],[0,0,5]] has eigenvalues {5, 3, 1} with eigenvectors
+    // e3, (1,1,0)/√2 and (1,-1,0)/√2; the sign fix (largest-|component|
+    // positive, first index on ties) makes the third one (r, -r, 0)
+    val (eig, vecs) = LlmSimilarity.jacobiEigen(Array(
+      Array(2.0, 1.0, 0.0), Array(1.0, 2.0, 0.0), Array(0.0, 0.0, 5.0)))
+    assert(eig.zip(Seq(5.0, 3.0, 1.0)).forall {
+      case (a, b) => math.abs(a - b) < 1e-10 }, eig.toSeq)
+    val r = 1 / math.sqrt(2)
+    assert(math.abs(vecs(0)(2) - 1.0) < 1e-10, vecs(0).toSeq)
+    assert(math.abs(vecs(1)(0) - r) < 1e-10 &&
+      math.abs(vecs(1)(1) - r) < 1e-10, vecs(1).toSeq)
+    assert(math.abs(vecs(2)(0) - r) < 1e-10 &&
+      math.abs(vecs(2)(1) + r) < 1e-10, vecs(2).toSeq)
+  }
+
   test("containment pairs contain every jaccard pair at the same threshold") {
     // jaccard(A,B) >= t implies common >= t·(na+nb-common) >= t·na, so both
     // directed containments are >= t: the symmetric measure's qualifying
