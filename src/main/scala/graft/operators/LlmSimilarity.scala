@@ -231,17 +231,24 @@ object LlmSimilarity {
     // orthonormal to 1e-8, Σλ = trace, and — the identity that ties the
     // DISTRIBUTED projection back to the driver eigensolver — the mean
     // projected energy E|Vᵀ(x−μ)|² equals Σ of the top-k eigenvalues.
+    // Honest data note: THIS corpus's embeddings are near-isotropic (top-8
+    // components carry ~20% of variance, measured), so PCA here certifies
+    // the mechanism, not an ANN win; on real anisotropic embedding spaces
+    // the same plan is what makes the reduced index pay. The identities
+    // pinned below hold for any data.
     "llm_embed_pca" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         val k = 8
         val emb = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding".cast("array<double>").as("e"))
-        val nVecs = emb.count()
-        val dim = emb.select(size($"e")).head().getInt(0)
-        val mu = emb.select(posexplode($"e").as(Seq("p", "x")))
-          .groupBy($"p").agg((sum($"x") / nVecs).as("m"))
-          .orderBy($"p").select($"m").as[Double].collect()
+        // n, dim and the mean vector from ONE pass/collect (dim rows)
+        val stats = emb.select(posexplode($"e").as(Seq("p", "x")))
+          .groupBy($"p").agg(sum($"x").as("sx"), count(lit(1)).as("cnt"))
+          .orderBy($"p").collect()
+        val dim = stats.length
+        val nVecs = stats(0).getAs[Long]("cnt")
+        val mu = stats.map(r => r.getAs[Double]("sx") / nVecs)
         val muCol = array(mu.map(lit).toIndexedSeq: _*)
         val centered = zip_with($"e", muCol, (x, m) => x - m)
         // per-row outer product, flattened so pos = i*dim + j; partial sums
