@@ -251,14 +251,22 @@ object LlmSimilarity {
         val mu = stats.map(r => r.getAs[Double]("sx") / nVecs)
         val muCol = array(mu.map(lit).toIndexedSeq: _*)
         val centered = zip_with($"e", muCol, (x, m) => x - m)
-        // per-row outer product, flattened so pos = i*dim + j; partial sums
-        // collapse map-side, the shuffle carries <= dim² rows per partition
-        val covRows = emb
-          .select(posexplode(flatten(transform(centered,
-            x => transform(centered, y => x * y)))).as(Seq("pos", "xy")))
-          .groupBy($"pos").agg((sum($"xy") / nVecs).as("c"))
-          .orderBy($"pos").select($"c").as[Double].collect()
-        val cov = Array.tabulate(dim, dim)((i, j) => covRows(i * dim + j))
+        // Covariance via MLlib's BLAS-backed distributed Gram matrix — the
+        // one deliberate RDD use in the similarity family (same exception
+        // class as the native Expressions over interpreted HOFs): the first
+        // spelling here was a per-row outer-product HOF explode, correct
+        // and byte-flat but interpreted — N·dim² row-ops measured 219 s at
+        // sf10 (200 k × 4096) where the dense syrk accumulation does the
+        // identical math in seconds. Sample→population denominator fixed up
+        // driver-side; the DuckDB oracle replays the same uncentered-moment
+        // formula, and trace lands on the same 4-dp rounding.
+        val covS = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
+          emb.select($"e").rdd.map(r =>
+            org.apache.spark.mllib.linalg.Vectors.dense(
+              r.getSeq[Double](0).toArray)))
+          .computeCovariance()
+        val f = (nVecs - 1).toDouble / nVecs
+        val cov = Array.tabulate(dim, dim)((i, j) => covS(i, j) * f)
         val (eig, vecs) = jacobiEigen(cov)
         val trace = (0 until dim).map(i => cov(i)(i)).sum
         // mathematical-identity pins (deterministic given the data)
