@@ -26,8 +26,17 @@ object Tables {
     if (name == "events") events(spark, dir)
     else raw(spark, dir, name)
 
-  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
+  // Generator-version gate: repo-local scale dirs (data/sf1, data/sf10)
+  // must carry a current GenScale marker — a pre-fix corpus has different
+  // dedup-pair density and would fail only as inscrutable hash mismatches.
+  // Checked once per dir (concurrent duplicate checks are harmless).
+  private val versionChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
+    if (versionChecked.add(dir)) GenScale.assertVersion(dir)
     spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "orders")

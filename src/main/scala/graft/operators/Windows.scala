@@ -223,6 +223,11 @@ object Windows {
     // the session/per-user rollups re-aggregate within the same key space —
     // no second wide shuffle of the event stream. Ordering is (ts, event_id)
     // so equal-timestamp events assign deterministically in both engines.
+    // The gap test compares FRACTIONAL epoch seconds on both sides
+    // (cast-to-double here, epoch(ts) in DuckDB): unix_timestamp floors to
+    // whole seconds, so a true gap in (1800.0, 1801.0) would split a
+    // session in DuckDB but not here — microsecond-resolution ts makes
+    // that divergence one data regeneration away.
     "win_sessionize" -> QueryDef(
       (s, dir) => {
         import s.implicits._
@@ -230,7 +235,7 @@ object Windows {
         val prev = lag($"ts", 1).over(w)
         Tables.events(s, dir).select($"user_id", $"ts", $"event_id")
           .withColumn("new_s", when(prev.isNull ||
-            unix_timestamp($"ts") - unix_timestamp(prev) > 1800L, 1L)
+            $"ts".cast("double") - prev.cast("double") > 1800d, 1L)
             .otherwise(0L))
           .withColumn("sess", sum($"new_s").over(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

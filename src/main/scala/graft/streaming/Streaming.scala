@@ -495,7 +495,7 @@ object Streaming {
         .option("maxFilesPerTrigger", 1)
         .parquet(split)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           // band the batch once; both consumers below reuse the tiny result
           val bands = batch.select(col("doc_id"),
             posexplode(TextOps.minhashBandsUdf(4, 4)(
@@ -506,16 +506,25 @@ object Streaming {
             .filter(col("a.doc_id") < col("b.doc_id"))
             .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
           val cands = if (!indexNonEmpty) intra else {
-            s.read.parquet(table).as("c")
+            s.read.parquet(table).select(col("band"), col("key"), col("doc_id")).as("c")
               .join(broadcast(bands.as("d")), Seq("band", "key"))
               .select(least(col("c.doc_id"), col("d.doc_id")).as("i"),
                 greatest(col("c.doc_id"), col("d.doc_id")).as("j"))
               .union(intra)
           }
-          cands.distinct().write.mode("append").parquet(candsDir)
-          // delta-rowset append: the batch's bands land as new files; the
-          // probe above deliberately read the index as it stood pre-append
-          bands.write.mode("append").parquet(table)
+          // RETRY-IDEMPOTENT delta append: each batch owns a deterministic
+          // batch=<id> subpath written with overwrite — a foreachBatch
+          // retry after a partial failure replaces its own rowset instead
+          // of double-appending into the dir-union (which would turn the
+          // index into a multiset and fail the index_equals_batch pin).
+          // Readers see the same dir-union semantics via partition
+          // discovery and just drop the synthetic `batch` column.
+          cands.distinct().write.mode("overwrite")
+            .parquet(s"$candsDir/batch=$batchId")
+          // delta-rowset append: the batch's bands land as a new rowset;
+          // the probe above deliberately read the index as it stood
+          // pre-append
+          bands.write.mode("overwrite").parquet(s"$table/batch=$batchId")
           indexNonEmpty = true
           ()
         }.start()
@@ -1094,12 +1103,14 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         val (indexPath, candsDir) = streamDedupIndexIngest(s, dir)
-        val streamedCands = s.read.parquet(candsDir).distinct()
+        val streamedCands =
+          s.read.parquet(candsDir).select($"i", $"j").distinct()
         val batchCands = graft.operators.LlmDedup.minhashCandidates(s, dir)
         val candsEqual =
           streamedCands.exceptAll(batchCands).isEmpty &&
           batchCands.exceptAll(streamedCands).isEmpty
-        val streamedIndex = s.read.parquet(indexPath)
+        val streamedIndex =
+          s.read.parquet(indexPath).select($"doc_id", $"band", $"key")
         val batchIndex = graft.operators.LlmDedup.bandSigs(s, dir)
         val indexEqual =
           streamedIndex.exceptAll(batchIndex).isEmpty &&
