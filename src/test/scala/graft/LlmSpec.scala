@@ -106,12 +106,15 @@ class LlmSpec extends SparkSpec {
     assert(exact.subsetOf(lsh),
       s"missed ${exact.diff(lsh).size} of ${exact.size} near-dup pairs")
     assert(exact.nonEmpty, "degenerate test: no jaccard >= 0.9 pairs")
-    // and the key's projection must report complete recall at both thresholds
+    // and the key's projection must report the banding-contract recall
+    // bound satisfied at both thresholds (the subset assertion above pins
+    // the stronger zero-miss fact at this SF; the key projects the bound
+    // because banding recall is probabilistic by contract at any SF)
     val proj = run("llm_dedup_minhash")
-      .as[(Double, Long, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Double, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(proj.map(_._1) == Seq(0.9, 0.95))
-    proj.foreach { case (t, nTruth, nCaught) =>
-      assert(nTruth == nCaught, s"t=$t: caught $nCaught of $nTruth")
+    proj.foreach { case (t, nTruth, ok) =>
+      assert(nTruth > 0 && ok, s"t=$t: recall bound violated ($nTruth truth)")
     }
   }
 
@@ -128,12 +131,12 @@ class LlmSpec extends SparkSpec {
     assert(incr == full,
       s"incr\\full=${(incr diff full).take(3)} full\\incr=${(full diff incr).take(3)}")
     assert(incr.nonEmpty, "degenerate test: no delta-touching candidates")
-    // and the key's recall projection reports complete recall per threshold
+    // and the key's recall projection reports the contract bound satisfied
     val proj = run("llm_dedup_minhash_incr")
-      .as[(Double, Long, Long)].collect().toSeq.sortBy(_._1)
+      .as[(Double, Long, Boolean)].collect().toSeq.sortBy(_._1)
     assert(proj.map(_._1) == Seq(0.9, 0.95))
-    proj.foreach { case (t, nTruth, nCaught) =>
-      assert(nTruth == nCaught, s"t=$t: caught $nCaught of $nTruth")
+    proj.foreach { case (t, nTruth, ok) =>
+      assert(nTruth > 0 && ok, s"t=$t: recall bound violated ($nTruth truth)")
     }
   }
 

@@ -370,12 +370,12 @@ class StreamingSpec extends SparkSpec {
     // so a drift between the streamed and batch-built artifacts fails the
     // suite with the specific broken invariant, not just an oracle hash
     val rows = run("stream_dedup_index")
-      .select($"threshold", $"n_truth", $"n_caught",
+      .select($"threshold", $"n_truth", $"recall_ok",
         $"cands_equal_batch", $"index_equals_batch")
-      .as[(Double, Long, Long, Boolean, Boolean)].collect()
+      .as[(Double, Long, Boolean, Boolean, Boolean)].collect()
     assert(rows.length == 2)
-    rows.foreach { case (t, nTruth, nCaught, candsEq, idxEq) =>
-      assert(nCaught == nTruth, s"t=$t: caught $nCaught of $nTruth truth pairs")
+    rows.foreach { case (t, nTruth, recallOk, candsEq, idxEq) =>
+      assert(nTruth > 0 && recallOk, s"t=$t: recall bound violated ($nTruth truth)")
       assert(candsEq, s"t=$t: streamed candidate set != batch-built candidate set")
       assert(idxEq, s"t=$t: maintained band index != batch-built band table")
     }
