@@ -25,6 +25,7 @@ object SparkEntry {
       operators.MaterializedViews.queries ++
       operators.FileScans.queries ++
       operators.SqlDialect.queries ++
+      operators.DdlStatements.queries ++
       streaming.Streaming.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,241 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.sql.DorisDdl
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Text-driven key-model lifecycles (SURVEY §3.1 steps 1-2 over §1.1): each
+  * key here is INPUT AS DORIS SQL STATEMENTS ONLY — create → load → upsert
+  * → delete → select — executed by [[graft.sql.DorisDdl]], which maps the
+  * statements onto the engine's existing key-model machinery (versioned
+  * rowsets, merge-on-read windows, versioned delete predicates, partition
+  * dirs, bucketed loads). The hand-built `model_*` keys prove the
+  * SEMANTICS; these keys prove a Palo user can reach them the way they do
+  * today: SQL text (reference `README_EN.md:26` — "fully compatible with
+  * the Apache [Doris] version"; the FE grammar anchor is
+  * [doris: fe/fe-core/src/main/cup/sql_parser.cup]).
+  *
+  * Every lifecycle derives its loads deterministically from the driver
+  * testdata, so the DuckDB oracle REPLAYS the whole statement sequence
+  * (batch derivation CTEs + the same merge/delete windows) rather than
+  * hand-stating expected rows — a front-end bug that alters any statement's
+  * meaning diverges from the replay. Plans stay the model_* plans: one
+  * window or group-by shuffle per merge, partition-pruned scans after
+  * partition selection, no extra materialization beyond the loads
+  * themselves.
+  */
+object DdlStatements {
+
+  /** Lifecycles are staged once per sf dir (same caching discipline as
+    * every ingest key: bench re-runs must not re-pay the loads); the final
+    * SELECT re-runs per call against the registered views. The cache maps
+    * (key, dir) → the DorisDdl catalog holding the loaded tables, guarded
+    * by the owning session like the other standing artifacts. */
+  private final case class Staged(ddl: DorisDdl, session: SparkSession)
+  private val staged =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Staged]()
+
+  private def lifecycle(key: String, s: SparkSession, dir: String)(
+      statements: => Seq[String]): DorisDdl = {
+    val e = staged.get((key, dir))
+    if (e != null && (e.session eq s)) e.ddl
+    else {
+      val ddl = new DorisDdl(s)
+      statements.foreach(ddl.execute)
+      staged.put((key, dir), Staged(ddl, s))
+      ddl
+    }
+  }
+
+  def queries: Map[String, QueryDef] = Map(
+    // UNIQUE KEY lifecycle: create → baseline load → upsert load → DELETE
+    // (a versioned predicate, not a filter) → post-delete reload that must
+    // SURVIVE the delete → merge-on-read select. Exercises: CREATE TABLE
+    // UNIQUE KEY / DISTRIBUTED BY HASH BUCKETS, INSERT INTO ... SELECT
+    // (twice, with upsert semantics), DELETE FROM ... WHERE, and the
+    // final-state SELECT — all as text.
+    "sql_ddl_unique" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_unique", s, dir)(Seq(
+          """CREATE TABLE user_last (
+            |  user_id BIGINT,
+            |  last_type VARCHAR(20),
+            |  last_value DOUBLE
+            |) ENGINE=OLAP
+            |UNIQUE KEY(user_id)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          // v1 baseline: one row per user
+          """INSERT INTO user_last
+            |SELECT user_id, 'init', round(sum(value), 2)
+            |FROM events GROUP BY user_id""".stripMargin,
+          // v2 upsert: purchase users get a new row — must WIN the merge
+          """INSERT INTO user_last
+            |SELECT user_id, 'purchase', round(sum(value), 2)
+            |FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+            |GROUP BY user_id""".stripMargin,
+          // v3 delete: versioned predicate over the key
+          "DELETE FROM user_last WHERE user_id % 7 = 0",
+          // v4 reload of a subset of the deleted keys — loaded AFTER the
+          // delete, so it must survive it
+          """INSERT INTO user_last
+            |SELECT user_id, 'revived', 1.0
+            |FROM events WHERE user_id % 14 = 0 GROUP BY user_id""".stripMargin))
+        ddl.sql(
+          """SELECT last_type, count(*) AS n_users,
+            |  round(sum(last_value), 2) AS sum_value
+            |FROM user_last GROUP BY last_type ORDER BY last_type""".stripMargin)
+      },
+      // replay: same four batches with explicit versions, same
+      // (_ver DESC) merge window, same versioned-delete visibility rule
+      """WITH b AS (
+        |  SELECT user_id, 'init' AS last_type, round(sum(value), 2) AS last_value,
+        |         1 AS _ver FROM events GROUP BY user_id
+        |  UNION ALL
+        |  SELECT user_id, 'purchase', round(sum(value), 2), 2
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 3 = 0
+        |  GROUP BY user_id
+        |  UNION ALL
+        |  SELECT user_id, 'revived', 1.0, 4
+        |  FROM events WHERE user_id % 14 = 0 GROUP BY user_id),
+        |vis AS (SELECT * FROM b
+        |        WHERE NOT (user_id % 7 = 0 AND _ver < 3)),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY _ver DESC) AS rn FROM vis)
+        |SELECT last_type, count(*) AS n_users,
+        |  round(sum(last_value), 2) AS sum_value
+        |FROM m WHERE rn = 1 GROUP BY last_type ORDER BY last_type""".stripMargin),
+
+    // AGGREGATE KEY lifecycle: value columns declare their merge aggregate
+    // in the CREATE (SUM / MAX / REPLACE); two disjoint loads collapse at
+    // read into one group-by — ingest-side merge exactly as Doris'
+    // MemTable pre-aggregation. REPLACE takes the latest-version value.
+    "sql_ddl_aggregate" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_aggregate", s, dir)(Seq(
+          """CREATE TABLE evt_cube (
+            |  user_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  sum_value DOUBLE SUM,
+            |  max_event BIGINT MAX,
+            |  n_rows BIGINT SUM,
+            |  load_tag VARCHAR(8) REPLACE
+            |) ENGINE=OLAP
+            |AGGREGATE KEY(user_id, event_type)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO evt_cube
+            |SELECT user_id, event_type, value, event_id, 1, 'L1'
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          """INSERT INTO evt_cube
+            |SELECT user_id, event_type, value, event_id, 1, 'L2'
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type, count(*) AS n_keys,
+            |  round(sum(sum_value), 2) AS total_value,
+            |  max(max_event) AS max_event,
+            |  sum(n_rows) AS n_rows,
+            |  min(load_tag) AS load_tag
+            |FROM evt_cube GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      // replay: the per-key aggregate table re-aggregated; load_tag=REPLACE
+      // resolves to the latest load ('L2') for every key both loads touch —
+      // and min() over keys makes a single L1-only key visible if one slice
+      // were missing
+      """WITH k AS (
+        |  SELECT user_id, event_type,
+        |    sum(value) AS sum_value, max(event_id) AS max_event,
+        |    count(*) AS n_rows,
+        |    CASE WHEN count(*) FILTER (WHERE event_id % 2 <> 0) > 0
+        |         THEN 'L2' ELSE 'L1' END AS load_tag
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, count(*) AS n_keys,
+        |  round(sum(sum_value), 2) AS total_value,
+        |  max(max_event) AS max_event,
+        |  CAST(sum(n_rows) AS BIGINT) AS n_rows,
+        |  min(load_tag) AS load_tag
+        |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // DUPLICATE KEY + PARTITION BY RANGE + DROP PARTITION + partition
+    // selection: the retention lifecycle. The CREATE declares three range
+    // partitions; one load distributes rows into them (a row beyond the
+    // last bound would fail the load); DROP PARTITION removes the oldest
+    // as the O(1) directory op; the final SELECT unions the full table
+    // with a `PARTITION (p_mid)` selection — the latter a physically
+    // partition-PRUNED scan.
+    "sql_ddl_partition" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val ddl = lifecycle("sql_ddl_partition", s, dir)(Seq(
+          """CREATE TABLE ord_part (
+            |  o_orderdate DATE,
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderdate, o_orderkey)
+            |PARTITION BY RANGE(o_orderdate) (
+            |  PARTITION p_old VALUES LESS THAN ('1997-01-01'),
+            |  PARTITION p_mid VALUES LESS THAN ('1999-01-01'),
+            |  PARTITION p_new VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_part
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+            |FROM orders""".stripMargin,
+          "ALTER TABLE ord_part DROP PARTITION p_old"))
+        ddl.sql(
+          """SELECT 'all' AS scope, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_part
+            |UNION ALL
+            |SELECT 'mid' AS scope, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_part PARTITION (p_mid)
+            |ORDER BY scope""".stripMargin)
+      },
+      """SELECT 'all' AS scope, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        |UNION ALL
+        |SELECT 'mid', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+        |  AND o_orderdate < DATE '1999-01-01'
+        |ORDER BY scope""".stripMargin),
+
+    // INSERT ... VALUES + cross-source join: a literal-row dimension table
+    // created and populated purely by text, then joined against a base
+    // table in the same SELECT — the DDL views compose with everything
+    // else in the session. A DEFAULT column is exercised by omitting it
+    // from the insert's column list.
+    "sql_ddl_values" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        val ddl = lifecycle("sql_ddl_values", s, dir)(Seq(
+          """CREATE TABLE dim_status (
+            |  code VARCHAR(4),
+            |  descr VARCHAR(40),
+            |  rank INT,
+            |  source VARCHAR(8) DEFAULT 'manual'
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(code)
+            |DISTRIBUTED BY HASH(code) BUCKETS 1""".stripMargin,
+          """INSERT INTO dim_status (code, descr, rank)
+            |VALUES ('F', 'finished', 1), ('O', 'open', 2), ('P', 'pending', 3)""".stripMargin))
+        ddl.sql(
+          """SELECT l.l_linestatus, d.descr, d.rank, d.source,
+            |  count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+            |FROM lineitem l JOIN dim_status d ON l.l_linestatus = d.code
+            |GROUP BY l.l_linestatus, d.descr, d.rank, d.source
+            |ORDER BY l.l_linestatus""".stripMargin)
+      },
+      """SELECT l.l_linestatus, d.descr, d.rank, d.source,
+        |  count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l
+        |JOIN (VALUES ('F', 'finished', 1, 'manual'),
+        |             ('O', 'open', 2, 'manual'),
+        |             ('P', 'pending', 3, 'manual')) d(code, descr, rank, source)
+        |  ON l.l_linestatus = d.code
+        |GROUP BY l.l_linestatus, d.descr, d.rank, d.source
+        |ORDER BY l.l_linestatus""".stripMargin)
+  )
+}

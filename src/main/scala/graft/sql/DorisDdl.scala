@@ -308,6 +308,9 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def registerViews(t: TableState): Unit = {
+    // a created-but-never-loaded table has no rowsets to read yet; its
+    // first load registers it
+    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
     visible(t, None).createOrReplaceTempView(t.def_.name)
     t.def_.parts.foreach { p =>
       visible(t, Some(p.name))
