@@ -49,6 +49,52 @@ object Rollups {
       out
     })
 
+  private val builtCoarse = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A SECOND, coarser rollup of the same base — keyed by l_returnflag
+    * alone with a reduced column set — so the rule has overlapping
+    * candidates to RANK (Doris MaterializedViewSelector: among all rollups
+    * that cover the aggregate, serve the cheapest). */
+  def ensureCoarseRollup(s: SparkSession, dir: String): String =
+    builtCoarse.computeIfAbsent(dir, { _ =>
+      import s.implicits._
+      val out = graft.TempDirs.create("graft_rollup_coarse")
+      Tables.lineitem(s, dir)
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          count($"l_quantity").as("cnt_qty"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(out)
+      RollupRewrite.register(RollupDef(
+        basePath = s"$dir/lineitem.parquet",
+        rollupPath = out,
+        keys = Seq("l_returnflag"),
+        columns = Map(
+          ("sum", "l_quantity") -> "sum_qty",
+          ("count", "*") -> "cnt",
+          ("count", "l_quantity") -> "cnt_qty")))
+      out
+    })
+
+  /** Which registered artifact ultimately feeds this plan: inspects the
+    * optimized plan's leaf relations (driver-side metadata only). */
+  private def servedBy(
+      df: org.apache.spark.sql.DataFrame,
+      coarse: String, fine: String): String = {
+    val leafPaths = df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+      case org.apache.spark.sql.execution.datasources.LogicalRelation(
+          fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+          _, _, _, _) =>
+        fs.location.rootPaths.map(_.toString)
+      case _ => Nil
+    }
+    if (leafPaths.exists(_.contains(coarse))) "coarse"
+    else if (leafPaths.exists(_.contains(fine))) "fine"
+    else "base"
+  }
+
   def queries: Map[String, QueryDef] = Map(
     // Aggregate declared AGAINST THE BASE lineitem scan; answered from the
     // rollup by the optimizer rule.
@@ -110,6 +156,50 @@ object Rollups {
         |  count(*) FILTER (WHERE l_linestatus = 'F') AS n_f
         |FROM lineitem WHERE l_linestatus <> 'X'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // COST-RANKED rollup choice (Doris MaterializedViewSelector,
+    // [doris: fe/.../planner/MaterializedViewSelector.java]): with BOTH the
+    // (l_returnflag, l_linestatus) rollup and the coarser (l_returnflag)
+    // rollup registered, the rule serves each aggregate from the CHEAPEST
+    // covering candidate by scan-size stats — branch A is covered by both
+    // and must land on the coarse one, branch B needs sum_price and must
+    // land on the fine one, branch C aggregates a column in neither and
+    // must fall back to the base scan. The chosen source is read from the
+    // optimized plan's leaves and PINNED IN THE RESULT, so the driver
+    // oracle hash breaks if the selector ever picks a wrong-but-correct
+    // candidate; the aggregates themselves replay against the base table.
+    "rollup_rewrite_choice" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val fine = ensureRollup(s, dir)
+        val coarse = ensureCoarseRollup(s, dir)
+        RollupRewrite.install(s)
+        def branch(scope: String, agg: org.apache.spark.sql.Column) = {
+          val df = Tables.lineitem(s, dir)
+            .groupBy($"l_returnflag")
+            .agg(round(agg, 2).as("metric"), count(lit(1)).as("n"))
+          df.select(lit(scope).as("scope"), $"l_returnflag", $"metric", $"n",
+            lit(servedBy(df, coarse, fine)).as("served_from"))
+        }
+        branch("a_qty", sum($"l_quantity"))
+          .unionByName(branch("b_price", sum($"l_extendedprice")))
+          .unionByName(branch("c_discount", sum($"l_discount")))
+          .orderBy($"scope", $"l_returnflag")
+      },
+      """SELECT scope, l_returnflag, metric, n, served_from FROM (
+        |  SELECT 'a_qty' AS scope, l_returnflag,
+        |    round(sum(l_quantity), 2) AS metric, count(*) AS n,
+        |    'coarse' AS served_from
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'b_price', l_returnflag,
+        |    round(sum(l_extendedprice), 2), count(*), 'fine'
+        |  FROM lineitem GROUP BY l_returnflag
+        |  UNION ALL
+        |  SELECT 'c_discount', l_returnflag,
+        |    round(sum(l_discount), 2), count(*), 'base'
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY scope, l_returnflag""".stripMargin),
 
     // Incremental rollup/MV maintenance (Doris AGGREGATE-key compaction and
     // async-MV refresh): rollup(base ∪ delta) is computed as

@@ -148,6 +148,41 @@ class RollupSpec extends SparkSpec {
     assert(df.collect().toSeq == base.collect().toSeq)
   }
 
+  test("overlapping candidates: the cheapest covering rollup is chosen, with fallback") {
+    // Doris MaterializedViewSelector behavior: among all candidates that
+    // COVER the aggregate, serve the smallest by scan-size stats; a shape
+    // only the finer one covers lands there; a shape neither covers falls
+    // back to the base. The same contract the rollup_rewrite_choice key
+    // pins in its result — asserted here directly on the plan leaves.
+    val fine = operators.Rollups.ensureRollup(spark, sf)
+    val coarse = operators.Rollups.ensureCoarseRollup(spark, sf)
+    RollupRewrite.install(spark)
+    def leafPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.optimizedPlan.collectLeaves().flatMap {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) => fs.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    val bothCover = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"), count(lit(1)))
+    assert(leafPaths(bothCover).exists(_.contains(coarse)),
+      s"expected the coarse rollup: ${leafPaths(bothCover)}")
+    val onlyFine = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(sum($"l_extendedprice"))
+    assert(leafPaths(onlyFine).exists(_.contains(fine)),
+      s"expected the fine rollup: ${leafPaths(onlyFine)}")
+    val neither = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag").agg(sum($"l_discount"))
+    assert(leafPaths(neither).exists(_.contains(s"$sf/lineitem.parquet")),
+      s"expected base fallback: ${leafPaths(neither)}")
+    // and the coarse-served answer equals the forced base computation
+    val base = Tables.lineitem(spark, sf).filter($"l_orderkey" >= 0)
+      .groupBy($"l_returnflag").agg(sum($"l_quantity"), count(lit(1)))
+    assert(bothCover.orderBy($"l_returnflag").collect().toSeq ==
+      base.orderBy($"l_returnflag").collect().toSeq)
+  }
+
   test("randomized shapes: rule-visible answers always equal the base-table answers") {
     // Property harness for the widened rule: random grouping sets,
     // aggregate mixes (merge-mapped, key-distinct, FILTER clauses, avg),
