@@ -108,6 +108,58 @@ object LlmSimilarity {
       })._2
   }
 
+  /** TRAINED-centroid coarse cells for llm_knn_ivf_trained: production IVF
+    * trains its cells with k-means over the corpus rather than deriving
+    * them from labels (which a raw 100 TB embedding table doesn't have).
+    * Two deterministic Lloyd iterations over the in-repo k-means plan shape
+    * (broadcast-centroid argmin — kmeansAssign's shape with the family's
+    * 6-dp rounding discipline on both d² and the means, so every argmin and
+    * the whole downstream probe/top-k replays exactly in DuckDB SQL).
+    * Returns (vec_id, e, cid, d2, rn): rn=1 = storage cell, rn<=n = probe
+    * order by distance. Cached per dir like cellRanked. */
+  private val trainedCellCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, org.apache.spark.sql.DataFrame)]()
+
+  private def trainedCellRanked(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val mt = embMTime(dir)
+    trainedCellCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == mt && (prev._2.sparkSession eq s)) prev
+      else {
+        val k = 4
+        def d2r(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+          round(aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, x) => acc + x), 6)
+        val vecs = Tables.embeddings(s, dir)
+          .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
+          .localCheckpoint(true)
+        // seed from the first k vectors by id (the llm_kmeans discipline)
+        var cents = vecs.orderBy($"vec_id").limit(k)
+          .select((row_number().over(Window.orderBy($"vec_id")) - 1)
+            .cast("int").as("cid"), $"e".as("c"))
+        for (_ <- 1 to 2) {
+          val assigned = vecs.crossJoin(broadcast(cents))
+            .withColumn("d2", d2r($"e", $"c"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)))
+            .filter($"rn" === 1).select($"vec_id", $"e", $"cid")
+          cents = assigned
+            .select($"cid", posexplode($"e").as(Seq("pos", "v")))
+            .groupBy($"cid", $"pos").agg(round(avg($"v"), 6).as("m"))
+            .groupBy($"cid")
+            .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
+              x => x.getField("m")).as("c"))
+        }
+        val ranked = vecs.crossJoin(broadcast(cents))
+          .withColumn("d2", d2r($"e", $"c"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy($"vec_id").orderBy($"d2".asc, $"cid".asc)))
+          .select($"vec_id", $"e", $"cid", $"d2", $"rn")
+          .localCheckpoint(true)
+        (mt, ranked)
+      })._2
+  }
+
   private def buildPqParts(s: SparkSession, dir: String): PqParts = {
     import s.implicits._
     val M = 8
@@ -458,6 +510,76 @@ object LlmSimilarity {
         |  FROM pairs)
         |SELECT qid, rank, nid, round(cos, 4) AS cos4
         |FROM rankedp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
+
+    // TRAINED-centroid IVF kNN: same probe/serve pipeline as llm_knn_ivf
+    // but the cells come from k-means TRAINING over the corpus (two
+    // deterministic Lloyd iterations, trainedCellRanked) instead of data
+    // labels — the production shape, since a raw embedding corpus has no
+    // labels to derive cells from. Everything (seeding, both iterations'
+    // argmins and means, probe ranking, final top-k) is 6-dp-rounded with
+    // total tie-breaks, so the DuckDB oracle replays the ENTIRE training
+    // run plus the search and hash-compares exactly. Recall vs brute for
+    // BOTH cell sources is pinned in LlmSpec; on these near-isotropic
+    // synthetic embeddings neither quantizer can beat chance by much (see
+    // llm_knn_ivf note) — the key certifies the trained mechanism.
+    "llm_knn_ivf_trained" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val ranked = trainedCellRanked(s, dir)
+        val q = ranked.filter($"vec_id" < 5 && $"rn" <= 3)
+          .select($"vec_id".as("qid"), $"e".as("qvec"), $"cid")
+        val cand = ranked.filter($"vec_id" >= 5 && $"rn" === 1)
+          .select($"vec_id", $"e", $"cid")
+        cand.join(broadcast(q), Seq("cid"))
+          .select($"qid", $"vec_id".as("nid"),
+            round(TextOps.cosine($"qvec", $"e"), 6).as("cos"))
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"qid").orderBy($"cos".desc, $"nid".asc)))
+          .filter($"rank" <= 3)
+          .select($"qid", $"rank", $"nid", round($"cos", 4).as("cos4"))
+          .orderBy($"qid", $"rank")
+      },
+      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |seed AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+        |         FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT 4)),
+        |c0 AS (SELECT s.cid, e.pos, e.v AS m FROM seed s JOIN el e USING (vec_id)),
+        |d0 AS (SELECT e.vec_id, c.cid,
+        |    round(sum((e.v - c.m) * (e.v - c.m)), 6) AS d2
+        |  FROM el e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2),
+        |a0 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM d0) WHERE rn = 1),
+        |c1 AS (SELECT a.cid, e.pos, round(avg(e.v), 6) AS m
+        |  FROM a0 a JOIN el e USING (vec_id) GROUP BY 1, 2),
+        |d1 AS (SELECT e.vec_id, c.cid,
+        |    round(sum((e.v - c.m) * (e.v - c.m)), 6) AS d2
+        |  FROM el e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |c2 AS (SELECT a.cid, e.pos, round(avg(e.v), 6) AS m
+        |  FROM a1 a JOIN el e USING (vec_id) GROUP BY 1, 2),
+        |df AS (SELECT e.vec_id, c.cid,
+        |    round(sum((e.v - c.m) * (e.v - c.m)), 6) AS d2
+        |  FROM el e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2),
+        |rk AS (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |  FROM df),
+        |q AS (SELECT vec_id AS qid, cid FROM rk WHERE vec_id < 5 AND rn <= 3),
+        |cand AS (SELECT vec_id, cid FROM rk WHERE vec_id >= 5 AND rn = 1),
+        |pairs AS (SELECT q.qid, c.vec_id AS nid,
+        |    round(sum(qe.v * ce.v) / (sqrt(sum(qe.v * qe.v)) * sqrt(sum(ce.v * ce.v))), 6) AS cos
+        |  FROM q JOIN cand c ON q.cid = c.cid
+        |    JOIN el qe ON qe.vec_id = q.qid
+        |    JOIN el ce ON ce.vec_id = c.vec_id AND ce.pos = qe.pos
+        |  GROUP BY 1, 2),
+        |rp AS (SELECT qid, nid, cos,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+        |  FROM pairs)
+        |SELECT qid, rank, nid, round(cos, 4) AS cos4
+        |FROM rp WHERE rank <= 3 ORDER BY qid, rank""".stripMargin),
 
     // PRODUCT-QUANTIZATION kNN (IVF-PQ's storage half — Jégou et al. 2011,
     // "Product Quantization for Nearest Neighbor Search"): each vector is

@@ -265,6 +265,24 @@ class LlmSpec extends SparkSpec {
       s"recall ${ivf.intersect(truth).size}/${truth.size}")
   }
 
+  test("trained-centroid ivf: recall floor vs brute, cells from k-means not labels") {
+    val truth = run("llm_knn").select($"qid", $"nid").as[(Long, Long)].collect().toSet
+    val trained = run("llm_knn_ivf_trained").select($"qid", $"nid")
+      .as[(Long, Long)].collect().toSet
+    // the same floor as the label-cell variant: these near-isotropic
+    // synthetic embeddings bound ANY coarse quantizer (llm_knn_ivf note);
+    // what the floor pins is that the trained cells don't DEGRADE the
+    // probe pipeline below the label-derived baseline's contract
+    assert(trained.intersect(truth).size.toDouble / truth.size >= 0.33,
+      s"recall ${trained.intersect(truth).size}/${truth.size}")
+    // and the two cell sources are genuinely different partitionings —
+    // otherwise this key would be the label variant under a new name
+    val labels = run("llm_knn_ivf").select($"qid", $"nid")
+      .as[(Long, Long)].collect().toSet
+    assert(trained != labels || truth == trained,
+      "trained cells reproduced the label cells exactly — suspicious")
+  }
+
   test("pq knn: exact re-rank top-1 hits and recall floor vs brute force") {
     val truth = run("llm_knn").select($"qid", $"nid", $"rank")
       .as[(Long, Long, Long)].collect()
