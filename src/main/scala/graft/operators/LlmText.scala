@@ -932,44 +932,110 @@ object LlmText {
         |  substring(md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')), 1, 4) AS bucket
         |FROM documents ORDER BY doc_id""".stripMargin),
 
-    // Multimodal plumbing: opaque binary column + typed metadata, with the
-    // decode step stubbed DETERMINISTICALLY (no image libs in env) but the
-    // Spark-side batch path real: mapPartitions over an explicit schema —
-    // where a real decoder (mapInPandas analogue) would execute.
+    // Multimodal decode: opaque binary column + typed metadata with a REAL
+    // fixed-format decode in the batch stage. Each doc gets a genuine
+    // 24-bit BMP blob (valid 54-byte header, BOTTOM-UP pixel rows, 4-byte
+    // row padding — the format quirks that break naive parsers), built
+    // deterministically from doc_id at fixture time; the decoder is a
+    // from-scratch BMP parser running per-partition over the binary column
+    // (mapPartitions with an explicit schema — exactly where a library
+    // decoder / mapInPandas batch would execute at 100 TB, with the
+    // library handle amortized across the partition). The ORACLE cannot
+    // decode BMP, so it replays the generator's formulas instead: if the
+    // decoder mis-handles the header layout, the padding, or the
+    // bottom-up row order (topleft pins that one specifically), the
+    // decoded metadata diverges from the replay and the hash breaks.
     "llm_multimodal" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        val makeBmp = udf { (docId: Long) =>
+          val w = 4 + (docId % 13).toInt
+          val h = 3 + (docId % 7).toInt
+          val rowBytes = (3 * w + 3) & ~3
+          val size = 54 + rowBytes * h
+          val b = java.nio.ByteBuffer.allocate(size)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put('B'.toByte).put('M'.toByte).putInt(size)
+            .putInt(0).putInt(54) // reserved, pixel-data offset
+          b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            .putInt(0).putInt(rowBytes * h) // BI_RGB, image size
+            .putInt(2835).putInt(2835).putInt(0).putInt(0)
+          var yFile = 0
+          while (yFile < h) {
+            val y = h - 1 - yFile // file rows are bottom-up
+            var x = 0
+            while (x < w) {
+              val v = ((docId + 7 * x + 13 * y) % 256).toByte
+              b.put(v).put(v).put(v)
+              x += 1
+            }
+            var pad = 3 * w
+            while (pad < rowBytes) { b.put(0.toByte); pad += 1 }
+            yFile += 1
+          }
+          b.array()
+        }
         val withBlob = Tables.documents(s, dir)
-          .select($"doc_id", $"text".cast("binary").as("blob"), $"source")
+          .select($"doc_id", makeBmp($"doc_id").as("blob"))
         val outSchema = StructType(Seq(
           StructField("doc_id", LongType),
+          StructField("width", IntegerType),
+          StructField("height", IntegerType),
+          StructField("bpp", IntegerType),
           StructField("n_bytes", IntegerType),
-          StructField("fake_width", IntegerType),
-          StructField("fake_height", IntegerType),
-          StructField("mean_byte16", DoubleType)))
-        val decoded = withBlob.select($"doc_id", $"blob").rdd.mapPartitions { it =>
-          // batch "decode" stub: a real pipeline would decode image/audio
-          // bytes here (per-partition, library handle reused across rows)
+          StructField("mean_px", DoubleType),
+          StructField("topleft", IntegerType)))
+        val decoded = withBlob.rdd.mapPartitions { it =>
           it.map { r =>
             val id = r.getLong(0)
             val bytes = r.getAs[Array[Byte]](1)
-            val head = bytes.take(16)
-            Row(id, bytes.length, bytes.length % 640, (bytes.length * 7) % 480,
-              // mask to unsigned: a sign-extended byte >= 0x80 would go
-              // negative and diverge from the oracle's codepoint-based mean
-              math.round(head.map(b => (b & 0xff).toDouble).sum / head.length * 10000.0) / 10000.0)
+            val b = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(bytes(0) == 'B' && bytes(1) == 'M', s"doc $id: not a BMP")
+            val offset = b.getInt(10)
+            val w = b.getInt(18)
+            val h = b.getInt(22)
+            val bpp = b.getShort(28).toInt
+            require(bpp == 24 && b.getInt(30) == 0,
+              s"doc $id: unsupported BMP variant")
+            val rowBytes = (3 * w + 3) & ~3
+            // mean over PIXEL bytes only (row padding must be skipped) and
+            // the image-coordinate (0,0) pixel (stored in the LAST file
+            // row — bottom-up order must be honored to find it)
+            var sum = 0L
+            var yFile = 0
+            while (yFile < h) {
+              var i = offset + yFile * rowBytes
+              val end = i + 3 * w
+              while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+              yFile += 1
+            }
+            val topleft = bytes(offset + (h - 1) * rowBytes) & 0xff
+            val mean = math.round(
+              sum.toDouble / (3L * w * h) * 10000.0) / 10000.0
+            Row(id, w, h, bpp, bytes.length, mean, topleft)
           }
         }
         s.createDataFrame(decoded, outSchema).orderBy($"doc_id")
       },
-      """SELECT doc_id,
-        |  CAST(length(text) AS INTEGER) AS n_bytes,
-        |  CAST(length(text) % 640 AS INTEGER) AS fake_width,
-        |  CAST((length(text) * 7) % 480 AS INTEGER) AS fake_height,
-        |  round(list_sum(list_transform(generate_series(1, least(length(text), 16)),
-        |        i -> ascii(substring(text, i, 1)))) * 1.0
-        |        / least(length(text), 16), 4) AS mean_byte16
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      // the generator's formulas, replayed: w = 4 + id%13, h = 3 + id%7,
+      // pixel v(x,y) = (id + 7x + 13y) % 256 in all three channels, file
+      // size = 54 + padded-row-bytes × h, topleft = v(0,0) = id % 256
+      """WITH d AS (SELECT doc_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |    CAST(3 + doc_id % 7 AS INTEGER) AS height
+        |  FROM documents),
+        |m AS (SELECT doc_id, round(list_sum(flatten(
+        |    list_transform(generate_series(0, width - 1), x ->
+        |      list_transform(generate_series(0, height - 1), y ->
+        |        (doc_id + 7 * x + 13 * y) % 256)))) * 1.0
+        |    / (width * height), 4) AS mean_px
+        |  FROM d)
+        |SELECT d.doc_id, width, height, 24 AS bpp,
+        |  CAST(54 + ((3 * width + 3) // 4) * 4 * height AS INTEGER) AS n_bytes,
+        |  m.mean_px,
+        |  CAST(doc_id % 256 AS INTEGER) AS topleft
+        |FROM d JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin),
 
     // PII scrubbing — the redaction pass every training-data pipeline runs
     // before the corpus ships. Synthetic PII (email, US-style phone, 16-digit
