@@ -517,6 +517,7 @@ class LlmSpec extends SparkSpec {
     val dir = TempDirs.create("graft_langsrc")
     Tables.documents(spark, sf).write.mode("overwrite")
       .parquet(s"$dir/documents.parquet")
+    GenScale.stamp(dir) // straight copy of current-version data
     val p1 = operators.LlmText.langProfile(spark, dir)
     val p2 = operators.LlmText.langProfile(spark, dir)
     assert(p1 eq p2, "repeat must serve the cached profile object")
@@ -557,12 +558,24 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("multimodal decode stub is deterministic and schema-stable") {
+  test("multimodal BMP decode is deterministic, schema-stable, and honors " +
+    "the format's padding + bottom-up rows") {
     val a = run("llm_multimodal").collect()
     val b = run("llm_multimodal").collect()
     assert(a.sameElements(b))
     assert(run("llm_multimodal").schema.fieldNames.toSeq ==
-      Seq("doc_id", "n_bytes", "fake_width", "fake_height", "mean_byte16"))
+      Seq("doc_id", "width", "height", "bpp", "n_bytes", "mean_px", "topleft"))
+    // decoded metadata must match the generator formulas row by row —
+    // any header/padding/row-order mistake in the decoder shifts these
+    a.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getInt(1) == 4 + (id % 13).toInt, s"width of doc $id")
+      assert(r.getInt(2) == 3 + (id % 7).toInt, s"height of doc $id")
+      assert(r.getInt(3) == 24)
+      val rowBytes = (3 * r.getInt(1) + 3) & ~3
+      assert(r.getInt(4) == 54 + rowBytes * r.getInt(2), s"size of doc $id")
+      assert(r.getInt(6) == (id % 256).toInt, s"topleft of doc $id")
+    }
   }
 
   test("exact dedup stats are consistent") {
