@@ -236,6 +236,180 @@ object DdlStatements {
         |             ('P', 'pending', 3, 'manual')) d(code, descr, rank, source)
         |  ON l.l_linestatus = d.code
         |GROUP BY l.l_linestatus, d.descr, d.rank, d.source
-        |ORDER BY l.l_linestatus""".stripMargin)
+        |ORDER BY l.l_linestatus""".stripMargin),
+
+    // UPDATE lifecycle (Doris UPDATE ... SET ... WHERE, UNIQUE tables
+    // only): each UPDATE reads the visible rows matching the predicate,
+    // applies the SET expressions, and lands the result as ONE new
+    // versioned rowset that wins the merge — O(matched rows), never a
+    // table rewrite. The second UPDATE's predicate reads a column the
+    // first one modified, pinning compound read-your-writes ordering.
+    "sql_ddl_update" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_update", s, dir)(Seq(
+          """CREATE TABLE user_score (
+            |  user_id BIGINT,
+            |  score DOUBLE,
+            |  status VARCHAR(10)
+            |) ENGINE=OLAP
+            |UNIQUE KEY(user_id)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO user_score
+            |SELECT user_id, round(sum(value), 2), 'active'
+            |FROM events GROUP BY user_id""".stripMargin,
+          // doubling is exact in binary FP — no cross-engine round risk
+          """UPDATE user_score SET score = score * 2, status = 'boosted'
+            |WHERE user_id % 5 = 0""".stripMargin,
+          """UPDATE user_score SET status = 'flagged'
+            |WHERE score > 100 AND user_id % 2 = 0""".stripMargin))
+        ddl.sql(
+          """SELECT status, count(*) AS n_users,
+            |  round(sum(score), 2) AS sum_score
+            |FROM user_score GROUP BY status ORDER BY status""".stripMargin)
+      },
+      """WITH base AS (
+        |  SELECT user_id, round(sum(value), 2) AS score, 'active' AS status
+        |  FROM events GROUP BY user_id),
+        |u1 AS (
+        |  SELECT user_id,
+        |    CASE WHEN user_id % 5 = 0 THEN score * 2 ELSE score END AS score,
+        |    CASE WHEN user_id % 5 = 0 THEN 'boosted' ELSE status END AS status
+        |  FROM base),
+        |u2 AS (
+        |  SELECT user_id, score,
+        |    CASE WHEN score > 100 AND user_id % 2 = 0 THEN 'flagged'
+        |         ELSE status END AS status
+        |  FROM u1)
+        |SELECT status, count(*) AS n_users,
+        |  round(sum(score), 2) AS sum_score
+        |FROM u2 GROUP BY status ORDER BY status""".stripMargin),
+
+    // CREATE TABLE AS SELECT: the column list derives from the SELECT's
+    // schema, the key/distribution clauses precede AS — then the CTAS
+    // table takes further loads like any other (a second INSERT lands a
+    // disjoint slice before the final read).
+    "sql_ddl_ctas" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_ctas", s, dir)(Seq(
+          """CREATE TABLE top_cust
+            |DUPLICATE KEY(c_custkey)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4
+            |AS SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            |FROM customer WHERE c_acctbal > 5000""".stripMargin,
+          """INSERT INTO top_cust
+            |SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+            |FROM customer WHERE c_acctbal <= 0""".stripMargin))
+        ddl.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+            |  round(sum(c_acctbal), 2) AS bal
+            |FROM top_cust GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+      },
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_acctbal > 5000 OR c_acctbal <= 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Schema + partition evolution, all as text: a partitioned table gets
+    // a LIGHT ADD COLUMN (metadata-only — pre-change rowsets surface the
+    // DEFAULT at read, nothing is rewritten) and an ADD PARTITION above
+    // the last bound; the post-evolution load writes the new column into
+    // the new partition. Without the ADD PARTITION the second load would
+    // fail loudly (rows beyond the last range bound are rejected), so the
+    // final answer existing at all pins partition evolution too.
+    "sql_ddl_schema_evolve" -> QueryDef(
+      (s, dir) => {
+        schemaEvolveLifecycle(s, dir).sql(
+          """SELECT channel, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_evo GROUP BY channel ORDER BY channel""".stripMargin)
+      },
+      """SELECT CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+        |            THEN 'web' ELSE 'legacy' END AS channel,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // SHOW PARTITIONS over the evolved table (same staged lifecycle):
+    // partition metadata + per-partition visible row counts, each count a
+    // partition-PRUNED scan over one directory.
+    "sql_ddl_show_partitions" -> QueryDef(
+      (s, dir) => {
+        schemaEvolveLifecycle(s, dir)
+          .sql("SHOW PARTITIONS FROM ord_evo")
+      },
+      """SELECT * FROM (
+        |  SELECT 'p_early' AS partition_name, '1998-01-01' AS upper_bound,
+        |    count(*) AS n_rows
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT 'p_late', '2000-01-01', count(*)
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01'
+        |  UNION ALL
+        |  SELECT 'p_rest', 'MAXVALUE', count(*)
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |) ORDER BY partition_name""".stripMargin),
+
+    // Sync materialized view by DDL text: CREATE MATERIALIZED VIEW lands a
+    // declared-aggregate rollup, maintained TRANSACTIONALLY through the
+    // later INSERT (the Doris contract — a sync MV can never serve stale
+    // data), and the final aggregate over the BASE table is transparently
+    // retargeted onto it by the engine's RollupRewrite rule (DdlSpec
+    // asserts the MV scan; the oracle asserts the answer equals
+    // aggregating all of events directly).
+    "sql_ddl_mv" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_mv", s, dir)(Seq(
+          """CREATE TABLE ev (
+            |  user_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  value DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(user_id)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO ev
+            |SELECT user_id, event_type, value
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          """CREATE MATERIALIZED VIEW ev_mv AS
+            |SELECT event_type, SUM(value) AS sum_v, COUNT(*) AS cnt
+            |FROM ev GROUP BY event_type""".stripMargin,
+          """INSERT INTO ev
+            |SELECT user_id, event_type, value
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type, round(sum(value), 2) AS total,
+            |  count(*) AS n
+            |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, round(sum(value), 2) AS total, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
+
+  /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and
+    * `sql_ddl_show_partitions` (one catalog, two reads of it). */
+  private def schemaEvolveLifecycle(s: SparkSession, dir: String): DorisDdl = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    lifecycle("sql_ddl_schema_evolve", s, dir)(Seq(
+      """CREATE TABLE ord_evo (
+        |  o_orderdate DATE,
+        |  o_orderkey BIGINT,
+        |  o_totalprice DOUBLE
+        |) ENGINE=OLAP
+        |DUPLICATE KEY(o_orderdate, o_orderkey)
+        |PARTITION BY RANGE(o_orderdate) (
+        |  PARTITION p_early VALUES LESS THAN ('1998-01-01'),
+        |  PARTITION p_late VALUES LESS THAN ('2000-01-01')
+        |)
+        |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+      """INSERT INTO ord_evo
+        |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+        |FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01'""".stripMargin,
+      "ALTER TABLE ord_evo ADD COLUMN channel VARCHAR(8) DEFAULT 'legacy'",
+      "ALTER TABLE ord_evo ADD PARTITION p_rest VALUES LESS THAN (MAXVALUE)",
+      """INSERT INTO ord_evo
+        |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice, 'web'
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'""".stripMargin))
+  }
 }

@@ -55,13 +55,36 @@ object RollupRewrite {
       // base agg -> rollup column: e.g. ("sum", "l_quantity") -> "sum_qty",
       // count(*) -> ("count", "*") -> "cnt"
       columns: Map[(String, String), String],
-      registeredAt: Long = System.currentTimeMillis())
+      registeredAt: Long = System.currentTimeMillis(),
+      // Canonical SQL of filter conjuncts this rollup's data has ALREADY
+      // had applied (the DDL layer's versioned-delete read filters: the MV
+      // is rebuilt post-delete, so the same conjunct arriving in a query
+      // plan is implied, not an obstacle). Doris analogue: delete
+      // predicates apply to rollup rowsets by version — here the rollup is
+      // a post-delete snapshot and the conjunct is recognized instead.
+      absorbed: Set[String] = Set.empty)
 
   /** Session-wide registry (append-only; cleared by tests as needed). */
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]()
 
   def register(d: RollupDef): Unit = registry.add(d)
   def clear(): Unit = registry.clear()
+
+  /** Replace every registered rollup of `basePath` with the same key set by
+    * `d` — transactional rollup maintenance (the DDL front-end's sync-MV
+    * rebuild): a superseded version must leave the registry, because a
+    * versioned DELETE changes visible data WITHOUT touching the base dir's
+    * mtime, so the freshness guard alone cannot retire it. */
+  def registerReplacing(d: RollupDef): Unit = registry.synchronized {
+    val it = registry.iterator()
+    val doomed = new java.util.ArrayList[RollupDef]()
+    while (it.hasNext) {
+      val old = it.next()
+      if (old.basePath == d.basePath && old.keys == d.keys) doomed.add(old)
+    }
+    registry.removeAll(doomed)
+    registry.add(d)
+  }
 
   /** Install the rule once per session. */
   def install(spark: SparkSession): Unit = {
@@ -172,7 +195,17 @@ object RollupRewrite {
       def keyOnlyPred(c: Expression): Boolean = c.deterministic &&
         c.references.forall(a => d.keys.contains(a.name)) &&
         c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
-      val condOpt: Option[Expression] = filterCond match {
+      // drop conjuncts the rollup's data has already absorbed (the DDL
+      // layer's versioned-delete filters — matched on canonical SQL, which
+      // both sides derive from the same optimizer pipeline); whatever
+      // remains must be key-only as before
+      def splitConj(e: Expression): Seq[Expression] = e match {
+        case And(l, r) => splitConj(l) ++ splitConj(r)
+        case other => Seq(other)
+      }
+      val residual = filterCond.toSeq.flatMap(splitConj)
+        .filterNot(c => d.absorbed.contains(c.sql))
+      val condOpt: Option[Expression] = residual.reduceOption(And) match {
         case None => None
         case Some(c) =>
           if (!keyOnlyPred(c)) return None

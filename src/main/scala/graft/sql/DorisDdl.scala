@@ -8,9 +8,13 @@ import scala.collection.mutable
 /** Doris DDL/DML STATEMENT front-end (SURVEY §3.1 steps 1-2, §1.1): the
   * text surface a Palo user actually drives the key-model layer with —
   * `CREATE TABLE ... (DUPLICATE|UNIQUE|AGGREGATE) KEY ... PARTITION BY
-  * RANGE ... DISTRIBUTED BY HASH(col) BUCKETS n`, `INSERT INTO ...
-  * VALUES | SELECT`, `DELETE FROM ... WHERE`, `ALTER TABLE ... DROP
-  * PARTITION`, and `SELECT` (including Doris partition selection `FROM t
+  * RANGE ... DISTRIBUTED BY HASH(col) BUCKETS n`, `CREATE TABLE ... AS
+  * SELECT`, `CREATE MATERIALIZED VIEW ... AS SELECT` (sync rollup with
+  * transactional maintenance on every load/delete), `INSERT INTO ...
+  * VALUES | SELECT`, `UPDATE ... SET ... WHERE` (UNIQUE tables), `DELETE
+  * FROM ... WHERE`, `ALTER TABLE ... DROP|ADD PARTITION | ADD COLUMN`
+  * (light schema change), `TRUNCATE TABLE`, `SHOW PARTITIONS FROM t`, and
+  * `SELECT` (including Doris partition selection `FROM t
   * PARTITION (p)`) — parsed here the way the FE's generated parser does
   * ([doris: fe/fe-core/src/main/cup/sql_parser.cup], ~7k grammar; key
   * models [doris: fe/.../catalog/KeysType.java]; range partitions
@@ -49,14 +53,18 @@ final class DorisDdl(s: SparkSession) {
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
 
-  /** Execute one statement; Some(result) for SELECT, None for DDL/DML. */
+  /** Execute one statement; Some(result) for SELECT/SHOW, None for DDL/DML. */
   def execute(sqlText: String): Option[DataFrame] = {
     val t = sqlText.trim.stripSuffix(";").trim
     val up = t.toUpperCase
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }
+    else if (up.startsWith("CREATE MATERIALIZED VIEW")) { createMv(t); None }
     else if (up.startsWith("INSERT INTO")) { insertInto(t); None }
+    else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
+    else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
+    else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else Some(select(t))
   }
 
@@ -75,7 +83,37 @@ final class DorisDdl(s: SparkSession) {
   private val CreateRe =
     """(?is)^CREATE\s+TABLE\s+`?(\w+)`?\s*\((.*)""".r
 
+  // CTAS: clauses (key/distribution) precede AS SELECT, the column list is
+  // derived from the SELECT's schema — Doris CREATE TABLE ... AS SELECT
+  // ([doris: fe/.../analysis/CreateTableAsSelectStmt.java])
+  private val CtasRe =
+    """(?is)^CREATE\s+TABLE\s+`?(\w+)`?\s+((?:(?!\bAS\s+SELECT\b).)*?)\bAS\s+(SELECT\s+.*)$""".r
+
+  private def createTableAs(name: String, clauses: String, sel: String): Unit = {
+    val df = select(sel)
+    val cols = df.schema.fields.map(f =>
+      ColDef(f.name, f.dataType.sql, None, None)).toSeq
+    val keyCols = clauseParen(clauses, """(?is)\bDUPLICATE\s+KEY\s*\(""")
+      .map(topLevelSplit(_).map(stripIdent))
+      .getOrElse(Seq(cols.head.name)) // Doris defaults the leading column(s)
+    require(cols.map(_.name).startsWith(keyCols),
+      s"$name: KEY($keyCols) must be a prefix of the SELECT's columns")
+    val hashCol = clauseParen(clauses, """(?is)\bDISTRIBUTED\s+BY\s+HASH\s*\(""")
+      .map(x => stripIdent(x.trim))
+      .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
+    val buckets = """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(clauses)
+      .map(_.group(1).toInt).getOrElse(10)
+    require(tables.synchronized(!tables.contains(name)),
+      s"table $name already exists")
+    val st = TableState(
+      TableDef(name, cols, "DUPLICATE", keyCols, None, Nil, hashCol, buckets),
+      graft.TempDirs.create(s"graft_ddl_$name"))
+    tables.synchronized { tables(name) = st }
+    load(st, df)
+  }
+
   private def createTable(text: String): Unit = text match {
+    case CtasRe(name, clauses, sel) => createTableAs(name, clauses, sel)
     case CreateRe(name, rest0) =>
       val (colsText, afterCols) = untilMatchingParen(rest0)
       val rest = afterCols.trim
@@ -114,6 +152,9 @@ final class DorisDdl(s: SparkSession) {
         .map(_.group(1).toInt).getOrElse(10)
       partSpec.foreach { case (pc, specs) =>
         require(cols.exists(_.name == pc), s"$name: unknown partition column $pc")
+        if (keysType != "DUPLICATE")
+          require(keyCols.contains(pc),
+            s"$name: partition column $pc must be a key column on $keysType tables")
         require(specs.map(_.name).distinct.size == specs.size,
           s"$name: duplicate partition names")
         require(specs.init.forall(_.bound.isDefined),
@@ -164,6 +205,92 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable partition spec: $text")
   }
 
+  // ----------------------------------------------- CREATE MATERIALIZED VIEW
+
+  // Doris single-table SYNC materialized view (a rollup with declared
+  // aggregates, [doris: fe/.../alter/MaterializedViewHandler.java]): the
+  // grammar is one aggregate SELECT over one table; the planner then
+  // transparently retargets matching aggregates onto it. Here the MV
+  // materializes through the engine's RollupRewrite rule, and is rebuilt
+  // TRANSACTIONALLY on every subsequent load/delete/truncate of the base —
+  // the Doris maintenance contract.
+  private val MvRe =
+    """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*)$""".r
+  private val MvAggRe =
+    """(?is)^(SUM|MIN|MAX|COUNT)\s*\(\s*(\*|`?\w+`?)\s*\)\s+AS\s+`?(\w+)`?$""".r
+
+  private def createMv(text: String): Unit = text match {
+    case MvRe(mvName, selList, tableName, groupBy) =>
+      val t = state(tableName)
+      val keys = topLevelSplit(groupBy).map(stripIdent)
+      keys.foreach(k => require(t.def_.cols.exists(_.name == k),
+        s"$mvName: unknown group key $k"))
+      var colMap = Map.empty[(String, String), String]
+      topLevelSplit(selList).foreach { item =>
+        item.trim match {
+          case MvAggRe(fn, arg, alias) =>
+            colMap += ((fn.toLowerCase, stripIdent(arg)) -> alias)
+          case ident if keys.contains(stripIdent(ident)) => ()
+          case other => sys.error(s"$mvName: unsupported MV select item " +
+            s"(need k1..kn, AGG(col) AS alias): $other")
+        }
+      }
+      require(colMap.nonEmpty, s"$mvName: an MV needs at least one aggregate")
+      require(t.synchronized(!t.mvs.exists(_.name == mvName)),
+        s"materialized view $mvName already exists")
+      val mv = MvDef(mvName, tableName,
+        s"SELECT $selList FROM $tableName GROUP BY ${keys.mkString(", ")}",
+        keys, colMap)
+      t.synchronized { t.mvs += mv }
+      graft.plans.RollupRewrite.install(s)
+      refreshMv(t, mv)
+    case _ => sys.error(s"unparseable CREATE MATERIALIZED VIEW " +
+      s"(need AS SELECT keys, aggs FROM t GROUP BY keys): ${text.take(80)}")
+  }
+
+  /** Recompute one MV from the current visible data and swap it into the
+    * RollupRewrite registry. Each rebuild lands in a fresh version dir
+    * (immutable snapshots — the rule's plan cache never sees mutated
+    * files) and REPLACES the previous registration. */
+  private def refreshMv(t: TableState, mv: MvDef): Unit = {
+    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
+    registerViews(t)
+    val df = DorisSqlDialect.sql(s, mv.selectText)
+    val ver = t.synchronized { t.mvVer += 1; t.mvVer }
+    val out = graft.TempDirs.create(s"graft_ddl_mv_${mv.name}_v$ver")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    // The MV snapshot already reflects every versioned delete recorded so
+    // far; collect the optimizer's canonical form of those read filters so
+    // the rewrite can recognize them in a query plan as implied rather
+    // than bailing on the non-key `_ver` reference (Doris applies delete
+    // versions to rollup rowsets; here the snapshot absorbed them).
+    val absorbed: Set[String] =
+      if (t.synchronized(t.deletes.isEmpty)) Set.empty
+      else {
+        val filteredRead = graft.operators.KeyModels.applyDeletePredicates(
+          s.read.option("mergeSchema", "true").parquet(t.dir),
+          t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
+        filteredRead.queryExecution.optimizedPlan.collect {
+          case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+            def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
+                : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+              e match {
+                case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                  split(l) ++ split(r)
+                case other => Seq(other)
+              }
+            split(c).map(_.sql)
+        }.flatten.toSet
+      }
+    graft.plans.RollupRewrite.registerReplacing(
+      graft.plans.RollupRewrite.RollupDef(
+        basePath = t.dir, rollupPath = out, keys = mv.keys,
+        columns = mv.columns, absorbed = absorbed))
+  }
+
+  private def refreshMvs(t: TableState): Unit =
+    t.synchronized(t.mvs.toSeq).foreach(refreshMv(t, _))
+
   // ---------------------------------------------------------------- INSERT
 
   private val InsertRe =
@@ -210,6 +337,7 @@ final class DorisDdl(s: SparkSession) {
     val w = out.write.mode("append")
     (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
     registerViews(t)
+    refreshMvs(t)
   }
 
   /** Range-partition assignment as a CASE chain over the declared bounds;
@@ -228,6 +356,41 @@ final class DorisDdl(s: SparkSession) {
     }
   }
 
+  // ---------------------------------------------------------------- UPDATE
+
+  private val UpdateRe =
+    """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+
+  /** Doris `UPDATE ... SET ... WHERE` (UNIQUE-key tables only, the Doris
+    * restriction): executed the way the BE does — read the visible rows
+    * matching the predicate, apply the SET expressions, write the result
+    * back as ONE new versioned rowset whose rows win the merge-on-read
+    * window. Rows outside the predicate are untouched (not rewritten), so
+    * the cost is O(matched rows), not a table rewrite. */
+  private def update(text: String): Unit = text match {
+    case UpdateRe(name, sets, pred) =>
+      val t = state(name)
+      require(t.def_.keysType == "UNIQUE",
+        s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
+      registerViews(t)
+      val assignments = topLevelSplit(sets).map { a =>
+        val Array(c, e) = a.split("=", 2)
+        (stripIdent(c), DorisSqlDialect.rewrite(e.trim))
+      }
+      assignments.foreach { case (c, _) =>
+        require(t.def_.cols.exists(_.name == c), s"$name: unknown column $c")
+        require(!t.def_.keyCols.contains(c),
+          s"$name: cannot UPDATE key column $c")
+      }
+      val matched = visible(t, None)
+        .filter(expr(DorisSqlDialect.rewrite(pred)))
+      val updated = assignments.foldLeft(matched) { case (df, (c, e)) =>
+        df.withColumn(c, expr(e))
+      }
+      load(t, updated)
+    case _ => sys.error(s"unparseable UPDATE: ${text.take(80)}")
+  }
+
   // ---------------------------------------------------------------- DELETE
 
   private val DeleteRe = """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.*)$""".r
@@ -240,6 +403,7 @@ final class DorisDdl(s: SparkSession) {
       val ver = t.synchronized { t.nextVer += 1; t.nextVer }
       t.synchronized { t.deletes += ((DorisSqlDialect.rewrite(pred), ver)) }
       registerViews(t)
+      refreshMvs(t)
     case _ => sys.error(s"unparseable DELETE: ${text.take(80)}")
   }
 
@@ -247,6 +411,10 @@ final class DorisDdl(s: SparkSession) {
 
   private val DropPartRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+PARTITION\s+`?(\w+)`?$""".r
+  private val AddPartRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+PARTITION\s+(.*)$""".r
+  private val AddColRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+(.*)$""".r
 
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
@@ -260,7 +428,103 @@ final class DorisDdl(s: SparkSession) {
           .sorted(java.util.Comparator.reverseOrder())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       registerViews(t)
+      refreshMvs(t)
+    case AddPartRe(name, spec) =>
+      // partition evolution without DDL downtime: the new range must sit
+      // strictly above every existing bound, and nothing can be added past
+      // an open MAXVALUE partition (Doris rejects overlapping ranges)
+      val t = state(name)
+      val d = t.def_
+      require(d.partCol.isDefined, s"$name: table is not range-partitioned")
+      val p = parsePartition(s"PARTITION $spec")
+      require(!d.parts.exists(_.name == p.name),
+        s"$name: partition ${p.name} already exists")
+      val lastBound = d.parts.last.bound.getOrElse(sys.error(
+        s"$name: cannot ADD PARTITION after a MAXVALUE partition"))
+      p.bound.foreach { b =>
+        require(boundGt(d, b, lastBound),
+          s"$name: new bound '$b' must exceed the last bound '$lastBound'")
+      }
+      t.synchronized { t.def_ = d.copy(parts = d.parts :+ p) }
+      registerViews(t)
+    case AddColRe(name, colDef) =>
+      // light schema change ([doris: fe/.../alter/SchemaChangeHandler.java]
+      // "light schema change" 1.2+): metadata-only — no rowset is rewritten;
+      // rows from pre-change rowsets surface the DEFAULT at read time via
+      // the merge-schema + default-coalesce read (model_schema_change's
+      // contract). Key columns cannot be added this way.
+      val t = state(name)
+      val c = parseColDef(colDef)
+      val d = t.def_
+      require(!d.cols.exists(_.name == c.name),
+        s"$name: column ${c.name} already exists")
+      if (d.keysType != "AGGREGATE")
+        require(c.agg.isEmpty,
+          s"$name: aggregate marker on ${c.name} requires AGGREGATE KEY")
+      else require(c.agg.isDefined,
+        s"$name: new value column ${c.name} needs an aggregate marker")
+      t.synchronized { t.def_ = d.copy(cols = d.cols :+ c) }
+      registerViews(t)
     case _ => sys.error(s"unsupported ALTER: ${text.take(80)}")
+  }
+
+  /** Is bound `a` strictly greater than `b` under the partition column's
+    * type ordering (numeric compare for numeric columns, lexicographic —
+    * correct for ISO dates/timestamps — otherwise)? */
+  private def boundGt(d: TableDef, a: String, b: String): Boolean = {
+    val numeric = d.cols.find(_.name == d.partCol.get).get.sparkType match {
+      case t0 => Seq("TINYINT", "SMALLINT", "INT", "BIGINT", "FLOAT",
+        "DOUBLE").exists(t0.toUpperCase.startsWith) ||
+        t0.toUpperCase.startsWith("DECIMAL")
+    }
+    if (numeric) BigDecimal(a) > BigDecimal(b) else a > b
+  }
+
+  // -------------------------------------------------------------- TRUNCATE
+
+  private val TruncateRe = """(?is)^TRUNCATE\s+TABLE\s+`?(\w+)`?$""".r
+
+  /** Doris TRUNCATE TABLE: drop all rowsets and delete predicates, keep the
+    * schema — an O(files) directory wipe, no scan. */
+  private def truncate(text: String): Unit = text match {
+    case TruncateRe(name) =>
+      val t = state(name)
+      val root = java.nio.file.Paths.get(t.dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .filter(p => p != root)
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      t.synchronized { t.deletes.clear() }
+      // the table is empty again: its views must stop serving stale rows
+      s.catalog.dropTempView(t.def_.name)
+      t.def_.parts.foreach(p =>
+        s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))
+      refreshMvs(t)
+    case _ => sys.error(s"unparseable TRUNCATE: ${text.take(80)}")
+  }
+
+  // ------------------------------------------------------- SHOW PARTITIONS
+
+  private val ShowPartsRe =
+    """(?is)^SHOW\s+PARTITIONS\s+FROM\s+`?(\w+)`?$""".r
+
+  /** `SHOW PARTITIONS FROM t` → (partition_name, upper_bound, n_rows):
+    * partition metadata plus the visible row count per partition — each
+    * count is a partition-PRUNED scan, and the loop is over the declared
+    * partition list (catalog metadata, never data-sized). */
+  private def showPartitions(text: String): DataFrame = text match {
+    case ShowPartsRe(name) =>
+      val t = state(name)
+      require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
+      registerViews(t)
+      val rows = t.def_.parts.map { p =>
+        (p.name, p.bound.getOrElse("MAXVALUE"), visible(t, Some(p.name)).count())
+      }
+      import s.implicits._
+      rows.toDF("partition_name", "upper_bound", "n_rows")
+        .orderBy(col("partition_name"))
+    case _ => sys.error(s"unparseable SHOW PARTITIONS: ${text.take(80)}")
   }
 
   // ---------------------------------------------------------------- SELECT
@@ -282,8 +546,21 @@ final class DorisDdl(s: SparkSession) {
     * versioned delete predicates apply BEFORE the merge (a deleted old
     * version must not shadow-win; a post-delete reload must survive). */
   private def visible(t: TableState, part: Option[String]): DataFrame = {
-    var df = s.read.parquet(t.dir)
+    // mergeSchema: rowsets written before a light ADD COLUMN lack the new
+    // column; the union schema surfaces it as NULL, and the default-
+    // coalesce below backfills it (model_schema_change's read contract —
+    // no rowset is ever rewritten for a schema change)
+    var df = s.read.option("mergeSchema", "true").parquet(t.dir)
     part.foreach(p => df = df.filter(col("_p") === p))
+    val have = df.columns.toSet
+    t.def_.cols.foreach { c =>
+      if (!have.contains(c.name)) // added column with no load since
+        df = df.withColumn(c.name, lit(c.default.orNull).cast(c.sparkType))
+      else c.default.foreach { dflt =>
+        df = df.withColumn(c.name,
+          coalesce(col(c.name), lit(dflt).cast(c.sparkType)))
+      }
+    }
     df = graft.operators.KeyModels.applyDeletePredicates(
       df, t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
     val d = t.def_
@@ -376,8 +653,12 @@ object DorisDdl {
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int)
-  final case class TableState(def_ : TableDef, dir: String) {
+  final case class MvDef(name: String, table: String, selectText: String,
+      keys: Seq[String], columns: Map[(String, String), String])
+  final case class TableState(var def_ : TableDef, dir: String) {
     var nextVer: Long = 0L
+    var mvVer: Long = 0L
     val deletes: mutable.ArrayBuffer[(String, Long)] = mutable.ArrayBuffer()
+    val mvs: mutable.ArrayBuffer[MvDef] = mutable.ArrayBuffer()
   }
 }

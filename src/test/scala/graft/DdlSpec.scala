@@ -154,6 +154,148 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq((1L, 11L, 9L, 2L, "v2"), (2L, 20L, 7L, 7L, "v1")), got)
   }
 
+  test("UPDATE: read-your-writes ordering, key-column and key-model guards") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE up (k BIGINT, v DOUBLE, tag VARCHAR(8))
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO up VALUES (1, 10.0, 'a'), (2, 20.0, 'a'), (3, 30.0, 'a')")
+    ddl.execute("UPDATE up SET v = v * 2 WHERE k <= 2")
+    // second UPDATE's predicate reads the column the first one doubled
+    ddl.execute("UPDATE up SET tag = 'big' WHERE v >= 40")
+    val got = ddl.sql("SELECT k, v, tag FROM up ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq
+    assert(got == Seq((1L, 20.0, "a"), (2L, 40.0, "big"), (3L, 30.0, "a")), got)
+    // guards: key columns and non-UNIQUE tables reject
+    assertThrows[IllegalArgumentException](
+      ddl.execute("UPDATE up SET k = 9 WHERE k = 1"))
+    ddl.execute("CREATE TABLE dup_t (k BIGINT, v DOUBLE) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1")
+    assertThrows[IllegalArgumentException](
+      ddl.execute("UPDATE dup_t SET v = 1 WHERE k = 1"))
+  }
+
+  test("TRUNCATE empties the table but keeps the schema for reloads") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE tr (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO tr VALUES (1, 1.0), (2, 2.0)")
+    ddl.execute("DELETE FROM tr WHERE k = 1")
+    ddl.execute("TRUNCATE TABLE tr")
+    // a truncated table's view is gone (no stale rows can serve)
+    assert(!spark.catalog.tableExists("tr"))
+    // reload after truncate: only the new rows are visible, and the
+    // pre-truncate DELETE predicate must NOT apply to them
+    ddl.execute("INSERT INTO tr VALUES (1, 9.0), (3, 3.0)")
+    val got = ddl.sql("SELECT k, v FROM tr ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 9.0), (3L, 3.0)), got)
+  }
+
+  test("partition evolution guards: bound ordering and MAXVALUE finality") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE pe (d DATE, k BIGINT)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'),
+        |  PARTITION p2 VALUES LESS THAN ('2024-02-01'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    // new bound must exceed the last bound
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE pe ADD PARTITION p0 VALUES LESS THAN ('2023-12-01')"))
+    // duplicate partition name
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE pe ADD PARTITION p2 VALUES LESS THAN ('2024-03-01')"))
+    ddl.execute("ALTER TABLE pe ADD PARTITION p3 VALUES LESS THAN (MAXVALUE)")
+    // nothing can follow an open MAXVALUE partition
+    assertThrows[RuntimeException](ddl.execute(
+      "ALTER TABLE pe ADD PARTITION p4 VALUES LESS THAN ('2024-04-01')"))
+    // rows beyond the old last bound now load instead of failing
+    ddl.execute("INSERT INTO pe VALUES ('2024-06-15', 1)")
+    assert(ddl.sql("SELECT count(*) AS n FROM pe").as[Long].head() == 1L)
+  }
+
+  test("light ADD COLUMN: no rowset rewrite; old rows surface the default") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sc (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO sc VALUES (1, 1.0)")
+    val dir = ddlDir(ddl, "sc")
+    def fileSet() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = fileSet()
+    ddl.execute("ALTER TABLE sc ADD COLUMN tag VARCHAR(8) DEFAULT 'legacy'")
+    assert(fileSet() == before, "ADD COLUMN must be metadata-only")
+    ddl.execute("INSERT INTO sc VALUES (2, 2.0, 'web')")
+    val got = ddl.sql("SELECT k, tag FROM sc ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "legacy"), (2L, "web")), got)
+    // duplicate column rejects
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE sc ADD COLUMN tag VARCHAR(8)"))
+  }
+
+  test("sync MV: aggregate over the base is served by the MV scan, and " +
+    "maintenance keeps it exact through INSERT and versioned DELETE") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mvb (k BIGINT, g VARCHAR(4), v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO mvb VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mvb_mv AS
+        |SELECT g, SUM(v) AS sum_v, COUNT(*) AS cnt
+        |FROM mvb GROUP BY g""".stripMargin)
+    def agg() = ddl.sql(
+      "SELECT g, sum(v) AS s, count(*) AS n FROM mvb GROUP BY g ORDER BY g")
+    def servedByMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("graft_ddl_mv_mvb_mv"))
+        case _ => false
+      }
+    assert(servedByMv(agg()), "aggregate must retarget onto the MV")
+    assert(agg().as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 1.0, 1L), ("b", 2.0, 1L)))
+    // INSERT maintenance: the MV is rebuilt transactionally with the load
+    ddl.execute("INSERT INTO mvb VALUES (3, 'a', 3.0)")
+    assert(servedByMv(agg()), "post-insert aggregate must still be MV-served")
+    assert(agg().as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 4.0, 2L), ("b", 2.0, 1L)))
+    // versioned DELETE does NOT touch the base dir's mtime — only the
+    // registerReplacing swap retires the stale MV version (the race the
+    // freshness guard alone cannot see)
+    ddl.execute("DELETE FROM mvb WHERE g = 'b'")
+    assert(servedByMv(agg()), "post-delete aggregate must still be MV-served")
+    assert(agg().as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 4.0, 2L)))
+    // non-covered aggregate bails to base: grouping key outside the MV
+    val byK = ddl.sql("SELECT k, sum(v) AS s FROM mvb GROUP BY k ORDER BY k")
+    assert(!servedByMv(byK), "non-covered grouping must scan the base")
+    assert(byK.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (3L, 3.0)))
+  }
+
+  test("CTAS derives the schema from the SELECT and rejects a non-prefix key") {
+    val ddl = fresh()
+    Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+    ddl.execute(
+      """CREATE TABLE li_small
+        |DISTRIBUTED BY HASH(l_orderkey) BUCKETS 2
+        |AS SELECT l_orderkey, l_quantity FROM lineitem WHERE l_orderkey < 100""".stripMargin)
+    val sch = ddl.sql("SELECT * FROM li_small").schema
+    assert(sch.fieldNames.toSeq == Seq("l_orderkey", "l_quantity"))
+    assert(sch("l_orderkey").dataType.typeName == "long")
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bad_ctas DUPLICATE KEY(l_quantity)
+        |DISTRIBUTED BY HASH(l_quantity) BUCKETS 1
+        |AS SELECT l_orderkey, l_quantity FROM lineitem""".stripMargin))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
