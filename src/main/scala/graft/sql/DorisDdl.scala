@@ -65,6 +65,9 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
+    else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
+    else if (up.startsWith("SHOW TABLES")) Some(showTables())
+    else if (up.startsWith("DESC")) Some(describe(t))
     else Some(select(t))
   }
 
@@ -415,6 +418,8 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+PARTITION\s+(.*)$""".r
   private val AddColRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+(.*)$""".r
+  private val DropColRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+COLUMN\s+`?(\w+)`?$""".r
 
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
@@ -464,6 +469,23 @@ final class DorisDdl(s: SparkSession) {
       else require(c.agg.isDefined,
         s"$name: new value column ${c.name} needs an aggregate marker")
       t.synchronized { t.def_ = d.copy(cols = d.cols :+ c) }
+      registerViews(t)
+    case DropColRe(name, cname) =>
+      // light DROP COLUMN: metadata-only — old rowsets keep the bytes, the
+      // merge-on-read view simply stops selecting them. Structural columns
+      // and MV-referenced columns reject (the Doris rule: a column used by
+      // any rollup cannot be dropped).
+      val t = state(name)
+      val d = t.def_
+      require(d.cols.exists(_.name == cname), s"$name: unknown column $cname")
+      require(!d.keyCols.contains(cname), s"$name: cannot drop key column $cname")
+      require(!d.partCol.contains(cname),
+        s"$name: cannot drop the partition column")
+      require(d.hashCol != cname, s"$name: cannot drop the distribution column")
+      require(t.synchronized(t.mvs.toSeq).forall(mv =>
+        !mv.keys.contains(cname) && !mv.columns.keys.exists(_._2 == cname)),
+        s"$name: column $cname is referenced by a materialized view")
+      t.synchronized { t.def_ = d.copy(cols = d.cols.filterNot(_.name == cname)) }
       registerViews(t)
     case _ => sys.error(s"unsupported ALTER: ${text.take(80)}")
   }
@@ -593,6 +615,63 @@ final class DorisDdl(s: SparkSession) {
       visible(t, Some(p.name))
         .createOrReplaceTempView(s"${t.def_.name}__part_${p.name}")
     }
+  }
+
+  // ------------------------------------------------- metadata statements
+
+  /** `SHOW TABLES` → one row per catalog table, creation order. */
+  private def showTables(): DataFrame = {
+    import s.implicits._
+    tables.synchronized(tables.keys.toSeq).toDF("table_name")
+  }
+
+  private val DescRe = """(?is)^DESC(?:RIBE)?\s+`?(\w+)`?$""".r
+
+  /** `DESC t` → MySQL-ish column metadata from the catalog (no data IO). */
+  private def describe(text: String): DataFrame = text match {
+    case DescRe(name) =>
+      val d = state(name).def_
+      import s.implicits._
+      d.cols.map { c =>
+        (c.name, c.sparkType.toLowerCase,
+          if (d.keyCols.contains(c.name)) "true" else "false",
+          c.agg.getOrElse(if (d.keysType == "AGGREGATE") "" else "NONE"),
+          c.default.orNull)
+      }.toDF("field", "type", "key", "aggregation", "default")
+    case _ => sys.error(s"unparseable DESC: ${text.take(80)}")
+  }
+
+  private val ShowCreateRe =
+    """(?is)^SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?$""".r
+
+  /** `SHOW CREATE TABLE t` → (table, create_table): the statement is
+    * reconstructed from catalog metadata and ROUND-TRIPS — feeding the
+    * emitted text back through execute() yields an identical table
+    * definition (DdlSpec pins this). */
+  private def showCreateTable(text: String): DataFrame = text match {
+    case ShowCreateRe(name) =>
+      val d = state(name).def_
+      val colLines = d.cols.map { c =>
+        val agg = c.agg.map(" " + _).getOrElse("")
+        val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
+        s"  `${c.name}` ${c.sparkType}$agg$dflt"
+      }.mkString(",\n")
+      val partClause = d.partCol.map { pc =>
+        val specs = d.parts.map { p =>
+          val b = p.bound.map(v => s"('$v')").getOrElse("(MAXVALUE)")
+          s"  PARTITION ${p.name} VALUES LESS THAN $b"
+        }.mkString(",\n")
+        s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
+      }.getOrElse("")
+      val stmt =
+        s"""CREATE TABLE `${d.name}` (
+           |$colLines
+           |) ENGINE=OLAP
+           |${d.keysType} KEY(${d.keyCols.map(k => s"`$k`").mkString(", ")})$partClause
+           |DISTRIBUTED BY HASH(`${d.hashCol}`) BUCKETS ${d.buckets}""".stripMargin
+      import s.implicits._
+      Seq((d.name, stmt)).toDF("table", "create_table")
+    case _ => sys.error(s"unparseable SHOW CREATE TABLE: ${text.take(80)}")
   }
 
   private def state(name: String): TableState =

@@ -296,6 +296,70 @@ class DdlSpec extends SparkSpec {
         |AS SELECT l_orderkey, l_quantity FROM lineitem""".stripMargin))
   }
 
+  test("metadata statements: SHOW TABLES / DESC / SHOW CREATE TABLE " +
+    "round-trips the definition") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE meta_t (
+        |  d DATE,
+        |  k BIGINT,
+        |  v DOUBLE,
+        |  tag VARCHAR(6) DEFAULT 'none'
+        |) ENGINE=OLAP
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'),
+        |  PARTITION p2 VALUES LESS THAN (MAXVALUE)
+        |)
+        |DISTRIBUTED BY HASH(k) BUCKETS 3""".stripMargin)
+    assert(ddl.sql("SHOW TABLES").as[String].collect().contains("meta_t"))
+    val desc = ddl.sql("DESC meta_t").collect()
+    assert(desc.map(_.getString(0)).toSeq == Seq("d", "k", "v", "tag"))
+    assert(desc.map(_.getString(2)).toSeq ==
+      Seq("true", "true", "false", "false"))
+    assert(desc(3).getString(4) == "none")
+    // SHOW CREATE TABLE must round-trip: replaying the emitted text in a
+    // fresh catalog yields an identical definition
+    val stmt = ddl.sql("SHOW CREATE TABLE meta_t")
+      .select("create_table").as[String].head()
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("`meta_t`", "`meta_t2`"))
+    val stmt2 = ddl2.sql("SHOW CREATE TABLE meta_t2")
+      .select("create_table").as[String].head()
+    assert(stmt2.replace("meta_t2", "meta_t") == stmt, s"$stmt\n---\n$stmt2")
+  }
+
+  test("light DROP COLUMN: metadata-only, structural/MV columns reject") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE dc (k BIGINT, v DOUBLE, extra VARCHAR(6))
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dc VALUES (1, 1.0, 'x'), (2, 2.0, 'y')")
+    val dir = ddlDir(ddl, "dc")
+    def fileSet() = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+    val before = fileSet()
+    ddl.execute("ALTER TABLE dc DROP COLUMN extra")
+    assert(fileSet() == before, "DROP COLUMN must be metadata-only")
+    assert(ddl.sql("SELECT * FROM dc").schema.fieldNames.toSeq == Seq("k", "v"))
+    // a later load no longer carries the column; reads stay consistent
+    ddl.execute("INSERT INTO dc VALUES (3, 3.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM dc").as[Long].head() == 3L)
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE dc DROP COLUMN k"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE dc DROP COLUMN nope"))
+    // an MV-referenced column cannot be dropped (the Doris rollup rule)
+    ddl.execute(
+      """CREATE TABLE dcm (k BIGINT, g VARCHAR(4), v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dcm VALUES (1, 'a', 1.0)")
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW dcm_mv AS SELECT g, SUM(v) AS s FROM dcm GROUP BY g")
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE dcm DROP COLUMN v"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
