@@ -40,6 +40,7 @@ object Graft {
     plans.JoinMvRewrite.install(spark)
     functions.NativeAggregates.register(spark)
     functions.BitmapFunctions.registerAll(spark)
+    functions.SketchScalars.registerAll(spark)
     functions.CosineSim.register(spark)
     functions.TokenCount.register(spark)
   }

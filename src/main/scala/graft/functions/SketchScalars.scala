@@ -55,4 +55,22 @@ object SketchScalars {
   /** QUANTILE_PERCENT(state, p): estimate the p-quantile from a sketch. */
   def quantile_percent(state: Column, p: Column): Column =
     quantilePercentUdf(state, p)
+
+  /** Register the Doris SQL spellings on a session (idempotent) — the
+    * DDL front-end's `INSERT ... SELECT hll_hash(col)` path and ad-hoc
+    * SQL both reach the scalars by name. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.udf.register("hll_hash", (v: java.lang.Long) => {
+      val sk = new HllSketch(LgK)
+      if (v != null) sk.update(v.longValue())
+      sk.toUpdatableByteArray
+    })
+    spark.udf.register("hll_hash_str", (v: String) => {
+      val sk = new HllSketch(LgK)
+      if (v != null) sk.update(v)
+      sk.toUpdatableByteArray
+    })
+    spark.udf.register("hll_cardinality", (b: Array[Byte]) =>
+      if (b == null) 0L else Math.round(HllSketch.heapify(b).getEstimate))
+  }
 }

@@ -384,6 +384,49 @@ object DdlStatements {
             |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin)
       },
       """SELECT event_type, round(sum(value), 2) AS total, count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // Doris's signature AGGREGATE-key feature, reached purely by text:
+    // sketch-typed value columns. BITMAP BITMAP_UNION merges serialized
+    // roaring bitmaps per key (exact distinct across loads — audience
+    // segments), HLL HLL_UNION merges HLL sketch images (the estimate is
+    // projected as its contract error bound, like every sketch key), and
+    // REPLACE_IF_NOT_NULL keeps the last NON-null write (a newer null
+    // must not erase an older value). Two half-loads prove the merges are
+    // load-order-independent; sketch state rides the shuffle
+    // partial-aggregated, never exploded rows.
+    "sql_ddl_sketch_cols" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_sketch_cols", s, dir)(Seq(
+          """CREATE TABLE seg (
+            |  event_type VARCHAR(20),
+            |  users BITMAP BITMAP_UNION,
+            |  uhll HLL HLL_UNION,
+            |  note VARCHAR(8) REPLACE_IF_NOT_NULL
+            |) ENGINE=OLAP
+            |AGGREGATE KEY(event_type)
+            |DISTRIBUTED BY HASH(event_type) BUCKETS 4""".stripMargin,
+          """INSERT INTO seg
+            |SELECT event_type, to_bitmap(user_id), hll_hash(user_id), 'L1'
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          // the second load writes NULL notes: REPLACE_IF_NOT_NULL must
+          // keep 'L1' even though this rowset has the higher version
+          """INSERT INTO seg
+            |SELECT event_type, to_bitmap(user_id), hll_hash(user_id), NULL
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type,
+            |  bitmap_count(users) AS exact_users,
+            |  abs(hll_cardinality(uhll) - bitmap_count(users))
+            |    <= 0.05 * bitmap_count(users) AS hll_in_bound,
+            |  note
+            |FROM seg ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  true AS hll_in_bound,
+        |  'L1' AS note
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 

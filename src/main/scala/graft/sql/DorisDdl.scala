@@ -51,6 +51,12 @@ import scala.collection.mutable
 final class DorisDdl(s: SparkSession) {
   import DorisDdl._
 
+  // The statement surface leans on the library's SQL-name functions
+  // (to_bitmap / hll_hash at load, bitmap_count / hll_cardinality at read,
+  // graft_bitmap_union_binary in the AGGREGATE merge) and the rollup rule;
+  // install is idempotent.
+  graft.Graft.install(s)
+
   private val tables = mutable.LinkedHashMap[String, TableState]()
 
   /** Execute one statement; Some(result) for SELECT/SHOW, None for DDL/DML. */
@@ -179,7 +185,9 @@ final class DorisDdl(s: SparkSession) {
       .findFirstMatchIn(text)
       .getOrElse(sys.error(s"unparseable column def: $text"))
     val rest = m.group(3).trim
-    val aggRe = """(?is)^(SUM|MAX|MIN|REPLACE)\b""".r
+    // longest-first: REPLACE_IF_NOT_NULL must not lex as REPLACE
+    val aggRe =
+      """(?is)^(REPLACE_IF_NOT_NULL|BITMAP_UNION|HLL_UNION|SUM|MAX|MIN|REPLACE)\b""".r
     val agg = aggRe.findFirstMatchIn(rest).map(_.group(1).toUpperCase)
     val default = """(?is)\bDEFAULT\s+"([^"]*)"|\bDEFAULT\s+'([^']*)'""".r
       .findFirstMatchIn(rest)
@@ -193,6 +201,7 @@ final class DorisDdl(s: SparkSession) {
     base match {
       case "DATETIME" => "TIMESTAMP"
       case "VARCHAR" | "CHAR" | "STRING" | "TEXT" => "STRING"
+      case "BITMAP" | "HLL" => "BINARY" // serialized sketch columns (§1.2)
       case "LARGEINT" => "DECIMAL(38,0)"
       case "DECIMAL" | "DECIMALV3" => "DECIMAL" + t.dropWhile(_ != '(')
       case b => b // BOOLEAN TINYINT SMALLINT INT BIGINT FLOAT DOUBLE DATE
@@ -599,6 +608,16 @@ final class DorisDdl(s: SparkSession) {
             case "MAX" => max(col(c.name))
             case "MIN" => min(col(c.name))
             case "REPLACE" => max_by(col(c.name), col("_ver"))
+            // last NON-NULL by version: max_by skips rows whose ordering
+            // value is null, so nulling the order where the value is null
+            // makes older non-null values win over newer nulls
+            case "REPLACE_IF_NOT_NULL" =>
+              max_by(col(c.name), when(col(c.name).isNotNull, col("_ver")))
+            // sketch columns: serialized-state merge, partial-aggregated
+            // through the shuffle exactly like the agg_bitmap_*/hll keys
+            case "BITMAP_UNION" =>
+              graft.functions.NativeAggregates.bitmap_union_binary(col(c.name))
+            case "HLL_UNION" => hll_union_agg(col(c.name))
           }).cast(c.sparkType).as(c.name)
         }
         df.groupBy(d.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)

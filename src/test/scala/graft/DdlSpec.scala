@@ -360,6 +360,25 @@ class DdlSpec extends SparkSpec {
       ddl.execute("ALTER TABLE dcm DROP COLUMN v"))
   }
 
+  test("sketch aggregate markers: BITMAP_UNION exact, REPLACE_IF_NOT_NULL " +
+    "ordering across versions") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sk (k BIGINT, bm BITMAP BITMAP_UNION,
+        |  r VARCHAR(4) REPLACE_IF_NOT_NULL)
+        |AGGREGATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    // v1: values; v2: overlapping bitmap + NULL note; v3: fresh note
+    ddl.execute("INSERT INTO sk SELECT 1, to_bitmap(10), 'a'")
+    ddl.execute("INSERT INTO sk SELECT 1, to_bitmap(11), CAST(NULL AS STRING)")
+    val mid = ddl.sql("SELECT bitmap_count(bm) AS n, r FROM sk")
+      .as[(Long, String)].head()
+    assert(mid == ((2L, "a")), s"newer NULL must not erase 'a': $mid")
+    ddl.execute("INSERT INTO sk SELECT 1, to_bitmap(10), 'b'")
+    val fin = ddl.sql("SELECT bitmap_count(bm) AS n, r FROM sk")
+      .as[(Long, String)].head()
+    assert(fin == ((2L, "b")), s"newer non-null must win, dup ids collapse: $fin")
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
