@@ -427,7 +427,54 @@ object DdlStatements {
         |  count(DISTINCT user_id) AS exact_users,
         |  true AS hll_in_bound,
         |  'L1' AS note
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // INSERT OVERWRITE PARTITION — the restatement flow: a partitioned
+    // table is fully loaded, then ONE partition's contents are atomically
+    // replaced with corrected figures (staged to scratch, validated —
+    // rows outside the target partition fail the statement with the old
+    // data untouched — then swapped in). The untouched partition must
+    // read exactly its original rows.
+    "sql_ddl_overwrite" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val ddl = lifecycle("sql_ddl_overwrite", s, dir)(Seq(
+          """CREATE TABLE ord_ow (
+            |  o_orderdate DATE,
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderdate, o_orderkey)
+            |PARTITION BY RANGE(o_orderdate) (
+            |  PARTITION p_old VALUES LESS THAN ('1998-01-01'),
+            |  PARTITION p_new VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_ow
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+            |FROM orders""".stripMargin,
+          // restate the old partition at half price (exact in binary FP)
+          """INSERT OVERWRITE TABLE ord_ow PARTITION (p_old)
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice / 2
+            |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin))
+        ddl.sql(
+          """SELECT 'old' AS scope, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_ow PARTITION (p_old)
+            |UNION ALL
+            |SELECT 'new' AS scope, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_ow PARTITION (p_new)
+            |ORDER BY scope""".stripMargin)
+      },
+      """SELECT * FROM (
+        |  SELECT 'old' AS scope, count(*) AS n,
+        |    round(sum(o_totalprice / 2), 2) AS total
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        |  UNION ALL
+        |  SELECT 'new', count(*), round(sum(o_totalprice), 2)
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |) ORDER BY scope""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

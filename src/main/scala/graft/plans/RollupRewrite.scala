@@ -86,6 +86,18 @@ object RollupRewrite {
     registry.add(d)
   }
 
+  /** Remove every rollup registered for `basePath` (DROP TABLE in the DDL
+    * front-end — a dropped base must stop serving immediately). */
+  def deregisterBase(basePath: String): Unit = registry.synchronized {
+    val it = registry.iterator()
+    val doomed = new java.util.ArrayList[RollupDef]()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d.basePath == basePath) doomed.add(d)
+    }
+    registry.removeAll(doomed)
+  }
+
   /** Install the rule once per session. */
   def install(spark: SparkSession): Unit = {
     val present = spark.experimental.extraOptimizations.exists(_.isInstanceOf[RollupRewriteRule])

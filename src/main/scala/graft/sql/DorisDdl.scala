@@ -65,9 +65,13 @@ final class DorisDdl(s: SparkSession) {
     val up = t.toUpperCase
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }
     else if (up.startsWith("CREATE MATERIALIZED VIEW")) { createMv(t); None }
+    else if (up.startsWith("CREATE VIEW") ||
+      up.startsWith("CREATE OR REPLACE VIEW")) { createView(t); None }
+    else if (up.startsWith("INSERT OVERWRITE")) { insertOverwrite(t); None }
     else if (up.startsWith("INSERT INTO")) { insertInto(t); None }
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
+    else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
@@ -332,8 +336,11 @@ final class DorisDdl(s: SparkSession) {
     * DEFAULT (NULL absent one), every column cast to its declared type,
     * range-partition name assigned (or the load rejected), bucketed by
     * the distribution column, appended. */
-  private def load(t: TableState, src: DataFrame): Unit = {
-    val ver = t.synchronized { t.nextVer += 1; t.nextVer }
+  /** One load's rowset frame: missing columns filled from their DEFAULT,
+    * every column cast to its declared type, range-partition name assigned
+    * (or the load rejected), version stamped, bucketed by the distribution
+    * column. */
+  private def rowset(t: TableState, src: DataFrame, ver: Long): DataFrame = {
     val present = src.columns.toSet
     val aligned = src.select(t.def_.cols.map { c =>
       (if (present.contains(c.name)) col(c.name)
@@ -344,12 +351,80 @@ final class DorisDdl(s: SparkSession) {
         aligned.withColumn("_p", partitionName(t.def_, col(pc)))
       case None => aligned
     }
-    val out = withPart.withColumn("_ver", lit(ver))
+    withPart.withColumn("_ver", lit(ver))
       .repartition(t.def_.buckets, col(t.def_.hashCol))
+  }
+
+  private def load(t: TableState, src: DataFrame): Unit = {
+    val ver = t.synchronized { t.nextVer += 1; t.nextVer }
+    val out = rowset(t, src, ver)
     val w = out.write.mode("append")
     (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
     registerViews(t)
     refreshMvs(t)
+  }
+
+  // ------------------------------------------------------ INSERT OVERWRITE
+
+  private val InsertOverwriteRe =
+    """(?is)^INSERT\s+OVERWRITE\s+TABLE\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\))?\s*(SELECT\s+.*)$""".r
+
+  /** Doris `INSERT OVERWRITE TABLE t [PARTITION (p)] SELECT ...`: replace
+    * the table's (or one partition's) contents with the SELECT result. The
+    * new rowset is STAGED to a scratch dir first — every row is validated
+    * there (partition bounds; for the PARTITION form, rows outside the
+    * target partition fail the statement) — and only then swapped in, so a
+    * failed overwrite leaves the old data untouched (Doris runs the same
+    * write-then-publish sequence through its txn manager). */
+  private def insertOverwrite(text: String): Unit = text match {
+    case InsertOverwriteRe(name, pname, body) =>
+      val t = state(name)
+      val part = Option(pname)
+      part.foreach(p => require(t.def_.parts.exists(_.name == p),
+        s"$name: unknown partition $p"))
+      require(part.isEmpty || t.def_.partCol.isDefined,
+        s"$name: PARTITION overwrite needs a partitioned table")
+      val src = DorisSqlDialect.sql(s, body)
+        .toDF(t.def_.cols.map(_.name): _*)
+      val ver = t.synchronized { t.nextVer += 1; t.nextVer }
+      val out0 = rowset(t, src, ver)
+      val out = part match {
+        case Some(p) => out0.withColumn("_p",
+          when(col("_p") === p, col("_p")).otherwise(raise_error(concat(
+            lit(s"$name: OVERWRITE PARTITION ($p) received a row for partition "),
+            col("_p")))))
+        case None => out0
+      }
+      val staging = graft.TempDirs.create(s"graft_ddl_ow_${t.def_.name}")
+      val w = out.write.mode("overwrite")
+      (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
+      // staging succeeded — publish: wipe the replaced scope, move files in
+      def wipe(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      part match {
+        case Some(p) => wipe(java.nio.file.Paths.get(t.dir, s"_p=$p"))
+        case None =>
+          val root = java.nio.file.Paths.get(t.dir)
+          java.nio.file.Files.list(root).forEach(wipe)
+          t.synchronized { t.deletes.clear() }
+      }
+      val stRoot = java.nio.file.Paths.get(staging)
+      val dstRoot = java.nio.file.Paths.get(t.dir)
+      java.nio.file.Files.walk(stRoot)
+        .filter(f => f.toString.endsWith(".parquet"))
+        .forEach { f =>
+          val rel = stRoot.relativize(f)
+          val dst = dstRoot.resolve(rel)
+          java.nio.file.Files.createDirectories(dst.getParent)
+          java.nio.file.Files.move(f, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
+      registerViews(t)
+      refreshMvs(t)
+    case _ => sys.error(s"unparseable INSERT OVERWRITE: ${text.take(80)}")
   }
 
   /** Range-partition assignment as a CASE chain over the declared bounds;
@@ -626,14 +701,67 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def registerViews(t: TableState): Unit = {
-    // a created-but-never-loaded table has no rowsets to read yet; its
-    // first load registers it
-    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
+    // a created-but-never-loaded (or emptied) table has no rowsets to
+    // read: no view may serve stale rows
+    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) {
+      s.catalog.dropTempView(t.def_.name)
+      t.def_.parts.foreach(p =>
+        s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))
+      return
+    }
     visible(t, None).createOrReplaceTempView(t.def_.name)
     t.def_.parts.foreach { p =>
       visible(t, Some(p.name))
         .createOrReplaceTempView(s"${t.def_.name}__part_${p.name}")
     }
+    refreshUserViews()
+  }
+
+  // ------------------------------------------------------- views / drop
+
+  private val viewDefs = mutable.LinkedHashMap[String, String]()
+
+  private val CreateViewRe =
+    """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\s+.*)$""".r
+
+  /** Doris logical `CREATE VIEW v AS SELECT ...`: the TEXT is the catalog
+    * object. The view is re-registered from its text after every DDL/DML
+    * statement, so it always reads the CURRENT table state (a temp view
+    * captures its plan at creation — replaying the text is what keeps the
+    * Doris always-fresh view semantics). */
+  private def createView(text: String): Unit = text match {
+    case CreateViewRe(name, body) =>
+      require(!tables.synchronized(tables.contains(name)),
+        s"$name already names a table")
+      viewDefs.synchronized { viewDefs(name) = body }
+      refreshUserViews()
+    case _ => sys.error(s"unparseable CREATE VIEW: ${text.take(80)}")
+  }
+
+  private def refreshUserViews(): Unit =
+    viewDefs.synchronized(viewDefs.toSeq).foreach { case (name, body) =>
+      DorisSqlDialect.sql(s, body).createOrReplaceTempView(name)
+    }
+
+  private val DropTableRe = """(?is)^DROP\s+TABLE\s+`?(\w+)`?$""".r
+
+  /** DROP TABLE: remove the catalog entry, its views, its rowset dir, and
+    * every rollup/MV registered against it (a dropped base must stop being
+    * served by the optimizer immediately). */
+  private def dropTable(text: String): Unit = text match {
+    case DropTableRe(name) =>
+      val t = state(name)
+      tables.synchronized { tables.remove(name) }
+      s.catalog.dropTempView(name)
+      t.def_.parts.foreach(p =>
+        s.catalog.dropTempView(s"${name}__part_${p.name}"))
+      graft.plans.RollupRewrite.deregisterBase(t.dir)
+      val root = java.nio.file.Paths.get(t.dir)
+      if (java.nio.file.Files.exists(root))
+        java.nio.file.Files.walk(root)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    case _ => sys.error(s"unparseable DROP TABLE: ${text.take(80)}")
   }
 
   // ------------------------------------------------- metadata statements

@@ -379,6 +379,60 @@ class DdlSpec extends SparkSpec {
     assert(fin == ((2L, "b")), s"newer non-null must win, dup ids collapse: $fin")
   }
 
+  test("INSERT OVERWRITE: staged validation leaves old data intact on " +
+    "failure; full overwrite clears delete predicates") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ow (d DATE, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION p2 VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      "INSERT INTO ow VALUES ('2024-01-10', 1, 1.0), ('2024-03-10', 2, 2.0)")
+    // a PARTITION overwrite fed a row OUTSIDE the target partition must
+    // fail during staging and leave the partition untouched
+    assertThrows[Exception](ddl.execute(
+      """INSERT OVERWRITE TABLE ow PARTITION (p1)
+        |SELECT CAST('2024-03-15' AS DATE), 9, 9.0""".stripMargin))
+    assert(ddl.sql("SELECT count(*) AS n FROM ow PARTITION (p1)")
+      .as[Long].head() == 1L, "failed overwrite must not wipe the partition")
+    // a valid partition overwrite replaces exactly that partition
+    ddl.execute(
+      """INSERT OVERWRITE TABLE ow PARTITION (p1)
+        |SELECT CAST('2024-01-20' AS DATE), 7, 7.0""".stripMargin)
+    val rows = ddl.sql("SELECT k, v FROM ow ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(rows == Seq((2L, 2.0), (7L, 7.0)), rows)
+    // full-table overwrite clears standing versioned deletes
+    ddl.execute("DELETE FROM ow WHERE k = 7")
+    ddl.execute(
+      "INSERT OVERWRITE TABLE ow SELECT CAST('2024-01-05' AS DATE), 7, 5.0")
+    assert(ddl.sql("SELECT k, v FROM ow").as[(Long, Double)].collect().toSeq ==
+      Seq((7L, 5.0)), "pre-overwrite delete must not apply to replaced data")
+  }
+
+  test("DROP TABLE removes catalog entry, views, and rollup registrations; " +
+    "CREATE VIEW stays fresh across later loads") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE dt (k BIGINT, g VARCHAR(4), v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dt VALUES (1, 'a', 1.0)")
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW dt_mv AS SELECT g, SUM(v) AS s FROM dt GROUP BY g")
+    // a logical view over the table, re-registered from text per statement
+    ddl.execute("CREATE VIEW dt_v AS SELECT g, sum(v) AS s FROM dt GROUP BY g")
+    assert(ddl.sql("SELECT s FROM dt_v").as[Double].head() == 1.0)
+    ddl.execute("INSERT INTO dt VALUES (2, 'a', 2.0)")
+    assert(ddl.sql("SELECT s FROM dt_v").as[Double].head() == 3.0,
+      "view must read the post-load state, not its creation-time plan")
+    ddl.execute("DROP TABLE dt")
+    assert(!spark.catalog.tableExists("dt"))
+    assertThrows[RuntimeException](ddl.execute("INSERT INTO dt VALUES (3, 'b', 1.0)"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
