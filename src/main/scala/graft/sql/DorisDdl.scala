@@ -635,7 +635,36 @@ final class DorisDdl(s: SparkSession) {
 
   // ---------------------------------------------------------------- SELECT
 
-  private def select(text: String): DataFrame = {
+  private val IntoOutfileRe =
+    """(?is)^(.*?)\s+INTO\s+OUTFILE\s+'([^']+)'\s*(?:FORMAT\s+AS\s+(\w+))?$""".r
+
+  /** `SELECT ... INTO OUTFILE 'path' [FORMAT AS CSV|PARQUET]` — the result
+    * export statement ([doris: fe/.../analysis/OutFileClause.java]): the
+    * query writes distributed (one file per partition, never collected)
+    * and the statement returns Doris's one-row summary (rows written). */
+  private def selectIntoOutfile(sel: String, path: String,
+      fmt: String): DataFrame = {
+    val df = select(sel)
+    fmt.toUpperCase match {
+      case "CSV" => df.write.mode("overwrite")
+        .option("header", "true").csv(path)
+      case "PARQUET" => df.write.mode("overwrite").parquet(path)
+      case other => sys.error(s"INTO OUTFILE: unsupported format $other")
+    }
+    val n = s.read.format(fmt.toLowerCase)
+      .option("header", "true").load(path).count()
+    import s.implicits._
+    Seq((n, path)).toDF("rows_written", "path")
+  }
+
+  private def select(text: String): DataFrame = text match {
+    case IntoOutfileRe(sel, path, fmt)
+        if text.toUpperCase.contains("INTO OUTFILE") =>
+      selectIntoOutfile(sel, path, Option(fmt).getOrElse("CSV"))
+    case _ => selectPlain(text)
+  }
+
+  private def selectPlain(text: String): DataFrame = {
     tables.synchronized(tables.values.toSeq).foreach(registerViews)
     // Doris partition selection: FROM t PARTITION (p) → the partition-
     // restricted view (a partition-PRUNED scan, filtered before the merge

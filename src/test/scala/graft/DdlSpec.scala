@@ -433,6 +433,23 @@ class DdlSpec extends SparkSpec {
     assertThrows[RuntimeException](ddl.execute("INSERT INTO dt VALUES (3, 'b', 1.0)"))
   }
 
+  test("SELECT INTO OUTFILE writes distributed files and reports the count") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE of (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO of VALUES (1, 1.5), (2, 2.5), (3, 3.5)")
+    val out = TempDirs.create("graft_outfile")
+    val res = ddl.sql(
+      s"SELECT k, v FROM of WHERE k <= 2 INTO OUTFILE '$out' FORMAT AS CSV")
+      .as[(Long, String)].head()
+    assert(res._1 == 2L, res)
+    val back = spark.read.option("header", "true").csv(out)
+      .selectExpr("CAST(k AS BIGINT) k", "CAST(v AS DOUBLE) v")
+      .as[(Long, Double)].collect().toSet
+    assert(back == Set((1L, 1.5), (2L, 2.5)), back)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
