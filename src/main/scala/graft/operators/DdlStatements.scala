@@ -474,7 +474,40 @@ object DdlStatements {
         |  UNION ALL
         |  SELECT 'new', count(*), round(sum(o_totalprice), 2)
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
-        |) ORDER BY scope""".stripMargin)
+        |) ORDER BY scope""".stripMargin),
+
+    // AUTO PARTITION (Doris 2.1): partitions materialize per date_trunc
+    // bucket as loads arrive — no per-period DDL. Two loads land 30 daily
+    // partitions; a retention DROP PARTITION removes the oldest day as the
+    // same O(1) directory op; SHOW PARTITIONS reads the materialized
+    // buckets back with per-partition counts from one grouped scan.
+    "sql_ddl_auto_partition" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_auto_partition", s, dir)(Seq(
+          """CREATE TABLE ev_auto (
+            |  ts DATETIME,
+            |  event_id BIGINT,
+            |  value DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(ts, event_id)
+            |AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+            |DISTRIBUTED BY HASH(event_id) BUCKETS 4""".stripMargin,
+          """INSERT INTO ev_auto
+            |SELECT ts, event_id, value FROM events
+            |WHERE ts < TIMESTAMP '2024-01-16'""".stripMargin,
+          // later days arrive: their partitions materialize on load
+          """INSERT INTO ev_auto
+            |SELECT ts, event_id, value FROM events
+            |WHERE ts >= TIMESTAMP '2024-01-16'""".stripMargin,
+          "ALTER TABLE ev_auto DROP PARTITION p20240101"))
+        ddl.sql("SHOW PARTITIONS FROM ev_auto")
+      },
+      """SELECT concat('p', strftime(date_trunc('day', ts), '%Y%m%d')) AS partition_name,
+        |  'AUTO(day)' AS upper_bound, count(*) AS n_rows
+        |FROM events
+        |WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -150,7 +150,17 @@ final class DorisDdl(s: SparkSession) {
         require(keyCols.contains(c.name) == c.agg.isEmpty,
           s"$name: value column ${c.name} needs an aggregate marker (SUM/MAX/MIN/REPLACE)")
       }
-      val partSpec = clauseParen(rest, """(?is)\bPARTITION\s+BY\s+RANGE\s*\(""")
+      // AUTO PARTITION (Doris 2.1): no declared specs — partitions
+      // materialize per date_trunc bucket as loads arrive
+      val autoSpec = AutoPartRe.findFirstMatchIn(rest).map { m =>
+        val g = m.group(2).toLowerCase
+        require(Seq("day", "month", "year").contains(g),
+          s"$name: AUTO PARTITION granularity must be day/month/year, got $g")
+        (stripIdent(m.group(1)), g)
+      }
+      val partSpec =
+        if (autoSpec.isDefined) None
+        else clauseParen(rest, """(?is)\bPARTITION\s+BY\s+RANGE\s*\(""")
         .map { inner =>
           val pc = stripIdent(inner.trim)
           val specs = clauseParen(rest.substring(up.indexOf("PARTITION BY RANGE")),
@@ -163,11 +173,13 @@ final class DorisDdl(s: SparkSession) {
         .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
       val buckets = """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(rest)
         .map(_.group(1).toInt).getOrElse(10)
-      partSpec.foreach { case (pc, specs) =>
+      (partSpec.map(_._1) orElse autoSpec.map(_._1)).foreach { pc =>
         require(cols.exists(_.name == pc), s"$name: unknown partition column $pc")
         if (keysType != "DUPLICATE")
           require(keyCols.contains(pc),
             s"$name: partition column $pc must be a key column on $keysType tables")
+      }
+      partSpec.foreach { case (_, specs) =>
         require(specs.map(_.name).distinct.size == specs.size,
           s"$name: duplicate partition names")
         require(specs.init.forall(_.bound.isDefined),
@@ -177,8 +189,9 @@ final class DorisDdl(s: SparkSession) {
         s"table $name already exists")
       val st = TableState(
         TableDef(name, cols, keysType, keyCols,
-          partSpec.map(_._1), partSpec.map(_._2).getOrElse(Nil),
-          hashCol, buckets),
+          partSpec.map(_._1) orElse autoSpec.map(_._1),
+          partSpec.map(_._2).getOrElse(Nil),
+          hashCol, buckets, autoSpec.map(_._2)),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -211,6 +224,9 @@ final class DorisDdl(s: SparkSession) {
       case b => b // BOOLEAN TINYINT SMALLINT INT BIGINT FLOAT DOUBLE DATE
     }
   }
+
+  private val AutoPartRe =
+    """(?is)\bAUTO\s+PARTITION\s+BY\s+RANGE\s*\(\s*date_trunc\s*\(\s*`?(\w+)`?\s*,\s*'(\w+)'\s*\)\s*\)""".r
 
   // PARTITION pname VALUES LESS THAN ('lit') | (MAXVALUE)
   private val PartRe =
@@ -427,9 +443,23 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable INSERT OVERWRITE: ${text.take(80)}")
   }
 
-  /** Range-partition assignment as a CASE chain over the declared bounds;
-    * a row beyond the last bound kills the load job (Doris rejects it). */
-  private def partitionName(d: TableDef, c: Column): Column = {
+  /** Range-partition assignment. AUTO mode: the partition IS the
+    * date_trunc bucket (p20240115-style names — partitions materialize as
+    * dirs on load, no DDL per period). Declared mode: a CASE chain over
+    * the bounds; a row beyond the last bound kills the load job (Doris
+    * rejects it). */
+  private def partitionName(d: TableDef, c: Column): Column = d.autoGran match {
+    case Some(g) =>
+      val fmt = g match {
+        case "day" => "yyyyMMdd"
+        case "month" => "yyyyMM"
+        case "year" => "yyyy"
+      }
+      concat(lit("p"), date_format(date_trunc(g, c), fmt))
+    case None => declaredPartitionName(d, c)
+  }
+
+  private def declaredPartitionName(d: TableDef, c: Column): Column = {
     val typed = (s: String) => lit(s).cast(
       d.cols.find(_.name == d.partCol.get).get.sparkType)
     val base: Column = d.parts.last.bound match {
@@ -508,8 +538,10 @@ final class DorisDdl(s: SparkSession) {
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
       val t = state(name)
-      require(t.def_.parts.exists(_.name == pname),
+      require(partitionNames(t).contains(pname),
         s"$name: unknown partition $pname")
+      if (t.def_.autoGran.isDefined)
+        s.catalog.dropTempView(s"${name}__part_$pname")
       // the O(1) metadata op: a range partition IS a directory
       val doomed = java.nio.file.Paths.get(t.dir, s"_p=$pname")
       if (java.nio.file.Files.exists(doomed))
@@ -525,6 +557,8 @@ final class DorisDdl(s: SparkSession) {
       val t = state(name)
       val d = t.def_
       require(d.partCol.isDefined, s"$name: table is not range-partitioned")
+      require(d.autoGran.isEmpty,
+        s"$name: AUTO-partitioned tables manage their own partitions")
       val p = parsePartition(s"PARTITION $spec")
       require(!d.parts.exists(_.name == p.name),
         s"$name: partition ${p.name} already exists")
@@ -595,6 +629,7 @@ final class DorisDdl(s: SparkSession) {
   private def truncate(text: String): Unit = text match {
     case TruncateRe(name) =>
       val t = state(name)
+      val partViews = partitionNames(t) // capture before the wipe (AUTO)
       val root = java.nio.file.Paths.get(t.dir)
       if (java.nio.file.Files.exists(root))
         java.nio.file.Files.walk(root)
@@ -604,8 +639,8 @@ final class DorisDdl(s: SparkSession) {
       t.synchronized { t.deletes.clear() }
       // the table is empty again: its views must stop serving stale rows
       s.catalog.dropTempView(t.def_.name)
-      t.def_.parts.foreach(p =>
-        s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))
+      partViews.foreach(p =>
+        s.catalog.dropTempView(s"${t.def_.name}__part_$p"))
       refreshMvs(t)
     case _ => sys.error(s"unparseable TRUNCATE: ${text.take(80)}")
   }
@@ -616,20 +651,32 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^SHOW\s+PARTITIONS\s+FROM\s+`?(\w+)`?$""".r
 
   /** `SHOW PARTITIONS FROM t` → (partition_name, upper_bound, n_rows):
-    * partition metadata plus the visible row count per partition — each
-    * count is a partition-PRUNED scan, and the loop is over the declared
-    * partition list (catalog metadata, never data-sized). */
+    * partition metadata plus per-partition visible row counts from ONE
+    * grouped scan (never a per-partition job loop). Declared partitions
+    * join their bound metadata (a dropped/empty partition reads 0); AUTO
+    * partitions are exactly the materialized buckets. */
   private def showPartitions(text: String): DataFrame = text match {
     case ShowPartsRe(name) =>
       val t = state(name)
       require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
       registerViews(t)
-      val rows = t.def_.parts.map { p =>
-        (p.name, p.bound.getOrElse("MAXVALUE"), visible(t, Some(p.name)).count())
-      }
       import s.implicits._
-      rows.toDF("partition_name", "upper_bound", "n_rows")
-        .orderBy(col("partition_name"))
+      val counts = visible(t, None, keepPart = true)
+        .groupBy(col("_p").as("partition_name"))
+        .agg(count(lit(1)).as("n_rows"))
+      val out = t.def_.autoGran match {
+        case Some(g) => counts
+          .withColumn("upper_bound", lit(s"AUTO($g)"))
+          .select(col("partition_name"), col("upper_bound"), col("n_rows"))
+        case None =>
+          val meta = t.def_.parts
+            .map(p => (p.name, p.bound.getOrElse("MAXVALUE")))
+            .toDF("partition_name", "upper_bound")
+          meta.join(counts, Seq("partition_name"), "left")
+            .select(col("partition_name"), col("upper_bound"),
+              coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+      }
+      out.orderBy(col("partition_name"))
     case _ => sys.error(s"unparseable SHOW PARTITIONS: ${text.take(80)}")
   }
 
@@ -680,7 +727,8 @@ final class DorisDdl(s: SparkSession) {
   /** Merge-on-read view of the current visible data, per key model; the
     * versioned delete predicates apply BEFORE the merge (a deleted old
     * version must not shadow-win; a post-delete reload must survive). */
-  private def visible(t: TableState, part: Option[String]): DataFrame = {
+  private def visible(t: TableState, part: Option[String],
+      keepPart: Boolean = false): DataFrame = {
     // mergeSchema: rowsets written before a light ADD COLUMN lack the new
     // column; the union schema surfaces it as NULL, and the default-
     // coalesce below backfills it (model_schema_change's read contract —
@@ -724,9 +772,16 @@ final class DorisDdl(s: SparkSession) {
             case "HLL_UNION" => hll_union_agg(col(c.name))
           }).cast(c.sparkType).as(c.name)
         }
-        df.groupBy(d.keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+        // _p is a function of the partition column, which non-DUPLICATE
+        // tables must carry in their key — grouping by it too changes no
+        // groups and lets callers keep the partition attribution
+        val keys = d.keyCols.map(col) ++
+          (if (keepPart && d.partCol.isDefined) Seq(col("_p")) else Nil)
+        df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
-    merged.select(d.cols.map(c => col(c.name)): _*)
+    val outCols = d.cols.map(c => col(c.name)) ++
+      (if (keepPart && d.partCol.isDefined) Seq(col("_p")) else Nil)
+    merged.select(outCols: _*)
   }
 
   private def registerViews(t: TableState): Unit = {
@@ -739,12 +794,20 @@ final class DorisDdl(s: SparkSession) {
       return
     }
     visible(t, None).createOrReplaceTempView(t.def_.name)
-    t.def_.parts.foreach { p =>
-      visible(t, Some(p.name))
-        .createOrReplaceTempView(s"${t.def_.name}__part_${p.name}")
+    partitionNames(t).foreach { p =>
+      visible(t, Some(p))
+        .createOrReplaceTempView(s"${t.def_.name}__part_$p")
     }
     refreshUserViews()
   }
+
+  /** Declared partitions, or (AUTO mode) the materialized bucket dirs —
+    * a directory listing, metadata-sized. */
+  private def partitionNames(t: TableState): Seq[String] =
+    if (t.def_.autoGran.isDefined)
+      Option(new java.io.File(t.dir).list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("_p=")).map(_.stripPrefix("_p=")).sorted.toSeq
+    else t.def_.parts.map(_.name)
 
   // ------------------------------------------------------- views / drop
 
@@ -780,10 +843,11 @@ final class DorisDdl(s: SparkSession) {
   private def dropTable(text: String): Unit = text match {
     case DropTableRe(name) =>
       val t = state(name)
+      val partViews = partitionNames(t) // capture before the wipe (AUTO)
       tables.synchronized { tables.remove(name) }
       s.catalog.dropTempView(name)
-      t.def_.parts.foreach(p =>
-        s.catalog.dropTempView(s"${name}__part_${p.name}"))
+      partViews.foreach(p =>
+        s.catalog.dropTempView(s"${name}__part_$p"))
       graft.plans.RollupRewrite.deregisterBase(t.dir)
       val root = java.nio.file.Paths.get(t.dir)
       if (java.nio.file.Files.exists(root))
@@ -832,13 +896,17 @@ final class DorisDdl(s: SparkSession) {
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
         s"  `${c.name}` ${c.sparkType}$agg$dflt"
       }.mkString(",\n")
-      val partClause = d.partCol.map { pc =>
-        val specs = d.parts.map { p =>
-          val b = p.bound.map(v => s"('$v')").getOrElse("(MAXVALUE)")
-          s"  PARTITION ${p.name} VALUES LESS THAN $b"
-        }.mkString(",\n")
-        s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
-      }.getOrElse("")
+      val partClause = (d.autoGran, d.partCol) match {
+        case (Some(g), Some(pc)) =>
+          s"\nAUTO PARTITION BY RANGE (date_trunc(`$pc`, '$g')) ()"
+        case (None, Some(pc)) =>
+          val specs = d.parts.map { p =>
+            val b = p.bound.map(v => s"('$v')").getOrElse("(MAXVALUE)")
+            s"  PARTITION ${p.name} VALUES LESS THAN $b"
+          }.mkString(",\n")
+          s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
+        case _ => ""
+      }
       val stmt =
         s"""CREATE TABLE `${d.name}` (
            |$colLines
@@ -907,7 +975,10 @@ object DorisDdl {
   final case class PartDef(name: String, bound: Option[String]) // None = MAXVALUE
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
-      hashCol: String, buckets: Int)
+      hashCol: String, buckets: Int,
+      // AUTO PARTITION BY RANGE (date_trunc(col, 'gran')): partitions
+      // materialize per granularity bucket as loads arrive (Doris 2.1)
+      autoGran: Option[String] = None)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   final case class TableState(var def_ : TableDef, dir: String) {

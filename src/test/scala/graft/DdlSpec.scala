@@ -450,6 +450,42 @@ class DdlSpec extends SparkSpec {
     assert(back == Set((1L, 1.5), (2L, 2.5)), back)
   }
 
+  test("AUTO PARTITION: buckets materialize on load, manual ADD rejects, " +
+    "SHOW CREATE TABLE round-trips the AUTO clause") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ap (d DATETIME, k BIGINT)
+        |DUPLICATE KEY(d, k)
+        |AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) ()
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      "INSERT INTO ap VALUES ('2024-01-10 00:00:00', 1), ('2024-03-05 00:00:00', 2)")
+    val parts = ddl.sql("SHOW PARTITIONS FROM ap")
+      .as[(String, String, Long)].collect().toSeq
+    assert(parts == Seq(("p202401", "AUTO(month)", 1L),
+      ("p202403", "AUTO(month)", 1L)), parts)
+    // partition selection works on materialized buckets
+    assert(ddl.sql("SELECT count(*) AS n FROM ap PARTITION (p202403)")
+      .as[Long].head() == 1L)
+    // manual partition management rejects on AUTO tables
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE ap ADD PARTITION p9 VALUES LESS THAN ('2025-01-01')"))
+    // dropping an unmaterialized bucket rejects; a materialized one works
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE ap DROP PARTITION p202402"))
+    ddl.execute("ALTER TABLE ap DROP PARTITION p202401")
+    assert(ddl.sql("SELECT count(*) AS n FROM ap").as[Long].head() == 1L)
+    // the emitted CREATE TABLE round-trips the AUTO clause
+    val stmt = ddl.sql("SHOW CREATE TABLE ap")
+      .select("create_table").as[String].head()
+    assert(stmt.contains("AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) ()"), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("`ap`", "`ap2`"))
+    ddl2.execute("INSERT INTO ap2 VALUES ('2024-05-01 00:00:00', 7)")
+    assert(ddl2.sql("SHOW PARTITIONS FROM ap2")
+      .as[(String, String, Long)].head() == (("p202405", "AUTO(month)", 1L)))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
