@@ -138,7 +138,7 @@ final class DorisDdl(s: SparkSession) {
       val keyCols = clauseParen(rest, """(?is)\b(?:DUPLICATE|UNIQUE|AGGREGATE)\s+KEY\s*\(""")
         .map(topLevelSplit(_).map(stripIdent))
         .getOrElse(sys.error(s"CREATE TABLE $name: missing KEY clause"))
-      val cols = topLevelSplit(colsText).map(parseColDef)
+      val cols = topLevelSplit(colsText, angles = true).map(parseColDef)
       // Doris invariant: key columns lead the schema, value aggregates only
       // after them; REPLACE/SUM/… markers are only legal on AGGREGATE tables
       require(cols.map(_.name).startsWith(keyCols),
@@ -198,7 +198,7 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def parseColDef(text: String): ColDef = {
-    val m = """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*\([^)]*\))?)\s*(.*)$""".r
+    val m = """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*<.*>)?(?:\s*\([^)]*\))?)\s*(.*)$""".r
       .findFirstMatchIn(text)
       .getOrElse(sys.error(s"unparseable column def: $text"))
     val rest = m.group(3).trim
@@ -212,8 +212,24 @@ final class DorisDdl(s: SparkSession) {
     ColDef(m.group(1), sparkType(m.group(2)), agg, default)
   }
 
-  /** Doris type name → Spark SQL DDL type (SURVEY §1.2 mapping). */
+  /** Doris type name → Spark SQL DDL type (SURVEY §1.2 mapping);
+    * ARRAY<T> / MAP<K,V> map their element types recursively. */
   private def sparkType(t: String): String = {
+    val trimmed = t.trim
+    val lt = trimmed.indexOf('<')
+    if (lt >= 0 && trimmed.endsWith(">")) {
+      val inner = trimmed.substring(lt + 1, trimmed.length - 1)
+      trimmed.substring(0, lt).trim.toUpperCase match {
+        case "ARRAY" => s"ARRAY<${sparkType(inner)}>"
+        case "MAP" =>
+          val Seq(k, v) = topLevelSplit(inner, angles = true)
+          s"MAP<${sparkType(k)}, ${sparkType(v)}>"
+        case other => sys.error(s"unsupported generic type $other<...>")
+      }
+    } else sparkTypeBase(trimmed)
+  }
+
+  private def sparkTypeBase(t: String): String = {
     val base = t.takeWhile(_ != '(').trim.toUpperCase
     base match {
       case "DATETIME" => "TIMESTAMP"
@@ -489,6 +505,8 @@ final class DorisDdl(s: SparkSession) {
       val t = state(name)
       require(t.def_.keysType == "UNIQUE",
         s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
+      // an empty table (never loaded, or truncated) has nothing to update
+      if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
       registerViews(t)
       val assignments = topLevelSplit(sets).map { a =>
         val Array(c, e) = a.split("=", 2)
@@ -951,8 +969,11 @@ final class DorisDdl(s: SparkSession) {
     (text.substring(0, i - 1), text.substring(i))
   }
 
-  /** Split at top-level commas (quote- and paren-aware). */
-  private def topLevelSplit(text: String): Seq[String] = {
+  /** Split at top-level commas (quote- and paren-aware; `angles` also
+    * tracks `<...>` nesting — used ONLY where generic TYPES can appear,
+    * i.e. column-definition lists, never expression lists where a bare
+    * `<` is a comparison). */
+  private def topLevelSplit(text: String, angles: Boolean = false): Seq[String] = {
     val out = mutable.ArrayBuffer(new StringBuilder)
     var depth = 0; var inQ = false
     text.foreach { c =>
@@ -961,6 +982,8 @@ final class DorisDdl(s: SparkSession) {
         case '\'' => inQ = true; out.last.append(c)
         case '(' => depth += 1; out.last.append(c)
         case ')' => depth -= 1; out.last.append(c)
+        case '<' if angles => depth += 1; out.last.append(c)
+        case '>' if angles => depth -= 1; out.last.append(c)
         case ',' if depth == 0 => out.append(new StringBuilder)
         case ch => out.last.append(ch)
       }

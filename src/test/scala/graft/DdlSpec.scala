@@ -486,6 +486,29 @@ class DdlSpec extends SparkSpec {
       .as[(String, String, Long)].head() == (("p202405", "AUTO(month)", 1L)))
   }
 
+  test("ARRAY and MAP typed columns parse, load, and query") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE nested (
+        |  k BIGINT,
+        |  tags ARRAY<VARCHAR(8)>,
+        |  props MAP<VARCHAR(4), INT>
+        |) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      """INSERT INTO nested VALUES
+        |(1, array('a', 'b'), map('x', 1, 'y', 2)),
+        |(2, array('c'), map('x', 9))""".stripMargin)
+    val sch = ddl.sql("SELECT * FROM nested").schema
+    assert(sch("tags").dataType.simpleString == "array<string>")
+    assert(sch("props").dataType.simpleString == "map<string,int>")
+    val got = ddl.sql(
+      """SELECT k, size(tags) AS n_tags, array_contains(tags, 'b') AS has_b,
+        |  element_at(props, 'x') AS x
+        |FROM nested ORDER BY k""".stripMargin)
+      .as[(Long, Int, Boolean, Int)].collect().toSeq
+    assert(got == Seq((1L, 2, true, 1), (2L, 1, false, 9)), got)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
