@@ -507,7 +507,44 @@ object DdlStatements {
         |  'AUTO(day)' AS upper_bound, count(*) AS n_rows
         |FROM events
         |WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Sync MV over an AGGREGATE-key base — the layered-serving case: the
+    // table's read is itself a merge aggregate, so the MV is computed OVER
+    // that merge, and the rewrite serves user aggregates THROUGH the
+    // matched merge node ("pre-aggregation: ON" — in Doris an AGGREGATE
+    // table's rollup rowsets are already merge-compacted). DdlSpec asserts
+    // the MV scan replaces BOTH aggregate layers; the oracle replays the
+    // full two-level aggregation from raw events.
+    "sql_ddl_agg_mv" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_agg_mv", s, dir)(Seq(
+          """CREATE TABLE evc (
+            |  user_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  sum_value DOUBLE SUM,
+            |  n BIGINT SUM
+            |) ENGINE=OLAP
+            |AGGREGATE KEY(user_id, event_type)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO evc
+            |SELECT user_id, event_type, value, 1
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          """CREATE MATERIALIZED VIEW evc_mv AS
+            |SELECT event_type, SUM(sum_value) AS sv, SUM(n) AS sn
+            |FROM evc GROUP BY event_type""".stripMargin,
+          """INSERT INTO evc
+            |SELECT user_id, event_type, value, 1
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type, round(sum(sum_value), 2) AS total,
+            |  sum(n) AS n_rows
+            |FROM evc GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, round(sum(value), 2) AS total,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

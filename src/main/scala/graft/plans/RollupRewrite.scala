@@ -62,7 +62,16 @@ object RollupRewrite {
       // plan is implied, not an obstacle). Doris analogue: delete
       // predicates apply to rollup rowsets by version — here the rollup is
       // a post-delete snapshot and the conjunct is recognized instead.
-      absorbed: Set[String] = Set.empty)
+      absorbed: Set[String] = Set.empty,
+      // For rollups materialized OVER a base table's own merge aggregate
+      // (AGGREGATE-key table views): the canonical (grouping, aggExprs)
+      // SQL of that merge. A query plan whose scan-side child is an
+      // Aggregate matching this shape (column pruning may drop agg
+      // columns — subset match) is served THROUGH it: the rollup data was
+      // computed over exactly this aggregate, so the outer re-aggregation
+      // maps unchanged. Doris analogue: "pre-aggregation: ON" — rollup
+      // rowsets of an AGGREGATE table are already merge-compacted.
+      innerAgg: Option[(Seq[String], Seq[String])] = None)
 
   /** Session-wide registry (append-only; cleared by tests as needed). */
   private val registry = new java.util.concurrent.CopyOnWriteArrayList[RollupDef]()
@@ -154,23 +163,44 @@ object RollupRewrite {
         // peel those layers and let tryRewrite decide whether the rollup can
         // serve the collected predicate
         val (conds, scanChild) = peelFiltersAndProjects(child, Nil)
-        val cond = conds.reduceOption(And)
         // MULTI-CANDIDATE selection (Doris MaterializedViewSelector: among
         // all rollups that can serve the aggregate, take the cheapest): try
         // every registered rollup of this base and keep the one whose scan
         // is smallest by file-size stats — at 100 TB a coarse 6-row rollup
         // vs a fine million-row one is the difference between a metadata
         // read and a real scan. Tiebreak on path for determinism.
-        val rewritten = scanPath(scanChild).flatMap { path =>
-          val served = registry.toArray(Array.empty[RollupDef])
-            .filter(d => path == d.rollupBaseNorm || path == d.basePath)
-            .flatMap(d => tryRewrite(agg, d, cond).map(out => (d, out)))
-          served.sortBy { case (d, _) =>
-            (rollupScan(d.rollupPath).map(_.stats.sizeInBytes)
-              .getOrElse(BigInt(Long.MaxValue)), d.rollupPath)
-          }.headOption.map(_._2)
+        val served = registry.toArray(Array.empty[RollupDef]).flatMap { d =>
+          def pathOk(p: LogicalPlan): Boolean =
+            scanPath(p).exists(x => x == d.rollupBaseNorm || x == d.basePath)
+          val condOpt: Option[Option[Expression]] = scanChild match {
+            // direct base scan (plain tables, DUPLICATE-table views)
+            case _ if d.innerAgg.isEmpty && pathOk(scanChild) =>
+              Some(conds.reduceOption(And))
+            // the base's own MERGE aggregate (AGGREGATE-key table view):
+            // serve THROUGH it when it matches the recorded merge shape —
+            // the rollup was materialized over this very aggregate, so
+            // the outer re-aggregation maps unchanged ("pre-aggregation:
+            // ON"). Column pruning may have dropped unused agg columns
+            // from the inner node, hence the subset match; filters pushed
+            // below the inner aggregate join the servability check (they
+            // are either absorbed delete filters or key predicates, which
+            // commute with both aggregations).
+            case Aggregate(g1, ae1, c1, _) if d.innerAgg.isDefined =>
+              val (conds1, s1) = peelFiltersAndProjects(c1, Nil)
+              val (recG, recA) = d.innerAgg.get
+              if (pathOk(s1) &&
+                  g1.map(_.sql).toSet == recG.toSet &&
+                  ae1.forall(e => recA.contains(e.sql)))
+                Some((conds ++ conds1).reduceOption(And))
+              else None
+            case _ => None
+          }
+          condOpt.flatMap(c => tryRewrite(agg, d, c).map(out => (d, out)))
         }
-        rewritten.getOrElse(agg)
+        served.sortBy { case (d, _) =>
+          (rollupScan(d.rollupPath).map(_.stats.sizeInBytes)
+            .getOrElse(BigInt(Long.MaxValue)), d.rollupPath)
+        }.headOption.map(_._2).getOrElse(agg)
     }
 
     private def tryRewrite(

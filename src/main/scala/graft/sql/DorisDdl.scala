@@ -330,10 +330,20 @@ final class DorisDdl(s: SparkSession) {
             split(c).map(_.sql)
         }.flatten.toSet
       }
+    // AGGREGATE-key base: the MV was computed OVER the table's merge
+    // aggregate — record that aggregate's canonical shape so the rule can
+    // serve queries THROUGH it (pre-aggregation ON). The recorded form
+    // comes from the same optimizer pipeline that will shape query plans.
+    val innerAgg: Option[(Seq[String], Seq[String])] =
+      if (t.def_.keysType != "AGGREGATE") None
+      else visible(t, None).queryExecution.optimizedPlan.collectFirst {
+        case org.apache.spark.sql.catalyst.plans.logical.Aggregate(g, ae, _, _) =>
+          (g.map(_.sql), ae.map(_.sql))
+      }
     graft.plans.RollupRewrite.registerReplacing(
       graft.plans.RollupRewrite.RollupDef(
         basePath = t.dir, rollupPath = out, keys = mv.keys,
-        columns = mv.columns, absorbed = absorbed))
+        columns = mv.columns, absorbed = absorbed, innerAgg = innerAgg))
   }
 
   private def refreshMvs(t: TableState): Unit =

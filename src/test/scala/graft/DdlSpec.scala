@@ -509,6 +509,48 @@ class DdlSpec extends SparkSpec {
     assert(got == Seq((1L, 2, true, 1), (2L, 1, false, 9)), got)
   }
 
+  test("sync MV over an AGGREGATE-key base serves THROUGH the merge " +
+    "aggregate (pre-aggregation ON), including pruned queries") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE amv (k BIGINT, g VARCHAR(4), sv DOUBLE SUM, n BIGINT SUM)
+        |AGGREGATE KEY(k, g) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO amv VALUES (1, 'a', 1.0, 1), (2, 'a', 2.0, 1), (1, 'b', 4.0, 1)")
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW amv_mv AS
+        |SELECT g, SUM(sv) AS s, SUM(n) AS c FROM amv GROUP BY g""".stripMargin)
+    def servedByMv(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains("graft_ddl_mv_amv_mv"))
+        case _ => false
+      }
+    val full = ddl.sql(
+      "SELECT g, sum(sv) AS s, sum(n) AS c FROM amv GROUP BY g ORDER BY g")
+    assert(servedByMv(full), "aggregate over the AGGREGATE table must " +
+      "retarget through the merge node onto the MV")
+    assert(full.as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 3.0, 2L), ("b", 4.0, 1L)))
+    // column pruning drops unused agg columns from the inner merge node —
+    // the subset match must still serve
+    val pruned = ddl.sql("SELECT g, sum(sv) AS s FROM amv GROUP BY g ORDER BY g")
+    assert(servedByMv(pruned), "pruned inner aggregate must still serve")
+    // maintenance: a later load rebuilds the MV; rows merge at both levels
+    ddl.execute("INSERT INTO amv VALUES (1, 'a', 10.0, 1)")
+    val after = ddl.sql(
+      "SELECT g, sum(sv) AS s, sum(n) AS c FROM amv GROUP BY g ORDER BY g")
+    assert(servedByMv(after))
+    assert(after.as[(String, Double, Long)].collect().toSeq ==
+      Seq(("a", 13.0, 3L), ("b", 4.0, 1L)))
+    // a grouping outside the MV keys bails to the base merge
+    val byK = ddl.sql("SELECT k, sum(sv) AS s FROM amv GROUP BY k ORDER BY k")
+    assert(!servedByMv(byK))
+    assert(byK.as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 15.0), (2L, 2.0)))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
