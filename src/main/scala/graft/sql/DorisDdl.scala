@@ -224,6 +224,12 @@ final class DorisDdl(s: SparkSession) {
         case "MAP" =>
           val Seq(k, v) = topLevelSplit(inner, angles = true)
           s"MAP<${sparkType(k)}, ${sparkType(v)}>"
+        case "STRUCT" =>
+          val fields = topLevelSplit(inner, angles = true).map { f =>
+            val Array(n, ft) = f.split(":", 2)
+            s"${n.trim}: ${sparkType(ft)}"
+          }
+          s"STRUCT<${fields.mkString(", ")}>"
         case other => sys.error(s"unsupported generic type $other<...>")
       }
     } else sparkTypeBase(trimmed)

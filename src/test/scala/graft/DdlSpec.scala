@@ -507,6 +507,17 @@ class DdlSpec extends SparkSpec {
         |FROM nested ORDER BY k""".stripMargin)
       .as[(Long, Int, Boolean, Int)].collect().toSeq
     assert(got == Seq((1L, 2, true, 1), (2L, 1, false, 9)), got)
+    // STRUCT with nested field types (Doris colon syntax)
+    ddl.execute(
+      """CREATE TABLE structs (
+        |  k BIGINT,
+        |  who STRUCT<name: VARCHAR(8), score: DOUBLE>
+        |) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      "INSERT INTO structs VALUES (1, named_struct('name', 'ada', 'score', 9.5))")
+    val s1 = ddl.sql("SELECT k, who.name AS n, who.score AS sc FROM structs")
+      .as[(Long, String, Double)].head()
+    assert(s1 == ((1L, "ada", 9.5)), s1)
   }
 
   test("sync MV over an AGGREGATE-key base serves THROUGH the merge " +
