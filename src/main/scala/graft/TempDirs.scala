@@ -31,16 +31,22 @@ object TempDirs {
     p
   }
 
+  /** Close-safe recursive delete (Files.walk streams hold an open directory
+    * fd until closed — every caller must release it, LEAKCHECK discipline).
+    * `keepRoot` empties the tree but leaves the root dir itself. */
+  def deleteTree(p: Path, keepRoot: Boolean = false): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .filter(f => !(keepRoot && f == p))
+        .forEach(f => Files.deleteIfExists(f))
+      finally walk.close()
+    }
+
   private def purge(): Unit = {
     var p = dirs.poll()
     while (p != null) {
-      try
-        if (Files.exists(p)) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
-          finally walk.close()
-        }
+      try deleteTree(p)
       catch { case _: Exception => () } // shutdown: best-effort only
       p = dirs.poll()
     }

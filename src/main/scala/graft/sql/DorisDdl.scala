@@ -1010,8 +1010,17 @@ final class DorisDdl(s: SparkSession) {
 
 object DorisDdl {
   final case class ColDef(name: String, sparkType: String,
-      agg: Option[String], default: Option[String])
-  final case class PartDef(name: String, bound: Option[String]) // None = MAXVALUE
+      agg: Option[String], default: Option[String],
+      // the rowset version as of which the column exists: only rowsets
+      // with _ver <= addedVer predate it and read back the DEFAULT; rows
+      // loaded after a light ADD COLUMN keep explicit NULLs (Doris only
+      // backfills pre-change rowsets, never later explicit writes)
+      addedVer: Long = 0L)
+  // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
+  // so the vacated range keeps REJECTING loads — Doris rejects rows with
+  // no covering partition, and a drop leaves a hole, not a merged range
+  final case class PartDef(name: String, bound: Option[String],
+      dropped: Boolean = false)
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int,
