@@ -51,6 +51,10 @@ object RollupRewrite {
   case class RollupDef(
       basePath: String,
       rollupPath: String,
+      // stable identity of the rollup/MV (its declared name) — the
+      // registerReplacing key. Two distinct MVs may share (basePath, keys)
+      // and must coexist; only a REBUILD of the same MV replaces it.
+      name: String = "",
       keys: Seq[String],
       // base agg -> rollup column: e.g. ("sum", "l_quantity") -> "sum_qty",
       // count(*) -> ("count", "*") -> "cnt"
@@ -79,17 +83,20 @@ object RollupRewrite {
   def register(d: RollupDef): Unit = registry.add(d)
   def clear(): Unit = registry.clear()
 
-  /** Replace every registered rollup of `basePath` with the same key set by
-    * `d` — transactional rollup maintenance (the DDL front-end's sync-MV
-    * rebuild): a superseded version must leave the registry, because a
-    * versioned DELETE changes visible data WITHOUT touching the base dir's
-    * mtime, so the freshness guard alone cannot retire it. */
+  /** Replace the registered version of THIS rollup (same base, same
+    * declared name) by `d` — transactional rollup maintenance (the DDL
+    * front-end's sync-MV rebuild): a superseded version must leave the
+    * registry, because a versioned DELETE changes visible data WITHOUT
+    * touching the base dir's mtime, so the freshness guard alone cannot
+    * retire it. Keyed on identity, NOT on (basePath, keys): two distinct
+    * MVs sharing group keys on one base must coexist (both serve; the
+    * multi-candidate selection picks the cheaper scan). */
   def registerReplacing(d: RollupDef): Unit = registry.synchronized {
     val it = registry.iterator()
     val doomed = new java.util.ArrayList[RollupDef]()
     while (it.hasNext) {
       val old = it.next()
-      if (old.basePath == d.basePath && old.keys == d.keys) doomed.add(old)
+      if (old.basePath == d.basePath && old.name == d.name) doomed.add(old)
     }
     registry.removeAll(doomed)
     registry.add(d)

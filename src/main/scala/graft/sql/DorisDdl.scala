@@ -106,7 +106,19 @@ final class DorisDdl(s: SparkSession) {
     val df = select(sel)
     val cols = df.schema.fields.map(f =>
       ColDef(f.name, f.dataType.sql, None, None)).toSeq
-    val keyCols = clauseParen(clauses, """(?is)\bDUPLICATE\s+KEY\s*\(""")
+    // the created table must CARRY the declared key model — an accepted
+    // UNIQUE KEY clause silently creating a DUPLICATE table changes every
+    // later INSERT from upsert to append. AGGREGATE KEY rejects loudly: a
+    // CTAS column list (derived from the SELECT) cannot declare the
+    // per-value-column aggregate markers an AGGREGATE table requires.
+    val upc = clauses.toUpperCase
+    val keysType =
+      if (upc.contains("UNIQUE KEY")) "UNIQUE"
+      else if (upc.contains("AGGREGATE KEY")) sys.error(
+        s"$name: AGGREGATE KEY ... AS SELECT is not supported (value columns " +
+          "need aggregate markers; CREATE the table, then INSERT INTO ... SELECT)")
+      else "DUPLICATE"
+    val keyCols = clauseParen(clauses, """(?is)\b(?:DUPLICATE|UNIQUE)\s+KEY\s*\(""")
       .map(topLevelSplit(_).map(stripIdent))
       .getOrElse(Seq(cols.head.name)) // Doris defaults the leading column(s)
     require(cols.map(_.name).startsWith(keyCols),
@@ -119,7 +131,7 @@ final class DorisDdl(s: SparkSession) {
     require(tables.synchronized(!tables.contains(name)),
       s"table $name already exists")
     val st = TableState(
-      TableDef(name, cols, "DUPLICATE", keyCols, None, Nil, hashCol, buckets),
+      TableDef(name, cols, keysType, keyCols, None, Nil, hashCol, buckets),
       graft.TempDirs.create(s"graft_ddl_$name"))
     tables.synchronized { tables(name) = st }
     load(st, df)
@@ -253,9 +265,16 @@ final class DorisDdl(s: SparkSession) {
   // PARTITION pname VALUES LESS THAN ('lit') | (MAXVALUE)
   private val PartRe =
     """(?is)^\s*PARTITION\s+`?(\w+)`?\s+VALUES\s+LESS\s+THAN\s*\(\s*(?:'([^']*)'|(MAXVALUE))\s*\)\s*$""".r
+  // PARTITION pname VALUES [('lo'), ('hi'|MAXVALUE)) — Doris fixed-range
+  // syntax; the explicit lower bound is what lets a post-DROP hole
+  // round-trip through SHOW CREATE TABLE
+  private val FixedPartRe =
+    """(?is)^\s*PARTITION\s+`?(\w+)`?\s+VALUES\s+\[\s*\(\s*'([^']*)'\s*\)\s*,\s*\(\s*(?:'([^']*)'|(MAXVALUE))\s*\)\s*\)\s*$""".r
 
   private def parsePartition(text: String): PartDef = text match {
     case PartRe(name, lit, _) => PartDef(name, Option(lit))
+    case FixedPartRe(name, lo, hi, _) =>
+      PartDef(name, Option(hi), lower = Some(lo))
     case _ => sys.error(s"unparseable partition spec: $text")
   }
 
@@ -348,7 +367,7 @@ final class DorisDdl(s: SparkSession) {
       }
     graft.plans.RollupRewrite.registerReplacing(
       graft.plans.RollupRewrite.RollupDef(
-        basePath = t.dir, rollupPath = out, keys = mv.keys,
+        basePath = t.dir, rollupPath = out, name = mv.name, keys = mv.keys,
         columns = mv.columns, absorbed = absorbed, innerAgg = innerAgg))
   }
 
@@ -428,7 +447,8 @@ final class DorisDdl(s: SparkSession) {
     case InsertOverwriteRe(name, pname, body) =>
       val t = state(name)
       val part = Option(pname)
-      part.foreach(p => require(t.def_.parts.exists(_.name == p),
+      part.foreach(p => require(
+        t.def_.parts.exists(x => x.name == p && !x.dropped),
         s"$name: unknown partition $p"))
       require(part.isEmpty || t.def_.partCol.isDefined,
         s"$name: PARTITION overwrite needs a partitioned table")
@@ -447,29 +467,30 @@ final class DorisDdl(s: SparkSession) {
       val w = out.write.mode("overwrite")
       (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
       // staging succeeded — publish: wipe the replaced scope, move files in
-      def wipe(p: java.nio.file.Path): Unit =
-        if (java.nio.file.Files.exists(p))
-          java.nio.file.Files.walk(p)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      // (close-safe tree ops: Files.walk/list hold a directory fd)
       part match {
-        case Some(p) => wipe(java.nio.file.Paths.get(t.dir, s"_p=$p"))
+        case Some(p) =>
+          graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$p"))
         case None =>
-          val root = java.nio.file.Paths.get(t.dir)
-          java.nio.file.Files.list(root).forEach(wipe)
+          graft.TempDirs.deleteTree(
+            java.nio.file.Paths.get(t.dir), keepRoot = true)
           t.synchronized { t.deletes.clear() }
       }
       val stRoot = java.nio.file.Paths.get(staging)
       val dstRoot = java.nio.file.Paths.get(t.dir)
-      java.nio.file.Files.walk(stRoot)
-        .filter(f => f.toString.endsWith(".parquet"))
-        .forEach { f =>
-          val rel = stRoot.relativize(f)
-          val dst = dstRoot.resolve(rel)
-          java.nio.file.Files.createDirectories(dst.getParent)
-          java.nio.file.Files.move(f, dst,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
+      val stagedFiles = {
+        val walk = java.nio.file.Files.walk(stRoot)
+        try walk.filter(f => f.toString.endsWith(".parquet"))
+          .toArray(new Array[java.nio.file.Path](_)).toSeq
+        finally walk.close()
+      }
+      stagedFiles.foreach { f =>
+        val rel = stRoot.relativize(f)
+        val dst = dstRoot.resolve(rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.move(f, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       registerViews(t)
       refreshMvs(t)
     case _ => sys.error(s"unparseable INSERT OVERWRITE: ${text.take(80)}")
@@ -494,14 +515,21 @@ final class DorisDdl(s: SparkSession) {
   private def declaredPartitionName(d: TableDef, c: Column): Column = {
     val typed = (s: String) => lit(s).cast(
       d.cols.find(_.name == d.partCol.get).get.sparkType)
-    val base: Column = d.parts.last.bound match {
-      case None => lit(d.parts.last.name) // MAXVALUE partition
-      case Some(_) => raise_error(concat(
-        lit(s"${d.name}: no partition for value "), c.cast("string")))
-    }
-    d.parts.init.foldRight(
-      d.parts.last.bound.fold(base)(b => when(c < typed(b), d.parts.last.name).otherwise(base))) {
-      (p, acc) => when(c < typed(p.bound.get), p.name).otherwise(acc)
+    def reject(why: String): Column = raise_error(concat(
+      lit(s"${d.name}: $why "), c.cast("string")))
+    // CASE chain in bound order: each partition claims [implicit-or-explicit
+    // lower, bound). A DROPPED partition keeps its branch but the branch
+    // REJECTS — Doris leaves a hole after DROP PARTITION, never a merged
+    // range, and rows with no covering partition kill the load. An explicit
+    // `lower` (fixed-range partition after a hole) adds a >= guard so the
+    // hole below it also rejects.
+    d.parts.foldRight(reject("no partition for value")) { (p, acc) =>
+      val upper = p.bound.map(b => c < typed(b)).getOrElse(lit(true))
+      val cond = p.lower.map(lo => upper && c >= typed(lo)).getOrElse(upper)
+      val hit: Column =
+        if (p.dropped) reject(s"partition ${p.name} was dropped; no partition for value")
+        else lit(p.name)
+      when(cond, hit).otherwise(acc)
     }
   }
 
@@ -572,16 +600,28 @@ final class DorisDdl(s: SparkSession) {
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
       val t = state(name)
-      require(partitionNames(t).contains(pname),
-        s"$name: unknown partition $pname")
-      if (t.def_.autoGran.isDefined)
+      if (t.def_.autoGran.isDefined) {
+        // AUTO partitions: drop = remove the materialized bucket; a later
+        // load into the range simply re-materializes it (AUTO semantics)
+        require(partitionNames(t).contains(pname),
+          s"$name: unknown partition $pname")
         s.catalog.dropTempView(s"${name}__part_$pname")
+      } else {
+        // declared partitions: the PartDef stays, MARKED — the vacated
+        // range becomes a rejecting hole (Doris: a row with no covering
+        // partition fails the load; DROP never merges ranges)
+        val d = t.def_
+        val p = d.parts.find(_.name == pname)
+          .getOrElse(sys.error(s"$name: unknown partition $pname"))
+        require(!p.dropped, s"$name: partition $pname is already dropped")
+        t.synchronized {
+          t.def_ = d.copy(parts = d.parts.map(x =>
+            if (x.name == pname) x.copy(dropped = true) else x))
+        }
+        s.catalog.dropTempView(s"${name}__part_$pname")
+      }
       // the O(1) metadata op: a range partition IS a directory
-      val doomed = java.nio.file.Paths.get(t.dir, s"_p=$pname")
-      if (java.nio.file.Files.exists(doomed))
-        java.nio.file.Files.walk(doomed)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$pname"))
       registerViews(t)
       refreshMvs(t)
     case AddPartRe(name, spec) =>
@@ -620,7 +660,12 @@ final class DorisDdl(s: SparkSession) {
           s"$name: aggregate marker on ${c.name} requires AGGREGATE KEY")
       else require(c.agg.isDefined,
         s"$name: new value column ${c.name} needs an aggregate marker")
-      t.synchronized { t.def_ = d.copy(cols = d.cols :+ c) }
+      // stamp the light-change version: rowsets loaded up to here (_ver <=
+      // addedVer) predate the column and read back its DEFAULT; later
+      // explicit NULLs persist (Doris backfills only pre-change rowsets)
+      t.synchronized {
+        t.def_ = d.copy(cols = d.cols :+ c.copy(addedVer = t.nextVer))
+      }
       registerViews(t)
     case DropColRe(name, cname) =>
       // light DROP COLUMN: metadata-only — old rowsets keep the bytes, the
@@ -664,17 +709,16 @@ final class DorisDdl(s: SparkSession) {
     case TruncateRe(name) =>
       val t = state(name)
       val partViews = partitionNames(t) // capture before the wipe (AUTO)
-      val root = java.nio.file.Paths.get(t.dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .filter(p => p != root)
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir), keepRoot = true)
       t.synchronized { t.deletes.clear() }
       // the table is empty again: its views must stop serving stale rows
       s.catalog.dropTempView(t.def_.name)
       partViews.foreach(p =>
         s.catalog.dropTempView(s"${t.def_.name}__part_$p"))
+      // ... and neither may its rollups: refreshMv early-returns on the
+      // now-empty dir, so the stale pre-truncate snapshots must be
+      // DEREGISTERED here; the next load's refreshMvs re-registers fresh
+      graft.plans.RollupRewrite.deregisterBase(t.dir)
       refreshMvs(t)
     case _ => sys.error(s"unparseable TRUNCATE: ${text.take(80)}")
   }
@@ -703,7 +747,7 @@ final class DorisDdl(s: SparkSession) {
           .withColumn("upper_bound", lit(s"AUTO($g)"))
           .select(col("partition_name"), col("upper_bound"), col("n_rows"))
         case None =>
-          val meta = t.def_.parts
+          val meta = t.def_.parts.filterNot(_.dropped)
             .map(p => (p.name, p.bound.getOrElse("MAXVALUE")))
             .toDF("partition_name", "upper_bound")
           meta.join(counts, Seq("partition_name"), "left")
@@ -774,8 +818,13 @@ final class DorisDdl(s: SparkSession) {
       if (!have.contains(c.name)) // added column with no load since
         df = df.withColumn(c.name, lit(c.default.orNull).cast(c.sparkType))
       else c.default.foreach { dflt =>
+        // backfill ONLY rowsets that predate the column (_ver <= addedVer,
+        // where mergeSchema surfaced NULL): an explicit NULL written after
+        // a light ADD COLUMN — or in a CREATE-time column (addedVer 0,
+        // matching no rowset) — persists, per Doris light-schema-change
         df = df.withColumn(c.name,
-          coalesce(col(c.name), lit(dflt).cast(c.sparkType)))
+          when(col(c.name).isNull && col("_ver") <= c.addedVer,
+            lit(dflt).cast(c.sparkType)).otherwise(col(c.name)))
       }
     }
     df = graft.operators.KeyModels.applyDeletePredicates(
@@ -841,7 +890,7 @@ final class DorisDdl(s: SparkSession) {
     if (t.def_.autoGran.isDefined)
       Option(new java.io.File(t.dir).list()).getOrElse(Array.empty[String])
         .filter(_.startsWith("_p=")).map(_.stripPrefix("_p=")).sorted.toSeq
-    else t.def_.parts.map(_.name)
+    else t.def_.parts.filterNot(_.dropped).map(_.name)
 
   // ------------------------------------------------------- views / drop
 
@@ -883,11 +932,7 @@ final class DorisDdl(s: SparkSession) {
       partViews.foreach(p =>
         s.catalog.dropTempView(s"${name}__part_$p"))
       graft.plans.RollupRewrite.deregisterBase(t.dir)
-      val root = java.nio.file.Paths.get(t.dir)
-      if (java.nio.file.Files.exists(root))
-        java.nio.file.Files.walk(root)
-          .sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir))
     case _ => sys.error(s"unparseable DROP TABLE: ${text.take(80)}")
   }
 
@@ -934,9 +979,20 @@ final class DorisDdl(s: SparkSession) {
         case (Some(g), Some(pc)) =>
           s"\nAUTO PARTITION BY RANGE (date_trunc(`$pc`, '$g')) ()"
         case (None, Some(pc)) =>
-          val specs = d.parts.map { p =>
-            val b = p.bound.map(v => s"('$v')").getOrElse("(MAXVALUE)")
-            s"  PARTITION ${p.name} VALUES LESS THAN $b"
+          // dropped partitions are omitted; the live partition after a hole
+          // is emitted in fixed-range syntax, so replaying the text
+          // reproduces the rejecting hole instead of merging the vacated
+          // range into the next partition
+          val specs = d.parts.zipWithIndex.collect {
+            case (p, i) if !p.dropped =>
+              val hi = p.bound.map(v => s"('$v')").getOrElse("(MAXVALUE)")
+              val lower = p.lower.orElse(
+                if (i > 0 && d.parts(i - 1).dropped) d.parts(i - 1).bound
+                else None)
+              lower match {
+                case Some(lo) => s"  PARTITION ${p.name} VALUES [('$lo'), $hi)"
+                case None => s"  PARTITION ${p.name} VALUES LESS THAN $hi"
+              }
           }.mkString(",\n")
           s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
         case _ => ""
@@ -975,8 +1031,10 @@ final class DorisDdl(s: SparkSession) {
       if (inQ) { if (c == '\'') inQ = false }
       else c match {
         case '\'' => inQ = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        // '[' opens a nesting level closed by ')' (fixed-range partition
+        // syntax `[('lo'), ('hi'))`), so it counts like '('
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
         case _ =>
       }
       i += 1
@@ -998,6 +1056,11 @@ final class DorisDdl(s: SparkSession) {
         case '\'' => inQ = true; out.last.append(c)
         case '(' => depth += 1; out.last.append(c)
         case ')' => depth -= 1; out.last.append(c)
+        // '[' nests like '(' (fixed-range partition specs, array literals);
+        // the range syntax closes its '[' with ')', so ']' only closes a
+        // bracket when one is actually open
+        case '[' => depth += 1; out.last.append(c)
+        case ']' => depth -= 1; out.last.append(c)
         case '<' if angles => depth += 1; out.last.append(c)
         case '>' if angles => depth -= 1; out.last.append(c)
         case ',' if depth == 0 => out.append(new StringBuilder)
@@ -1018,9 +1081,13 @@ object DorisDdl {
       addedVer: Long = 0L)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
-  // no covering partition, and a drop leaves a hole, not a merged range
+  // no covering partition, and a drop leaves a hole, not a merged range.
+  // `lower` is the EXPLICIT lower bound of a fixed-range partition
+  // (`VALUES [('lo'), ('hi'))`); None means the chain-implicit lower (the
+  // previous partition's bound). SHOW CREATE TABLE emits fixed-range
+  // syntax for the live partition after a hole, so the hole round-trips.
   final case class PartDef(name: String, bound: Option[String],
-      dropped: Boolean = false)
+      dropped: Boolean = false, lower: Option[String] = None)
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int,

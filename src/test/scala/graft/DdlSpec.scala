@@ -562,6 +562,145 @@ class DdlSpec extends SparkSpec {
       Seq((1L, 15.0), (2L, 2.0)))
   }
 
+  test("CTAS honors the declared key model: UNIQUE KEY ... AS SELECT " +
+    "upserts on later INSERTs; AGGREGATE KEY CTAS rejects") {
+    val ddl = fresh()
+    ddl.execute("CREATE TABLE ctas_src (k BIGINT, v DOUBLE) DUPLICATE KEY(k) " +
+      "DISTRIBUTED BY HASH(k) BUCKETS 1")
+    ddl.execute("INSERT INTO ctas_src VALUES (1, 1.0), (2, 2.0)")
+    ddl.execute(
+      """CREATE TABLE ctas_u
+        |UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2
+        |AS SELECT k, v FROM ctas_src""".stripMargin)
+    // a second INSERT must UPSERT (merge-on-read), not append
+    ddl.execute("INSERT INTO ctas_u VALUES (1, 100.0), (3, 3.0)")
+    val got = ddl.sql("SELECT k, v FROM ctas_u ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 100.0), (2L, 2.0), (3L, 3.0)),
+      s"UNIQUE CTAS must carry upsert semantics: $got")
+    // and DELETE (UNIQUE-only surface) works on the CTAS table
+    ddl.execute("DELETE FROM ctas_u WHERE k = 2")
+    assert(ddl.sql("SELECT count(*) AS n FROM ctas_u").as[Long].head() == 2L)
+    // AGGREGATE KEY CTAS cannot declare value aggregate markers: reject
+    assertThrows[RuntimeException](ddl.execute(
+      """CREATE TABLE ctas_a AGGREGATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1
+        |AS SELECT k, v FROM ctas_src""".stripMargin))
+  }
+
+  test("DROP PARTITION leaves a REJECTING hole; SHOW PARTITIONS hides it; " +
+    "SHOW CREATE TABLE round-trips the hole") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE hole (d DATE, v INT) DUPLICATE KEY(d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'),
+        |  PARTITION p2 VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION p3 VALUES LESS THAN ('2024-03-01')
+        |) DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      """INSERT INTO hole VALUES ('2023-12-15', 1), ('2024-01-15', 2),
+        |('2024-02-15', 3)""".stripMargin)
+    ddl.execute("ALTER TABLE hole DROP PARTITION p2")
+    // the dropped partition's rows are gone, the others intact
+    assert(ddl.sql("SELECT sum(v) AS s FROM hole").as[Long].head() == 4L)
+    // a reload into the vacated range must be REJECTED, and the failed
+    // load must not corrupt the table
+    assertThrows[Exception](
+      ddl.execute("INSERT INTO hole VALUES ('2024-01-20', 9)"))
+    assert(ddl.sql("SELECT count(*) AS n FROM hole").as[Long].head() == 2L)
+    // rows for LIVE partitions still load
+    ddl.execute("INSERT INTO hole VALUES ('2024-02-20', 5)")
+    assert(ddl.sql("SELECT count(*) AS n FROM hole").as[Long].head() == 3L)
+    // SHOW PARTITIONS lists only live partitions
+    val parts = ddl.sql("SHOW PARTITIONS FROM hole")
+      .select("partition_name").as[String].collect().toSeq
+    assert(parts == Seq("p1", "p3"), parts)
+    // dropping it again (or selecting it) rejects
+    assertThrows[Exception](ddl.execute("ALTER TABLE hole DROP PARTITION p2"))
+    // SHOW CREATE TABLE emits p3 as a FIXED RANGE above the hole, and
+    // replaying the text reproduces the rejecting hole
+    val stmt = ddl.sql("SHOW CREATE TABLE hole")
+      .select("create_table").as[String].head()
+    assert(stmt.contains("PARTITION p3 VALUES [('2024-02-01'), ('2024-03-01'))"),
+      stmt)
+    assert(!stmt.contains("p2"), s"dropped partition resurrected:\n$stmt")
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("`hole`", "`hole2`"))
+    ddl2.execute("INSERT INTO hole2 VALUES ('2024-02-10', 1)") // p3 range
+    assertThrows[Exception]( // the hole still rejects after the round-trip
+      ddl2.execute("INSERT INTO hole2 VALUES ('2024-01-10', 1)"))
+    val stmt2 = ddl2.sql("SHOW CREATE TABLE hole2")
+      .select("create_table").as[String].head()
+    assert(stmt2.replace("hole2", "hole") == stmt, s"$stmt\n---\n$stmt2")
+  }
+
+  test("light ADD COLUMN backfills ONLY pre-change rowsets: an explicit " +
+    "NULL written after the change persists") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE nv (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO nv VALUES (1, 1.0)") // pre-change rowset
+    ddl.execute("ALTER TABLE nv ADD COLUMN tag VARCHAR(8) DEFAULT 'legacy'")
+    // post-change rowset with an EXPLICIT NULL in the defaulted column
+    ddl.execute("INSERT INTO nv VALUES (2, 2.0, CAST(NULL AS STRING))")
+    ddl.execute("INSERT INTO nv VALUES (3, 3.0, 'web')")
+    val got = ddl.sql("SELECT k, tag FROM nv ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got == Seq((1L, Some("legacy")), (2L, None), (3L, Some("web"))),
+      s"only the pre-change rowset may read back the default: $got")
+    // a CREATE-time defaulted column behaves the same: default fills an
+    // OMITTED column at load, but an explicit NULL persists
+    ddl.execute(
+      """CREATE TABLE nv2 (k BIGINT, tag VARCHAR(8) DEFAULT 'none')
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO nv2 (k) VALUES (1)")
+    ddl.execute("INSERT INTO nv2 VALUES (2, CAST(NULL AS STRING))")
+    val got2 = ddl.sql("SELECT k, tag FROM nv2 ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq
+    assert(got2 == Seq((1L, Some("none")), (2L, None)), got2)
+  }
+
+  test("two MVs with the SAME group keys coexist (identity keying); " +
+    "TRUNCATE deregisters rollups until the next load") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE co (k BIGINT, g VARCHAR(4), v DOUBLE, w DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO co VALUES (1, 'a', 1.0, 10.0), (2, 'b', 2.0, 20.0)")
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW co_v AS SELECT g, SUM(v) AS sv FROM co GROUP BY g")
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW co_w AS SELECT g, SUM(w) AS sw FROM co GROUP BY g")
+    def servedBy(df: org.apache.spark.sql.DataFrame, frag: String): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves().exists {
+        case org.apache.spark.sql.execution.datasources.LogicalRelation(
+            fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation,
+            _, _, _, _) =>
+          fs.location.rootPaths.exists(_.toString.contains(frag))
+        case _ => false
+      }
+    // BOTH same-key MVs serve their own aggregate — neither evicted the other
+    val qv = ddl.sql("SELECT g, sum(v) AS s FROM co GROUP BY g ORDER BY g")
+    val qw = ddl.sql("SELECT g, sum(w) AS s FROM co GROUP BY g ORDER BY g")
+    assert(servedBy(qv, "graft_ddl_mv_co_v"), "first MV must serve sum(v)")
+    assert(servedBy(qw, "graft_ddl_mv_co_w"), "second MV must serve sum(w)")
+    assert(qv.as[(String, Double)].collect().toSeq ==
+      Seq(("a", 1.0), ("b", 2.0)))
+    assert(qw.as[(String, Double)].collect().toSeq ==
+      Seq(("a", 10.0), ("b", 20.0)))
+    // TRUNCATE: the stale pre-truncate snapshots must stop serving
+    ddl.execute("TRUNCATE TABLE co")
+    ddl.execute("INSERT INTO co VALUES (3, 'c', 3.0, 30.0)")
+    val post = ddl.sql("SELECT g, sum(v) AS s FROM co GROUP BY g")
+    assert(post.as[(String, Double)].collect().toSeq == Seq(("c", 3.0)),
+      "post-truncate aggregate must not read a pre-truncate rollup snapshot")
+    assert(servedBy(post, "graft_ddl_mv_co_v"),
+      "the next load must re-register a FRESH snapshot that serves again")
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)

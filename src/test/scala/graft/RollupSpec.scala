@@ -343,11 +343,11 @@ class RollupSpec extends SparkSpec {
     val coarse = buildRollup(
       Seq("l_returnflag", "l_linestatus"), "sum_qty_c", "cnt_c")
     RollupRewrite.register(RollupDef(base, fine,
-      Seq("l_returnflag", "l_linestatus", "l_suppkey"),
-      Map(("sum", "l_quantity") -> "sum_qty_f", ("count", "*") -> "cnt_f")))
+      keys = Seq("l_returnflag", "l_linestatus", "l_suppkey"),
+      columns = Map(("sum", "l_quantity") -> "sum_qty_f", ("count", "*") -> "cnt_f")))
     RollupRewrite.register(RollupDef(base, coarse,
-      Seq("l_returnflag", "l_linestatus"),
-      Map(("sum", "l_quantity") -> "sum_qty_c", ("count", "*") -> "cnt_c")))
+      keys = Seq("l_returnflag", "l_linestatus"),
+      columns = Map(("sum", "l_quantity") -> "sum_qty_c", ("count", "*") -> "cnt_c")))
     RollupRewrite.install(spark)
     val df = spark.read.parquet(base)
       .groupBy($"l_returnflag")
