@@ -544,7 +544,118 @@ object DdlStatements {
       },
       """SELECT event_type, round(sum(value), 2) AS total,
         |  count(*) AS n_rows
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // UNIQUE-key SEQUENCE COLUMN + DELETE SIGN, reached AS TEXT: the table
+    // declares PROPERTIES("function_column.sequence_col" = "seq") so the
+    // merge resolves by (seq DESC, _ver DESC), and delete loads write the
+    // hidden __DELETE_SIGN__ through an INSERT column list. Six out-of-order
+    // batches (the model_sequence_col fixture, statement-driven): a stale
+    // update loses, a fresh one wins, a STALE delete deletes nothing, an
+    // equal-seq reload resolves by version, a fresh delete removes its keys.
+    "sql_ddl_sequence" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_sequence", s, dir)(Seq(
+          """CREATE TABLE ev_seq (
+            |  event_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  value DOUBLE,
+            |  seq BIGINT
+            |) ENGINE=OLAP
+            |UNIQUE KEY(event_id)
+            |DISTRIBUTED BY HASH(event_id) BUCKETS 8
+            |PROPERTIES ("function_column.sequence_col" = "seq")""".stripMargin,
+          "INSERT INTO ev_seq SELECT event_id, event_type, value, 2 FROM events",
+          """INSERT INTO ev_seq
+            |SELECT event_id, event_type, value + 111.0, 1
+            |FROM events WHERE event_type = 'view'""".stripMargin, // stale: loses
+          """INSERT INTO ev_seq
+            |SELECT event_id, event_type, value + 222.0, 3
+            |FROM events WHERE event_type = 'click'""".stripMargin, // fresh: wins
+          """INSERT INTO ev_seq (event_id, event_type, value, seq, __DELETE_SIGN__)
+            |SELECT event_id, event_type, value, 1, 1
+            |FROM events WHERE event_type = 'purchase'""".stripMargin, // stale delete: no-op
+          """INSERT INTO ev_seq
+            |SELECT event_id, event_type, value + 333.0, 2
+            |FROM events WHERE event_type = 'error'""".stripMargin, // equal seq: wins by _ver
+          """INSERT INTO ev_seq (event_id, event_type, value, seq, __DELETE_SIGN__)
+            |SELECT event_id, event_type, value, 9, 1
+            |FROM events WHERE event_type = 'signup'""".stripMargin)) // fresh delete: gone
+        ddl.sql(
+          """SELECT event_type, count(*) AS n,
+            |  round(sum(value), 2) AS total_value
+            |FROM ev_seq GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      // replay the six batches with explicit (seq, ver, sign) and the same
+      // (_seq DESC, _ver DESC) window + winning-sign filter
+      """WITH b AS (
+        |  SELECT event_id, event_type, value, 2 AS _seq, 1 AS _ver, 0 AS _sign
+        |  FROM events
+        |  UNION ALL SELECT event_id, event_type, value + 111.0, 1, 2, 0
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL SELECT event_id, event_type, value + 222.0, 3, 3, 0
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT event_id, event_type, value, 1, 4, 1
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL SELECT event_id, event_type, value + 333.0, 2, 5, 0
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL SELECT event_id, event_type, value, 9, 6, 1
+        |  FROM events WHERE event_type = 'signup'),
+        |m AS (SELECT *, row_number() OVER (PARTITION BY event_id
+        |        ORDER BY _seq DESC, _ver DESC) AS rn FROM b)
+        |SELECT event_type, count(*) AS n,
+        |  round(sum(value), 2) AS total_value
+        |FROM m WHERE rn = 1 AND _sign = 0
+        |GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // ASYNC partitioned MTMV as a statement (Doris 2.1 MTMV): BUILD
+    // IMMEDIATE materializes per-date aggregates partitioned like the base;
+    // a second load lands ONLY in the open partition; REFRESH MATERIALIZED
+    // VIEW recomputes exactly that partition (file-set version diff — the
+    // DdlSpec pin asserts partitions_refreshed = 1 and the pruned plan).
+    // The MV is then queried DIRECTLY by name; the oracle recomputes the
+    // whole aggregate from raw orders, so the hash compare proves the
+    // incrementally-refreshed MV equals a full rebuild.
+    "sql_ddl_async_mv" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val ddl = lifecycle("sql_ddl_async_mv", s, dir)(Seq(
+          """CREATE TABLE ord_mt (
+            |  o_orderdate DATE,
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderdate, o_orderkey)
+            |PARTITION BY RANGE(o_orderdate) (
+            |  PARTITION p_early VALUES LESS THAN ('1998-01-01'),
+            |  PARTITION p_late VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          // v1: everything except a late slice of the open partition
+          """INSERT INTO ord_mt
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+            |FROM orders WHERE NOT (o_orderkey % 3 = 0
+            |  AND o_orderdate >= TIMESTAMP '1998-01-01')""".stripMargin,
+          """CREATE MATERIALIZED VIEW ord_mt_mv
+            |BUILD IMMEDIATE REFRESH AUTO ON MANUAL
+            |PARTITION BY (o_orderdate)
+            |AS SELECT o_orderdate, COUNT(*) AS n, SUM(o_totalprice) AS sum_price
+            |FROM ord_mt GROUP BY o_orderdate""".stripMargin,
+          // v2: the late slice — touches ONLY p_late
+          """INSERT INTO ord_mt
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+            |FROM orders WHERE o_orderkey % 3 = 0
+            |  AND o_orderdate >= TIMESTAMP '1998-01-01'""".stripMargin,
+          "REFRESH MATERIALIZED VIEW ord_mt_mv"))
+        ddl.sql(
+          """SELECT CAST(o_orderdate AS STRING) AS d, n,
+            |  round(sum_price, 2) AS sum_price
+            |FROM ord_mt_mv ORDER BY d""".stripMargin)
+      },
+      """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -74,6 +74,7 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
+    else if (up.startsWith("REFRESH MATERIALIZED VIEW")) Some(refreshStmt(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW TABLES")) Some(showTables())
@@ -197,13 +198,24 @@ final class DorisDdl(s: SparkSession) {
         require(specs.init.forall(_.bound.isDefined),
           s"$name: only the last partition may be MAXVALUE")
       }
+      // PROPERTIES ("k" = "v", ...): the statement-level knobs; currently
+      // function_column.sequence_col (UNIQUE merge order) is mapped
+      val props = clauseParen(rest, """(?is)\bPROPERTIES\s*\(""")
+        .map(parseProps).getOrElse(Map.empty)
+      val seqCol = props.get("function_column.sequence_col")
+      seqCol.foreach { sc =>
+        require(keysType == "UNIQUE",
+          s"$name: function_column.sequence_col requires a UNIQUE KEY table")
+        require(cols.exists(_.name == sc) && !keyCols.contains(sc),
+          s"$name: sequence_col $sc must be a declared non-key column")
+      }
       require(tables.synchronized(!tables.contains(name)),
         s"table $name already exists")
       val st = TableState(
         TableDef(name, cols, keysType, keyCols,
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
-          hashCol, buckets, autoSpec.map(_._2)),
+          hashCol, buckets, autoSpec.map(_._2), seqCol),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -292,7 +304,20 @@ final class DorisDdl(s: SparkSession) {
   private val MvAggRe =
     """(?is)^(SUM|MIN|MAX|COUNT)\s*\(\s*(\*|`?\w+`?)\s*\)\s+AS\s+`?(\w+)`?$""".r
 
+  // Doris 2.1 ASYNC partitioned MTMV ([doris: fe/.../mtmv/MTMVPartitionUtil
+  // .java — partition-version diffing]): BUILD IMMEDIATE materializes at
+  // CREATE; REFRESH ON MANUAL defers later staleness to an explicit
+  // `REFRESH MATERIALIZED VIEW` statement; `PARTITION BY (col)` pins the MV
+  // partitions to the base table's range partitions, which is what makes
+  // the refresh partition-INCREMENTAL (only changed partitions recompute).
+  private val MtmvRe =
+    ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+BUILD\s+IMMEDIATE\s+""" +
+      """REFRESH\s+(?:AUTO\s+)?ON\s+MANUAL\s+PARTITION\s+BY\s*\(\s*`?(\w+)`?\s*\)\s+""" +
+      """AS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*)$""").r
+
   private def createMv(text: String): Unit = text match {
+    case MtmvRe(mvName, pcol, selList, tableName, groupBy) =>
+      createMtmv(mvName, pcol, selList, tableName, groupBy)
     case MvRe(mvName, selList, tableName, groupBy) =>
       val t = state(tableName)
       val keys = topLevelSplit(groupBy).map(stripIdent)
@@ -374,6 +399,120 @@ final class DorisDdl(s: SparkSession) {
   private def refreshMvs(t: TableState): Unit =
     t.synchronized(t.mvs.toSeq).foreach(refreshMv(t, _))
 
+  // ------------------------------------------------------------ async MTMV
+
+  private val mtmvs = mutable.LinkedHashMap[String, MtmvState]()
+
+  private def createMtmv(mvName: String, pcol: String, selList: String,
+      tableName: String, groupBy: String): Unit = {
+    val t = state(tableName)
+    require(t.def_.partCol.contains(pcol) && t.def_.autoGran.isEmpty,
+      s"$mvName: PARTITION BY ($pcol) must name the base table's declared " +
+        "range-partition column")
+    val keys = topLevelSplit(groupBy).map(stripIdent)
+    require(keys.contains(pcol),
+      s"$mvName: partition column $pcol must be one of the group keys")
+    topLevelSplit(selList).foreach { item =>
+      item.trim match {
+        case MvAggRe(_, _, _) => ()
+        case ident if keys.contains(stripIdent(ident)) => ()
+        case other => sys.error(s"$mvName: unsupported MTMV select item " +
+          s"(need group keys and AGG(col) AS alias): $other")
+      }
+    }
+    require(mtmvs.synchronized(!mtmvs.contains(mvName)),
+      s"materialized view $mvName already exists")
+    val m = MtmvState(mvName, tableName, pcol, selList, keys,
+      graft.TempDirs.create(s"graft_ddl_mtmv_$mvName"))
+    mtmvs.synchronized { mtmvs(mvName) = m }
+    refreshMtmv(m) // BUILD IMMEDIATE
+  }
+
+  /** Partition-incremental MTMV refresh: diff each base partition's rowset
+    * FILE SET against the snapshot taken at the last refresh (pure driver
+    * metadata — the same version-diff idea as the engine's
+    * [[graft.operators.MaterializedViews]], with the file listing standing
+    * in for the tablet version), recompute ONLY the changed partitions
+    * (each slice is a partition-PRUNED `visible` scan), and land them with
+    * dynamic partition overwrite so fresh MV partitions are untouched. A
+    * change in the standing versioned-delete list invalidates everything
+    * (delete predicates are not partition-scoped). Returns the number of
+    * partitions recomputed — at 100 TB the steady-state refresh touches
+    * "today", never the table. */
+  private def refreshMtmv(m: MtmvState): Int = {
+    val t = state(m.table)
+    val cur = partFileSnapshot(t)
+    val delSig = t.synchronized(t.deletes.toList)
+    val stale =
+      (if (delSig != m.lastDeletes) cur.keys
+       else cur.collect {
+         case (p, fs) if !m.lastFiles.get(p).contains(fs) => p
+       }).toSeq.sorted
+    (m.lastFiles.keySet -- cur.keySet).foreach(p => // base partition dropped
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(m.dir, s"_p=$p")))
+    if (stale.nonEmpty) {
+      // per-partition visible() slices: the _p filter sits BELOW the merge
+      // window/aggregate (sound — the partition column is key-bound), so
+      // every recompute scan is partition-pruned to its stale directory
+      val slice = stale.map(p => visible(t, Some(p), keepPart = true))
+        .reduce(_.unionByName(_))
+      slice.createOrReplaceTempView(s"__mtmv_src_${m.name}")
+      val df = DorisSqlDialect.sql(s,
+        s"SELECT ${m.selList}, _p FROM __mtmv_src_${m.name} " +
+          s"GROUP BY ${m.keys.mkString(", ")}, _p")
+      m.lastPlan = df.queryExecution.executedPlan.toString
+      val conf = "spark.sql.sources.partitionOverwriteMode"
+      val prev = s.conf.getOption(conf)
+      s.conf.set(conf, "dynamic")
+      try df.write.mode("overwrite").partitionBy("_p").parquet(m.dir)
+      finally prev.fold(s.conf.unset(conf))(s.conf.set(conf, _))
+    }
+    m.lastFiles = cur
+    m.lastDeletes = delSig
+    registerMtmvView(m)
+    stale.size
+  }
+
+  /** The MTMV is directly queryable by name (unlike sync rollups, which
+    * serve transparently): register its current snapshot. Grouping by
+    * (keys, _p) equals grouping by keys because the partition column is a
+    * group key, so dropping _p yields exactly the declared SELECT. */
+  private def registerMtmvView(m: MtmvState): Unit =
+    if (Option(new java.io.File(m.dir).list()).forall(_.isEmpty))
+      s.catalog.dropTempView(m.name)
+    else s.read.parquet(m.dir).drop("_p").createOrReplaceTempView(m.name)
+
+  /** Per-partition rowset file names — a driver directory listing,
+    * O(files) metadata, zero data IO. */
+  private def partFileSnapshot(t: TableState): Map[String, Set[String]] = {
+    val root = new java.io.File(t.dir)
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("_p="))
+      .map(d => d.getName.stripPrefix("_p=") ->
+        Option(d.list()).getOrElse(Array.empty)
+          .filter(_.endsWith(".parquet")).toSet)
+      .toMap
+  }
+
+  private val RefreshMvRe =
+    """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?$""".r
+
+  /** `REFRESH MATERIALIZED VIEW m` → one row (mv_name,
+    * partitions_refreshed) — the manual trigger of the ON MANUAL policy. */
+  private def refreshStmt(text: String): DataFrame = text match {
+    case RefreshMvRe(name) =>
+      val m = mtmvs.synchronized(mtmvs.getOrElse(name,
+        sys.error(s"unknown materialized view $name")))
+      val n = refreshMtmv(m)
+      import s.implicits._
+      Seq((name, n.toLong)).toDF("mv_name", "partitions_refreshed")
+    case _ => sys.error(s"unparseable REFRESH: ${text.take(80)}")
+  }
+
+  /** Test hook: the physical plan of `m`'s last incremental recompute. */
+  private[graft] def mtmvLastPlan(name: String): String =
+    mtmvs.synchronized(mtmvs(name).lastPlan)
+
   // ---------------------------------------------------------------- INSERT
 
   private val InsertRe =
@@ -409,10 +548,19 @@ final class DorisDdl(s: SparkSession) {
     * column. */
   private def rowset(t: TableState, src: DataFrame, ver: Long): DataFrame = {
     val present = src.columns.toSet
+    // UNIQUE rowsets carry the hidden delete sign (Doris
+    // __DORIS_DELETE_SIGN__): a load naming __DELETE_SIGN__ in its column
+    // list writes delete markers (batch delete / MERGE load); plain loads
+    // stamp 0. The marker participates in the merge like any row — only
+    // the WINNING version's sign decides visibility.
+    val sign =
+      if (t.def_.keysType != "UNIQUE") Nil
+      else Seq((if (present.contains("__DELETE_SIGN__"))
+        col("__DELETE_SIGN__").cast("int") else lit(0)).as("_sign"))
     val aligned = src.select(t.def_.cols.map { c =>
       (if (present.contains(c.name)) col(c.name)
        else lit(c.default.orNull)).cast(c.sparkType).as(c.name)
-    }: _*)
+    } ++ sign: _*)
     val withPart = t.def_.partCol match {
       case Some(pc) =>
         aligned.withColumn("_p", partitionName(t.def_, col(pc)))
@@ -833,9 +981,18 @@ final class DorisDdl(s: SparkSession) {
     val merged = d.keysType match {
       case "DUPLICATE" => df
       case "UNIQUE" =>
+        // merge order: sequence column first (if declared — out-of-order
+        // loads resolve by the LOGICAL order), version as tiebreak; the
+        // winner's delete sign then decides visibility (a stale delete
+        // marker loses the window and deletes nothing)
+        val ord = d.seqCol.map(sc => col(sc).desc).toSeq :+ col("_ver").desc
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(d.keyCols.map(col): _*).orderBy(col("_ver").desc)
-        df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+          .partitionBy(d.keyCols.map(col): _*).orderBy(ord: _*)
+        val won = df.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1)
+        if (df.columns.contains("_sign"))
+          won.filter(coalesce(col("_sign"), lit(0)) === 0)
+        else won
       case "AGGREGATE" =>
         val aggs = d.cols.filter(_.agg.isDefined).map { c =>
           (c.agg.get match {
@@ -932,6 +1089,11 @@ final class DorisDdl(s: SparkSession) {
       partViews.foreach(p =>
         s.catalog.dropTempView(s"${name}__part_$p"))
       graft.plans.RollupRewrite.deregisterBase(t.dir)
+      // dependent async MTMVs die with their base
+      mtmvs.synchronized {
+        val dead = mtmvs.values.filter(_.table == name).map(_.name).toSeq
+        dead.foreach { d => s.catalog.dropTempView(d); mtmvs.remove(d) }
+      }
       graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir))
     case _ => sys.error(s"unparseable DROP TABLE: ${text.take(80)}")
   }
@@ -997,12 +1159,15 @@ final class DorisDdl(s: SparkSession) {
           s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
         case _ => ""
       }
+      val propsClause = d.seqCol.map(sc =>
+        s"""\nPROPERTIES ("function_column.sequence_col" = "$sc")""")
+        .getOrElse("")
       val stmt =
         s"""CREATE TABLE `${d.name}` (
            |$colLines
            |) ENGINE=OLAP
            |${d.keysType} KEY(${d.keyCols.map(k => s"`$k`").mkString(", ")})$partClause
-           |DISTRIBUTED BY HASH(`${d.hashCol}`) BUCKETS ${d.buckets}""".stripMargin
+           |DISTRIBUTED BY HASH(`${d.hashCol}`) BUCKETS ${d.buckets}$propsClause""".stripMargin
       import s.implicits._
       Seq((d.name, stmt)).toDF("table", "create_table")
     case _ => sys.error(s"unparseable SHOW CREATE TABLE: ${text.take(80)}")
@@ -1016,6 +1181,13 @@ final class DorisDdl(s: SparkSession) {
 
   private def stripIdent(s0: String): String =
     s0.trim.stripPrefix("`").stripSuffix("`")
+
+  /** `"key" = "value", ...` property list (quote-insensitive on both sides). */
+  private def parseProps(text: String): Map[String, String] =
+    topLevelSplit(text).flatMap { item =>
+      """(?is)^\s*["']([^"']+)["']\s*=\s*["']([^"']*)["']\s*$""".r
+        .findFirstMatchIn(item).map(m => m.group(1) -> m.group(2))
+    }.toMap
 
   /** Find `re` (which must end at an opening paren) and return the text up
     * to its matching close paren. */
@@ -1093,9 +1265,23 @@ object DorisDdl {
       hashCol: String, buckets: Int,
       // AUTO PARTITION BY RANGE (date_trunc(col, 'gran')): partitions
       // materialize per granularity bucket as loads arrive (Doris 2.1)
-      autoGran: Option[String] = None)
+      autoGran: Option[String] = None,
+      // PROPERTIES("function_column.sequence_col" = "c"): UNIQUE-key
+      // merge-on-read resolves by (sequence DESC, version DESC) instead of
+      // version alone, so out-of-order loads keep the logically newest row
+      seqCol: Option[String] = None)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
+  // async MTMV: `lastFiles` is the per-partition rowset file-set snapshot
+  // taken at the last refresh (the staleness "version"); `lastDeletes` the
+  // versioned-delete list it absorbed; `lastPlan` the last incremental
+  // recompute's physical plan (pruning is spec-asserted against it)
+  final case class MtmvState(name: String, table: String, pcol: String,
+      selList: String, keys: Seq[String], dir: String) {
+    var lastFiles: Map[String, Set[String]] = Map.empty
+    var lastDeletes: List[(String, Long)] = Nil
+    var lastPlan: String = ""
+  }
   final case class TableState(var def_ : TableDef, dir: String) {
     var nextVer: Long = 0L
     var mvVer: Long = 0L

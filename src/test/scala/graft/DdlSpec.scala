@@ -701,6 +701,105 @@ class DdlSpec extends SparkSpec {
       "the next load must re-register a FRESH snapshot that serves again")
   }
 
+  test("sequence column property: out-of-order loads resolve by (seq, ver); " +
+    "delete sign respects the sequence; guards and round-trip") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sq (k BIGINT, v VARCHAR(8), seq BIGINT)
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES ("function_column.sequence_col" = "seq")""".stripMargin)
+    ddl.execute("INSERT INTO sq VALUES (1, 'base', 5), (2, 'base', 5)")
+    // stale update (lower seq) must LOSE despite the higher version
+    ddl.execute("INSERT INTO sq VALUES (1, 'stale', 3)")
+    // fresh update wins
+    ddl.execute("INSERT INTO sq VALUES (2, 'fresh', 7)")
+    assert(ddl.sql("SELECT k, v FROM sq ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "base"), (2L, "fresh")))
+    // a STALE delete marker (seq below the winner) deletes nothing
+    ddl.execute(
+      "INSERT INTO sq (k, v, seq, __DELETE_SIGN__) VALUES (1, 'x', 1, 1)")
+    assert(ddl.sql("SELECT count(*) AS n FROM sq").as[Long].head() == 2L,
+      "stale delete must be a no-op")
+    // a FRESH delete marker removes its key
+    ddl.execute(
+      "INSERT INTO sq (k, v, seq, __DELETE_SIGN__) VALUES (1, 'x', 9, 1)")
+    assert(ddl.sql("SELECT k, v FROM sq ORDER BY k")
+      .as[(Long, String)].collect().toSeq == Seq((2L, "fresh")))
+    // equal seq resolves by version (last load wins)
+    ddl.execute("INSERT INTO sq VALUES (2, 'tie', 7)")
+    assert(ddl.sql("SELECT v FROM sq WHERE k = 2").as[String].head() == "tie")
+    // SHOW CREATE TABLE round-trips the property
+    val stmt = ddl.sql("SHOW CREATE TABLE sq")
+      .select("create_table").as[String].head()
+    assert(stmt.contains("\"function_column.sequence_col\" = \"seq\""), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("`sq`", "`sq2`"))
+    ddl2.execute("INSERT INTO sq2 VALUES (1, 'a', 5)")
+    ddl2.execute("INSERT INTO sq2 VALUES (1, 'old', 1)")
+    assert(ddl2.sql("SELECT v FROM sq2").as[String].head() == "a",
+      "replayed table must keep sequence-merge semantics")
+    // guards: non-UNIQUE table, unknown column, key column
+    assertThrows[Exception](ddl.execute(
+      """CREATE TABLE bad_sq1 (k BIGINT, seq BIGINT) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES ("function_column.sequence_col" = "seq")""".stripMargin))
+    assertThrows[Exception](ddl.execute(
+      """CREATE TABLE bad_sq2 (k BIGINT, v BIGINT) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES ("function_column.sequence_col" = "nope")""".stripMargin))
+  }
+
+  test("async MTMV: BUILD IMMEDIATE materializes; REFRESH recomputes " +
+    "EXACTLY the stale partition with a partition-pruned scan") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mt (d DATE, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      """INSERT INTO mt VALUES ('2024-01-10', 1, 1.0), ('2024-01-10', 2, 2.0),
+        |('2024-02-10', 3, 3.0)""".stripMargin)
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mt_mv
+        |BUILD IMMEDIATE REFRESH AUTO ON MANUAL
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n, SUM(v) AS sv FROM mt GROUP BY d""".stripMargin)
+    // BUILD IMMEDIATE: queryable by name right away
+    assert(ddl.sql("SELECT d, n, sv FROM mt_mv ORDER BY d")
+      .as[(java.sql.Date, Long, Double)].collect().toSeq.map(r => (r._1.toString, r._2, r._3)) ==
+      Seq(("2024-01-10", 2L, 3.0), ("2024-02-10", 1L, 3.0)))
+    // ON MANUAL: a base load does NOT auto-refresh
+    ddl.execute("INSERT INTO mt VALUES ('2024-02-15', 4, 4.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM mt_mv").as[Long].head() == 2L,
+      "ON MANUAL must defer staleness to REFRESH")
+    // REFRESH recomputes exactly the ONE stale partition (pb)
+    val r = ddl.sql("REFRESH MATERIALIZED VIEW mt_mv")
+      .as[(String, Long)].head()
+    assert(r == (("mt_mv", 1L)), s"exactly one stale partition: $r")
+    // ... with a partition-PRUNED recompute scan
+    val plan = ddl.mtmvLastPlan("mt_mv")
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*_p#\d+ = pb""".r.findFirstIn(plan).isDefined,
+      plan.take(800))
+    assert(ddl.sql("SELECT d, n, sv FROM mt_mv ORDER BY d")
+      .as[(java.sql.Date, Long, Double)].collect().toSeq.map(r => (r._1.toString, r._2, r._3)) ==
+      Seq(("2024-01-10", 2L, 3.0), ("2024-02-10", 1L, 3.0),
+        ("2024-02-15", 1L, 4.0)))
+    // a no-op refresh touches nothing
+    assert(ddl.sql("REFRESH MATERIALIZED VIEW mt_mv")
+      .as[(String, Long)].head() == (("mt_mv", 0L)))
+    // a versioned DELETE is not partition-scoped: everything goes stale
+    ddl.execute("DELETE FROM mt WHERE k = 1")
+    assert(ddl.sql("REFRESH MATERIALIZED VIEW mt_mv")
+      .as[(String, Long)].head() == (("mt_mv", 2L)))
+    assert(ddl.sql("SELECT round(sum(sv), 1) AS s FROM mt_mv")
+      .as[Double].head() == 9.0)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
