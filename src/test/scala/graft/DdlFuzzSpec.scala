@@ -77,4 +77,131 @@ class DdlFuzzSpec extends SparkSpec {
       ddl.execute("DROP TABLE fz")
     }
   }
+
+  // Round-15 alphabet extension: DROP PARTITION (rejecting hole), light ADD
+  // COLUMN (default backfill gated on addedVer), CTAS-with-key-model, and
+  // TRUNCATE, interleaved on a PARTITIONED UNIQUE table — the statements
+  // whose isolated semantics the new DdlSpec pins fix must also hold under
+  // random orderings (a drop surviving a truncate, an insert straddling a
+  // hole, an explicit NULL after a mid-sequence column add).
+  test("partitioned sequences with DROP PARTITION / ADD COLUMN / CTAS " +
+    "match the reference model (fuzz)") {
+    val rnd = new scala.util.Random(31)
+    val parts = Seq(("pa", 0L until 8L), ("pb", 8L until 16L),
+      ("pc", 16L until 24L))
+    def rangeOf(k: Long): String = parts.find(_._2.contains(k)).get._1
+    for (seqNo <- 1 to 12) {
+      val ddl = new DorisDdl(spark)
+      ddl.execute(
+        """CREATE TABLE fz2 (k BIGINT, v DOUBLE)
+          |UNIQUE KEY(k)
+          |PARTITION BY RANGE(k) (
+          |  PARTITION pa VALUES LESS THAN ('8'),
+          |  PARTITION pb VALUES LESS THAN ('16'),
+          |  PARTITION pc VALUES LESS THAN ('24'))
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      // model value: (v, writtenPreAdd, explicit tag); a pre-add row reads
+      // the DEFAULT 'old' once the column exists, a post-add row keeps its
+      // explicit value INCLUDING an explicit NULL
+      var model = Map.empty[Long, (Double, Boolean, Option[String])]
+      var dropped = Set.empty[String]
+      var tagAdded = false
+      val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      for (_ <- 1 to 8) rnd.nextInt(8) match {
+        case 0 | 1 | 2 => // upsert load; a key in a dropped range fails ALL
+          val n = 1 + rnd.nextInt(4)
+          val ks = rnd.shuffle((0L until 24L).toList).take(n)
+          val rows = ks.map { k =>
+            val tagSpec =
+              if (!tagAdded) "none"
+              else if (rnd.nextInt(3) == 0) "null"
+              else s"t${rnd.nextInt(3)}"
+            (k, rnd.nextInt(100).toDouble, tagSpec)
+          }
+          val values = rows.map {
+            case (k, v, "none") => s"($k, $v)"
+            case (k, v, "null") => s"($k, $v, NULL)"
+            case (k, v, t) => s"($k, $v, '$t')"
+          }.mkString(", ")
+          val cols = if (tagAdded) "(k, v, tag)" else "(k, v)"
+          val st = s"INSERT INTO fz2 $cols VALUES $values"
+          trace += st
+          if (ks.exists(k => dropped.contains(rangeOf(k)))) {
+            intercept[Exception](ddl.execute(st)) // hole rejects, all-or-nothing
+          } else {
+            ddl.execute(st)
+            rows.foreach { case (k, v, tagSpec) =>
+              val tag = tagSpec match {
+                case "none" | "null" => None
+                case t => Some(t)
+              }
+              model += k -> ((v, !tagAdded, tag))
+            }
+          }
+        case 3 => // versioned DELETE
+          val m = 2 + rnd.nextInt(3)
+          val r = rnd.nextInt(m)
+          val st = s"DELETE FROM fz2 WHERE k % $m = $r"
+          trace += st; ddl.execute(st)
+          model = model.filter { case (k, _) => k % m != r }
+        case 4 => // DROP PARTITION: a rejecting hole from here on
+          val live = parts.map(_._1).filterNot(dropped.contains)
+          if (live.nonEmpty) {
+            val p = live(rnd.nextInt(live.size))
+            val st = s"ALTER TABLE fz2 DROP PARTITION $p"
+            trace += st; ddl.execute(st)
+            dropped += p
+            val range = parts.find(_._1 == p).get._2
+            model = model.filter { case (k, _) => !range.contains(k) }
+          }
+        case 5 => // light ADD COLUMN mid-sequence (at most once)
+          if (!tagAdded) {
+            val st = "ALTER TABLE fz2 ADD COLUMN tag VARCHAR(4) DEFAULT 'old'"
+            trace += st; ddl.execute(st)
+            tagAdded = true
+          }
+        case 6 => // TRUNCATE: data and deletes go, schema AND holes survive
+          trace += "TRUNCATE TABLE fz2"; ddl.execute("TRUNCATE TABLE fz2")
+          model = Map.empty
+        case 7 => // CTAS with UNIQUE KEY: snapshot must carry upsert semantics
+          if (model.nonEmpty) {
+            val st = "CREATE TABLE fzc UNIQUE KEY(k) " +
+              "DISTRIBUTED BY HASH(k) BUCKETS 1 AS SELECT k, v FROM fz2"
+            trace += st; ddl.execute(st)
+            ddl.execute(s"INSERT INTO fzc VALUES (${model.keys.min}, 777.0)")
+            val got = ddl.sql("SELECT k, v FROM fzc ORDER BY k")
+              .as[(Long, Double)].collect().toSeq
+            val want = (model.map { case (k, (v, _, _)) => (k, v) } +
+              (model.keys.min -> 777.0)).toSeq.sortBy(_._1)
+            assert(got == want,
+              s"sequence $seqNo CTAS diverged\nstatements:\n  " +
+                s"${trace.mkString("\n  ")}\nengine: $got\nmodel:  $want")
+            ddl.execute("DROP TABLE fzc")
+          }
+      }
+
+      val exists = spark.catalog.tableExists("fz2")
+      if (!tagAdded) {
+        val got = if (!exists) Seq.empty
+          else ddl.sql("SELECT k, v FROM fz2 ORDER BY k")
+            .as[(Long, Double)].collect().toSeq
+        val want = model.toSeq.map { case (k, (v, _, _)) => (k, v) }.sortBy(_._1)
+        assert(got == want,
+          s"sequence $seqNo diverged\nstatements:\n  ${trace.mkString("\n  ")}" +
+            s"\nengine: $got\nmodel:  $want")
+      } else {
+        val got = if (!exists) Seq.empty
+          else ddl.sql("SELECT k, v, tag FROM fz2 ORDER BY k")
+            .as[(Long, Double, Option[String])].collect().toSeq
+        val want = model.toSeq.map { case (k, (v, preAdd, tag)) =>
+          (k, v, if (preAdd) Some("old") else tag)
+        }.sortBy(_._1)
+        assert(got == want,
+          s"sequence $seqNo diverged\nstatements:\n  ${trace.mkString("\n  ")}" +
+            s"\nengine: $got\nmodel:  $want")
+      }
+      ddl.execute("DROP TABLE fz2")
+    }
+  }
 }
