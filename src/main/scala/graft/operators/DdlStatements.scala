@@ -655,7 +655,55 @@ object DdlStatements {
       },
       """SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS d,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // Light RENAME COLUMN / table RENAME / partition-scoped DELETE, all as
+    // text on a partitioned UNIQUE table: the rename is metadata-only (old
+    // rowsets keep the old physical name; the read coalesces), the
+    // post-rename upsert merges across the rename boundary, the DELETE
+    // applies only inside its partition, and the final SELECT goes through
+    // the RENAMED table name. The oracle replays upsert + scoped delete
+    // from raw customer, so a rename that loses or duplicates bytes
+    // diverges from the replay.
+    "sql_ddl_rename" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_rename", s, dir)(Seq(
+          """CREATE TABLE cust_rn (
+            |  c_custkey BIGINT,
+            |  c_acctbal DOUBLE,
+            |  c_mktsegment VARCHAR(16)
+            |) ENGINE=OLAP
+            |UNIQUE KEY(c_custkey)
+            |PARTITION BY RANGE(c_custkey) (
+            |  PARTITION p_lo VALUES LESS THAN ('750'),
+            |  PARTITION p_hi VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 8""".stripMargin,
+          """INSERT INTO cust_rn
+            |SELECT c_custkey, c_acctbal, c_mktsegment FROM customer""".stripMargin,
+          "ALTER TABLE cust_rn RENAME COLUMN c_acctbal balance",
+          // post-rename upsert writes the NEW name; merges with old rowsets
+          """INSERT INTO cust_rn (c_custkey, balance, c_mktsegment)
+            |SELECT c_custkey, c_acctbal + 1000, c_mktsegment
+            |FROM customer WHERE c_custkey % 5 = 0""".stripMargin,
+          "DELETE FROM cust_rn PARTITION (p_hi) WHERE c_custkey % 7 = 0",
+          "ALTER TABLE cust_rn RENAME cust_final"))
+        ddl.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+            |  round(sum(balance), 2) AS bal
+            |FROM cust_final GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 1000
+        |         ELSE c_acctbal END AS balance
+        |  FROM customer),
+        |vis AS (SELECT * FROM m
+        |        WHERE NOT (c_custkey >= 750 AND c_custkey % 7 = 0))
+        |SELECT c_mktsegment, count(*) AS n, round(sum(balance), 2) AS bal
+        |FROM vis GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

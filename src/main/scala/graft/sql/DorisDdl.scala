@@ -720,15 +720,29 @@ final class DorisDdl(s: SparkSession) {
 
   // ---------------------------------------------------------------- DELETE
 
-  private val DeleteRe = """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.*)$""".r
+  private val DeleteRe =
+    """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?WHERE\s+(.*)$""".r
 
   private def deleteFrom(text: String): Unit = text match {
-    case DeleteRe(name, pred) =>
+    case DeleteRe(name, pname, pred) =>
       val t = state(name)
       require(t.def_.keysType != "AGGREGATE",
         s"$name: DELETE WHERE is not supported on AGGREGATE tables (Doris restriction)")
+      // DELETE FROM t PARTITION (p) WHERE ...: the predicate is recorded
+      // scoped to the partition (an `_p` conjunct — the read applies delete
+      // predicates before the merge, where `_p` is still in scope), so
+      // matching rows in OTHER partitions survive
+      val scoped = Option(pname) match {
+        case Some(p) =>
+          require(t.def_.partCol.isDefined,
+            s"$name: PARTITION delete needs a partitioned table")
+          require(partitionNames(t).contains(p),
+            s"$name: unknown partition $p")
+          s"(_p = '$p') AND (${DorisSqlDialect.rewrite(pred)})"
+        case None => DorisSqlDialect.rewrite(pred)
+      }
       val ver = t.synchronized { t.nextVer += 1; t.nextVer }
-      t.synchronized { t.deletes += ((DorisSqlDialect.rewrite(pred), ver)) }
+      t.synchronized { t.deletes += ((scoped, ver)) }
       registerViews(t)
       refreshMvs(t)
     case _ => sys.error(s"unparseable DELETE: ${text.take(80)}")
@@ -744,6 +758,12 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+(.*)$""".r
   private val DropColRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+COLUMN\s+`?(\w+)`?$""".r
+  private val RenameColRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+`?(\w+)`?$""".r
+  private val ModifyColRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+(.*)$""".r
+  private val RenameTableRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+`?(\w+)`?$""".r
 
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
@@ -801,8 +821,9 @@ final class DorisDdl(s: SparkSession) {
       val t = state(name)
       val c = parseColDef(colDef)
       val d = t.def_
-      require(!d.cols.exists(_.name == c.name),
-        s"$name: column ${c.name} already exists")
+      require(!d.cols.exists(x => x.name == c.name || x.priors.contains(c.name)),
+        s"$name: column name ${c.name} already exists (or is a renamed " +
+          "column's former name, still present in old rowsets)")
       if (d.keysType != "AGGREGATE")
         require(c.agg.isEmpty,
           s"$name: aggregate marker on ${c.name} requires AGGREGATE KEY")
@@ -831,6 +852,90 @@ final class DorisDdl(s: SparkSession) {
         !mv.keys.contains(cname) && !mv.columns.keys.exists(_._2 == cname)),
         s"$name: column $cname is referenced by a materialized view")
       t.synchronized { t.def_ = d.copy(cols = d.cols.filterNot(_.name == cname)) }
+      registerViews(t)
+    case RenameColRe(name, oldN, newN) =>
+      // light RENAME COLUMN: pure metadata — no rowset is rewritten; old
+      // rowsets keep their bytes under the old name and the read surfaces
+      // them through the priors coalesce. Structural references (key,
+      // partition, distribution, sequence column) follow the rename;
+      // MV-referenced columns reject (their SQL text names the old column —
+      // the same Doris restriction as DROP COLUMN on rollup columns).
+      val t = state(name)
+      val d = t.def_
+      require(d.cols.exists(_.name == oldN), s"$name: unknown column $oldN")
+      require(!d.cols.exists(c => c.name == newN || c.priors.contains(newN)),
+        s"$name: column name $newN is already in use")
+      require(t.synchronized(t.mvs.toSeq).forall(mv =>
+        !mv.keys.contains(oldN) && !mv.columns.keys.exists(_._2 == oldN)),
+        s"$name: column $oldN is referenced by a materialized view")
+      require(mtmvs.synchronized(mtmvs.values.forall(_.table != name)),
+        s"$name: drop dependent async MTMVs before renaming columns")
+      def ren(x: String) = if (x == oldN) newN else x
+      t.synchronized {
+        t.def_ = d.copy(
+          cols = d.cols.map(c =>
+            if (c.name == oldN) c.copy(name = newN, priors = oldN +: c.priors)
+            else c),
+          keyCols = d.keyCols.map(ren),
+          partCol = d.partCol.map(ren),
+          hashCol = ren(d.hashCol),
+          seqCol = d.seqCol.map(ren))
+      }
+      registerViews(t)
+    case ModifyColRe(name, colDef) =>
+      // light MODIFY COLUMN: only changes that leave the PHYSICAL type
+      // alone are light — VARCHAR resizes (every length maps to STRING,
+      // Doris's light varchar widen) and DEFAULT changes. A physical
+      // retype would need a rowset rewrite (Doris schedules a full
+      // schema-change job for those): reject loudly rather than accept
+      // text whose meaning we cannot honor.
+      val t = state(name)
+      val c = parseColDef(colDef)
+      val d = t.def_
+      val old = d.cols.find(_.name == c.name)
+        .getOrElse(sys.error(s"$name: unknown column ${c.name}"))
+      require(c.sparkType == old.sparkType,
+        s"$name: MODIFY COLUMN cannot change the physical type " +
+          s"(${old.sparkType} -> ${c.sparkType}); only VARCHAR resize and " +
+          "DEFAULT changes are light")
+      require(c.agg == old.agg,
+        s"$name: MODIFY COLUMN cannot change the aggregate marker")
+      t.synchronized {
+        t.def_ = d.copy(cols = d.cols.map(x =>
+          if (x.name == c.name) old.copy(default = c.default) else x))
+      }
+      registerViews(t)
+    case RenameTableRe(name, newName) =>
+      // table rename: catalog re-key + view re-registration; the rowset
+      // dir (and hence rollup registrations, keyed on the dir) is
+      // untouched. Sync-MV and MTMV definitions follow the new name.
+      val t = state(name)
+      require(tables.synchronized(!tables.contains(newName)) &&
+        !viewDefs.synchronized(viewDefs.contains(newName)),
+        s"$newName already exists")
+      val partViews = partitionNames(t)
+      tables.synchronized { tables.remove(name) }
+      s.catalog.dropTempView(name)
+      partViews.foreach(p => s.catalog.dropTempView(s"${name}__part_$p"))
+      t.synchronized {
+        t.def_ = t.def_.copy(name = newName)
+        t.mvs.mapInPlace(mv => mv.copy(table = newName,
+          selectText = mv.selectText.replaceAll(
+            s"(?i)\\bFROM\\s+`?$name`?\\b", s"FROM $newName")))
+      }
+      mtmvs.synchronized {
+        mtmvs.keys.toSeq.foreach { mn =>
+          val m = mtmvs(mn)
+          if (m.table == name) {
+            val nm = MtmvState(m.name, newName, m.pcol, m.selList, m.keys, m.dir)
+            nm.lastFiles = m.lastFiles
+            nm.lastDeletes = m.lastDeletes
+            nm.lastPlan = m.lastPlan
+            mtmvs(mn) = nm
+          }
+        }
+      }
+      tables.synchronized { tables(newName) = t }
       registerViews(t)
     case _ => sys.error(s"unsupported ALTER: ${text.take(80)}")
   }
@@ -963,16 +1068,25 @@ final class DorisDdl(s: SparkSession) {
     part.foreach(p => df = df.filter(col("_p") === p))
     val have = df.columns.toSet
     t.def_.cols.foreach { c =>
-      if (!have.contains(c.name)) // added column with no load since
+      // light RENAME COLUMN: rowsets written before the rename keep their
+      // bytes under the old name(s); surface them under the current one
+      val sources = (c.name +: c.priors).filter(have.contains)
+      if (sources.isEmpty) // added column with no load since
         df = df.withColumn(c.name, lit(c.default.orNull).cast(c.sparkType))
-      else c.default.foreach { dflt =>
-        // backfill ONLY rowsets that predate the column (_ver <= addedVer,
-        // where mergeSchema surfaced NULL): an explicit NULL written after
-        // a light ADD COLUMN — or in a CREATE-time column (addedVer 0,
-        // matching no rowset) — persists, per Doris light-schema-change
-        df = df.withColumn(c.name,
-          when(col(c.name).isNull && col("_ver") <= c.addedVer,
-            lit(dflt).cast(c.sparkType)).otherwise(col(c.name)))
+      else {
+        if (sources != Seq(c.name))
+          df = df.withColumn(c.name,
+            coalesce(sources.map(n => col(n).cast(c.sparkType)): _*))
+        c.default.foreach { dflt =>
+          // backfill ONLY rowsets that predate the column (_ver <=
+          // addedVer, where mergeSchema surfaced NULL): an explicit NULL
+          // written after a light ADD COLUMN — or in a CREATE-time column
+          // (addedVer 0, matching no rowset) — persists, per Doris
+          // light-schema-change
+          df = df.withColumn(c.name,
+            when(col(c.name).isNull && col("_ver") <= c.addedVer,
+              lit(dflt).cast(c.sparkType)).otherwise(col(c.name)))
+        }
       }
     }
     df = graft.operators.KeyModels.applyDeletePredicates(
@@ -1250,7 +1364,10 @@ object DorisDdl {
       // with _ver <= addedVer predate it and read back the DEFAULT; rows
       // loaded after a light ADD COLUMN keep explicit NULLs (Doris only
       // backfills pre-change rowsets, never later explicit writes)
-      addedVer: Long = 0L)
+      addedVer: Long = 0L,
+      // former names after light RENAME COLUMN: old rowsets keep their
+      // bytes under the old name; the read coalesces (current, priors...)
+      priors: Seq[String] = Nil)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
   // no covering partition, and a drop leaves a hole, not a merged range.

@@ -800,6 +800,72 @@ class DdlSpec extends SparkSpec {
       .as[Double].head() == 9.0)
   }
 
+  test("light RENAME COLUMN / MODIFY COLUMN and table RENAME are " +
+    "metadata-only; partition-scoped DELETE stays in its partition") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE rn (k BIGINT, val DOUBLE, note VARCHAR(4) DEFAULT 'n')
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO rn VALUES (1, 1.0, 'a'), (2, 2.0, 'b')")
+    val dir = ddlDir(ddl, "rn")
+    def fileSet() = {
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      try w.toArray.map(_.toString).filter(_.endsWith(".parquet")).toSet
+      finally w.close()
+    }
+    val before = fileSet()
+    ddl.execute("ALTER TABLE rn RENAME COLUMN val amount")
+    assert(fileSet() == before, "RENAME COLUMN must be metadata-only")
+    // old rowsets read under the new name
+    assert(ddl.sql("SELECT k, amount FROM rn ORDER BY k")
+      .as[(Long, Double)].collect().toSeq == Seq((1L, 1.0), (2L, 2.0)))
+    // a post-rename upsert merges with pre-rename rowsets
+    ddl.execute("INSERT INTO rn VALUES (1, 10.0, 'a2'), (3, 3.0, 'c')")
+    assert(ddl.sql("SELECT k, amount FROM rn ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 2.0), (3L, 3.0)))
+    // key columns rename too (merge follows the renamed key)
+    ddl.execute("ALTER TABLE rn RENAME COLUMN k id")
+    ddl.execute("INSERT INTO rn VALUES (2, 20.0, 'b2')")
+    assert(ddl.sql("SELECT id, amount FROM rn ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 10.0), (2L, 20.0), (3L, 3.0)))
+    // guards: name in use; a renamed column's FORMER name stays reserved
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE rn RENAME COLUMN amount note"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE rn ADD COLUMN k BIGINT"))
+    // MODIFY COLUMN: VARCHAR resize + DEFAULT change are light ...
+    ddl.execute("ALTER TABLE rn MODIFY COLUMN note VARCHAR(64) DEFAULT \"m\"")
+    assert(ddl.sql("DESC rn").collect()
+      .find(_.getString(0) == "note").get.getString(4) == "m")
+    // ... a physical retype is NOT light: reject, don't silently accept
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE rn MODIFY COLUMN amount BIGINT"))
+    // table rename: new name serves, old name is gone
+    ddl.execute("ALTER TABLE rn RENAME rn9")
+    assert(ddl.sql("SELECT count(*) AS n FROM rn9").as[Long].head() == 3L)
+    assert(!spark.catalog.tableExists("rn"))
+    assertThrows[Exception](ddl.execute("INSERT INTO rn VALUES (9, 9.0, 'x')"))
+    // partition-scoped DELETE: same predicate, other partitions survive
+    ddl.execute(
+      """CREATE TABLE pd (d DATE, v INT) DUPLICATE KEY(d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'),
+        |  PARTITION p2 VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      "INSERT INTO pd VALUES ('2023-06-01', 1), ('2024-06-01', 1), ('2024-07-01', 2)")
+    ddl.execute("DELETE FROM pd PARTITION (p2) WHERE v = 1")
+    assert(ddl.sql("SELECT d, v FROM pd ORDER BY d")
+      .as[(java.sql.Date, Int)].collect().toSeq.map(r => (r._1.toString, r._2)) ==
+      Seq(("2023-06-01", 1), ("2024-07-01", 2)),
+      "the v=1 row OUTSIDE p2 must survive the scoped delete")
+    // the delete is versioned: a post-delete reload into p2 survives
+    ddl.execute("INSERT INTO pd VALUES ('2024-08-01', 1)")
+    assert(ddl.sql("SELECT count(*) AS n FROM pd").as[Long].head() == 3L)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
