@@ -703,7 +703,52 @@ object DdlStatements {
         |vis AS (SELECT * FROM m
         |        WHERE NOT (c_custkey >= 750 AND c_custkey % 7 = 0))
         |SELECT c_mktsegment, count(*) AS n, round(sum(balance), 2) AS bal
-        |FROM vis GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |FROM vis GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // CREATE TABLE LIKE + partition-targeted INSERT + heavy MODIFY COLUMN
+    // (schema-change rewrite), as text: the LIKE copy inherits the range
+    // partitioning, two targeted loads land each in their declared
+    // partition (a misrouted row would kill the load), a versioned DELETE
+    // then a physical retype (INT quantity -> BIGINT) rewrites every
+    // rowset baking the delete in, and the final SELECT reads the
+    // retyped column. The oracle replays load slices + delete + cast.
+    "sql_ddl_like" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        val ddl = lifecycle("sql_ddl_like", s, dir)(Seq(
+          """CREATE TABLE li_base (
+            |  l_quantity INT,
+            |  l_orderkey BIGINT,
+            |  l_linenumber INT,
+            |  l_extendedprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(l_quantity)
+            |PARTITION BY RANGE(l_quantity) (
+            |  PARTITION p_small VALUES LESS THAN ('25'),
+            |  PARTITION p_big VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(l_orderkey) BUCKETS 8""".stripMargin,
+          "CREATE TABLE li_copy LIKE li_base",
+          """INSERT INTO li_copy PARTITION (p_small)
+            |SELECT CAST(l_quantity AS INT), l_orderkey,
+            |  CAST(l_linenumber AS INT), l_extendedprice
+            |FROM lineitem WHERE l_quantity < 25""".stripMargin,
+          """INSERT INTO li_copy PARTITION (p_big)
+            |SELECT CAST(l_quantity AS INT), l_orderkey,
+            |  CAST(l_linenumber AS INT), l_extendedprice
+            |FROM lineitem WHERE l_quantity >= 25""".stripMargin,
+          "DELETE FROM li_copy WHERE l_orderkey % 10 = 0",
+          "ALTER TABLE li_copy MODIFY COLUMN l_linenumber BIGINT"))
+        ddl.sql(
+          """SELECT l_quantity, count(*) AS n, sum(l_linenumber) AS sum_ln,
+            |  round(sum(l_extendedprice), 2) AS price
+            |FROM li_copy GROUP BY l_quantity ORDER BY l_quantity""".stripMargin)
+      },
+      """SELECT CAST(l_quantity AS INT) AS l_quantity,
+        |  count(*) AS n, sum(CAST(l_linenumber AS INT)) AS sum_ln,
+        |  round(sum(l_extendedprice), 2) AS price
+        |FROM lineitem WHERE l_orderkey % 10 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -77,6 +77,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("REFRESH MATERIALIZED VIEW")) Some(refreshStmt(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
+    else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
+    else if (up.startsWith("SHOW DATA")) Some(showData(t))
     else if (up.startsWith("SHOW TABLES")) Some(showTables())
     else if (up.startsWith("DESC")) Some(describe(t))
     else Some(select(t))
@@ -138,7 +140,24 @@ final class DorisDdl(s: SparkSession) {
     load(st, df)
   }
 
+  private val CreateLikeRe =
+    """(?is)^CREATE\s+TABLE\s+`?(\w+)`?\s+LIKE\s+`?(\w+)`?$""".r
+
   private def createTable(text: String): Unit = text match {
+    case CreateLikeRe(name, srcName) =>
+      // CREATE TABLE t2 LIKE t: copy the full definition (key model,
+      // partitions — including DROPPED holes, as a SHOW CREATE replay
+      // would — distribution, sequence column), no data. Physical-lineage
+      // metadata resets: the new table has no rowsets, so addedVer
+      // backfill stamps and rename priors do not carry over.
+      val src = state(srcName).def_
+      require(tables.synchronized(!tables.contains(name)),
+        s"table $name already exists")
+      val st = TableState(
+        src.copy(name = name,
+          cols = src.cols.map(_.copy(addedVer = 0L, priors = Nil))),
+        graft.TempDirs.create(s"graft_ddl_$name"))
+      tables.synchronized { tables(name) = st }
     case CtasRe(name, clauses, sel) => createTableAs(name, clauses, sel)
     case CreateRe(name, rest0) =>
       val (colsText, afterCols) = untilMatchingParen(rest0)
@@ -516,11 +535,17 @@ final class DorisDdl(s: SparkSession) {
   // ---------------------------------------------------------------- INSERT
 
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
+    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
 
   private def insertInto(text: String): Unit = text match {
-    case InsertRe(name, _, colList, body) =>
+    case InsertRe(name, pname, _, colList, body) =>
       val t = state(name)
+      val part = Option(pname)
+      part.foreach { p =>
+        require(t.def_.partCol.isDefined,
+          s"$name: PARTITION insert needs a partitioned table")
+        require(partitionNames(t).contains(p), s"$name: unknown partition $p")
+      }
       val src =
         if (body.toUpperCase.startsWith("VALUES")) {
           val targets = Option(colList)
@@ -534,7 +559,7 @@ final class DorisDdl(s: SparkSession) {
               case None => df.toDF(t.def_.cols.map(_.name): _*)
             }
         }
-      load(t, src)
+      load(t, src, part)
     case _ => sys.error(s"unparseable INSERT: ${text.take(80)}")
   }
 
@@ -570,9 +595,18 @@ final class DorisDdl(s: SparkSession) {
       .repartition(t.def_.buckets, col(t.def_.hashCol))
   }
 
-  private def load(t: TableState, src: DataFrame): Unit = {
+  private def load(t: TableState, src: DataFrame,
+      part: Option[String] = None): Unit = {
     val ver = t.synchronized { t.nextVer += 1; t.nextVer }
-    val out = rowset(t, src, ver)
+    var out = rowset(t, src, ver)
+    // INSERT INTO t PARTITION (p): a row routed anywhere else kills the
+    // load (Doris rejects rows outside the target partition list)
+    part.foreach { p =>
+      out = out.withColumn("_p",
+        when(col("_p") === p, col("_p")).otherwise(raise_error(concat(
+          lit(s"${t.def_.name}: INSERT PARTITION ($p) received a row for partition "),
+          col("_p")))))
+    }
     val w = out.write.mode("append")
     (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
     registerViews(t)
@@ -624,24 +658,30 @@ final class DorisDdl(s: SparkSession) {
             java.nio.file.Paths.get(t.dir), keepRoot = true)
           t.synchronized { t.deletes.clear() }
       }
-      val stRoot = java.nio.file.Paths.get(staging)
-      val dstRoot = java.nio.file.Paths.get(t.dir)
-      val stagedFiles = {
-        val walk = java.nio.file.Files.walk(stRoot)
-        try walk.filter(f => f.toString.endsWith(".parquet"))
-          .toArray(new Array[java.nio.file.Path](_)).toSeq
-        finally walk.close()
-      }
-      stagedFiles.foreach { f =>
-        val rel = stRoot.relativize(f)
-        val dst = dstRoot.resolve(rel)
-        java.nio.file.Files.createDirectories(dst.getParent)
-        java.nio.file.Files.move(f, dst,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
+      moveStagedParquet(staging, t.dir)
       registerViews(t)
       refreshMvs(t)
     case _ => sys.error(s"unparseable INSERT OVERWRITE: ${text.take(80)}")
+  }
+
+  /** Publish a staged write: move its parquet files (with their partition
+    * subdirs) into the table dir. Close-safe walk. */
+  private def moveStagedParquet(staging: String, dir: String): Unit = {
+    val stRoot = java.nio.file.Paths.get(staging)
+    val dstRoot = java.nio.file.Paths.get(dir)
+    val stagedFiles = {
+      val walk = java.nio.file.Files.walk(stRoot)
+      try walk.filter(f => f.toString.endsWith(".parquet"))
+        .toArray(new Array[java.nio.file.Path](_)).toSeq
+      finally walk.close()
+    }
+    stagedFiles.foreach { f =>
+      val rel = stRoot.relativize(f)
+      val dst = dstRoot.resolve(rel)
+      java.nio.file.Files.createDirectories(dst.getParent)
+      java.nio.file.Files.move(f, dst,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   /** Range-partition assignment. AUTO mode: the partition IS the
@@ -883,28 +923,71 @@ final class DorisDdl(s: SparkSession) {
       }
       registerViews(t)
     case ModifyColRe(name, colDef) =>
-      // light MODIFY COLUMN: only changes that leave the PHYSICAL type
-      // alone are light — VARCHAR resizes (every length maps to STRING,
-      // Doris's light varchar widen) and DEFAULT changes. A physical
-      // retype would need a rowset rewrite (Doris schedules a full
-      // schema-change job for those): reject loudly rather than accept
-      // text whose meaning we cannot honor.
+      // MODIFY COLUMN. Two regimes, exactly Doris's:
+      //  - LIGHT: the physical type is unchanged (VARCHAR resize — every
+      //    length maps to STRING — or a DEFAULT change): metadata only.
+      //  - HEAVY: a physical retype runs a SCHEMA-CHANGE REWRITE (Doris
+      //    schedules a background job building new tablets): every rowset
+      //    is re-materialized with the cast, staged, then swapped in.
+      //    Per-row `_ver` (and `_sign`) survive, so merge-on-read is
+      //    unchanged; standing versioned deletes are BAKED INTO the
+      //    rewrite (all rewritten rows predate them) and cleared; rename
+      //    priors are physically normalized away.
       val t = state(name)
       val c = parseColDef(colDef)
       val d = t.def_
       val old = d.cols.find(_.name == c.name)
         .getOrElse(sys.error(s"$name: unknown column ${c.name}"))
-      require(c.sparkType == old.sparkType,
-        s"$name: MODIFY COLUMN cannot change the physical type " +
-          s"(${old.sparkType} -> ${c.sparkType}); only VARCHAR resize and " +
-          "DEFAULT changes are light")
       require(c.agg == old.agg,
         s"$name: MODIFY COLUMN cannot change the aggregate marker")
-      t.synchronized {
-        t.def_ = d.copy(cols = d.cols.map(x =>
-          if (x.name == c.name) old.copy(default = c.default) else x))
+      if (c.sparkType == old.sparkType) {
+        t.synchronized {
+          t.def_ = d.copy(cols = d.cols.map(x =>
+            if (x.name == c.name) old.copy(default = c.default) else x))
+        }
+      } else {
+        require(!d.keyCols.contains(c.name) && !d.partCol.contains(c.name),
+          s"$name: cannot retype key/partition column ${c.name}")
+        val newCols = d.cols.map(x =>
+          if (x.name == c.name)
+            old.copy(sparkType = c.sparkType, default = c.default)
+          else x)
+        if (!Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) {
+          var df = s.read.option("mergeSchema", "true").parquet(t.dir)
+          val have = df.columns.toSet
+          // resolve rename priors FIRST (deletes may reference them), then
+          // bake in the standing versioned deletes
+          d.cols.foreach { x =>
+            val sources = (x.name +: x.priors).filter(have.contains)
+            if (sources.nonEmpty && sources != Seq(x.name))
+              df = df.withColumn(x.name, coalesce(sources.map(col): _*))
+          }
+          df = graft.operators.KeyModels.applyDeletePredicates(df,
+            t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
+          val keep = newCols.map(x =>
+            (if (df.columns.contains(x.name)) col(x.name) else lit(null))
+              .cast(x.sparkType).as(x.name)) ++
+            Seq(col("_ver")) ++
+            (if (df.columns.contains("_sign")) Seq(col("_sign")) else Nil) ++
+            (if (d.partCol.isDefined) Seq(col("_p")) else Nil)
+          val out = df.select(keep: _*)
+            .repartition(d.buckets, col(d.hashCol))
+          val staging = graft.TempDirs.create(s"graft_ddl_sc_$name")
+          val w = out.write.mode("overwrite")
+          (if (d.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
+          // staging succeeded — swap (the failed-rewrite case leaves the
+          // table untouched, the same publish discipline as OVERWRITE)
+          graft.TempDirs.deleteTree(
+            java.nio.file.Paths.get(t.dir), keepRoot = true)
+          moveStagedParquet(staging, t.dir)
+        }
+        t.synchronized {
+          t.deletes.clear()
+          t.def_ = d.copy(cols = newCols.map(_.copy(priors = Nil)))
+        }
       }
       registerViews(t)
+      refreshMvs(t)
     case RenameTableRe(name, newName) =>
       // table rename: catalog re-key + view re-registration; the rowset
       // dir (and hence rollup registrations, keyed on the dir) is
@@ -1234,6 +1317,40 @@ final class DorisDdl(s: SparkSession) {
           c.default.orNull)
       }.toDF("field", "type", "key", "aggregation", "default")
     case _ => sys.error(s"unparseable DESC: ${text.take(80)}")
+  }
+
+  private val ShowColumnsRe =
+    """(?is)^SHOW\s+COLUMNS\s+FROM\s+`?(\w+)`?$""".r
+
+  /** `SHOW COLUMNS FROM t` — the MySQL-ish alias of DESC. */
+  private def showColumns(text: String): DataFrame = text match {
+    case ShowColumnsRe(name) => describe(s"DESC $name")
+    case _ => sys.error(s"unparseable SHOW COLUMNS: ${text.take(80)}")
+  }
+
+  private val ShowDataRe =
+    """(?is)^SHOW\s+DATA(?:\s+FROM\s+`?(\w+)`?)?$""".r
+
+  /** `SHOW DATA [FROM t]` → (table_name, size_bytes, n_files): physical
+    * rowset footprint from a driver file listing — zero data IO, the same
+    * accounting Doris's FE serves from tablet metadata. */
+  private def showData(text: String): DataFrame = text match {
+    case ShowDataRe(name) =>
+      val targets = Option(name) match {
+        case Some(n) => Seq(state(n))
+        case None => tables.synchronized(tables.values.toSeq)
+      }
+      import s.implicits._
+      targets.map { t =>
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(t.dir))
+        val files =
+          try walk.filter(f => f.toString.endsWith(".parquet"))
+            .toArray(new Array[java.nio.file.Path](_)).toSeq
+          finally walk.close()
+        (t.def_.name, files.map(f => java.nio.file.Files.size(f)).sum,
+          files.size.toLong)
+      }.toDF("table_name", "size_bytes", "n_files")
+    case _ => sys.error(s"unparseable SHOW DATA: ${text.take(80)}")
   }
 
   private val ShowCreateRe =

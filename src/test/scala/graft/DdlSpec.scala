@@ -839,9 +839,15 @@ class DdlSpec extends SparkSpec {
     ddl.execute("ALTER TABLE rn MODIFY COLUMN note VARCHAR(64) DEFAULT \"m\"")
     assert(ddl.sql("DESC rn").collect()
       .find(_.getString(0) == "note").get.getString(4) == "m")
-    // ... a physical retype is NOT light: reject, don't silently accept
-    assertThrows[IllegalArgumentException](
-      ddl.execute("ALTER TABLE rn MODIFY COLUMN amount BIGINT"))
+    // ... a physical retype is a HEAVY schema change: rowsets are
+    // rewritten (contrast with the metadata-only rename above)
+    ddl.execute("ALTER TABLE rn MODIFY COLUMN amount BIGINT")
+    assert(fileSet() != before, "a retype must rewrite rowsets")
+    assert(ddl.sql("SELECT * FROM rn").schema("amount").dataType.typeName
+      == "long")
+    assert(ddl.sql("SELECT id, amount FROM rn ORDER BY id")
+      .as[(Long, Long)].collect().toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 3L)))
     // table rename: new name serves, old name is gone
     ddl.execute("ALTER TABLE rn RENAME rn9")
     assert(ddl.sql("SELECT count(*) AS n FROM rn9").as[Long].head() == 3L)
@@ -864,6 +870,55 @@ class DdlSpec extends SparkSpec {
     // the delete is versioned: a post-delete reload into p2 survives
     ddl.execute("INSERT INTO pd VALUES ('2024-08-01', 1)")
     assert(ddl.sql("SELECT count(*) AS n FROM pd").as[Long].head() == 3L)
+  }
+
+  test("CREATE TABLE LIKE, SHOW COLUMNS / SHOW DATA, partition-targeted " +
+    "INSERT, and the heavy MODIFY COLUMN retype rewrite") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE lk (d DATE, k BIGINT, v INT, note VARCHAR(4) DEFAULT 'n')
+        |UNIQUE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION p2 VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      "INSERT INTO lk VALUES ('2024-01-10', 1, 5, 'a'), ('2024-03-10', 2, 6, 'b')")
+    // LIKE copies the definition (round-trips through SHOW CREATE), no data
+    ddl.execute("CREATE TABLE lk2 LIKE lk")
+    val s1 = ddl.sql("SHOW CREATE TABLE lk")
+      .select("create_table").as[String].head()
+    val s2 = ddl.sql("SHOW CREATE TABLE lk2")
+      .select("create_table").as[String].head()
+    assert(s2.replace("lk2", "lk") == s1, s"$s1\n---\n$s2")
+    assert(!spark.catalog.tableExists("lk2"), "LIKE must copy no data")
+    ddl.execute("INSERT INTO lk2 VALUES ('2024-01-15', 9, 9, 'z')")
+    assert(ddl.sql("SELECT count(*) AS n FROM lk2").as[Long].head() == 1L)
+    // SHOW COLUMNS is the DESC alias; SHOW DATA reads physical footprint
+    assert(ddl.sql("SHOW COLUMNS FROM lk").collect()
+      .map(_.getString(0)).toSeq == Seq("d", "k", "v", "note"))
+    val rows = ddl.sql("SHOW DATA").collect()
+    assert(rows.map(_.getString(0)).toSet == Set("lk", "lk2"))
+    assert(rows.forall(r => r.getLong(1) > 0 && r.getLong(2) > 0), rows.toSeq)
+    // partition-targeted INSERT: in-partition lands, out-of-partition kills
+    // the load without corrupting the table
+    ddl.execute("INSERT INTO lk PARTITION (p1) VALUES ('2024-01-20', 3, 7, 'c')")
+    assertThrows[Exception](ddl.execute(
+      "INSERT INTO lk PARTITION (p1) VALUES ('2024-03-20', 4, 8, 'd')"))
+    assert(ddl.sql("SELECT count(*) AS n FROM lk").as[Long].head() == 3L)
+    // heavy MODIFY COLUMN (a physical retype = schema-change rewrite):
+    // the standing delete is baked in, per-row versions survive
+    ddl.execute("DELETE FROM lk WHERE k = 3")
+    ddl.execute("ALTER TABLE lk MODIFY COLUMN v BIGINT")
+    assert(ddl.sql("SELECT * FROM lk").schema("v").dataType.typeName == "long")
+    assert(ddl.sql("SELECT k, v FROM lk ORDER BY k")
+      .as[(Long, Long)].collect().toSeq == Seq((1L, 5L), (2L, 6L)))
+    // merge-on-read still works across the rewrite boundary
+    ddl.execute("INSERT INTO lk VALUES ('2024-01-10', 1, 50, 'a2')")
+    assert(ddl.sql("SELECT v FROM lk WHERE k = 1").as[Long].head() == 50L)
+    // key/partition columns cannot be retyped
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE lk MODIFY COLUMN k INT"))
   }
 
   private def ddlDir(ddl: DorisDdl, table: String): String = {
