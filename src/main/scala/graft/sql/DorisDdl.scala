@@ -75,6 +75,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
     else if (up.startsWith("REFRESH MATERIALIZED VIEW")) Some(refreshStmt(t))
+    else if (up.startsWith("EXPORT TABLE")) Some(exportTable(t))
+    else if (up.startsWith("EXPLAIN")) Some(explainStmt(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
@@ -370,7 +372,7 @@ final class DorisDdl(s: SparkSession) {
     * (immutable snapshots — the rule's plan cache never sees mutated
     * files) and REPLACES the previous registration. */
   private def refreshMv(t: TableState, mv: MvDef): Unit = {
-    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
+    if (!hasRowsets(t.dir)) return
     registerViews(t)
     val df = DorisSqlDialect.sql(s, mv.selectText)
     val ver = t.synchronized { t.mvVer += 1; t.mvVer }
@@ -497,7 +499,7 @@ final class DorisDdl(s: SparkSession) {
     * (keys, _p) equals grouping by keys because the partition column is a
     * group key, so dropping _p yields exactly the declared SELECT. */
   private def registerMtmvView(m: MtmvState): Unit =
-    if (Option(new java.io.File(m.dir).list()).forall(_.isEmpty))
+    if (!hasRowsets(m.dir))
       s.catalog.dropTempView(m.name)
     else s.read.parquet(m.dir).drop("_p").createOrReplaceTempView(m.name)
 
@@ -608,7 +610,15 @@ final class DorisDdl(s: SparkSession) {
           col("_p")))))
     }
     val w = out.write.mode("append")
-    (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
+    try (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
+    catch { case e: Throwable =>
+      // a REJECTED load (raise_error row) must leave no droppings: the
+      // aborted Spark job can leave a _temporary dir, which would make an
+      // otherwise-empty table dir look non-empty (and unreadable) to the
+      // view registration
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, "_temporary"))
+      throw e
+    }
     registerViews(t)
     refreshMvs(t)
   }
@@ -662,6 +672,17 @@ final class DorisDdl(s: SparkSession) {
       registerViews(t)
       refreshMvs(t)
     case _ => sys.error(s"unparseable INSERT OVERWRITE: ${text.take(80)}")
+  }
+
+  /** Does `dir` hold any committed rowset file? Directory MARKERS —
+    * `_SUCCESS`, an aborted job's `_temporary` — don't count: Spark's
+    * reader ignores them, so a dir containing only markers (e.g. after
+    * DROP PARTITION removed the last data partition) must be treated as
+    * EMPTY or the read fails schema inference. Close-safe walk. */
+  private def hasRowsets(dir: String): Boolean = {
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.anyMatch(f => f.toString.endsWith(".parquet"))
+    finally walk.close()
   }
 
   /** Publish a staged write: move its parquet files (with their partition
@@ -738,7 +759,7 @@ final class DorisDdl(s: SparkSession) {
       require(t.def_.keysType == "UNIQUE",
         s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
       // an empty table (never loaded, or truncated) has nothing to update
-      if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) return
+      if (!hasRowsets(t.dir)) return
       registerViews(t)
       val assignments = topLevelSplit(sets).map { a =>
         val Array(c, e) = a.split("=", 2)
@@ -952,7 +973,7 @@ final class DorisDdl(s: SparkSession) {
           if (x.name == c.name)
             old.copy(sparkType = c.sparkType, default = c.default)
           else x)
-        if (!Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) {
+        if (hasRowsets(t.dir)) {
           var df = s.read.option("mergeSchema", "true").parquet(t.dir)
           val have = df.columns.toSet
           // resolve rename priors FIRST (deletes may reference them), then
@@ -1118,6 +1139,48 @@ final class DorisDdl(s: SparkSession) {
     Seq((n, path)).toDF("rows_written", "path")
   }
 
+  private val ExportRe =
+    """(?is)^EXPORT\s+TABLE\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?TO\s+'([^']+)'\s*(?:FORMAT\s+AS\s+(\w+))?$""".r
+
+  /** `EXPORT TABLE t [PARTITION (p)] TO 'path' [FORMAT AS CSV|PARQUET]` —
+    * the table-level export job ([doris: fe/.../load/ExportJob.java]): the
+    * visible merge-on-read rows (optionally one partition, pruned) write
+    * DISTRIBUTED — one file per task, never collected — and the statement
+    * returns Doris's one-row job summary. */
+  private def exportTable(text: String): DataFrame = text match {
+    case ExportRe(name, pname, path, fmt) =>
+      val t = state(name)
+      require(hasRowsets(t.dir),
+        s"$name: nothing to export (empty table)")
+      val part = Option(pname)
+      part.foreach(p => require(partitionNames(t).contains(p),
+        s"$name: unknown partition $p"))
+      val df = visible(t, part)
+      Option(fmt).getOrElse("CSV").toUpperCase match {
+        case "CSV" => df.write.mode("overwrite")
+          .option("header", "true").csv(path)
+        case "PARQUET" => df.write.mode("overwrite").parquet(path)
+        case other => sys.error(s"EXPORT: unsupported format $other")
+      }
+      val n = s.read.format(Option(fmt).getOrElse("CSV").toLowerCase)
+        .option("header", "true").load(path).count()
+      import s.implicits._
+      Seq((name, n, path)).toDF("table_name", "rows_exported", "path")
+    case _ => sys.error(s"unparseable EXPORT: ${text.take(80)}")
+  }
+
+  /** `EXPLAIN <query>` → the optimized logical + physical plan, one line
+    * per row (Doris returns its plan the same way over the wire). */
+  private def explainStmt(text: String): DataFrame = {
+    val q = """(?is)^EXPLAIN\s+(.*)$""".r.findFirstMatchIn(text.trim)
+      .map(_.group(1)).getOrElse(sys.error(s"unparseable EXPLAIN: $text"))
+    val df = select(q)
+    import s.implicits._
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+      .linesIterator.toSeq.toDF("plan")
+  }
+
   private def select(text: String): DataFrame = text match {
     case IntoOutfileRe(sel, path, fmt)
         if text.toUpperCase.contains("INTO OUTFILE") =>
@@ -1224,7 +1287,7 @@ final class DorisDdl(s: SparkSession) {
   private def registerViews(t: TableState): Unit = {
     // a created-but-never-loaded (or emptied) table has no rowsets to
     // read: no view may serve stale rows
-    if (Option(new java.io.File(t.dir).list()).forall(_.isEmpty)) {
+    if (!hasRowsets(t.dir)) {
       s.catalog.dropTempView(t.def_.name)
       t.def_.parts.foreach(p =>
         s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))

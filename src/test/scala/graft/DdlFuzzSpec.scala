@@ -106,9 +106,11 @@ class DdlFuzzSpec extends SparkSpec {
       var model = Map.empty[Long, (Double, Boolean, Option[String])]
       var dropped = Set.empty[String]
       var tagAdded = false
+      var vName = "v" // current name of the value column (RENAME COLUMN op)
+      var vRetyped = false // heavy MODIFY ran: v reads back as BIGINT
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
 
-      for (_ <- 1 to 8) rnd.nextInt(8) match {
+      try for (_ <- 1 to 10) rnd.nextInt(10) match {
         case 0 | 1 | 2 => // upsert load; a key in a dropped range fails ALL
           val n = 1 + rnd.nextInt(4)
           val ks = rnd.shuffle((0L until 24L).toList).take(n)
@@ -124,7 +126,7 @@ class DdlFuzzSpec extends SparkSpec {
             case (k, v, "null") => s"($k, $v, NULL)"
             case (k, v, t) => s"($k, $v, '$t')"
           }.mkString(", ")
-          val cols = if (tagAdded) "(k, v, tag)" else "(k, v)"
+          val cols = if (tagAdded) s"(k, $vName, tag)" else s"(k, $vName)"
           val st = s"INSERT INTO fz2 $cols VALUES $values"
           trace += st
           if (ks.exists(k => dropped.contains(rangeOf(k)))) {
@@ -167,10 +169,11 @@ class DdlFuzzSpec extends SparkSpec {
         case 7 => // CTAS with UNIQUE KEY: snapshot must carry upsert semantics
           if (model.nonEmpty) {
             val st = "CREATE TABLE fzc UNIQUE KEY(k) " +
-              "DISTRIBUTED BY HASH(k) BUCKETS 1 AS SELECT k, v FROM fz2"
+              s"DISTRIBUTED BY HASH(k) BUCKETS 1 AS SELECT k, $vName FROM fz2"
             trace += st; ddl.execute(st)
-            ddl.execute(s"INSERT INTO fzc VALUES (${model.keys.min}, 777.0)")
-            val got = ddl.sql("SELECT k, v FROM fzc ORDER BY k")
+            ddl.execute(s"INSERT INTO fzc VALUES (${model.keys.min}, 777)")
+            val got = ddl.sql(
+              s"SELECT k, CAST($vName AS DOUBLE) AS v FROM fzc ORDER BY k")
               .as[(Long, Double)].collect().toSeq
             val want = (model.map { case (k, (v, _, _)) => (k, v) } +
               (model.keys.min -> 777.0)).toSeq.sortBy(_._1)
@@ -179,12 +182,26 @@ class DdlFuzzSpec extends SparkSpec {
                 s"${trace.mkString("\n  ")}\nengine: $got\nmodel:  $want")
             ddl.execute("DROP TABLE fzc")
           }
+        case 8 => // light RENAME COLUMN mid-sequence: reads/writes follow
+          val next = s"v${trace.size}r"
+          val st = s"ALTER TABLE fz2 RENAME COLUMN $vName $next"
+          trace += st; ddl.execute(st)
+          vName = next
+        case 9 => // heavy MODIFY retype (rewrite job; values stay integral)
+          if (!vRetyped) {
+            val st = s"ALTER TABLE fz2 MODIFY COLUMN $vName BIGINT"
+            trace += st; ddl.execute(st)
+            vRetyped = true
+          }
+      } catch { case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+        fail(s"sequence $seqNo threw ${e.getMessage}\nstatements:\n  " +
+          trace.mkString("\n  "), e)
       }
 
       val exists = spark.catalog.tableExists("fz2")
       if (!tagAdded) {
         val got = if (!exists) Seq.empty
-          else ddl.sql("SELECT k, v FROM fz2 ORDER BY k")
+          else ddl.sql(s"SELECT k, CAST($vName AS DOUBLE) AS v FROM fz2 ORDER BY k")
             .as[(Long, Double)].collect().toSeq
         val want = model.toSeq.map { case (k, (v, _, _)) => (k, v) }.sortBy(_._1)
         assert(got == want,
@@ -192,7 +209,8 @@ class DdlFuzzSpec extends SparkSpec {
             s"\nengine: $got\nmodel:  $want")
       } else {
         val got = if (!exists) Seq.empty
-          else ddl.sql("SELECT k, v, tag FROM fz2 ORDER BY k")
+          else ddl.sql(
+            s"SELECT k, CAST($vName AS DOUBLE) AS v, tag FROM fz2 ORDER BY k")
             .as[(Long, Double, Option[String])].collect().toSeq
         val want = model.toSeq.map { case (k, (v, preAdd, tag)) =>
           (k, v, if (preAdd) Some("old") else tag)

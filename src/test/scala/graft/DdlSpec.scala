@@ -921,6 +921,49 @@ class DdlSpec extends SparkSpec {
       ddl.execute("ALTER TABLE lk MODIFY COLUMN k INT"))
   }
 
+  test("EXPORT TABLE writes distributed files (whole table and one " +
+    "partition); EXPLAIN returns the plan; dropping the LAST data " +
+    "partition leaves a readable empty table") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ex (d DATE, v INT) DUPLICATE KEY(d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'),
+        |  PARTITION p2 VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(v) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      "INSERT INTO ex VALUES ('2023-06-01', 1), ('2024-06-01', 2), ('2024-07-01', 3)")
+    val out = TempDirs.create("graft_export")
+    val r = ddl.sql(s"EXPORT TABLE ex TO '$out'")
+      .as[(String, Long, String)].head()
+    assert(r._1 == "ex" && r._2 == 3L, r)
+    val outP = TempDirs.create("graft_export_p")
+    val rp = ddl.sql(s"EXPORT TABLE ex PARTITION (p2) TO '$outP' FORMAT AS PARQUET")
+      .as[(String, Long, String)].head()
+    assert(rp._2 == 2L, rp)
+    assert(spark.read.parquet(outP).count() == 2L)
+    // EXPLAIN returns the physical plan as rows
+    val plan = ddl.sql("EXPLAIN SELECT count(*) AS n FROM ex")
+      .as[String].collect().mkString("\n")
+    assert(plan.contains("Physical Plan"), plan.take(200))
+    // regression pin (caught by the fuzz): dropping every data-bearing
+    // partition leaves only the _SUCCESS marker — the table must read as
+    // EMPTY, not fail schema inference
+    val ddl2 = fresh()
+    ddl2.execute(
+      """CREATE TABLE lone (k BIGINT, v INT) DUPLICATE KEY(k)
+        |PARTITION BY RANGE(k) (
+        |  PARTITION pa VALUES LESS THAN ('10'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
+    ddl2.execute("INSERT INTO lone VALUES (1, 1)")
+    ddl2.execute("ALTER TABLE lone DROP PARTITION pa") // the ONLY data
+    assert(!spark.catalog.tableExists("lone"),
+      "a table with no rowsets must not serve a view")
+    ddl2.execute("INSERT INTO lone VALUES (20, 2)") // pb still live
+    assert(ddl2.sql("SELECT count(*) AS n FROM lone").as[Long].head() == 1L)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
