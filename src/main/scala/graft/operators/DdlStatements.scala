@@ -748,7 +748,46 @@ object DdlStatements {
         |  count(*) AS n, sum(CAST(l_linenumber AS INT)) AS sum_ln,
         |  round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_orderkey % 10 <> 0
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // COUNT(DISTINCT) served from a BITMAP_UNION MV — Doris's signature
+    // count-distinct acceleration, all as text: the MV declares
+    // BITMAP_UNION(TO_BITMAP(user_id)) per event_type, is maintained
+    // transactionally through a second load, and the final plain
+    // count(DISTINCT user_id) query retargets onto the bitmap rollup
+    // (cardinality of the merged roaring set — EXACT, unlike NDV
+    // sketches; DdlSpec pins the serving plan). The oracle recomputes the
+    // distinct count from raw events, so the hash compare proves the
+    // bitmap path is exact.
+    "sql_ddl_bitmap_mv" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_bitmap_mv", s, dir)(Seq(
+          """CREATE TABLE evb (
+            |  user_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  value DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(user_id)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO evb
+            |SELECT user_id, event_type, value
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          """CREATE MATERIALIZED VIEW evb_mv AS
+            |SELECT event_type, BITMAP_UNION(TO_BITMAP(user_id)) AS uids,
+            |  COUNT(*) AS cnt
+            |FROM evb GROUP BY event_type""".stripMargin,
+          """INSERT INTO evb
+            |SELECT user_id, event_type, value
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type, count(DISTINCT user_id) AS n_users,
+            |  count(*) AS n_rows
+            |FROM evb GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -398,6 +398,26 @@ private[plans] object MergeAgg {
           val newFilt = filt.map(_.transform {
             case a: AttributeReference => attr(a.name) })
           Some(ae.copy(aggregateFunction = newFn, filter = newFilt))
+        // COUNT(DISTINCT value-col) served EXACTLY from a BITMAP_UNION
+        // rollup column — Doris MaterializedViewSelector's signature
+        // count-distinct → bitmap_union_count rewrite: the rollup stores
+        // each group's distinct-id SET as a roaring bitmap, so the merged
+        // union's cardinality IS the base count distinct (set union is
+        // multiplicity- and grouping-insensitive). A key-only FILTER
+        // transplants onto the merged union as usual. At 100 TB this turns
+        // a full-fact count-distinct shuffle into a scan of pre-collapsed
+        // bitmap state — the reason Doris users declare these MVs.
+        case AggregateExpression(Count(Seq(a: AttributeReference)), _, true, filt, _)
+            if columns.contains(("bitmap_union", a.name)) &&
+              filt.forall(keyOnlyPred) =>
+          val newFilt = filt.map(_.transform {
+            case x: AttributeReference => attr(x.name) })
+          val c = columns(("bitmap_union", a.name))
+          Some(graft.functions.BitmapFunctions.BitmapCardinality(
+            AggregateExpression(
+              graft.functions.NativeAggregates.BitmapUnionBinary(attr(c)),
+              Complete, isDistinct = false, newFilt,
+              NamedExpression.newExprId)))
         // every OTHER aggregate shape must bail EXPLICITLY rather than fall
         // through to the generic child rewrite below: rebuilding a
         // non-distinct aggregate verbatim over the rollup scan treats

@@ -324,6 +324,11 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+AS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*)$""".r
   private val MvAggRe =
     """(?is)^(SUM|MIN|MAX|COUNT)\s*\(\s*(\*|`?\w+`?)\s*\)\s+AS\s+`?(\w+)`?$""".r
+  // Doris count-distinct MV item: BITMAP_UNION(TO_BITMAP(col)) AS alias —
+  // the rollup stores the distinct-id set per group; the planner then
+  // serves COUNT(DISTINCT col) from it transparently
+  private val MvBitmapRe =
+    """(?is)^BITMAP_UNION\s*\(\s*TO_BITMAP\s*\(\s*`?(\w+)`?\s*\)\s*\)\s+AS\s+`?(\w+)`?$""".r
 
   // Doris 2.1 ASYNC partitioned MTMV ([doris: fe/.../mtmv/MTMVPartitionUtil
   // .java — partition-version diffing]): BUILD IMMEDIATE materializes at
@@ -345,20 +350,34 @@ final class DorisDdl(s: SparkSession) {
       keys.foreach(k => require(t.def_.cols.exists(_.name == k),
         s"$mvName: unknown group key $k"))
       var colMap = Map.empty[(String, String), String]
-      topLevelSplit(selList).foreach { item =>
+      val items = topLevelSplit(selList).map { item =>
         item.trim match {
+          case MvBitmapRe(arg0, alias) =>
+            val arg = stripIdent(arg0)
+            val argType = t.def_.cols.find(_.name == arg)
+              .getOrElse(sys.error(s"$mvName: unknown column $arg")).sparkType
+            require(Seq("TINYINT", "SMALLINT", "INT", "BIGINT")
+              .contains(argType.toUpperCase),
+              s"$mvName: BITMAP_UNION(TO_BITMAP($arg)) needs an integer " +
+                s"column, got $argType")
+            colMap += (("bitmap_union", arg) -> alias)
+            // build with the raw-long union (same set, one less wrap)
+            s"bitmap_union($arg) AS $alias"
           case MvAggRe(fn, arg, alias) =>
             colMap += ((fn.toLowerCase, stripIdent(arg)) -> alias)
-          case ident if keys.contains(stripIdent(ident)) => ()
+            item.trim
+          case ident if keys.contains(stripIdent(ident)) => ident.trim
           case other => sys.error(s"$mvName: unsupported MV select item " +
-            s"(need k1..kn, AGG(col) AS alias): $other")
+            s"(need k1..kn, AGG(col) AS alias, BITMAP_UNION(TO_BITMAP(col)) " +
+            s"AS alias): $other")
         }
       }
       require(colMap.nonEmpty, s"$mvName: an MV needs at least one aggregate")
       require(t.synchronized(!t.mvs.exists(_.name == mvName)),
         s"materialized view $mvName already exists")
       val mv = MvDef(mvName, tableName,
-        s"SELECT $selList FROM $tableName GROUP BY ${keys.mkString(", ")}",
+        s"SELECT ${items.mkString(", ")} FROM $tableName " +
+          s"GROUP BY ${keys.mkString(", ")}",
         keys, colMap)
       t.synchronized { t.mvs += mv }
       graft.plans.RollupRewrite.install(s)
