@@ -1037,6 +1037,111 @@ object LlmText {
         |  CAST(doc_id % 256 AS INTEGER) AS topleft
         |FROM d JOIN m USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // Multimodal AUDIO decode — the second real fixed-format parser beside
+    // the BMP key: each doc gets a genuine 16-bit PCM mono WAV blob (RIFF
+    // container, fmt chunk walked by id — not assumed at a fixed offset —
+    // word-aligned chunk sizes, little-endian samples), built
+    // deterministically from doc_id; the decoder is a from-scratch RIFF
+    // chunk walker + PCM reader running per-partition over the binary
+    // column, emitting the features an audio-curation pipeline computes
+    // (duration, RMS energy, zero-crossing count, peak). The oracle can't
+    // parse WAV, so it replays the generator's sample formula — a decoder
+    // that misreads the header layout, chunk alignment, or sample
+    // endianness diverges from the replay.
+    "llm_multimodal_audio" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val rate = 8000
+        val makeWav = udf { (docId: Long) =>
+          val n = 64 + (docId % 50).toInt
+          val b = java.nio.ByteBuffer.allocate(44 + 2 * n)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes).putInt(36 + 2 * n).put("WAVE".getBytes)
+          b.put("fmt ".getBytes).putInt(16)
+            .putShort(1).putShort(1) // PCM, mono
+            .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+          b.put("data".getBytes).putInt(2 * n)
+          var i = 0
+          while (i < n) {
+            b.putShort((((docId * 31 + i * 97) % 2003) - 1001).toShort)
+            i += 1
+          }
+          b.array()
+        }
+        val withBlob = Tables.documents(s, dir)
+          .select($"doc_id", makeWav($"doc_id").as("blob"))
+        val outSchema = StructType(Seq(
+          StructField("doc_id", LongType),
+          StructField("n_samples", IntegerType),
+          StructField("sample_rate", IntegerType),
+          StructField("n_bytes", IntegerType),
+          StructField("duration_ms", DoubleType),
+          StructField("rms", DoubleType),
+          StructField("zero_cross", IntegerType),
+          StructField("peak", IntegerType)))
+        val decoded = withBlob.rdd.mapPartitions { it =>
+          it.map { r =>
+            val id = r.getLong(0)
+            val bytes = r.getAs[Array[Byte]](1)
+            val b = java.nio.ByteBuffer.wrap(bytes)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            require(new String(bytes, 0, 4, "US-ASCII") == "RIFF" &&
+              new String(bytes, 8, 4, "US-ASCII") == "WAVE",
+              s"doc $id: not a WAV")
+            // walk the chunk list — fmt /data may sit anywhere after WAVE
+            var pos = 12
+            var sr = -1; var bits = -1; var dataOff = -1; var dataLen = -1
+            while (pos + 8 <= bytes.length && (dataOff < 0 || sr < 0)) {
+              val cid = new String(bytes, pos, 4, "US-ASCII")
+              val sz = b.getInt(pos + 4)
+              cid match {
+                case "fmt " =>
+                  require(b.getShort(pos + 8) == 1 && b.getShort(pos + 10) == 1,
+                    s"doc $id: unsupported WAV variant")
+                  sr = b.getInt(pos + 12)
+                  bits = b.getShort(pos + 22).toInt
+                case "data" => dataOff = pos + 8; dataLen = sz
+                case _ => ()
+              }
+              pos += 8 + sz + (sz & 1) // chunks are word-aligned
+            }
+            require(sr > 0 && bits == 16 && dataOff > 0,
+              s"doc $id: missing fmt/data chunk")
+            val n = dataLen / 2
+            var sum2 = 0.0; var zc = 0; var peak = 0
+            var prevNonNeg = true
+            var i = 0
+            while (i < n) {
+              val v = b.getShort(dataOff + 2 * i).toInt
+              sum2 += v.toDouble * v
+              val nonNeg = v >= 0
+              if (i > 0 && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              if (math.abs(v) > peak) peak = math.abs(v)
+              i += 1
+            }
+            val rms = math.round(math.sqrt(sum2 / n) * 10000.0) / 10000.0
+            val durMs = math.round(n * 1000.0 / sr * 10000.0) / 10000.0
+            Row(id, n, sr, bytes.length, durMs, rms, zc, peak)
+          }
+        }
+        s.createDataFrame(decoded, outSchema).orderBy($"doc_id")
+      },
+      // generator replay: n = 64 + id%50, s(i) = (id*31 + i*97) % 2003 - 1001
+      """WITH d AS (SELECT doc_id,
+        |    CAST(64 + doc_id % 50 AS INTEGER) AS n_samples,
+        |    list_transform(generate_series(0, CAST(63 + doc_id % 50 AS INTEGER)),
+        |      i -> (doc_id * 31 + i * 97) % 2003 - 1001) AS smp
+        |  FROM documents)
+        |SELECT doc_id, n_samples, 8000 AS sample_rate,
+        |  CAST(44 + 2 * n_samples AS INTEGER) AS n_bytes,
+        |  round(n_samples * 1000.0 / 8000, 4) AS duration_ms,
+        |  round(sqrt(list_sum(list_transform(smp, x -> x * x * 1.0)) / n_samples), 4) AS rms,
+        |  CAST(list_sum(list_transform(generate_series(2, n_samples),
+        |    i -> CASE WHEN (smp[i] >= 0) <> (smp[i - 1] >= 0) THEN 1 ELSE 0 END)) AS INTEGER) AS zero_cross,
+        |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INTEGER) AS peak
+        |FROM d ORDER BY doc_id""".stripMargin),
+
     // PII scrubbing — the redaction pass every training-data pipeline runs
     // before the corpus ships. Synthetic PII (email, US-style phone, 16-digit
     // card) is injected deterministically per doc, then masked with chained

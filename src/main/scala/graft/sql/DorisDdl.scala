@@ -80,6 +80,7 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
+    else if (up.startsWith("SHOW LOAD")) Some(showLoad(t))
     else if (up.startsWith("SHOW DATA")) Some(showData(t))
     else if (up.startsWith("SHOW TABLES")) Some(showTables())
     else if (up.startsWith("DESC")) Some(describe(t))
@@ -556,11 +557,18 @@ final class DorisDdl(s: SparkSession) {
   // ---------------------------------------------------------------- INSERT
 
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
+    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(?:WITH\s+LABEL\s+`?(\w+)`?\s*)?(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
 
   private def insertInto(text: String): Unit = text match {
-    case InsertRe(name, pname, _, colList, body) =>
+    case InsertRe(name, lbl, pname, _, colList, body) =>
       val t = state(name)
+      // WITH LABEL: load idempotence — a label is consumed by exactly one
+      // SUCCESSFUL load; a duplicate rejects BEFORE any work (the Doris
+      // txn-label dedup that makes client retries exactly-once), while a
+      // FAILED load does not consume it, so the retry goes through
+      val label = Option(lbl)
+      label.foreach(l => require(t.synchronized(!t.labels.contains(l)),
+        s"$name: errCode = 2, label $l already exists"))
       val part = Option(pname)
       part.foreach { p =>
         require(t.def_.partCol.isDefined,
@@ -580,7 +588,7 @@ final class DorisDdl(s: SparkSession) {
               case None => df.toDF(t.def_.cols.map(_.name): _*)
             }
         }
-      load(t, src, part)
+      load(t, src, part, label)
     case _ => sys.error(s"unparseable INSERT: ${text.take(80)}")
   }
 
@@ -617,7 +625,7 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def load(t: TableState, src: DataFrame,
-      part: Option[String] = None): Unit = {
+      part: Option[String] = None, label: Option[String] = None): Unit = {
     val ver = t.synchronized { t.nextVer += 1; t.nextVer }
     var out = rowset(t, src, ver)
     // INSERT INTO t PARTITION (p): a row routed anywhere else kills the
@@ -637,6 +645,12 @@ final class DorisDdl(s: SparkSession) {
       // view registration
       graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, "_temporary"))
       throw e
+    }
+    // the load is PUBLISHED: consume its label and record the version
+    // (driver metadata; SHOW LOAD serves from it)
+    t.synchronized {
+      label.foreach(t.labels += _)
+      t.loads += ((ver, label))
     }
     registerViews(t)
     refreshMvs(t)
@@ -1410,6 +1424,27 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable SHOW COLUMNS: ${text.take(80)}")
   }
 
+  private val ShowLoadRe =
+    """(?is)^SHOW\s+LOAD(?:\s+FROM\s+`?(\w+)`?)?$""".r
+
+  /** `SHOW LOAD [FROM t]` → (table_name, label, version, state): the
+    * published load history from driver metadata (every published load is
+    * FINISHED here — failed loads never publish a version). */
+  private def showLoad(text: String): DataFrame = text match {
+    case ShowLoadRe(name) =>
+      val targets = Option(name) match {
+        case Some(n) => Seq(state(n))
+        case None => tables.synchronized(tables.values.toSeq)
+      }
+      import s.implicits._
+      targets.flatMap { t =>
+        t.synchronized(t.loads.toSeq).map { case (ver, lbl) =>
+          (t.def_.name, lbl.orNull, ver, "FINISHED")
+        }
+      }.toDF("table_name", "label", "version", "state")
+    case _ => sys.error(s"unparseable SHOW LOAD: ${text.take(80)}")
+  }
+
   private val ShowDataRe =
     """(?is)^SHOW\s+DATA(?:\s+FROM\s+`?(\w+)`?)?$""".r
 
@@ -1603,5 +1638,9 @@ object DorisDdl {
     var mvVer: Long = 0L
     val deletes: mutable.ArrayBuffer[(String, Long)] = mutable.ArrayBuffer()
     val mvs: mutable.ArrayBuffer[MvDef] = mutable.ArrayBuffer()
+    // consumed load labels (WITH LABEL dedup) + published load history
+    // (version, label) — SHOW LOAD's source, driver metadata only
+    val labels: mutable.Set[String] = mutable.Set()
+    val loads: mutable.ArrayBuffer[(Long, Option[String])] = mutable.ArrayBuffer()
   }
 }

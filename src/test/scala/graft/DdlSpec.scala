@@ -1012,6 +1012,37 @@ class DdlSpec extends SparkSpec {
       Seq(("a", 3L), ("b", 0L)))
   }
 
+  test("WITH LABEL: a label is consumed by exactly one successful load; " +
+    "failed loads keep it reusable; SHOW LOAD lists the history") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE lb (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO lb WITH LABEL batch1 VALUES (1, 1.0)")
+    // the client retry with the same label is a NO-OP rejection — the
+    // exactly-once contract; the data is unchanged
+    assertThrows[IllegalArgumentException](
+      ddl.execute("INSERT INTO lb WITH LABEL batch1 VALUES (2, 2.0)"))
+    assert(ddl.sql("SELECT count(*) AS n FROM lb").as[Long].head() == 1L)
+    ddl.execute("INSERT INTO lb WITH LABEL batch2 VALUES (2, 2.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM lb").as[Long].head() == 2L)
+    val loads = ddl.sql("SHOW LOAD FROM lb").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getString(3))).toSeq
+    assert(loads == Seq(("batch1", 1L, "FINISHED"), ("batch2", 2L, "FINISHED")),
+      loads)
+    // a FAILED load (row beyond the last range bound) does not consume its
+    // label: the corrected retry with the SAME label publishes
+    ddl.execute(
+      """CREATE TABLE lbp (d DATE, v INT) DUPLICATE KEY(d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-01-01'))
+        |DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
+    assertThrows[Exception](ddl.execute(
+      "INSERT INTO lbp WITH LABEL once VALUES ('2025-06-01', 1)"))
+    ddl.execute("INSERT INTO lbp WITH LABEL once VALUES ('2023-06-01', 1)")
+    assert(ddl.sql("SELECT count(*) AS n FROM lbp").as[Long].head() == 1L)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
