@@ -220,8 +220,9 @@ final class DorisDdl(s: SparkSession) {
         require(specs.init.forall(_.bound.isDefined),
           s"$name: only the last partition may be MAXVALUE")
       }
-      // PROPERTIES ("k" = "v", ...): the statement-level knobs; currently
-      // function_column.sequence_col (UNIQUE merge order) is mapped
+      // PROPERTIES ("k" = "v", ...): the statement-level knobs; mapped:
+      // function_column.sequence_col (UNIQUE merge order) and
+      // dynamic_partition.enable/start (AUTO-bucket retention)
       val props = clauseParen(rest, """(?is)\bPROPERTIES\s*\(""")
         .map(parseProps).getOrElse(Map.empty)
       val seqCol = props.get("function_column.sequence_col")
@@ -231,13 +232,31 @@ final class DorisDdl(s: SparkSession) {
         require(cols.exists(_.name == sc) && !keyCols.contains(sc),
           s"$name: sequence_col $sc must be a declared non-key column")
       }
+      // dynamic_partition retention over AUTO buckets: start = how many
+      // periods BACK stay live; older buckets are dropped at load time
+      // ("now" is DATA time — the newest materialized bucket — which keeps
+      // retention deterministic and backfill-safe, vs Doris's wall clock)
+      val retainStart: Option[Int] =
+        if (!props.get("dynamic_partition.enable").contains("true")) None
+        else {
+          require(autoSpec.isDefined,
+            s"$name: dynamic_partition retention requires AUTO PARTITION here")
+          props.get("dynamic_partition.time_unit").foreach(tu =>
+            require(tu.toLowerCase == autoSpec.get._2,
+              s"$name: dynamic_partition.time_unit $tu must match the AUTO " +
+                s"granularity ${autoSpec.get._2}"))
+          val st = props.getOrElse("dynamic_partition.start",
+            sys.error(s"$name: dynamic_partition.start is required")).toInt
+          require(st < 0, s"$name: dynamic_partition.start must be negative")
+          Some(st)
+        }
       require(tables.synchronized(!tables.contains(name)),
         s"table $name already exists")
       val st = TableState(
         TableDef(name, cols, keysType, keyCols,
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
-          hashCol, buckets, autoSpec.map(_._2), seqCol),
+          hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -652,8 +671,36 @@ final class DorisDdl(s: SparkSession) {
       label.foreach(t.labels += _)
       t.loads += ((ver, label))
     }
+    // dynamic-partition RETENTION (AUTO tables): drop materialized buckets
+    // older than (newest bucket + start) — an O(1) directory op per
+    // expired period, which is what makes log retention free at 100 TB
+    t.def_.retainStart.foreach { start =>
+      val gran = t.def_.autoGran.get
+      val names = partitionNames(t)
+      if (names.nonEmpty) {
+        val idx = names.map(n => n -> bucketIndex(gran, n)).toMap
+        val newest = idx.values.max
+        names.filter(n => idx(n) < newest + start).foreach { p =>
+          graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$p"))
+          s.catalog.dropTempView(s"${t.def_.name}__part_$p")
+        }
+      }
+    }
     registerViews(t)
     refreshMvs(t)
+  }
+
+  /** Ordinal of an AUTO bucket name (p20240115 / p202401 / p2024) on its
+    * granularity's axis — consecutive periods differ by exactly 1. */
+  private def bucketIndex(gran: String, name: String): Long = {
+    val digits = name.stripPrefix("p")
+    gran match {
+      case "day" => java.time.LocalDate.parse(digits,
+        java.time.format.DateTimeFormatter.BASIC_ISO_DATE).toEpochDay
+      case "month" =>
+        digits.take(4).toLong * 12 + (digits.drop(4).toLong - 1)
+      case "year" => digits.toLong
+    }
   }
 
   // ------------------------------------------------------ INSERT OVERWRITE
@@ -1507,9 +1554,15 @@ final class DorisDdl(s: SparkSession) {
           s"\nPARTITION BY RANGE(`$pc`) (\n$specs\n)"
         case _ => ""
       }
-      val propsClause = d.seqCol.map(sc =>
-        s"""\nPROPERTIES ("function_column.sequence_col" = "$sc")""")
-        .getOrElse("")
+      val propEntries =
+        d.seqCol.map(sc => s""""function_column.sequence_col" = "$sc"""").toSeq ++
+        d.retainStart.toSeq.flatMap(st => Seq(
+          """"dynamic_partition.enable" = "true"""",
+          s""""dynamic_partition.time_unit" = "${d.autoGran.get}"""",
+          s""""dynamic_partition.start" = "$st""""))
+      val propsClause =
+        if (propEntries.isEmpty) ""
+        else propEntries.mkString("\nPROPERTIES (", ", ", ")")
       val stmt =
         s"""CREATE TABLE `${d.name}` (
            |$colLines
@@ -1620,7 +1673,10 @@ object DorisDdl {
       // PROPERTIES("function_column.sequence_col" = "c"): UNIQUE-key
       // merge-on-read resolves by (sequence DESC, version DESC) instead of
       // version alone, so out-of-order loads keep the logically newest row
-      seqCol: Option[String] = None)
+      seqCol: Option[String] = None,
+      // dynamic_partition.start (negative): AUTO buckets more than |start|
+      // periods behind the newest are dropped at load time (retention)
+      retainStart: Option[Int] = None)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   // async MTMV: `lastFiles` is the per-partition rowset file-set snapshot

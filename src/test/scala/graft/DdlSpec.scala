@@ -1043,6 +1043,49 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT count(*) AS n FROM lbp").as[Long].head() == 1L)
   }
 
+  test("dynamic_partition retention on AUTO tables: buckets older than " +
+    "|start| periods behind the newest are dropped at load time") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ret (d DATETIME, k BIGINT)
+        |DUPLICATE KEY(d, k)
+        |AUTO PARTITION BY RANGE (date_trunc(`d`, 'month')) ()
+        |DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES (
+        |  "dynamic_partition.enable" = "true",
+        |  "dynamic_partition.time_unit" = "month",
+        |  "dynamic_partition.start" = "-2")""".stripMargin)
+    ddl.execute(
+      """INSERT INTO ret VALUES ('2024-01-10 00:00:00', 1),
+        |('2024-02-10 00:00:00', 2), ('2024-03-10 00:00:00', 3)""".stripMargin)
+    // window [-2, 0] around the newest (2024-03): all three stay
+    assert(ddl.sql("SHOW PARTITIONS FROM ret")
+      .select("partition_name").as[String].collect().toSeq ==
+      Seq("p202401", "p202402", "p202403"))
+    // a load advancing "now" to 2024-05 expires p202401 and p202402
+    ddl.execute("INSERT INTO ret VALUES ('2024-05-10 00:00:00', 4)")
+    assert(ddl.sql("SHOW PARTITIONS FROM ret")
+      .select("partition_name").as[String].collect().toSeq ==
+      Seq("p202403", "p202405"),
+      "buckets more than 2 months behind the newest must be dropped")
+    assert(ddl.sql("SELECT count(*) AS n FROM ret").as[Long].head() == 2L)
+    // the retention properties round-trip through SHOW CREATE TABLE
+    val stmt = ddl.sql("SHOW CREATE TABLE ret")
+      .select("create_table").as[String].head()
+    assert(stmt.contains("\"dynamic_partition.start\" = \"-2\""), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("`ret`", "`ret2`"))
+    val stmt2 = ddl2.sql("SHOW CREATE TABLE ret2")
+      .select("create_table").as[String].head()
+    assert(stmt2.replace("ret2", "ret") == stmt, s"$stmt\n---\n$stmt2")
+    // guards: retention without AUTO partitioning rejects
+    assertThrows[Exception](ddl.execute(
+      """CREATE TABLE ret_bad (k BIGINT) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES ("dynamic_partition.enable" = "true",
+        |  "dynamic_partition.start" = "-2")""".stripMargin))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
