@@ -446,6 +446,75 @@ object LlmDedup {
         |WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6
         |ORDER BY i, j""".stripMargin),
 
+    // DUPLICATE-CLUSTER RESOLUTION — the step AFTER candidate generation in
+    // every production dedup: the near-dup pair graph is resolved into
+    // CONNECTED COMPONENTS and one canonical representative (min doc_id)
+    // is kept per cluster; everything else is dropped. Spark-first CC:
+    // iterative neighbor-min label propagation over the edge list — each
+    // round is ONE shuffle join + aggregate, labels localCheckpointed so
+    // lineage stays flat, and the round count is bounded by the cluster
+    // DIAMETER, which for real dup clusters (near-cliques from a
+    // similarity threshold) is 1-3 — not by corpus size. At 100 TB the
+    // state is one (vertex, label) pair per DUPLICATED doc (the pair graph
+    // is orders of magnitude smaller than the corpus), exactly the
+    // GraphX/GraphFrames CC shape without the dependency. The oracle
+    // recomputes the same pair set and closes it transitively with a
+    // recursive CTE — a propagation bug (a missed hop, a dropped
+    // singleton) diverges from the closure.
+    "llm_dedup_cluster" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val edges = jaccardPairsAuto(s, dir, 0.6).select($"i", $"j")
+        val und = edges
+          .union(edges.select($"j".as("i"), $"i".as("j")))
+          .localCheckpoint() // iterated over: pin it once
+        var labels = und.select($"i".as("v")).distinct
+          .withColumn("lbl", $"v").localCheckpoint()
+        var changed = 1L
+        while (changed > 0) {
+          val prop = und.join(labels, und("j") === labels("v"))
+            .groupBy(und("i").as("pv")).agg(min($"lbl").as("nlbl"))
+          val next = labels.join(prop, labels("v") === prop("pv"), "left")
+            .select($"v", $"lbl",
+              least($"lbl", coalesce($"nlbl", $"lbl")).as("lbl2"))
+            .localCheckpoint()
+          changed = next.filter($"lbl2" < $"lbl").count()
+          labels = next.select($"v", $"lbl2".as("lbl"))
+        }
+        Tables.documents(s, dir).select($"doc_id")
+          .join(labels, $"doc_id" === $"v", "left")
+          .select($"doc_id",
+            coalesce($"lbl", $"doc_id").as("cluster_rep"),
+            (coalesce($"lbl", $"doc_id") === $"doc_id").as("kept"))
+          .orderBy($"doc_id")
+      },
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
+        |sh AS (SELECT doc_id, unnest(CASE WHEN len(tl) >= 3
+        |         THEN list_transform(generate_series(1, len(tl) - 2),
+        |              i -> tl[i] || ' ' || tl[i+1] || ' ' || tl[i+2])
+        |         ELSE [array_to_string(tl, ' ')] END) s FROM t),
+        |ds AS (SELECT DISTINCT doc_id, s FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ds GROUP BY 1),
+        |p AS (SELECT a.doc_id i, b.doc_id j, count(*) common
+        |      FROM ds a JOIN ds b USING (s)
+        |      WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pr AS (SELECT i, j
+        |       FROM p JOIN sz x ON p.i = x.doc_id JOIN sz y ON p.j = y.doc_id
+        |       WHERE round(common * 1.0 / (x.n + y.n - common), 3) >= 0.6),
+        |e AS (SELECT i, j FROM pr UNION SELECT j, i FROM pr),
+        |reach(a, b) AS (
+        |  SELECT i, j FROM e
+        |  UNION
+        |  SELECT r.a, e.j FROM reach r JOIN e ON r.b = e.i),
+        |rep AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        |        FROM reach GROUP BY a)
+        |SELECT d.doc_id,
+        |  coalesce(rep.cluster_rep, d.doc_id) AS cluster_rep,
+        |  coalesce(rep.cluster_rep, d.doc_id) = d.doc_id AS kept
+        |FROM documents d LEFT JOIN rep USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
     "llm_dedup_jaccard" -> QueryDef(
       (s, dir) => jaccardPairsAuto(s, dir, 0.6),
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') tl FROM documents),
