@@ -787,7 +787,44 @@ object DdlStatements {
       },
       """SELECT event_type, count(DISTINCT user_id) AS n_users,
         |  count(*) AS n_rows
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // EXPORT TABLE → LOAD LABEL round-trip, all as text: a CTAS slice is
+    // exported DISTRIBUTED to parquet files, a fresh UNIQUE table bulk-loads
+    // them back with the broker-load statement (label-deduped), and the
+    // final aggregate reads the loaded table. The oracle recomputes from
+    // raw customer — a loss or duplication anywhere in the file round-trip
+    // (export partitioning, by-name load mapping, cast alignment) breaks
+    // the hash.
+    "sql_ddl_load" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_load", s, dir)({
+          val out = graft.TempDirs.create("graft_ddl_loadfile")
+          Seq(
+            """CREATE TABLE cust_src
+              |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4
+              |AS SELECT c_custkey, c_acctbal, c_mktsegment
+              |FROM customer WHERE c_acctbal > 0""".stripMargin,
+            s"EXPORT TABLE cust_src TO '$out' FORMAT AS PARQUET",
+            """CREATE TABLE cust_dst (
+              |  c_custkey BIGINT,
+              |  c_acctbal DOUBLE,
+              |  c_mktsegment VARCHAR(16)
+              |) ENGINE=OLAP
+              |UNIQUE KEY(c_custkey)
+              |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4""".stripMargin,
+            s"LOAD LABEL lf1 (DATA INFILE('$out') INTO TABLE cust_dst FORMAT AS 'parquet')")
+        })
+        ddl.sql(
+          """SELECT c_mktsegment, count(*) AS n,
+            |  round(sum(c_acctbal), 2) AS bal
+            |FROM cust_dst GROUP BY c_mktsegment
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer WHERE c_acctbal > 0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -69,6 +69,7 @@ final class DorisDdl(s: SparkSession) {
       up.startsWith("CREATE OR REPLACE VIEW")) { createView(t); None }
     else if (up.startsWith("INSERT OVERWRITE")) { insertOverwrite(t); None }
     else if (up.startsWith("INSERT INTO")) { insertInto(t); None }
+    else if (up.startsWith("LOAD LABEL")) { loadLabel(t); None }
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
@@ -701,6 +702,39 @@ final class DorisDdl(s: SparkSession) {
         digits.take(4).toLong * 12 + (digits.drop(4).toLong - 1)
       case "year" => digits.toLong
     }
+  }
+
+  // ------------------------------------------------------------ LOAD LABEL
+
+  private val LoadLabelRe =
+    ("""(?is)^LOAD\s+LABEL\s+`?(\w+)`?\s*\(\s*DATA\s+INFILE\s*\(\s*'([^']+)'\s*\)\s*""" +
+      """INTO\s+TABLE\s+`?(\w+)`?\s*(?:FORMAT\s+AS\s+'?(\w+)'?\s*)?""" +
+      """(?:\(([^)]*)\))?\s*\)$""").r
+
+  /** `LOAD LABEL lbl (DATA INFILE('path') INTO TABLE t [FORMAT AS
+    * 'csv'|'parquet'] [(cols)])` — the broker/bulk-load statement
+    * ([doris: fe/.../analysis/LoadStmt.java]): files read DISTRIBUTED
+    * (spark.read over the glob — at 100 TB this is the many-splits scan
+    * path, never a driver-side read), columns map positionally for
+    * headerless CSV (the Doris default) or by name for parquet, every
+    * value is cast by the table's rowset alignment, and the LABEL carries
+    * the same exactly-once dedup as INSERT WITH LABEL. */
+  private def loadLabel(text: String): Unit = text match {
+    case LoadLabelRe(lbl, path, name, fmt0, colList) =>
+      val t = state(name)
+      require(t.synchronized(!t.labels.contains(lbl)),
+        s"$name: errCode = 2, label $lbl already exists")
+      val targets = Option(colList).map(topLevelSplit(_).map(stripIdent))
+        .getOrElse(t.def_.cols.map(_.name))
+      targets.foreach(c => require(t.def_.cols.exists(_.name == c),
+        s"$name: unknown column $c in LOAD column list"))
+      val src = Option(fmt0).map(_.toLowerCase).getOrElse("csv") match {
+        case "parquet" => s.read.parquet(path).select(targets.map(col): _*)
+        case "csv" => s.read.csv(path).toDF(targets: _*) // headerless, positional
+        case other => sys.error(s"LOAD $lbl: unsupported format $other")
+      }
+      load(t, src, None, Some(lbl))
+    case _ => sys.error(s"unparseable LOAD LABEL: ${text.take(80)}")
   }
 
   // ------------------------------------------------------ INSERT OVERWRITE

@@ -1086,6 +1086,37 @@ class DdlSpec extends SparkSpec {
         |  "dynamic_partition.start" = "-2")""".stripMargin))
   }
 
+  test("LOAD LABEL ingests headerless CSV positionally and parquet by " +
+    "name, with label dedup") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE bl (k BIGINT, v DOUBLE, tag VARCHAR(8))
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    // headerless CSV, positional mapping (the Doris default)
+    val csvDir = TempDirs.create("graft_load_csv")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(csvDir, "part1.csv"),
+      "1,1.5,a\n2,2.5,b\n".getBytes("UTF-8"))
+    ddl.execute(s"LOAD LABEL csv1 (DATA INFILE('$csvDir') INTO TABLE bl)")
+    assert(ddl.sql("SELECT k, v, tag FROM bl ORDER BY k")
+      .as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 1.5, "a"), (2L, 2.5, "b")))
+    // parquet, by-name mapping with a column list; upserts by key
+    val pqDir = TempDirs.create("graft_load_pq")
+    import spark.implicits._
+    Seq((2L, 20.5), (3L, 3.5)).toDF("k", "v").write.mode("overwrite").parquet(pqDir)
+    ddl.execute(
+      s"LOAD LABEL pq1 (DATA INFILE('$pqDir') INTO TABLE bl FORMAT AS 'parquet' (k, v))")
+    assert(ddl.sql("SELECT k, v FROM bl ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.5), (2L, 20.5), (3L, 3.5)))
+    // a consumed label rejects; SHOW LOAD lists both jobs
+    assertThrows[IllegalArgumentException](ddl.execute(
+      s"LOAD LABEL csv1 (DATA INFILE('$csvDir') INTO TABLE bl)"))
+    assert(ddl.sql("SHOW LOAD FROM bl").select("label").as[String]
+      .collect().toSeq == Seq("csv1", "pq1"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
