@@ -824,7 +824,84 @@ object DdlStatements {
       },
       """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
         |FROM customer WHERE c_acctbal > 0
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Index surface as text: an inline `INDEX ... USING INVERTED` in the
+    // CREATE, a post-load `CREATE INDEX` statement, bloom_filter_columns
+    // (each rowset file writes a parquet bloom filter; rowsets land
+    // key-sorted so zonemap min/max prune on the key), and MATCH_ANY /
+    // MATCH_ALL predicates in the final SELECT — which are only LEGAL
+    // because the indexes exist (a MATCH on an unindexed column rejects;
+    // DdlSpec pins that and the physical layout). The oracle replays the
+    // same lowercase space-tokenized match semantics.
+    "sql_ddl_index" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        val ddl = lifecycle("sql_ddl_index", s, dir)(Seq(
+          """CREATE TABLE doc_ix (
+            |  doc_id BIGINT,
+            |  lang VARCHAR(8),
+            |  body STRING,
+            |  INDEX body_ix (`body`) USING INVERTED
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(doc_id)
+            |DISTRIBUTED BY HASH(doc_id) BUCKETS 8
+            |PROPERTIES("bloom_filter_columns" = "doc_id")""".stripMargin,
+          "INSERT INTO doc_ix SELECT doc_id, lang, text FROM documents",
+          "CREATE INDEX lang_ix ON doc_ix (`lang`) USING INVERTED"))
+        ddl.sql(
+          """SELECT lang, count(*) AS n_any,
+            |  sum(CASE WHEN body MATCH_ALL 'spark join' THEN 1 ELSE 0 END) AS n_all
+            |FROM doc_ix
+            |WHERE body MATCH_ANY 'spark flink' AND doc_id % 2 = 0
+            |GROUP BY lang ORDER BY lang""".stripMargin)
+      },
+      """WITH t AS (SELECT doc_id, lang,
+        |    list_distinct(string_split(lower(text), ' ')) AS tl
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_any,
+        |  CAST(sum(CASE WHEN list_contains(tl, 'spark')
+        |    AND list_contains(tl, 'join') THEN 1 ELSE 0 END) AS BIGINT) AS n_all
+        |FROM t
+        |WHERE (list_contains(tl, 'spark') OR list_contains(tl, 'flink'))
+        |  AND doc_id % 2 = 0
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // Classic `ALTER TABLE ... ADD ROLLUP` (the pre-MV rollup statement):
+    // on an AGGREGATE table, a key-subset rollup whose value columns keep
+    // their declared markers. Created AFTER the first load (materializes
+    // from current data) and maintained transactionally through the second
+    // load; the final event_type aggregate is served from the rollup
+    // (DdlSpec asserts the scan path). The oracle recomputes from raw
+    // events, so both the rollup's content and its maintenance are pinned.
+    "sql_ddl_add_rollup" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_add_rollup", s, dir)(Seq(
+          """CREATE TABLE evt_ru (
+            |  user_id BIGINT,
+            |  event_type VARCHAR(20),
+            |  sum_value DOUBLE SUM,
+            |  n_rows BIGINT SUM,
+            |  max_event BIGINT MAX
+            |) ENGINE=OLAP
+            |AGGREGATE KEY(user_id, event_type)
+            |DISTRIBUTED BY HASH(user_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO evt_ru
+            |SELECT user_id, event_type, value, 1, event_id
+            |FROM events WHERE event_id % 2 = 0""".stripMargin,
+          "ALTER TABLE evt_ru ADD ROLLUP r_type (event_type, sum_value, n_rows)",
+          """INSERT INTO evt_ru
+            |SELECT user_id, event_type, value, 1, event_id
+            |FROM events WHERE event_id % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT event_type, round(sum(sum_value), 2) AS total_value,
+            |  sum(n_rows) AS n_rows
+            |FROM evt_ru GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type, round(sum(value), 2) AS total_value,
+        |  count(*) AS n_rows
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -216,6 +216,65 @@ object LlmText {
         |FROM toks JOIN uni USING (tok)
         |GROUP BY doc_id, source ORDER BY doc_id""".stripMargin),
 
+    // Interpolated BIGRAM log-probability — the KenLM-flavored upgrade of
+    // the unigram score (CCNet filters on n-gram LM perplexity; the bigram
+    // form keeps the same distributed plan shape at any order):
+    // score(doc) = avg over bigram instances of
+    // ln(0.8·c2(w1,w2)/c1(w1) + 0.2·c1(w2)/N) — the interpolation keeps
+    // docs with corpus-unseen continuations finite, which is what makes
+    // the score a usable filter threshold. The c1/c2 count tables are
+    // corpus standing artifacts (one groupBy shuffle each, linear in
+    // tokens); scoring is three hash joins on token keys plus one per-doc
+    // aggregate. Bigrams come from posexplode + a per-doc lead() window —
+    // NOT explode-over-transform, which re-evaluates the HOF array per
+    // element (the llm_winnow_pairs trap, measured 300×). The 1-row corpus
+    // total broadcasts map-side onto the instance stream.
+    "llm_bigram_logprob" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val toks = Tables.documents(s, dir)
+          .select($"doc_id",
+            posexplode(TextOps.tokens($"text")).as(Seq("pos", "w")))
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy($"doc_id").orderBy($"pos")
+        val bg = toks
+          .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(win).as("w2"))
+          .filter($"w2".isNotNull)
+        val c1 = toks.groupBy($"w".as("cw")).agg(count(lit(1)).as("c"))
+        val c2 = bg.groupBy($"w1".as("aw1"), $"w2".as("aw2"))
+          .agg(count(lit(1)).as("c2"))
+        val tot = toks.agg(count(lit(1)).as("n_total"))
+        bg.join(c2, $"w1" === $"aw1" && $"w2" === $"aw2")
+          .join(c1.toDF("j1", "ca"), $"w1" === $"j1")
+          .join(c1.toDF("j2", "cb"), $"w2" === $"j2")
+          .crossJoin(broadcast(tot))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round(avg(log(lit(0.8) * $"c2".cast("double") / $"ca" +
+              lit(0.2) * $"cb".cast("double") / $"n_total")), 4).as("logprob"))
+          .orderBy($"doc_id")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |ti AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |p AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i])) AS w1,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i+1])) AS w2
+        |      FROM t WHERE len(toks) >= 2),
+        |c1 AS (SELECT w, count(*) AS c FROM ti GROUP BY 1),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM p GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n FROM ti)
+        |SELECT p.doc_id, count(*) AS n_bigrams,
+        |  round(avg(ln(0.8 * CAST(c2.c AS DOUBLE) / ca.c
+        |    + 0.2 * CAST(cb.c AS DOUBLE) / (SELECT n FROM tot))), 4) AS logprob
+        |FROM p
+        |JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        |JOIN c1 ca ON ca.w = p.w1
+        |JOIN c1 cb ON cb.w = p.w2
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+
     // TF-IDF top terms per document — the classic corpus-relevance signal
     // (keyword extraction, near-dup triage, topic labeling). score(d, t) =
     // tf(d,t) * ln(N / df(t)). Same standing-artifact economics as the

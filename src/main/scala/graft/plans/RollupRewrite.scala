@@ -102,6 +102,18 @@ object RollupRewrite {
     registry.add(d)
   }
 
+  /** Remove ONE named rollup of `basePath` (ALTER TABLE ... DROP ROLLUP /
+    * DROP MATERIALIZED VIEW in the DDL front-end). */
+  def deregister(basePath: String, name: String): Unit = registry.synchronized {
+    val it = registry.iterator()
+    val doomed = new java.util.ArrayList[RollupDef]()
+    while (it.hasNext) {
+      val d = it.next()
+      if (d.basePath == basePath && d.name == name) doomed.add(d)
+    }
+    registry.removeAll(doomed)
+  }
+
   /** Remove every rollup registered for `basePath` (DROP TABLE in the DDL
     * front-end — a dropped base must stop serving immediately). */
   def deregisterBase(basePath: String): Unit = registry.synchronized {

@@ -64,6 +64,21 @@ final class DorisDdl(s: SparkSession) {
     val t = sqlText.trim.stripSuffix(";").trim
     val up = t.toUpperCase
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }
+    else if (up.startsWith("CREATE INDEX")) {
+      t match {
+        case CreateIndexRe(iname, tname, rest) =>
+          addIndex(tname, s"INDEX $iname $rest")
+        case _ => sys.error(s"unparseable CREATE INDEX: ${t.take(80)}")
+      }
+      None
+    }
+    else if (up.startsWith("DROP INDEX")) {
+      t match {
+        case DropIndexRe(iname, tname) => dropIndex(tname, iname)
+        case _ => sys.error(s"unparseable DROP INDEX: ${t.take(80)}")
+      }
+      None
+    }
     else if (up.startsWith("CREATE MATERIALIZED VIEW")) { createMv(t); None }
     else if (up.startsWith("CREATE VIEW") ||
       up.startsWith("CREATE OR REPLACE VIEW")) { createView(t); None }
@@ -72,6 +87,7 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("LOAD LABEL")) { loadLabel(t); None }
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
+    else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
     else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
@@ -174,7 +190,12 @@ final class DorisDdl(s: SparkSession) {
       val keyCols = clauseParen(rest, """(?is)\b(?:DUPLICATE|UNIQUE|AGGREGATE)\s+KEY\s*\(""")
         .map(topLevelSplit(_).map(stripIdent))
         .getOrElse(sys.error(s"CREATE TABLE $name: missing KEY clause"))
-      val cols = topLevelSplit(colsText, angles = true).map(parseColDef)
+      // column-list items: column defs, plus inline `INDEX name (col)
+      // USING INVERTED` entries (Doris puts index defs inside the parens)
+      val (idxItems, colItems) = topLevelSplit(colsText, angles = true)
+        .partition(i => """(?is)^INDEX\s""".r.findFirstIn(i).isDefined)
+      val cols = colItems.map(parseColDef)
+      val indexes = idxItems.map(parseIndexDef(name, _))
       // Doris invariant: key columns lead the schema, value aggregates only
       // after them; REPLACE/SUM/… markers are only legal on AGGREGATE tables
       require(cols.map(_.name).startsWith(keyCols),
@@ -251,13 +272,28 @@ final class DorisDdl(s: SparkSession) {
           require(st < 0, s"$name: dynamic_partition.start must be negative")
           Some(st)
         }
+      // bloom_filter_columns: parquet bloom filters per rowset file; Doris
+      // rejects float/double bloom columns (no stable hashable equality)
+      val bloomCols = props.get("bloom_filter_columns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+      bloomCols.foreach { bc =>
+        val c = cols.find(_.name == bc)
+          .getOrElse(sys.error(s"$name: unknown bloom_filter_columns column $bc"))
+        require(!Seq("FLOAT", "DOUBLE").contains(c.sparkType.toUpperCase),
+          s"$name: bloom_filter_columns does not support ${c.sparkType} ($bc)")
+      }
+      indexes.foreach(ix => validateIndex(name, cols, ix))
+      require(indexes.map(_.name).distinct.size == indexes.size,
+        s"$name: duplicate index names")
       require(tables.synchronized(!tables.contains(name)),
         s"table $name already exists")
       val st = TableState(
         TableDef(name, cols, keysType, keyCols,
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
-          hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart),
+          hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart,
+          indexes, bloomCols),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -330,6 +366,97 @@ final class DorisDdl(s: SparkSession) {
     case FixedPartRe(name, lo, hi, _) =>
       PartDef(name, Option(hi), lower = Some(lo))
     case _ => sys.error(s"unparseable partition spec: $text")
+  }
+
+  // ----------------------------------------------------- inverted indexes
+
+  // INDEX name (`col`) USING kind — the inline (CREATE TABLE) and the
+  // standalone (CREATE INDEX / ALTER TABLE ADD INDEX) spellings share it
+  private val IndexItemRe =
+    """(?is)^INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(\w+)$""".r
+
+  private def parseIndexDef(table: String, text: String): IndexDef =
+    text.trim match {
+      case IndexItemRe(iname, icol, kind) =>
+        kind.toUpperCase match {
+          case "INVERTED" => IndexDef(iname, icol)
+          case "BITMAP" => sys.error(s"$table: USING BITMAP is not " +
+            "supported; use PROPERTIES(\"bloom_filter_columns\") for " +
+            "equality skip indexes")
+          case other => sys.error(s"$table: unsupported index type $other")
+        }
+      case _ => sys.error(s"$table: unparseable index def: $text")
+    }
+
+  private def validateIndex(table: String, cols: Seq[ColDef], ix: IndexDef): Unit = {
+    val c = cols.find(_.name == ix.col)
+      .getOrElse(sys.error(s"$table: unknown index column ${ix.col}"))
+    require(c.sparkType.toUpperCase == "STRING",
+      s"$table: INVERTED index needs a text column, ${ix.col} is ${c.sparkType}")
+  }
+
+  private val CreateIndexRe =
+    """(?is)^CREATE\s+INDEX\s+`?(\w+)`?\s+ON\s+`?(\w+)`?\s*(\(.*)$""".r
+  private val DropIndexRe =
+    """(?is)^DROP\s+INDEX\s+`?(\w+)`?\s+ON\s+`?(\w+)`?$""".r
+
+  /** Register an inverted index. The index is a READ-side contract here
+    * (MATCH tokenizes at scan, the zonemap/bloom skip comes from the
+    * parquet layer), so — like Doris 2.x, whose ADD INDEX schedules a
+    * build over existing rowsets — an index added after loads serves
+    * immediately; nothing is rewritten. */
+  private def addIndex(tname: String, idxText: String): Unit = {
+    val t = state(tname)
+    val ix = parseIndexDef(tname, idxText)
+    val d = t.def_
+    validateIndex(tname, d.cols, ix)
+    require(!d.indexes.exists(_.name == ix.name),
+      s"$tname: index ${ix.name} already exists")
+    t.synchronized { t.def_ = d.copy(indexes = d.indexes :+ ix) }
+  }
+
+  private def dropIndex(tname: String, iname: String): Unit = {
+    val t = state(tname)
+    val d = t.def_
+    require(d.indexes.exists(_.name == iname),
+      s"$tname: unknown index $iname")
+    t.synchronized {
+      t.def_ = d.copy(indexes = d.indexes.filterNot(_.name == iname))
+    }
+  }
+
+  // `col MATCH_ANY 'w1 w2'` / `col MATCH_ALL 'w1 w2'` — the inverted-index
+  // match predicates ([doris: be/.../inverted_index_reader.cpp]). Rewritten
+  // to codegen'd array predicates over the SAME tokenization the index
+  // would store (lowercase, space-split — llm_match's contract); a MATCH on
+  // a column with no INVERTED index rejects, as Doris does.
+  private val MatchPredRe =
+    """(?is)`?(\w+)`?\s+MATCH_(ANY|ALL)\s+'([^']*)'""".r
+
+  private def rewriteMatch(text: String): String = {
+    val indexed: Set[String] = tables.synchronized(
+      tables.values.flatMap(_.def_.indexes.map(_.col)).toSet)
+    val out = MatchPredRe.replaceAllIn(text, m => {
+      val c = m.group(1)
+      if (!indexed.contains(c)) m.matched // validated below
+      else {
+        val toks = m.group(3).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        require(toks.nonEmpty, s"MATCH_${m.group(2)} needs at least one token")
+        val tokens = s"array_distinct(split(lower(`$c`), ' '))"
+        val repl = m.group(2).toUpperCase match {
+          case "ANY" =>
+            s"arrays_overlap($tokens, array(${toks.map(w => s"'$w'").mkString(", ")}))"
+          case "ALL" =>
+            toks.map(w => s"array_contains($tokens, '$w')")
+              .mkString("(", " AND ", ")")
+        }
+        java.util.regex.Matcher.quoteReplacement(repl)
+      }
+    })
+    require("""(?i)\bMATCH_(ANY|ALL)\b""".r.findFirstIn(out).isEmpty,
+      "MATCH_ANY/MATCH_ALL requires an INVERTED index on the column " +
+        "(CREATE INDEX ... USING INVERTED)")
+    out
   }
 
   // ----------------------------------------------- CREATE MATERIALIZED VIEW
@@ -555,6 +682,31 @@ final class DorisDdl(s: SparkSession) {
       .toMap
   }
 
+  private val DropMvRe =
+    """(?is)^DROP\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?(?:\s+ON\s+`?(\w+)`?)?$""".r
+
+  /** `DROP MATERIALIZED VIEW m [ON t]`: a sync MV (rollup) leaves the
+    * registry and stops serving immediately; an async MTMV drops its
+    * queryable view and snapshot dir. The `ON t` form is the Doris sync-MV
+    * spelling; without it the name is looked up across both kinds. */
+  private def dropMv(text: String): Unit = text match {
+    case DropMvRe(mvName, tname) =>
+      val owner = Option(tname).map(state).orElse(
+        tables.synchronized(tables.values.toSeq).find(t =>
+          t.synchronized(t.mvs.exists(_.name == mvName))))
+      owner.filter(t => t.synchronized(t.mvs.exists(_.name == mvName))) match {
+        case Some(t) =>
+          t.synchronized { t.mvs.filterInPlace(_.name != mvName) }
+          graft.plans.RollupRewrite.deregister(t.dir, mvName)
+        case None =>
+          val m = mtmvs.synchronized(mtmvs.remove(mvName))
+            .getOrElse(sys.error(s"unknown materialized view $mvName"))
+          s.catalog.dropTempView(m.name)
+          graft.TempDirs.deleteTree(java.nio.file.Paths.get(m.dir))
+      }
+    case _ => sys.error(s"unparseable DROP MATERIALIZED VIEW: ${text.take(80)}")
+  }
+
   private val RefreshMvRe =
     """(?is)^REFRESH\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?$""".r
 
@@ -640,9 +792,28 @@ final class DorisDdl(s: SparkSession) {
         aligned.withColumn("_p", partitionName(t.def_, col(pc)))
       case None => aligned
     }
+    // rowsets land KEY-SORTED (Doris's short-key order, [doris:
+    // be/src/olap/short_key_index.cpp]): a local per-bucket sort — no extra
+    // shuffle — that makes each parquet row-group's min/max (the zonemap)
+    // tight on the key prefix, so pushed key predicates skip row groups at
+    // scan. Partitioned tables sort by _p first, which also satisfies the
+    // writer's partition-clustering requirement (no second writer sort).
+    val sortCols = t.def_.partCol.map(_ => col("_p")).toSeq ++
+      t.def_.keyCols.map(col)
     withPart.withColumn("_ver", lit(ver))
       .repartition(t.def_.buckets, col(t.def_.hashCol))
+      .sortWithinPartitions(sortCols: _*)
   }
+
+  /** Apply the table's bloom_filter_columns as parquet bloom-filter write
+    * options: each rowset file carries a bloom filter per declared column,
+    * and the vectorized reader consults it for pushed equality/IN
+    * predicates (parquet.filter.bloom.enabled is on by default) — file-
+    * level skipping without reading pages, Doris's bloom skip index. */
+  private def withBloom[T](w: org.apache.spark.sql.DataFrameWriter[T],
+      d: TableDef): org.apache.spark.sql.DataFrameWriter[T] =
+    d.bloomCols.foldLeft(w)((acc, c) =>
+      acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
 
   private def load(t: TableState, src: DataFrame,
       part: Option[String] = None, label: Option[String] = None): Unit = {
@@ -656,7 +827,7 @@ final class DorisDdl(s: SparkSession) {
           lit(s"${t.def_.name}: INSERT PARTITION ($p) received a row for partition "),
           col("_p")))))
     }
-    val w = out.write.mode("append")
+    val w = withBloom(out.write.mode("append"), t.def_)
     try (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(t.dir)
     catch { case e: Throwable =>
       // a REJECTED load (raise_error row) must leave no droppings: the
@@ -770,7 +941,7 @@ final class DorisDdl(s: SparkSession) {
         case None => out0
       }
       val staging = graft.TempDirs.create(s"graft_ddl_ow_${t.def_.name}")
-      val w = out.write.mode("overwrite")
+      val w = withBloom(out.write.mode("overwrite"), t.def_)
       (if (t.def_.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
       // staging succeeded — publish: wipe the replaced scope, move files in
       // (close-safe tree ops: Files.walk/list hold a directory fd)
@@ -939,6 +1110,14 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+(.*)$""".r
   private val RenameTableRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+`?(\w+)`?$""".r
+  private val AlterAddIndexRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(INDEX\s+.*)$""".r
+  private val AlterDropIndexRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+INDEX\s+`?(\w+)`?$""".r
+  private val AddRollupRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+ROLLUP\s+`?(\w+)`?\s*\(([^)]*)\)$""".r
+  private val DropRollupRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+ROLLUP\s+`?(\w+)`?$""".r
 
   private def alterTable(text: String): Unit = text match {
     case DropPartRe(name, pname) =>
@@ -1108,7 +1287,7 @@ final class DorisDdl(s: SparkSession) {
           val out = df.select(keep: _*)
             .repartition(d.buckets, col(d.hashCol))
           val staging = graft.TempDirs.create(s"graft_ddl_sc_$name")
-          val w = out.write.mode("overwrite")
+          val w = withBloom(out.write.mode("overwrite"), d)
           (if (d.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
           // staging succeeded — swap (the failed-rewrite case leaves the
           // table untouched, the same publish discipline as OVERWRITE)
@@ -1123,6 +1302,52 @@ final class DorisDdl(s: SparkSession) {
       }
       registerViews(t)
       refreshMvs(t)
+    case AlterAddIndexRe(name, idxText) => addIndex(name, idxText.trim)
+    case AlterDropIndexRe(name, iname) => dropIndex(name, iname)
+    case AddRollupRe(name, rname, colList) =>
+      // classic `ALTER TABLE t ADD ROLLUP r (k..., v...)` ([doris:
+      // fe/.../alter/MaterializedViewHandler.java] — the pre-MV rollup
+      // statement): on an AGGREGATE table the listed columns are a key
+      // subset followed by value columns, each re-aggregated by its OWN
+      // declared marker. Mapped onto the sync-MV machinery: the rollup is
+      // materialized now, maintained transactionally on every later
+      // load/delete, and served transparently by the RollupRewrite rule.
+      val t = state(name)
+      val d = t.def_
+      require(d.keysType == "AGGREGATE",
+        s"$name: ADD ROLLUP needs an AGGREGATE KEY table (on DUPLICATE " +
+          "tables use CREATE MATERIALIZED VIEW)")
+      require(!tables.synchronized(tables.contains(rname)) &&
+        t.synchronized(!t.mvs.exists(_.name == rname)),
+        s"rollup $rname already exists")
+      val listed = topLevelSplit(colList).map(stripIdent)
+      listed.foreach(c => require(d.cols.exists(_.name == c),
+        s"$name: unknown rollup column $c"))
+      val (keys, vals) = listed.partition(d.keyCols.contains)
+      require(keys.nonEmpty, s"$name: a rollup needs at least one key column")
+      require(vals.nonEmpty, s"$name: a rollup needs at least one value column")
+      val items = vals.map { v =>
+        val marker = d.cols.find(_.name == v).get.agg.get
+        require(Seq("SUM", "MAX", "MIN").contains(marker),
+          s"$name: rollup value column $v has unsupported marker $marker " +
+            "(SUM/MAX/MIN only)")
+        marker.toLowerCase -> v
+      }
+      val mv = MvDef(rname, name,
+        s"SELECT ${keys.mkString(", ")}, " +
+          items.map { case (fn, v) => s"${fn.toUpperCase}($v) AS $v" }
+            .mkString(", ") +
+          s" FROM $name GROUP BY ${keys.mkString(", ")}",
+        keys, items.map { case (fn, v) => (fn, v) -> v }.toMap)
+      t.synchronized { t.mvs += mv }
+      graft.plans.RollupRewrite.install(s)
+      refreshMv(t, mv)
+    case DropRollupRe(name, rname) =>
+      val t = state(name)
+      require(t.synchronized(t.mvs.exists(_.name == rname)),
+        s"$name: unknown rollup $rname")
+      t.synchronized { t.mvs.filterInPlace(_.name != rname) }
+      graft.plans.RollupRewrite.deregister(t.dir, rname)
     case RenameTableRe(name, newName) =>
       // table rename: catalog re-key + view re-registration; the rowset
       // dir (and hence rollup registrations, keyed on the dir) is
@@ -1312,7 +1537,7 @@ final class DorisDdl(s: SparkSession) {
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }
-    DorisSqlDialect.sql(s, rewritten)
+    DorisSqlDialect.sql(s, rewriteMatch(rewritten))
   }
 
   /** Merge-on-read view of the current visible data, per key model; the
@@ -1561,11 +1786,12 @@ final class DorisDdl(s: SparkSession) {
   private def showCreateTable(text: String): DataFrame = text match {
     case ShowCreateRe(name) =>
       val d = state(name).def_
-      val colLines = d.cols.map { c =>
+      val colLines = (d.cols.map { c =>
         val agg = c.agg.map(" " + _).getOrElse("")
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
         s"  `${c.name}` ${c.sparkType}$agg$dflt"
-      }.mkString(",\n")
+      } ++ d.indexes.map(ix =>
+        s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED")).mkString(",\n")
       val partClause = (d.autoGran, d.partCol) match {
         case (Some(g), Some(pc)) =>
           s"\nAUTO PARTITION BY RANGE (date_trunc(`$pc`, '$g')) ()"
@@ -1589,6 +1815,8 @@ final class DorisDdl(s: SparkSession) {
         case _ => ""
       }
       val propEntries =
+        (if (d.bloomCols.isEmpty) Nil
+         else Seq(s""""bloom_filter_columns" = "${d.bloomCols.mkString(",")}"""")) ++
         d.seqCol.map(sc => s""""function_column.sequence_col" = "$sc"""").toSeq ++
         d.retainStart.toSeq.flatMap(st => Seq(
           """"dynamic_partition.enable" = "true"""",
@@ -1698,6 +1926,10 @@ object DorisDdl {
   // syntax for the live partition after a hole, so the hole round-trips.
   final case class PartDef(name: String, bound: Option[String],
       dropped: Boolean = false, lower: Option[String] = None)
+  // CREATE INDEX ... USING INVERTED: read-side tokenized text index — the
+  // registration is what LEGALIZES MATCH_ANY/MATCH_ALL on the column
+  // (Doris rejects MATCH without an inverted index)
+  final case class IndexDef(name: String, col: String)
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int,
@@ -1710,7 +1942,15 @@ object DorisDdl {
       seqCol: Option[String] = None,
       // dynamic_partition.start (negative): AUTO buckets more than |start|
       // periods behind the newest are dropped at load time (retention)
-      retainStart: Option[Int] = None)
+      retainStart: Option[Int] = None,
+      // inverted text indexes (CREATE-time INDEX items or CREATE INDEX /
+      // ALTER TABLE ADD INDEX statements)
+      indexes: Seq[IndexDef] = Nil,
+      // PROPERTIES("bloom_filter_columns" = "c1,c2"): every rowset file
+      // writes a parquet bloom filter for these columns, the skip index
+      // Doris's property drives ([doris: fe/.../analysis/CreateTableStmt
+      // .java] bloom_filter_columns)
+      bloomCols: Seq[String] = Nil)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   // async MTMV: `lastFiles` is the per-partition rowset file-set snapshot

@@ -1117,6 +1117,154 @@ class DdlSpec extends SparkSpec {
       .collect().toSeq == Seq("csv1", "pq1"))
   }
 
+  test("inverted index legalizes MATCH; unindexed / dropped-index MATCH rejects") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mtx (
+        |  id BIGINT,
+        |  body STRING,
+        |  note STRING,
+        |  INDEX body_ix (`body`) USING INVERTED
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO mtx VALUES " +
+      "(1, 'spark joins data', 'x'), (2, 'flink streams', 'y'), " +
+      "(3, 'duckdb Spark SQL', 'z')")
+    // MATCH_ANY: tokenized (lowercased) membership, not substring
+    assert(ddl.sql("SELECT id FROM mtx WHERE body MATCH_ANY 'spark'")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // MATCH_ALL: every query token present
+    assert(ddl.sql("SELECT id FROM mtx WHERE body MATCH_ALL 'spark data'")
+      .as[Long].collect().toSeq == Seq(1L))
+    // 'streams' ≠ 'stream': token equality, not prefix
+    assert(ddl.sql("SELECT count(*) AS n FROM mtx WHERE body MATCH_ANY 'stream'")
+      .as[Long].head() == 0L)
+    // MATCH on a column with no inverted index rejects (Doris behavior)
+    assertThrows[IllegalArgumentException](
+      ddl.sql("SELECT id FROM mtx WHERE note MATCH_ANY 'x'"))
+    // ALTER TABLE ADD INDEX legalizes it; DROP INDEX revokes it
+    ddl.execute("ALTER TABLE mtx ADD INDEX note_ix (`note`) USING INVERTED")
+    assert(ddl.sql("SELECT count(*) AS n FROM mtx WHERE note MATCH_ANY 'x'")
+      .as[Long].head() == 1L)
+    ddl.execute("DROP INDEX note_ix ON mtx")
+    assertThrows[IllegalArgumentException](
+      ddl.sql("SELECT id FROM mtx WHERE note MATCH_ANY 'x'"))
+    // guards: non-text column, BITMAP index type, duplicate name
+    assertThrows[IllegalArgumentException](
+      ddl.execute("CREATE INDEX id_ix ON mtx (`id`) USING INVERTED"))
+    assertThrows[RuntimeException](
+      ddl.execute("CREATE INDEX b_ix ON mtx (`body`) USING BITMAP"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("CREATE INDEX body_ix ON mtx (`note`) USING INVERTED"))
+  }
+
+  test("index + bloom_filter_columns round-trip SHOW CREATE; rowsets are " +
+    "key-sorted and carry parquet bloom filters") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE phys (
+        |  k BIGINT,
+        |  body STRING,
+        |  INDEX body_ix (`body`) USING INVERTED
+        |) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2
+        |PROPERTIES("bloom_filter_columns" = "k")""".stripMargin)
+    Tables.orders(spark, sf).createOrReplaceTempView("orders")
+    ddl.execute(
+      "INSERT INTO phys SELECT o_orderkey, o_orderpriority FROM orders")
+    // SHOW CREATE emits the index and the property, and REPLAYING the text
+    // yields an identical definition
+    val stmt = ddl.sql("SHOW CREATE TABLE phys").select("create_table")
+      .as[String].head()
+    assert(stmt.contains("INDEX body_ix (`body`) USING INVERTED"), stmt)
+    assert(stmt.contains("\"bloom_filter_columns\" = \"k\""), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("CREATE TABLE `phys`", "CREATE TABLE `phys2`"))
+    val stmt2 = ddl2.sql("SHOW CREATE TABLE phys2").select("create_table")
+      .as[String].head()
+    assert(stmt2.replace("phys2", "phys") == stmt, stmt2)
+    // physical layout: each rowset file is sorted by the key column (the
+    // zonemap contract) and its footer carries a bloom filter for k
+    val dir = ddlDir(ddl, "phys")
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val ks = spark.read.parquet(file.getAbsolutePath)
+      .select("k").as[Long].collect().toSeq
+    assert(ks == ks.sorted, s"rowset not key-sorted: ${ks.take(10)}...")
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val kCol = cols.find(_.getPath.toDotString == "k").get
+      assert(kCol.getBloomFilterOffset >= 0,
+        "k must carry a parquet bloom filter")
+      val bCol = cols.find(_.getPath.toDotString == "body").get
+      assert(bCol.getBloomFilterOffset < 0,
+        "undeclared columns must not pay for bloom filters")
+    } finally reader.close()
+  }
+
+  test("ADD ROLLUP serves matching aggregates, maintains through loads; " +
+    "DROP ROLLUP stops serving; guards reject") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ru (
+        |  k1 BIGINT,
+        |  k2 VARCHAR(8),
+        |  v DOUBLE SUM,
+        |  n BIGINT SUM,
+        |  m BIGINT MAX,
+        |  r VARCHAR(4) REPLACE
+        |) AGGREGATE KEY(k1, k2) DISTRIBUTED BY HASH(k1) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ru VALUES " +
+      "(1, 'a', 1.0, 1, 5, 'x'), (1, 'b', 2.0, 1, 6, 'y'), (2, 'a', 3.0, 1, 7, 'z')")
+    ddl.execute("ALTER TABLE ru ADD ROLLUP r1 (k2, v, n)")
+    def q() = ddl.sql(
+      "SELECT k2, sum(v) AS sv, sum(n) AS sn FROM ru GROUP BY k2")
+    def servedByRollup(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("graft_ddl_mv_r1_")
+    assert(servedByRollup(q()), "rollup must serve the k2 aggregate")
+    def rows() = q().collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    assert(rows() == Map("a" -> ((4.0, 2L)), "b" -> ((2.0, 1L))), rows())
+    // transactional maintenance: a later load lands in the rollup too
+    ddl.execute("INSERT INTO ru VALUES (3, 'b', 10.0, 1, 9, 'w')")
+    assert(servedByRollup(q()), "post-load aggregate must still serve")
+    assert(rows() == Map("a" -> ((4.0, 2L)), "b" -> ((12.0, 2L))), rows())
+    // DROP ROLLUP: the aggregate recomputes from the base (same numbers)
+    ddl.execute("ALTER TABLE ru DROP ROLLUP r1")
+    assert(!servedByRollup(q()), "dropped rollup must stop serving")
+    assert(rows() == Map("a" -> ((4.0, 2L)), "b" -> ((12.0, 2L))), rows())
+    // guards: non-AGGREGATE table; REPLACE value column; no keys; dup name
+    ddl.execute("CREATE TABLE dup (a INT, b INT) DUPLICATE KEY(a) " +
+      "DISTRIBUTED BY HASH(a) BUCKETS 1")
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE dup ADD ROLLUP rx (a, b)"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE ru ADD ROLLUP r2 (k2, r)")) // REPLACE marker
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE ru ADD ROLLUP r3 (v, n)")) // no key column
+  }
+
+  test("DROP MATERIALIZED VIEW retires a sync MV; unknown names reject") {
+    val ddl = fresh()
+    ddl.execute("CREATE TABLE dm (k BIGINT, v DOUBLE) DUPLICATE KEY(k) " +
+      "DISTRIBUTED BY HASH(k) BUCKETS 1")
+    ddl.execute("INSERT INTO dm VALUES (1, 1.0), (1, 2.0), (2, 3.0)")
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW dm_mv AS SELECT k, SUM(v) AS sv FROM dm GROUP BY k")
+    def q() = ddl.sql("SELECT k, sum(v) AS sv FROM dm GROUP BY k")
+    def served() =
+      q().queryExecution.executedPlan.toString.contains("graft_ddl_mv_dm_mv_")
+    assert(served(), "sync MV must serve before the drop")
+    ddl.execute("DROP MATERIALIZED VIEW dm_mv ON dm")
+    assert(!served(), "dropped MV must stop serving")
+    assert(q().collect().map(r => (r.getLong(0), r.getDouble(1))).toMap ==
+      Map(1L -> 3.0, 2L -> 3.0))
+    assertThrows[RuntimeException](ddl.execute("DROP MATERIALIZED VIEW nope"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)

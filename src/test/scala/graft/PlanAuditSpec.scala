@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
   //                           broadcast crossJoin
   //   llm_tfidf, llm_bm25   — scoring stream × 1-row corpus-stats broadcast
   //                           crossJoin (same shape as llm_unigram_logprob)
+  //   llm_bigram_logprob    — bigram instance stream × 1-row corpus-total
+  //                           broadcast crossJoin (the tfidf/bm25 shape)
   //   llm_match_phrase, llm_match_phrase_prefix, llm_match_phrase_edge
   //                         — corpus × 1-row derived-phrase broadcast
   //                           crossJoin
@@ -44,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "join_cross", "llm_knn", "llm_embed_neardup",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
-    "llm_decontaminate", "llm_langid", "llm_unigram_logprob", "llm_tfidf",
+    "llm_decontaminate", "llm_langid", "llm_unigram_logprob",
+    "llm_bigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
     "llm_match_phrase_edge", "llm_match_regexp")
 
