@@ -901,7 +901,82 @@ object DdlStatements {
       },
       """SELECT event_type, round(sum(value), 2) AS total_value,
         |  count(*) AS n_rows
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // GENERATED columns (Doris 2.1 `col TYPE AS (expr)`): computed from
+    // the other columns at LOAD time and stored — the positional INSERT
+    // maps only the plain columns (naming a generated column rejects,
+    // DdlSpec), the read never recomputes. The oracle recomputes both
+    // expressions from raw orders, so a wrong compute-at-load (or a stale
+    // stored value after the second load) breaks the hash.
+    "sql_ddl_generated_col" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val ddl = lifecycle("sql_ddl_generated_col", s, dir)(Seq(
+          """CREATE TABLE ord_gen (
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE,
+            |  band VARCHAR(8) AS (CASE WHEN o_totalprice >= 200000 THEN 'high'
+            |    WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END),
+            |  net DOUBLE AS (round(o_totalprice * 0.9, 2))
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderkey)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_gen
+            |SELECT o_orderkey, o_totalprice FROM orders
+            |WHERE o_orderkey % 2 = 0""".stripMargin,
+          """INSERT INTO ord_gen
+            |SELECT o_orderkey, o_totalprice FROM orders
+            |WHERE o_orderkey % 2 <> 0""".stripMargin))
+        ddl.sql(
+          """SELECT band, count(*) AS n, round(sum(net), 2) AS net_total
+            |FROM ord_gen GROUP BY band ORDER BY band""".stripMargin)
+      },
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
+        |  WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS band,
+        |  count(*) AS n,
+        |  round(sum(round(o_totalprice * 0.9, 2)), 2) AS net_total
+        |FROM orders GROUP BY 1 ORDER BY band""".stripMargin),
+
+    // ANALYZE TABLE + SHOW COLUMN STATS: the stats job — one aggregate
+    // scan collects (ndv, null_count, min, max) per statsable column plus
+    // the row count into driver metadata; SHOW serves from it with zero
+    // data IO. NDV is exact here (Doris sketches it), which is what makes
+    // the statement DuckDB-replayable column by column.
+    "sql_ddl_stats" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_stats", s, dir)(Seq(
+          """CREATE TABLE cust_st (
+            |  c_custkey BIGINT,
+            |  c_mktsegment VARCHAR(16),
+            |  c_nationkey BIGINT
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(c_custkey)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO cust_st
+            |SELECT c_custkey, c_mktsegment, c_nationkey FROM customer""".stripMargin,
+          "ANALYZE TABLE cust_st"))
+        ddl.sql("SHOW COLUMN STATS cust_st").orderBy("column_name")
+      },
+      """WITH s AS (
+        |  SELECT 'c_custkey' AS column_name, count(*) AS row_count,
+        |    count(DISTINCT c_custkey) AS ndv,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min,
+        |    CAST(max(c_custkey) AS VARCHAR) AS max
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(DISTINCT c_mktsegment),
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    min(c_mktsegment), max(c_mktsegment)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(DISTINCT c_nationkey),
+        |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
+        |  FROM customer)
+        |SELECT * FROM s ORDER BY column_name""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -94,6 +94,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("REFRESH MATERIALIZED VIEW")) Some(refreshStmt(t))
     else if (up.startsWith("EXPORT TABLE")) Some(exportTable(t))
     else if (up.startsWith("EXPLAIN")) Some(explainStmt(t))
+    else if (up.startsWith("ANALYZE TABLE")) Some(analyzeStmt(t))
+    else if (up.startsWith("SHOW COLUMN STATS")) Some(showColumnStats(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
@@ -303,7 +305,15 @@ final class DorisDdl(s: SparkSession) {
     val m = """(?is)^\s*`?(\w+)`?\s+(\w+(?:\s*<.*>)?(?:\s*\([^)]*\))?)\s*(.*)$""".r
       .findFirstMatchIn(text)
       .getOrElse(sys.error(s"unparseable column def: $text"))
-    val rest = m.group(3).trim
+    var rest = m.group(3).trim
+    // generated column: `AS (expr)` — extracted FIRST (paren-matched, so
+    // an expression containing DEFAULT/SUM text can't confuse the
+    // marker/default parses below, which then see only the remainder)
+    val gen = """(?is)^AS\s*\(""".r.findFirstMatchIn(rest).map { g =>
+      val (inner, after) = untilMatchingParen(rest.substring(g.end))
+      rest = after.trim
+      inner.trim
+    }
     // longest-first: REPLACE_IF_NOT_NULL must not lex as REPLACE
     val aggRe =
       """(?is)^(REPLACE_IF_NOT_NULL|BITMAP_UNION|HLL_UNION|SUM|MAX|MIN|REPLACE)\b""".r
@@ -311,7 +321,11 @@ final class DorisDdl(s: SparkSession) {
     val default = """(?is)\bDEFAULT\s+"([^"]*)"|\bDEFAULT\s+'([^']*)'""".r
       .findFirstMatchIn(rest)
       .map(mm => Option(mm.group(1)).getOrElse(mm.group(2)))
-    ColDef(m.group(1), sparkType(m.group(2)), agg, default)
+    gen.foreach { _ =>
+      require(agg.isEmpty && default.isEmpty,
+        s"${m.group(1)}: a generated column takes no aggregate marker or DEFAULT")
+    }
+    ColDef(m.group(1), sparkType(m.group(2)), agg, default, gen = gen)
   }
 
   /** Doris type name → Spark SQL DDL type (SURVEY §1.2 mapping);
@@ -751,13 +765,15 @@ final class DorisDdl(s: SparkSession) {
         if (body.toUpperCase.startsWith("VALUES")) {
           val targets = Option(colList)
             .map(topLevelSplit(_).map(stripIdent))
-            .getOrElse(t.def_.cols.map(_.name))
+            .getOrElse(t.def_.cols.filter(_.gen.isEmpty).map(_.name))
           s.sql(s"SELECT * FROM ($body) AS v(${targets.mkString(", ")})")
         } else DorisSqlDialect.sql(s, body) match {
           case df =>
             Option(colList).map(topLevelSplit(_).map(stripIdent)) match {
               case Some(ts) => df.toDF(ts: _*)
-              case None => df.toDF(t.def_.cols.map(_.name): _*)
+              // positional mapping skips GENERATED columns (they are
+              // computed, not loaded — Doris excludes them here too)
+              case None => df.toDF(t.def_.cols.filter(_.gen.isEmpty).map(_.name): _*)
             }
         }
       load(t, src, part, label)
@@ -774,6 +790,11 @@ final class DorisDdl(s: SparkSession) {
     * column. */
   private def rowset(t: TableState, src: DataFrame, ver: Long): DataFrame = {
     val present = src.columns.toSet
+    // GENERATED columns are computed, never loaded: a source frame naming
+    // one (an explicit INSERT column list) rejects, Doris's rule
+    t.def_.cols.filter(_.gen.isDefined).foreach(c =>
+      require(!present.contains(c.name),
+        s"${t.def_.name}: generated column ${c.name} cannot be written by a load"))
     // UNIQUE rowsets carry the hidden delete sign (Doris
     // __DORIS_DELETE_SIGN__): a load naming __DELETE_SIGN__ in its column
     // list writes delete markers (batch delete / MERGE load); plain loads
@@ -783,10 +804,19 @@ final class DorisDdl(s: SparkSession) {
       if (t.def_.keysType != "UNIQUE") Nil
       else Seq((if (present.contains("__DELETE_SIGN__"))
         col("__DELETE_SIGN__").cast("int") else lit(0)).as("_sign"))
-    val aligned = src.select(t.def_.cols.map { c =>
+    val aligned0 = src.select(t.def_.cols.filter(_.gen.isEmpty).map { c =>
       (if (present.contains(c.name)) col(c.name)
        else lit(c.default.orNull)).cast(c.sparkType).as(c.name)
     } ++ sign: _*)
+    // generated columns compute from the ALIGNED (already-cast) plain
+    // columns at load time and are stored like any other column — reads
+    // never recompute them (the Doris stored-generated contract); the
+    // final select restores declared column order
+    val aligned = t.def_.cols.filter(_.gen.isDefined)
+      .foldLeft(aligned0)((df, c) => df.withColumn(c.name,
+        expr(DorisSqlDialect.rewrite(c.gen.get)).cast(c.sparkType)))
+      .select(t.def_.cols.map(c => col(c.name)) ++
+        (if (t.def_.keysType == "UNIQUE") Seq(col("_sign")) else Nil): _*)
     val withPart = t.def_.partCol match {
       case Some(pc) =>
         aligned.withColumn("_p", partitionName(t.def_, col(pc)))
@@ -896,7 +926,7 @@ final class DorisDdl(s: SparkSession) {
       require(t.synchronized(!t.labels.contains(lbl)),
         s"$name: errCode = 2, label $lbl already exists")
       val targets = Option(colList).map(topLevelSplit(_).map(stripIdent))
-        .getOrElse(t.def_.cols.map(_.name))
+        .getOrElse(t.def_.cols.filter(_.gen.isEmpty).map(_.name))
       targets.foreach(c => require(t.def_.cols.exists(_.name == c),
         s"$name: unknown column $c in LOAD column list"))
       val src = Option(fmt0).map(_.toLowerCase).getOrElse("csv") match {
@@ -930,7 +960,7 @@ final class DorisDdl(s: SparkSession) {
       require(part.isEmpty || t.def_.partCol.isDefined,
         s"$name: PARTITION overwrite needs a partitioned table")
       val src = DorisSqlDialect.sql(s, body)
-        .toDF(t.def_.cols.map(_.name): _*)
+        .toDF(t.def_.cols.filter(_.gen.isEmpty).map(_.name): _*)
       val ver = t.synchronized { t.nextVer += 1; t.nextVer }
       val out0 = rowset(t, src, ver)
       val out = part match {
@@ -1054,13 +1084,17 @@ final class DorisDdl(s: SparkSession) {
         require(t.def_.cols.exists(_.name == c), s"$name: unknown column $c")
         require(!t.def_.keyCols.contains(c),
           s"$name: cannot UPDATE key column $c")
+        require(t.def_.cols.find(_.name == c).get.gen.isEmpty,
+          s"$name: cannot UPDATE generated column $c")
       }
       val matched = visible(t, None)
         .filter(expr(DorisSqlDialect.rewrite(pred)))
       val updated = assignments.foldLeft(matched) { case (df, (c, e)) =>
         df.withColumn(c, expr(e))
       }
-      load(t, updated)
+      // generated columns RECOMPUTE from the updated row in rowset() —
+      // drop their stale stored values from the reload frame
+      load(t, updated.drop(t.def_.cols.filter(_.gen.isDefined).map(_.name): _*))
     case _ => sys.error(s"unparseable UPDATE: ${text.take(80)}")
   }
 
@@ -1174,6 +1208,9 @@ final class DorisDdl(s: SparkSession) {
       // contract). Key columns cannot be added this way.
       val t = state(name)
       val c = parseColDef(colDef)
+      require(c.gen.isEmpty,
+        s"$name: ADD COLUMN ... AS (expr) is not supported (generated " +
+          "columns are CREATE-time only — old rowsets have no stored value)")
       val d = t.def_
       require(!d.cols.exists(x => x.name == c.name || x.priors.contains(c.name)),
         s"$name: column name ${c.name} already exists (or is a renamed " +
@@ -1199,6 +1236,9 @@ final class DorisDdl(s: SparkSession) {
       val d = t.def_
       require(d.cols.exists(_.name == cname), s"$name: unknown column $cname")
       require(!d.keyCols.contains(cname), s"$name: cannot drop key column $cname")
+      require(!d.cols.exists(c => c.gen.exists(g =>
+        s"(?i)\\b$cname\\b".r.findFirstIn(g).isDefined)),
+        s"$name: column $cname is referenced by a generated column")
       require(!d.partCol.contains(cname),
         s"$name: cannot drop the partition column")
       require(d.hashCol != cname, s"$name: cannot drop the distribution column")
@@ -1219,6 +1259,9 @@ final class DorisDdl(s: SparkSession) {
       require(d.cols.exists(_.name == oldN), s"$name: unknown column $oldN")
       require(!d.cols.exists(c => c.name == newN || c.priors.contains(newN)),
         s"$name: column name $newN is already in use")
+      require(!d.cols.exists(c => c.gen.exists(g =>
+        s"(?i)\\b$oldN\\b".r.findFirstIn(g).isDefined)),
+        s"$name: column $oldN is referenced by a generated column")
       require(t.synchronized(t.mvs.toSeq).forall(mv =>
         !mv.keys.contains(oldN) && !mv.columns.keys.exists(_._2 == oldN)),
         s"$name: column $oldN is referenced by a materialized view")
@@ -1254,6 +1297,9 @@ final class DorisDdl(s: SparkSession) {
         .getOrElse(sys.error(s"$name: unknown column ${c.name}"))
       require(c.agg == old.agg,
         s"$name: MODIFY COLUMN cannot change the aggregate marker")
+      require(c.gen == old.gen,
+        s"$name: MODIFY COLUMN cannot add, drop, or change a generated " +
+          s"expression (restate the same AS (expr) when modifying ${c.name})")
       if (c.sparkType == old.sparkType) {
         t.synchronized {
           t.def_ = d.copy(cols = d.cols.map(x =>
@@ -1776,6 +1822,68 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable SHOW DATA: ${text.take(80)}")
   }
 
+  // ------------------------------------------------------ column statistics
+
+  private val AnalyzeRe = """(?is)^ANALYZE\s+TABLE\s+`?(\w+)`?$""".r
+  private val ShowStatsRe = """(?is)^SHOW\s+COLUMN\s+STATS\s+`?(\w+)`?$""".r
+
+  /** Is this a type column stats can fully describe (orderable + hashable)?
+    * Complex types (ARRAY/MAP/STRUCT) and sketch binaries are skipped, as
+    * Doris's stats job skips them. */
+  private def statsable(c: ColDef): Boolean = {
+    val t0 = c.sparkType.toUpperCase
+    !Seq("ARRAY", "MAP", "STRUCT", "BINARY").exists(t0.startsWith)
+  }
+
+  /** `ANALYZE TABLE t` ([doris: fe/.../statistics/AnalysisManager.java]):
+    * ONE aggregate scan computes every statsable column's (ndv, null_count,
+    * min, max) plus the row count, stored as driver metadata for SHOW
+    * COLUMN STATS (and, in Doris, the CBO). NDV is EXACT here where Doris's
+    * stats job sketches it — exactness is what lets the DuckDB oracle
+    * replay the statement. Returns the one-row job summary. */
+  private def analyzeStmt(text: String): DataFrame = text match {
+    case AnalyzeRe(name) =>
+      val t = state(name)
+      val d = t.def_
+      val cols = d.cols.filter(statsable)
+      val collected: (Long, Seq[(String, Long, Long, String, String)]) =
+        if (!hasRowsets(t.dir)) (0L, cols.map(c => (c.name, 0L, 0L, null, null)))
+        else {
+          registerViews(t)
+          val df = visible(t, None)
+          val aggs = Seq(count(lit(1)).as("__n")) ++ cols.zipWithIndex.flatMap {
+            case (c, i) => Seq(
+              countDistinct(col(c.name)).as(s"__ndv_$i"),
+              sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"__nul_$i"),
+              min(col(c.name)).cast("string").as(s"__min_$i"),
+              max(col(c.name)).cast("string").as(s"__max_$i"))
+          }
+          val r = df.agg(aggs.head, aggs.tail: _*).head()
+          (r.getLong(0), cols.zipWithIndex.map { case (c, i) =>
+            (c.name, r.getLong(1 + i * 4), r.getLong(2 + i * 4),
+              r.getString(3 + i * 4), r.getString(4 + i * 4))
+          })
+        }
+      t.synchronized { t.stats = Some(collected) }
+      import s.implicits._
+      Seq((name, cols.size.toLong, collected._1))
+        .toDF("table_name", "columns_analyzed", "row_count")
+    case _ => sys.error(s"unparseable ANALYZE: ${text.take(80)}")
+  }
+
+  /** `SHOW COLUMN STATS t` → (column_name, row_count, ndv, null_count,
+    * min, max) from the last ANALYZE — driver metadata, zero data IO. */
+  private def showColumnStats(text: String): DataFrame = text match {
+    case ShowStatsRe(name) =>
+      val t = state(name)
+      val (n, rows) = t.synchronized(t.stats).getOrElse(
+        sys.error(s"$name has no column stats; run ANALYZE TABLE $name"))
+      import s.implicits._
+      rows.map { case (c, ndv, nul, mn, mx) => (c, n, ndv, nul, mn, mx) }
+        .toDF("column_name", "row_count", "ndv", "null_count", "min", "max")
+    case _ => sys.error(s"unparseable SHOW COLUMN STATS: ${text.take(80)}")
+  }
+
   private val ShowCreateRe =
     """(?is)^SHOW\s+CREATE\s+TABLE\s+`?(\w+)`?$""".r
 
@@ -1787,9 +1895,10 @@ final class DorisDdl(s: SparkSession) {
     case ShowCreateRe(name) =>
       val d = state(name).def_
       val colLines = (d.cols.map { c =>
+        val gen = c.gen.map(g => s" AS ($g)").getOrElse("")
         val agg = c.agg.map(" " + _).getOrElse("")
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
-        s"  `${c.name}` ${c.sparkType}$agg$dflt"
+        s"  `${c.name}` ${c.sparkType}$gen$agg$dflt"
       } ++ d.indexes.map(ix =>
         s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED")).mkString(",\n")
       val partClause = (d.autoGran, d.partCol) match {
@@ -1881,24 +1990,26 @@ final class DorisDdl(s: SparkSession) {
   /** Split at top-level commas (quote- and paren-aware; `angles` also
     * tracks `<...>` nesting — used ONLY where generic TYPES can appear,
     * i.e. column-definition lists, never expression lists where a bare
-    * `<` is a comparison). */
+    * `<` is a comparison). Angle tracking applies only OUTSIDE parens:
+    * generic type brackets sit at paren depth 0 (`MAP<K, V>`), while a
+    * `<`/`>=` inside parens is a comparison in a generated-column
+    * expression (`price DOUBLE AS (CASE WHEN x >= 1 ...)`). */
   private def topLevelSplit(text: String, angles: Boolean = false): Seq[String] = {
     val out = mutable.ArrayBuffer(new StringBuilder)
-    var depth = 0; var inQ = false
+    var paren = 0; var angle = 0; var inQ = false
     text.foreach { c =>
       if (inQ) { out.last.append(c); if (c == '\'') inQ = false }
       else c match {
         case '\'' => inQ = true; out.last.append(c)
-        case '(' => depth += 1; out.last.append(c)
-        case ')' => depth -= 1; out.last.append(c)
         // '[' nests like '(' (fixed-range partition specs, array literals);
         // the range syntax closes its '[' with ')', so ']' only closes a
         // bracket when one is actually open
-        case '[' => depth += 1; out.last.append(c)
-        case ']' => depth -= 1; out.last.append(c)
-        case '<' if angles => depth += 1; out.last.append(c)
-        case '>' if angles => depth -= 1; out.last.append(c)
-        case ',' if depth == 0 => out.append(new StringBuilder)
+        case '(' | '[' => paren += 1; out.last.append(c)
+        case ')' | ']' => paren -= 1; out.last.append(c)
+        case '<' if angles && paren == 0 => angle += 1; out.last.append(c)
+        case '>' if angles && paren == 0 && angle > 0 =>
+          angle -= 1; out.last.append(c)
+        case ',' if paren == 0 && angle == 0 => out.append(new StringBuilder)
         case ch => out.last.append(ch)
       }
     }
@@ -1916,7 +2027,11 @@ object DorisDdl {
       addedVer: Long = 0L,
       // former names after light RENAME COLUMN: old rowsets keep their
       // bytes under the old name; the read coalesces (current, priors...)
-      priors: Seq[String] = Nil)
+      priors: Seq[String] = Nil,
+      // GENERATED column (Doris 2.1 `col TYPE AS (expr)`): computed from
+      // the other columns at LOAD time and stored — loads never supply it,
+      // reads never recompute it
+      gen: Option[String] = None)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
   // no covering partition, and a drop leaves a hole, not a merged range.
@@ -1972,5 +2087,8 @@ object DorisDdl {
     // (version, label) — SHOW LOAD's source, driver metadata only
     val labels: mutable.Set[String] = mutable.Set()
     val loads: mutable.ArrayBuffer[(Long, Option[String])] = mutable.ArrayBuffer()
+    // last ANALYZE TABLE result: (row_count, per-column (name, ndv,
+    // null_count, min, max) as strings) — SHOW COLUMN STATS serves from it
+    var stats: Option[(Long, Seq[(String, Long, Long, String, String)])] = None
   }
 }

@@ -1265,6 +1265,79 @@ class DdlSpec extends SparkSpec {
     assertThrows[RuntimeException](ddl.execute("DROP MATERIALIZED VIEW nope"))
   }
 
+  test("generated columns: computed at load, recomputed on UPDATE, guarded") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE g (
+        |  k BIGINT,
+        |  v DOUBLE,
+        |  v2 DOUBLE AS (round(v * 2, 2)),
+        |  tag VARCHAR(4) AS (CASE WHEN v >= 10 THEN 'big' ELSE 'sml' END)
+        |) UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    // positional INSERT maps only the plain columns
+    ddl.execute("INSERT INTO g VALUES (1, 4.0), (2, 12.0)")
+    assert(ddl.sql("SELECT k, v2, tag FROM g ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2))).toSeq ==
+      Seq((1L, 8.0, "sml"), (2L, 24.0, "big")))
+    // an explicit column list naming a generated column rejects
+    assertThrows[IllegalArgumentException](
+      ddl.execute("INSERT INTO g (k, v, v2) VALUES (3, 1.0, 99.0)"))
+    // UPDATE of a base column RECOMPUTES the generated ones
+    ddl.execute("UPDATE g SET v = 20.0 WHERE k = 1")
+    assert(ddl.sql("SELECT v2, tag FROM g WHERE k = 1")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq ==
+      Seq((40.0, "big")))
+    // UPDATE of the generated column itself rejects
+    assertThrows[IllegalArgumentException](
+      ddl.execute("UPDATE g SET v2 = 1.0 WHERE k = 1"))
+    // SHOW CREATE round-trips the AS (expr)
+    val stmt = ddl.sql("SHOW CREATE TABLE g").select("create_table")
+      .as[String].head()
+    assert(stmt.contains("AS (round(v * 2, 2))"), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("CREATE TABLE `g`", "CREATE TABLE `g2`"))
+    ddl2.execute("INSERT INTO g2 VALUES (7, 4.0)")
+    assert(ddl2.sql("SELECT v2 FROM g2").as[Double].head() == 8.0)
+    // structural guards: can't rename/drop a referenced column, can't ADD
+    // a generated column post-create
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE g RENAME COLUMN v vv"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE g DROP COLUMN v"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE g ADD COLUMN v3 DOUBLE AS (v + 1)"))
+    // dropping the generated column itself is a legal light change
+    ddl.execute("ALTER TABLE g DROP COLUMN v2")
+    assert(!ddl.sql("SELECT * FROM g").columns.contains("v2"))
+  }
+
+  test("ANALYZE TABLE / SHOW COLUMN STATS: exact stats from one scan, " +
+    "metadata-served, guarded") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE st (k BIGINT, s VARCHAR(8))
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    // SHOW before ANALYZE rejects
+    assertThrows[RuntimeException](ddl.sql("SHOW COLUMN STATS st"))
+    ddl.execute("INSERT INTO st VALUES (1, 'a'), (2, 'b'), (3, NULL), (3, 'b')")
+    val summary = ddl.sql("ANALYZE TABLE st").collect().head
+    assert(summary.getLong(1) == 2L && summary.getLong(2) == 4L) // cols, rows
+    val rows = ddl.sql("SHOW COLUMN STATS st").orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(rows == Seq(
+      ("k", 4L, 3L, 0L, "1", "3"),
+      ("s", 4L, 2L, 1L, "a", "b")), rows)
+    // stats reflect the LAST analyze (metadata, not live): a later load
+    // doesn't change SHOW until re-analyzed
+    ddl.execute("INSERT INTO st VALUES (9, 'z')")
+    assert(ddl.sql("SHOW COLUMN STATS st").count() == 2 &&
+      ddl.sql("SHOW COLUMN STATS st").filter($"max" === "9").count() == 0)
+    ddl.sql("ANALYZE TABLE st")
+    assert(ddl.sql("SHOW COLUMN STATS st")
+      .filter($"column_name" === "k" && $"max" === "9").count() == 1)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
