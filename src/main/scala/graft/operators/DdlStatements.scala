@@ -976,7 +976,57 @@ object DdlStatements {
         |    CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    CAST(min(c_nationkey) AS VARCHAR), CAST(max(c_nationkey) AS VARCHAR)
         |  FROM customer)
-        |SELECT * FROM s ORDER BY column_name""".stripMargin)
+        |SELECT * FROM s ORDER BY column_name""".stripMargin),
+
+    // LIST partitions (`PARTITION BY LIST(col) ... VALUES IN`): the
+    // categorical partition model. The lifecycle drops one partition (its
+    // directory is the O(1) op and its VALUES lose coverage), re-adds a
+    // partition covering the same value, and reloads a subset — the final
+    // SELECT unions the full merge with a partition SELECTION (pruned
+    // scan). The oracle replays the drop + partial reload as filters.
+    "sql_ddl_list_partition" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_list_partition", s, dir)(Seq(
+          """CREATE TABLE cust_lp (
+            |  c_mktsegment VARCHAR(16),
+            |  c_custkey BIGINT,
+            |  c_acctbal DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(c_mktsegment, c_custkey)
+            |PARTITION BY LIST(`c_mktsegment`) (
+            |  PARTITION p_auto VALUES IN ('AUTOMOBILE'),
+            |  PARTITION p_heavy VALUES IN ('BUILDING', 'MACHINERY'),
+            |  PARTITION p_home VALUES IN ('FURNITURE', 'HOUSEHOLD')
+            |)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO cust_lp
+            |SELECT c_mktsegment, c_custkey, c_acctbal FROM customer""".stripMargin,
+          "ALTER TABLE cust_lp DROP PARTITION p_auto",
+          "ALTER TABLE cust_lp ADD PARTITION p_auto2 VALUES IN ('AUTOMOBILE')",
+          """INSERT INTO cust_lp
+            |SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+            |WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 2 = 0""".stripMargin))
+        ddl.sql(
+          """SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+            |FROM cust_lp GROUP BY c_mktsegment
+            |UNION ALL
+            |SELECT 'P_HEAVY', count(*), round(sum(c_acctbal), 2)
+            |FROM cust_lp PARTITION (p_heavy)
+            |ORDER BY c_mktsegment""".stripMargin)
+      },
+      """WITH base AS (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment <> 'AUTOMOBILE'
+        |  UNION ALL
+        |  SELECT c_mktsegment, c_custkey, c_acctbal FROM customer
+        |  WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey % 2 = 0)
+        |SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM base GROUP BY 1
+        |UNION ALL
+        |SELECT 'P_HEAVY', count(*), round(sum(c_acctbal), 2)
+        |FROM base WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        |ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

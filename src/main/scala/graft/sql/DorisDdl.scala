@@ -217,7 +217,7 @@ final class DorisDdl(s: SparkSession) {
           s"$name: AUTO PARTITION granularity must be day/month/year, got $g")
         (stripIdent(m.group(1)), g)
       }
-      val partSpec =
+      val rangeSpec =
         if (autoSpec.isDefined) None
         else clauseParen(rest, """(?is)\bPARTITION\s+BY\s+RANGE\s*\(""")
         .map { inner =>
@@ -227,6 +227,25 @@ final class DorisDdl(s: SparkSession) {
             .getOrElse(sys.error(s"$name: PARTITION BY RANGE needs partition specs"))
           (pc, topLevelSplit(specs).map(parsePartition))
         }
+      // PARTITION BY LIST(col): each partition owns an explicit value set
+      val listSpec =
+        if (autoSpec.isDefined || rangeSpec.isDefined) None
+        else clauseParen(rest, """(?is)\bPARTITION\s+BY\s+LIST\s*\(""")
+        .map { inner =>
+          val pc = stripIdent(inner.trim)
+          val specs = clauseParen(rest.substring(up.indexOf("PARTITION BY LIST")),
+            """(?is)LIST\s*\([^)]*\)\s*\(""")
+            .getOrElse(sys.error(s"$name: PARTITION BY LIST needs partition specs"))
+          (pc, topLevelSplit(specs).map(parsePartition))
+        }
+      listSpec.foreach { case (_, specs) =>
+        specs.foreach(p => require(p.inValues.isDefined,
+          s"$name: LIST partitions need VALUES IN specs (${p.name})"))
+        val all = specs.flatMap(_.inValues.get)
+        require(all.distinct.size == all.size,
+          s"$name: a value may belong to only one LIST partition")
+      }
+      val partSpec = rangeSpec orElse listSpec
       val hashCol = clauseParen(rest, """(?is)\bDISTRIBUTED\s+BY\s+HASH\s*\(""")
         .map(x => stripIdent(x.trim))
         .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
@@ -241,6 +260,8 @@ final class DorisDdl(s: SparkSession) {
       partSpec.foreach { case (_, specs) =>
         require(specs.map(_.name).distinct.size == specs.size,
           s"$name: duplicate partition names")
+      }
+      rangeSpec.foreach { case (_, specs) =>
         require(specs.init.forall(_.bound.isDefined),
           s"$name: only the last partition may be MAXVALUE")
       }
@@ -295,7 +316,7 @@ final class DorisDdl(s: SparkSession) {
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
           hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart,
-          indexes, bloomCols),
+          indexes, bloomCols, listPart = listSpec.isDefined),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -375,10 +396,19 @@ final class DorisDdl(s: SparkSession) {
   private val FixedPartRe =
     """(?is)^\s*PARTITION\s+`?(\w+)`?\s+VALUES\s+\[\s*\(\s*'([^']*)'\s*\)\s*,\s*\(\s*(?:'([^']*)'|(MAXVALUE))\s*\)\s*\)\s*$""".r
 
+  // PARTITION pname VALUES IN ('a' [, 'b' ...]) — LIST partition spec
+  private val ListPartRe =
+    """(?is)^\s*PARTITION\s+`?(\w+)`?\s+VALUES\s+IN\s*\((.*)\)\s*$""".r
+
   private def parsePartition(text: String): PartDef = text match {
     case PartRe(name, lit, _) => PartDef(name, Option(lit))
     case FixedPartRe(name, lo, hi, _) =>
       PartDef(name, Option(hi), lower = Some(lo))
+    case ListPartRe(name, vals) =>
+      val vs = topLevelSplit(vals).map(v =>
+        v.trim.stripPrefix("'").stripSuffix("'"))
+      require(vs.nonEmpty, s"partition $name: VALUES IN needs at least one value")
+      PartDef(name, None, inValues = Some(vs))
     case _ => sys.error(s"unparseable partition spec: $text")
   }
 
@@ -1041,6 +1071,12 @@ final class DorisDdl(s: SparkSession) {
       d.cols.find(_.name == d.partCol.get).get.sparkType)
     def reject(why: String): Column = raise_error(concat(
       lit(s"${d.name}: $why "), c.cast("string")))
+    // LIST partitions: value-set membership, no ordering — a value in no
+    // partition's set (including one freed by DROP PARTITION) kills the load
+    if (d.listPart)
+      return d.parts.foldRight(reject("no partition for value")) { (p, acc) =>
+        when(c.isin(p.inValues.get.map(typed): _*), lit(p.name)).otherwise(acc)
+      }
     // CASE chain in bound order: each partition claims [implicit-or-explicit
     // lower, bound). A DROPPED partition keeps its branch but the branch
     // REJECTS — Doris leaves a hole after DROP PARTITION, never a merged
@@ -1162,6 +1198,18 @@ final class DorisDdl(s: SparkSession) {
         require(partitionNames(t).contains(pname),
           s"$name: unknown partition $pname")
         s.catalog.dropTempView(s"${name}__part_$pname")
+      } else if (t.def_.listPart) {
+        // LIST partition: dropping REMOVES the PartDef — its values lose
+        // coverage (loads with them reject via the no-partition fall-
+        // through) and may be re-added later; no hole marking needed
+        // because no other partition can swallow an explicit value set
+        val d = t.def_
+        require(d.parts.exists(_.name == pname),
+          s"$name: unknown partition $pname")
+        t.synchronized {
+          t.def_ = d.copy(parts = d.parts.filterNot(_.name == pname))
+        }
+        s.catalog.dropTempView(s"${name}__part_$pname")
       } else {
         // declared partitions: the PartDef stays, MARKED — the vacated
         // range becomes a rejecting hole (Doris: a row with no covering
@@ -1192,11 +1240,22 @@ final class DorisDdl(s: SparkSession) {
       val p = parsePartition(s"PARTITION $spec")
       require(!d.parts.exists(_.name == p.name),
         s"$name: partition ${p.name} already exists")
-      val lastBound = d.parts.last.bound.getOrElse(sys.error(
-        s"$name: cannot ADD PARTITION after a MAXVALUE partition"))
-      p.bound.foreach { b =>
-        require(boundGt(d, b, lastBound),
-          s"$name: new bound '$b' must exceed the last bound '$lastBound'")
+      if (d.listPart) {
+        // LIST table: the new value set must not overlap any live partition
+        require(p.inValues.isDefined,
+          s"$name: a LIST table's ADD PARTITION needs VALUES IN")
+        val used = d.parts.flatMap(_.inValues.getOrElse(Nil)).toSet
+        p.inValues.get.foreach(v => require(!used(v),
+          s"$name: value '$v' already belongs to a partition"))
+      } else {
+        require(p.inValues.isEmpty,
+          s"$name: VALUES IN needs a LIST-partitioned table")
+        val lastBound = d.parts.last.bound.getOrElse(sys.error(
+          s"$name: cannot ADD PARTITION after a MAXVALUE partition"))
+        p.bound.foreach { b =>
+          require(boundGt(d, b, lastBound),
+            s"$name: new bound '$b' must exceed the last bound '$lastBound'")
+        }
       }
       t.synchronized { t.def_ = d.copy(parts = d.parts :+ p) }
       registerViews(t)
@@ -1490,7 +1549,8 @@ final class DorisDdl(s: SparkSession) {
           .select(col("partition_name"), col("upper_bound"), col("n_rows"))
         case None =>
           val meta = t.def_.parts.filterNot(_.dropped)
-            .map(p => (p.name, p.bound.getOrElse("MAXVALUE")))
+            .map(p => (p.name, p.inValues.map(_.mkString(","))
+              .getOrElse(p.bound.getOrElse("MAXVALUE"))))
             .toDF("partition_name", "upper_bound")
           meta.join(counts, Seq("partition_name"), "left")
             .select(col("partition_name"), col("upper_bound"),
@@ -1904,6 +1964,11 @@ final class DorisDdl(s: SparkSession) {
       val partClause = (d.autoGran, d.partCol) match {
         case (Some(g), Some(pc)) =>
           s"\nAUTO PARTITION BY RANGE (date_trunc(`$pc`, '$g')) ()"
+        case (None, Some(pc)) if d.listPart =>
+          val specs = d.parts.map(p =>
+            s"  PARTITION ${p.name} VALUES IN (${
+              p.inValues.get.map(v => s"'$v'").mkString(", ")})").mkString(",\n")
+          s"\nPARTITION BY LIST(`$pc`) (\n$specs\n)"
         case (None, Some(pc)) =>
           // dropped partitions are omitted; the live partition after a hole
           // is emitted in fixed-range syntax, so replaying the text
@@ -2039,8 +2104,14 @@ object DorisDdl {
   // (`VALUES [('lo'), ('hi'))`); None means the chain-implicit lower (the
   // previous partition's bound). SHOW CREATE TABLE emits fixed-range
   // syntax for the live partition after a hole, so the hole round-trips.
+  // `inValues` Some = a LIST partition (`VALUES IN ('a','b')`): the
+  // partition owns exactly that value set. A dropped LIST partition is
+  // REMOVED outright (its values simply lose coverage and reject — no
+  // neighbor can swallow them, and Doris allows re-adding them later),
+  // unlike a RANGE drop which must keep a marked hole.
   final case class PartDef(name: String, bound: Option[String],
-      dropped: Boolean = false, lower: Option[String] = None)
+      dropped: Boolean = false, lower: Option[String] = None,
+      inValues: Option[Seq[String]] = None)
   // CREATE INDEX ... USING INVERTED: read-side tokenized text index — the
   // registration is what LEGALIZES MATCH_ANY/MATCH_ALL on the column
   // (Doris rejects MATCH without an inverted index)
@@ -2065,7 +2136,12 @@ object DorisDdl {
       // writes a parquet bloom filter for these columns, the skip index
       // Doris's property drives ([doris: fe/.../analysis/CreateTableStmt
       // .java] bloom_filter_columns)
-      bloomCols: Seq[String] = Nil)
+      bloomCols: Seq[String] = Nil,
+      // true = PARTITION BY LIST (parts carry inValues); false = RANGE.
+      // Stored explicitly so the kind survives every partition being
+      // dropped (a LIST table with zero live partitions still rejects all
+      // loads and still takes VALUES IN on ADD PARTITION).
+      listPart: Boolean = false)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   // async MTMV: `lastFiles` is the per-partition rowset file-set snapshot

@@ -1338,6 +1338,42 @@ class DdlSpec extends SparkSpec {
       .filter($"column_name" === "k" && $"max" === "9").count() == 1)
   }
 
+  test("LIST partitions: uncovered values reject, drop frees the value set, " +
+    "re-add recovers it, SHOW CREATE round-trips") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE lp (seg VARCHAR(8), k BIGINT) DUPLICATE KEY(seg, k)
+        |PARTITION BY LIST(`seg`) (
+        |  PARTITION pa VALUES IN ('a'),
+        |  PARTITION pbc VALUES IN ('b', 'c')
+        |) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO lp VALUES ('a', 1), ('b', 2), ('c', 3)")
+    // a value in no partition's set kills the load
+    assertThrows[Exception](ddl.execute("INSERT INTO lp VALUES ('z', 9)"))
+    assert(ddl.sql("SELECT count(*) AS n FROM lp").as[Long].head() == 3L)
+    // DROP frees 'a': reload rejects until a partition re-covers it
+    ddl.execute("ALTER TABLE lp DROP PARTITION pa")
+    assertThrows[Exception](ddl.execute("INSERT INTO lp VALUES ('a', 4)"))
+    ddl.execute("ALTER TABLE lp ADD PARTITION pa2 VALUES IN ('a', 'd')")
+    ddl.execute("INSERT INTO lp VALUES ('a', 4), ('d', 5)")
+    assert(ddl.sql("SELECT seg, k FROM lp ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("b", 2L), ("c", 3L), ("a", 4L), ("d", 5L)))
+    // overlap guard: 'b' already belongs to pbc
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER TABLE lp ADD PARTITION px VALUES IN ('b')"))
+    // round-trip
+    val stmt = ddl.sql("SHOW CREATE TABLE lp").select("create_table")
+      .as[String].head()
+    assert(stmt.contains("PARTITION BY LIST(`seg`)") &&
+      stmt.contains("PARTITION pa2 VALUES IN ('a', 'd')"), stmt)
+    val ddl2 = fresh()
+    ddl2.execute(stmt.replace("CREATE TABLE `lp`", "CREATE TABLE `lp2`"))
+    val stmt2 = ddl2.sql("SHOW CREATE TABLE lp2").select("create_table")
+      .as[String].head()
+    assert(stmt2.replace("lp2", "lp") == stmt, stmt2)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
