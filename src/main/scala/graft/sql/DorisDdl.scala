@@ -860,7 +860,14 @@ final class DorisDdl(s: SparkSession) {
     // writer's partition-clustering requirement (no second writer sort).
     val sortCols = t.def_.partCol.map(_ => col("_p")).toSeq ++
       t.def_.keyCols.map(col)
+    // _pos: within-load row position (assigned BEFORE the bucket shuffle,
+    // so a VALUES list numbers in statement order). Two rows with the same
+    // key in ONE load tie on _ver; Doris keeps the LAST row of the batch —
+    // without this the UNIQUE merge window breaks the tie arbitrarily
+    // (caught by the LIST-partition fuzz: same-key VALUES row order flipped
+    // the winner run to run).
     withPart.withColumn("_ver", lit(ver))
+      .withColumn("_pos", monotonically_increasing_id())
       .repartition(t.def_.buckets, col(t.def_.hashCol))
       .sortWithinPartitions(sortCols: _*)
   }
@@ -1387,6 +1394,7 @@ final class DorisDdl(s: SparkSession) {
             (if (df.columns.contains(x.name)) col(x.name) else lit(null))
               .cast(x.sparkType).as(x.name)) ++
             Seq(col("_ver")) ++
+            (if (df.columns.contains("_pos")) Seq(col("_pos")) else Nil) ++
             (if (df.columns.contains("_sign")) Seq(col("_sign")) else Nil) ++
             (if (d.partCol.isDefined) Seq(col("_p")) else Nil)
           val out = df.select(keep: _*)
@@ -1687,10 +1695,16 @@ final class DorisDdl(s: SparkSession) {
       case "DUPLICATE" => df
       case "UNIQUE" =>
         // merge order: sequence column first (if declared — out-of-order
-        // loads resolve by the LOGICAL order), version as tiebreak; the
-        // winner's delete sign then decides visibility (a stale delete
-        // marker loses the window and deletes nothing)
-        val ord = d.seqCol.map(sc => col(sc).desc).toSeq :+ col("_ver").desc
+        // loads resolve by the LOGICAL order), version as tiebreak, then
+        // within-load position (same-key rows in ONE batch: last wins, the
+        // Doris MemTable replace order; rowsets predating _pos surface
+        // NULL, which desc ranks last — harmless, they can't tie a _ver
+        // with a post-_pos rowset). The winner's delete sign then decides
+        // visibility (a stale delete marker loses the window and deletes
+        // nothing).
+        val ord = d.seqCol.map(sc => col(sc).desc).toSeq ++
+          Seq(col("_ver").desc) ++
+          (if (df.columns.contains("_pos")) Seq(col("_pos").desc) else Nil)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(d.keyCols.map(col): _*).orderBy(ord: _*)
         val won = df.withColumn("_rn", row_number().over(w))

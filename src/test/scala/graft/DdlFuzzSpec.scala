@@ -222,4 +222,102 @@ class DdlFuzzSpec extends SparkSpec {
       ddl.execute("DROP TABLE fz2")
     }
   }
+
+  // Round-15 second extension: LIST partitions + a GENERATED column on a
+  // UNIQUE table — DROP PARTITION frees a value set (loads with it reject
+  // all-or-nothing), ADD PARTITION re-covers freed values, UPDATE must
+  // recompute the generated column, and the generated invariant
+  // (v2 = round(v*2, 2)) must hold through every interleaving.
+  test("LIST-partitioned sequences with a generated column match the " +
+    "reference model (fuzz)") {
+    val rnd = new scala.util.Random(37)
+    val partsInit = Map("pa" -> Set("a"), "pb" -> Set("b"), "pc" -> Set("c", "d"))
+    for (seqNo <- 1 to 10) {
+      val ddl = new DorisDdl(spark)
+      ddl.execute(
+        """CREATE TABLE fz3 (
+          |  seg VARCHAR(4), k BIGINT, v DOUBLE,
+          |  v2 DOUBLE AS (round(v * 2, 2))
+          |) UNIQUE KEY(seg, k)
+          |PARTITION BY LIST(`seg`) (
+          |  PARTITION pa VALUES IN ('a'),
+          |  PARTITION pb VALUES IN ('b'),
+          |  PARTITION pc VALUES IN ('c', 'd'))
+          |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      var parts = partsInit // live partition -> value set
+      var nextPart = 0
+      def covered: Set[String] = parts.values.flatten.toSet
+      var model = Map.empty[(String, Long), Double]
+      val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+
+      try for (_ <- 1 to 10) rnd.nextInt(8) match {
+        case 0 | 1 | 2 => // upsert load; any uncovered seg fails the WHOLE load
+          val n = 1 + rnd.nextInt(3)
+          val rows = (1 to n).map { _ =>
+            (Seq("a", "b", "c", "d")(rnd.nextInt(4)),
+              rnd.nextInt(4).toLong, rnd.nextInt(100).toDouble)
+          }
+          val values = rows.map { case (s0, k, v) => s"('$s0', $k, $v)" }
+            .mkString(", ")
+          val st = s"INSERT INTO fz3 (seg, k, v) VALUES $values"
+          trace += st
+          if (rows.exists(r => !covered.contains(r._1)))
+            intercept[Exception](ddl.execute(st))
+          else {
+            ddl.execute(st)
+            rows.foreach { case (s0, k, v) => model += (s0, k) -> v }
+          }
+        case 3 => // UPDATE: the generated column must recompute
+          val m = 2 + rnd.nextInt(2)
+          val r = rnd.nextInt(m)
+          val st = s"UPDATE fz3 SET v = v + 100 WHERE k % $m = $r"
+          trace += st; ddl.execute(st)
+          model = model.map { case ((s0, k), v) =>
+            ((s0, k), if (k % m == r) v + 100 else v)
+          }
+        case 4 => // versioned DELETE
+          val m = 2 + rnd.nextInt(2)
+          val r = rnd.nextInt(m)
+          val st = s"DELETE FROM fz3 WHERE k % $m = $r"
+          trace += st; ddl.execute(st)
+          model = model.filter { case ((_, k), _) => k % m != r }
+        case 5 => // DROP PARTITION: its values lose coverage
+          if (parts.nonEmpty) {
+            val p = parts.keys.toSeq.sorted.apply(rnd.nextInt(parts.size))
+            val st = s"ALTER TABLE fz3 DROP PARTITION $p"
+            trace += st; ddl.execute(st)
+            val freed = parts(p)
+            parts -= p
+            model = model.filter { case ((s0, _), _) => !freed.contains(s0) }
+          }
+        case 6 => // ADD PARTITION re-covering one freed value
+          val freed = Set("a", "b", "c", "d") -- covered
+          if (freed.nonEmpty) {
+            val v0 = freed.toSeq.sorted.apply(rnd.nextInt(freed.size))
+            val pn = s"pn$nextPart"; nextPart += 1
+            val st = s"ALTER TABLE fz3 ADD PARTITION $pn VALUES IN ('$v0')"
+            trace += st; ddl.execute(st)
+            parts += pn -> Set(v0)
+          }
+        case 7 => // TRUNCATE: data and deletes go, partitions survive
+          trace += "TRUNCATE TABLE fz3"; ddl.execute("TRUNCATE TABLE fz3")
+          model = Map.empty
+      } catch { case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
+        fail(s"sequence $seqNo threw ${e.getMessage}\nstatements:\n  " +
+          trace.mkString("\n  "), e)
+      }
+
+      val got = if (!spark.catalog.tableExists("fz3")) Seq.empty
+        else ddl.sql("SELECT seg, k, v, v2 FROM fz3 ORDER BY seg, k")
+          .as[(String, Long, Double, Double)].collect().toSeq
+      val want = model.toSeq.map { case ((s0, k), v) =>
+        (s0, k, v, BigDecimal(v * 2).setScale(2,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }.sortBy(r => (r._1, r._2))
+      assert(got == want,
+        s"sequence $seqNo diverged\nstatements:\n  ${trace.mkString("\n  ")}" +
+          s"\nengine: $got\nmodel:  $want")
+      ddl.execute("DROP TABLE fz3")
+    }
+  }
 }
