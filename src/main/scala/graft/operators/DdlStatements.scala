@@ -1026,7 +1026,42 @@ object DdlStatements {
         |UNION ALL
         |SELECT 'P_HEAVY', count(*), round(sum(c_acctbal), 2)
         |FROM base WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
-        |ORDER BY c_mktsegment""".stripMargin)
+        |ORDER BY c_mktsegment""".stripMargin),
+
+    // FILE('path', 'format') table-valued function: ad-hoc distributed
+    // reads of files as a relation with no CREATE — the Doris
+    // s3()/hdfs()/local() TVF family. The lifecycle exports a supplier
+    // slice to parquet files; the timed SELECT joins the TVF read back to
+    // a catalog table. The oracle recomputes from raw supplier, so a
+    // column/row loss anywhere in the export→TVF round-trip breaks the
+    // hash.
+    "sql_tvf_file" -> QueryDef(
+      (s, dir) => {
+        Tables.supplier(s, dir).createOrReplaceTempView("supplier")
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        // stable per-dir export path: the lifecycle runs once per (key,
+        // dir) but the final SELECT re-runs per call and must name the
+        // same files
+        val out = s"${System.getProperty("java.io.tmpdir")}/graft_tvf_" +
+          Integer.toHexString(dir.hashCode)
+        val ddl = lifecycle("sql_tvf_file", s, dir)(Seq(
+          """CREATE TABLE supp_src
+            |DISTRIBUTED BY HASH(s_suppkey) BUCKETS 4
+            |AS SELECT s_suppkey, s_nationkey, s_acctbal
+            |FROM supplier WHERE s_acctbal > 0""".stripMargin,
+          s"EXPORT TABLE supp_src TO '$out' FORMAT AS PARQUET"))
+        ddl.sql(
+          s"""SELECT n.n_name, count(*) AS n_supp,
+             |  round(sum(f.s_acctbal), 2) AS bal
+             |FROM FILE('$out', 'parquet') f
+             |JOIN nation n ON n.n_nationkey = f.s_nationkey
+             |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+      },
+      """SELECT n.n_name, count(*) AS n_supp,
+        |  round(sum(s.s_acctbal), 2) AS bal
+        |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |WHERE s.s_acctbal > 0
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

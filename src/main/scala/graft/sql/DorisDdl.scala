@@ -376,7 +376,10 @@ final class DorisDdl(s: SparkSession) {
     val base = t.takeWhile(_ != '(').trim.toUpperCase
     base match {
       case "DATETIME" => "TIMESTAMP"
-      case "VARCHAR" | "CHAR" | "STRING" | "TEXT" => "STRING"
+      // JSON/JSONB: stored as text (Doris stores a binary-encoded document;
+      // the query surface — get_json_*, json_extract via the dialect — is
+      // string-driven here either way, §2.8 fn_json)
+      case "VARCHAR" | "CHAR" | "STRING" | "TEXT" | "JSON" | "JSONB" => "STRING"
       case "BITMAP" | "HLL" => "BINARY" // serialized sketch columns (§1.2)
       case "LARGEINT" => "DECIMAL(38,0)"
       case "DECIMAL" | "DECIMALV3" => "DECIMAL" + t.dropWhile(_ != '(')
@@ -1187,6 +1190,8 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+(.*)$""".r
   private val RenameTableRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+`?(\w+)`?$""".r
+  private val AlterSetRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+SET\s*\((.*)\)$""".r
   private val AlterAddIndexRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+(INDEX\s+.*)$""".r
   private val AlterDropIndexRe =
@@ -1415,6 +1420,42 @@ final class DorisDdl(s: SparkSession) {
       }
       registerViews(t)
       refreshMvs(t)
+    case AlterSetRe(name, propText) =>
+      // ALTER TABLE t SET ("k" = "v"): dynamic property changes. Mapped
+      // knobs (each takes effect from the NEXT load, exactly Doris's
+      // dynamic-property contract — existing rowsets are never rewritten):
+      // dynamic_partition.enable/start (AUTO retention window) and
+      // bloom_filter_columns (future rowset files gain/lose the filter).
+      val t = state(name)
+      val d = t.def_
+      val props = parseProps(propText)
+      require(props.nonEmpty, s"$name: SET needs at least one property")
+      var nd = d
+      props.foreach {
+        case ("dynamic_partition.enable", "false") =>
+          nd = nd.copy(retainStart = None)
+        case ("dynamic_partition.enable", "true") => () // start carries it
+        case ("dynamic_partition.start", v) =>
+          require(nd.autoGran.isDefined,
+            s"$name: dynamic_partition retention requires AUTO PARTITION")
+          require(v.toInt < 0, s"$name: dynamic_partition.start must be negative")
+          nd = nd.copy(retainStart = Some(v.toInt))
+        case ("dynamic_partition.time_unit", v) =>
+          require(nd.autoGran.contains(v.toLowerCase),
+            s"$name: dynamic_partition.time_unit $v must match the AUTO " +
+              s"granularity ${nd.autoGran.getOrElse("(none)")}")
+        case ("bloom_filter_columns", v) =>
+          val bcs = v.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          bcs.foreach { bc =>
+            val c = nd.cols.find(_.name == bc)
+              .getOrElse(sys.error(s"$name: unknown bloom_filter_columns column $bc"))
+            require(!Seq("FLOAT", "DOUBLE").contains(c.sparkType.toUpperCase),
+              s"$name: bloom_filter_columns does not support ${c.sparkType} ($bc)")
+          }
+          nd = nd.copy(bloomCols = bcs)
+        case (k, _) => sys.error(s"$name: unsupported dynamic property $k")
+      }
+      t.synchronized { t.def_ = nd }
     case AlterAddIndexRe(name, idxText) => addIndex(name, idxText.trim)
     case AlterDropIndexRe(name, iname) => dropIndex(name, iname)
     case AddRollupRe(name, rname, colList) =>
@@ -1641,13 +1682,37 @@ final class DorisDdl(s: SparkSession) {
     case _ => selectPlain(text)
   }
 
+  // FILE('path', 'format') table-valued function ([doris: fe/.../
+  // tablefunction/ — the s3()/hdfs()/local() TVF family]): ad-hoc
+  // DISTRIBUTED reads of files as a relation, no CREATE needed. Parquet
+  // and JSON map by schema; CSV is headerless with Doris's c1..cN names.
+  private val FileTvfRe =
+    """(?is)\bFILE\s*\(\s*'([^']+)'\s*,\s*'(\w+)'\s*\)""".r
+  private val tvfCounter = new java.util.concurrent.atomic.AtomicLong
+
+  private def rewriteFileTvf(text: String): String =
+    FileTvfRe.replaceAllIn(text, m => {
+      val (path, fmt) = (m.group(1), m.group(2).toLowerCase)
+      val df = fmt match {
+        case "parquet" => s.read.parquet(path)
+        case "json" => s.read.json(path)
+        case "csv" =>
+          val raw = s.read.csv(path)
+          raw.toDF(raw.columns.indices.map(j => s"c${j + 1}"): _*)
+        case other => sys.error(s"FILE(): unsupported format $other")
+      }
+      val v = s"__file_tvf_${tvfCounter.incrementAndGet()}"
+      df.createOrReplaceTempView(v)
+      v
+    })
+
   private def selectPlain(text: String): DataFrame = {
     tables.synchronized(tables.values.toSeq).foreach(registerViews)
     // Doris partition selection: FROM t PARTITION (p) → the partition-
     // restricted view (a partition-PRUNED scan, filtered before the merge
     // window — sound because the partition column is part of the key)
-    val rewritten = tables.synchronized(tables.keys.toSeq).foldLeft(text) {
-      (acc, name) =>
+    val rewritten = tables.synchronized(tables.keys.toSeq).foldLeft(
+      rewriteFileTvf(text)) { (acc, name) =>
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }

@@ -1374,6 +1374,52 @@ class DdlSpec extends SparkSpec {
     assert(stmt2.replace("lp2", "lp") == stmt, stmt2)
   }
 
+  test("ALTER TABLE SET: dynamic properties take effect from the next load") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE dyn (d DATETIME, v BIGINT) DUPLICATE KEY(d)
+        |AUTO PARTITION BY RANGE (date_trunc(`d`, 'day')) ()
+        |DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dyn VALUES ('2024-01-01 00:00:00', 1), " +
+      "('2024-01-02 00:00:00', 2), ('2024-01-05 00:00:00', 3)")
+    // no retention declared: all three buckets live
+    assert(ddl.sql("SHOW PARTITIONS FROM dyn").count() == 3)
+    // enable a 1-period window: the NEXT load applies it
+    ddl.execute("""ALTER TABLE dyn SET ("dynamic_partition.enable" = "true",
+      |"dynamic_partition.start" = "-1")""".stripMargin)
+    ddl.execute("INSERT INTO dyn VALUES ('2024-01-06 00:00:00', 4)")
+    val parts = ddl.sql("SHOW PARTITIONS FROM dyn")
+      .select("partition_name").as[String].collect().toSet
+    assert(parts == Set("p20240105", "p20240106"), parts)
+    // disable: a later backfill-ish load drops nothing
+    ddl.execute("""ALTER TABLE dyn SET ("dynamic_partition.enable" = "false")""")
+    ddl.execute("INSERT INTO dyn VALUES ('2024-01-07 00:00:00', 5)")
+    assert(ddl.sql("SHOW PARTITIONS FROM dyn").count() == 3)
+    // bloom property flips for FUTURE rowsets; unknown properties reject
+    ddl.execute("""ALTER TABLE dyn SET ("bloom_filter_columns" = "v")""")
+    assert(ddl.sql("SHOW CREATE TABLE dyn").select("create_table")
+      .as[String].head().contains("\"bloom_filter_columns\" = \"v\""))
+    assertThrows[RuntimeException](
+      ddl.execute("""ALTER TABLE dyn SET ("nope" = "1")"""))
+  }
+
+  test("FILE() TVF reads parquet by schema and csv as headerless c1..cN") {
+    val ddl = fresh()
+    val out = graft.TempDirs.create("graft_tvf_spec")
+    spark.range(4).selectExpr("id", "id * 10 AS ten")
+      .write.mode("overwrite").parquet(s"$out/p")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$out/c.csv"), "1,x\n2,y\n")
+    assert(ddl.sql(s"SELECT sum(ten) AS s FROM FILE('$out/p', 'parquet')")
+      .as[Long].head() == 60L)
+    assert(ddl.sql(
+      s"SELECT c1, c2 FROM FILE('$out/c.csv', 'csv') ORDER BY c1")
+      .as[(String, String)].collect().toSeq ==
+      Seq(("1", "x"), ("2", "y")))
+    assertThrows[RuntimeException](
+      ddl.sql(s"SELECT * FROM FILE('$out/p', 'orc')"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
