@@ -169,7 +169,8 @@ object Bench {
       // warm build() per key runs the staging and a warm pass of the
       // final statement
       locally {
-        val ddlKeys = selected.keys.filter(_.startsWith("sql_ddl")).toSeq.sorted
+        val ddlKeys = selected.keys.filter(k => k.startsWith("sql_ddl") ||
+          k == "sql_tvf_file" || k == "sql_routine_load").toSeq.sorted
         if (ddlKeys.nonEmpty) {
           ddlKeys.foreach(k => SparkEntry.defs(k).build(spark, sfDir).count())
           staged ++= ddlKeys

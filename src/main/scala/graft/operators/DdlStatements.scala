@@ -1061,7 +1061,53 @@ object DdlStatements {
         |  round(sum(s.s_acctbal), 2) AS bal
         |FROM supplier s JOIN nation n ON n.n_nationkey = s.s_nationkey
         |WHERE s.s_acctbal > 0
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin),
+
+    // CREATE ROUTINE LOAD: continuous ingest as a statement — a streaming
+    // FILE source whose micro-batches land through the SAME versioned,
+    // label-deduped load path as INSERT (Kafka routine load is
+    // env-excluded; the file source is the honest stand-in, SURVEY §2.12).
+    // The lifecycle exports a slice, creates the job (the statement returns
+    // after catch-up), upserts over it with a plain INSERT, and stops the
+    // job; the oracle replays catch-up + upsert through the UNIQUE merge.
+    "sql_routine_load" -> QueryDef(
+      (s, dir) => {
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val rdir = s"${System.getProperty("java.io.tmpdir")}/graft_rl_" +
+          Integer.toHexString(dir.hashCode)
+        val ddl = lifecycle("sql_routine_load", s, dir)(Seq(
+          """CREATE TABLE rl_src
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4
+            |AS SELECT c_custkey, c_acctbal FROM customer
+            |WHERE c_acctbal > 0""".stripMargin,
+          s"EXPORT TABLE rl_src TO '$rdir' FORMAT AS PARQUET",
+          """CREATE TABLE rl_dst (
+            |  c_custkey BIGINT,
+            |  c_acctbal DOUBLE
+            |) ENGINE=OLAP
+            |UNIQUE KEY(c_custkey)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4""".stripMargin,
+          s"CREATE ROUTINE LOAD rl_cust ON rl_dst FROM FILE('$rdir', 'parquet')",
+          """INSERT INTO rl_dst
+            |SELECT c_custkey, -1.0 FROM customer
+            |WHERE c_custkey % 10 = 0""".stripMargin,
+          "STOP ROUTINE LOAD rl_cust"))
+        ddl.sql(
+          """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+            |  sum(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS n_upserts
+            |FROM rl_dst""".stripMargin)
+      },
+      """WITH up AS (SELECT c_custkey, -1.0 AS c_acctbal FROM customer
+        |            WHERE c_custkey % 10 = 0),
+        |m AS (SELECT * FROM up
+        |      UNION ALL
+        |      SELECT c_custkey, c_acctbal FROM customer
+        |      WHERE c_acctbal > 0
+        |        AND c_custkey NOT IN (SELECT c_custkey FROM up))
+        |SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
+        |  CAST(sum(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_upserts
+        |FROM m""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

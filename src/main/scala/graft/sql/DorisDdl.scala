@@ -85,6 +85,9 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("INSERT OVERWRITE")) { insertOverwrite(t); None }
     else if (up.startsWith("INSERT INTO")) { insertInto(t); None }
     else if (up.startsWith("LOAD LABEL")) { loadLabel(t); None }
+    else if (up.startsWith("CREATE ROUTINE LOAD")) { createRoutineLoad(t); None }
+    else if (up.startsWith("STOP ROUTINE LOAD")) { stopRoutineLoad(t); None }
+    else if (up.startsWith("SHOW ROUTINE LOAD")) Some(showRoutineLoad())
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
@@ -978,6 +981,82 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable LOAD LABEL: ${text.take(80)}")
   }
 
+  // ----------------------------------------------------------- ROUTINE LOAD
+
+  private val routines = mutable.LinkedHashMap[String, RoutineState]()
+
+  private val CreateRoutineRe =
+    ("""(?is)^CREATE\s+ROUTINE\s+LOAD\s+`?(\w+)`?\s+ON\s+`?(\w+)`?\s+""" +
+      """FROM\s+FILE\s*\(\s*'([^']+)'\s*,\s*'(\w+)'\s*\)$""").r
+  private val StopRoutineRe =
+    """(?is)^STOP\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+
+  /** `CREATE ROUTINE LOAD job ON t FROM FILE('dir', 'parquet'|'csv')` —
+    * continuous ingest ([doris: fe/.../load/routineload/
+    * RoutineLoadJob.java]; Kafka is env-excluded, the FILE source is the
+    * honest stand-in): a Structured Streaming file source over the
+    * directory, each micro-batch landing through the SAME load path as
+    * INSERT — versioned rowset, bucket layout, MV maintenance — under an
+    * auto label `job_<batchId>`, so a replayed batch dedups exactly like a
+    * client retry. The statement returns after the initial catch-up
+    * (processAllAvailable); the job then keeps RUNNING until STOP ROUTINE
+    * LOAD. At 100 TB this is the many-small-files tail-ingest shape: each
+    * batch costs one bucketed write of the new files only. */
+  private def createRoutineLoad(text: String): Unit = text match {
+    case CreateRoutineRe(job, tname, dir, fmt0) =>
+      require(routines.synchronized(!routines.contains(job)),
+        s"routine load job $job already exists")
+      val t = state(tname)
+      val plain = t.def_.cols.filter(_.gen.isEmpty)
+      val schema = org.apache.spark.sql.types.StructType(plain.map(c =>
+        org.apache.spark.sql.types.StructField(c.name,
+          org.apache.spark.sql.types.DataType.fromDDL(c.sparkType))))
+      val reader = s.readStream.schema(schema)
+      val src = fmt0.toLowerCase match {
+        case "parquet" => reader.parquet(dir)
+        case "csv" => reader.csv(dir) // headerless, positional like LOAD LABEL
+        case other => sys.error(s"ROUTINE LOAD $job: unsupported format $other")
+      }
+      val st = RoutineState(job, tname)
+      val q = src.writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          if (!b.isEmpty) {
+            load(state(tname), b, None, Some(s"${job}_$id"))
+            st.synchronized { st.batches += 1 }
+          }
+        }
+        .queryName(s"graft_routine_$job")
+        .start()
+      st.query = q
+      routines.synchronized { routines(job) = st }
+      q.processAllAvailable() // initial catch-up before the statement returns
+    case _ => sys.error(s"unparseable CREATE ROUTINE LOAD: ${text.take(80)}")
+  }
+
+  private def stopRoutineLoad(text: String): Unit = text match {
+    case StopRoutineRe(job) =>
+      val st = routines.synchronized(routines.getOrElse(job,
+        sys.error(s"unknown routine load job $job")))
+      st.query.processAllAvailable() // drain, then stop — no half batch
+      st.query.stop()
+      st.state = "STOPPED"
+    case _ => sys.error(s"unparseable STOP ROUTINE LOAD: ${text.take(80)}")
+  }
+
+  /** `SHOW ROUTINE LOAD` → (job_name, table_name, state, batches_loaded). */
+  private def showRoutineLoad(): DataFrame = {
+    import s.implicits._
+    routines.synchronized(routines.values.toSeq)
+      .map(r => (r.name, r.table, r.state, r.synchronized(r.batches)))
+      .toDF("job_name", "table_name", "state", "batches_loaded")
+  }
+
+  /** Test/driver hook: make a RUNNING job process newly arrived files NOW
+    * (in Doris the job consumes continuously; here micro-batches fire on
+    * the engine's own cadence, and this forces a deterministic drain). */
+  private[graft] def drainRoutineLoad(job: String): Unit =
+    routines.synchronized(routines(job)).query.processAllAvailable()
+
   // ------------------------------------------------------ INSERT OVERWRITE
 
   private val InsertOverwriteRe =
@@ -1867,6 +1946,9 @@ final class DorisDdl(s: SparkSession) {
   private def dropTable(text: String): Unit = text match {
     case DropTableRe(name) =>
       val t = state(name)
+      require(routines.synchronized(routines.values.toSeq)
+        .forall(r => r.table != name || r.state == "STOPPED"),
+        s"$name: stop its routine load jobs before DROP TABLE")
       val partViews = partitionNames(t) // capture before the wipe (AUTO)
       tables.synchronized { tables.remove(name) }
       s.catalog.dropTempView(name)
@@ -2223,6 +2305,12 @@ object DorisDdl {
       listPart: Boolean = false)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
+  // routine-load job: the standing streaming query + its driver metadata
+  final case class RoutineState(name: String, table: String) {
+    var state: String = "RUNNING"
+    var batches: Long = 0L
+    var query: org.apache.spark.sql.streaming.StreamingQuery = _
+  }
   // async MTMV: `lastFiles` is the per-partition rowset file-set snapshot
   // taken at the last refresh (the staleness "version"); `lastDeletes` the
   // versioned-delete list it absorbed; `lastPlan` the last incremental

@@ -1420,6 +1420,43 @@ class DdlSpec extends SparkSpec {
       ddl.sql(s"SELECT * FROM FILE('$out/p', 'orc')"))
   }
 
+  test("ROUTINE LOAD: catch-up on create, continuous pickup of new files, " +
+    "label-deduped batches, STOP halts consumption") {
+    val ddl = fresh()
+    val rdir = graft.TempDirs.create("graft_routine_spec")
+    spark.range(3).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.execute(
+      """CREATE TABLE rt (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(s"CREATE ROUTINE LOAD rj ON rt FROM FILE('$rdir', 'parquet')")
+    // the CREATE returned after catch-up: the pre-existing file is loaded
+    assert(ddl.sql("SELECT count(*) AS n FROM rt").as[Long].head() == 3L)
+    // a NEW file is consumed by the standing job (drained deterministically)
+    spark.range(3, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.drainRoutineLoad("rj")
+    assert(ddl.sql("SELECT count(*) AS n FROM rt").as[Long].head() == 5L)
+    // SHOW reflects the running job and its batch count; labels recorded
+    val row = ddl.sql("SHOW ROUTINE LOAD").collect().head
+    assert(row.getString(0) == "rj" && row.getString(2) == "RUNNING" &&
+      row.getLong(3) >= 2L, row)
+    assert(ddl.sql("SHOW LOAD FROM rt").filter($"label".startsWith("rj_"))
+      .count() >= 2L)
+    // duplicate job name rejects; DROP TABLE under a running job rejects
+    assertThrows[IllegalArgumentException](ddl.execute(
+      s"CREATE ROUTINE LOAD rj ON rt FROM FILE('$rdir', 'parquet')"))
+    assertThrows[IllegalArgumentException](ddl.execute("DROP TABLE rt"))
+    // STOP: later files are NOT consumed
+    ddl.execute("STOP ROUTINE LOAD rj")
+    spark.range(5, 9).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    Thread.sleep(300)
+    assert(ddl.sql("SELECT count(*) AS n FROM rt").as[Long].head() == 5L)
+    assert(ddl.sql("SHOW ROUTINE LOAD").collect().head.getString(2) == "STOPPED")
+    ddl.execute("DROP TABLE rt") // legal once stopped
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
