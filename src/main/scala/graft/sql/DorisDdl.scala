@@ -99,6 +99,7 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("EXPLAIN")) Some(explainStmt(t))
     else if (up.startsWith("ANALYZE TABLE")) Some(analyzeStmt(t))
     else if (up.startsWith("SHOW COLUMN STATS")) Some(showColumnStats(t))
+    else if (up.startsWith("SHOW INDEX")) Some(showIndex(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
@@ -2041,6 +2042,22 @@ final class DorisDdl(s: SparkSession) {
           files.size.toLong)
       }.toDF("table_name", "size_bytes", "n_files")
     case _ => sys.error(s"unparseable SHOW DATA: ${text.take(80)}")
+  }
+
+  private val ShowIndexRe =
+    """(?is)^SHOW\s+INDEX(?:ES)?\s+FROM\s+`?(\w+)`?$""".r
+
+  /** `SHOW INDEX FROM t` → (index_name, column_name, index_type): the
+    * inverted indexes plus the bloom_filter_columns property surfaced the
+    * way Doris lists both. Driver metadata, zero data IO. */
+  private def showIndex(text: String): DataFrame = text match {
+    case ShowIndexRe(name) =>
+      val d = state(name).def_
+      import s.implicits._
+      (d.indexes.map(ix => (ix.name, ix.col, "INVERTED")) ++
+        d.bloomCols.map(c => (s"__bloom_$c", c, "BLOOM_FILTER")))
+        .toDF("index_name", "column_name", "index_type")
+    case _ => sys.error(s"unparseable SHOW INDEX: ${text.take(80)}")
   }
 
   // ------------------------------------------------------ column statistics

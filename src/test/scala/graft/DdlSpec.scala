@@ -1148,6 +1148,10 @@ class DdlSpec extends SparkSpec {
     ddl.execute("DROP INDEX note_ix ON mtx")
     assertThrows[IllegalArgumentException](
       ddl.sql("SELECT id FROM mtx WHERE note MATCH_ANY 'x'"))
+    // SHOW INDEX lists inverted indexes (bloom columns would append)
+    assert(ddl.sql("SHOW INDEX FROM mtx")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSeq == Seq(("body_ix", "body", "INVERTED")))
     // guards: non-text column, BITMAP index type, duplicate name
     assertThrows[IllegalArgumentException](
       ddl.execute("CREATE INDEX id_ix ON mtx (`id`) USING INVERTED"))
