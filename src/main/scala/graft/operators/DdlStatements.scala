@@ -1107,6 +1107,59 @@ object DdlStatements {
         |SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal,
         |  CAST(sum(CASE WHEN c_acctbal = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_upserts
+        |FROM m""".stripMargin),
+
+    // BACKUP SNAPSHOT / RESTORE SNAPSHOT: physical backup (rowset files
+    // copied verbatim) + the meta sidecar (SHOW CREATE text, nextVer,
+    // versioned deletes). The lifecycle snapshots a table carrying a
+    // versioned delete AND a post-delete revive, keeps loading after the
+    // backup, drops the table, restores — the final SELECT must read
+    // EXACTLY the visible state at backup time: delete applied, revive
+    // kept, post-backup load gone. The oracle replays that state from raw
+    // orders.
+    "sql_ddl_backup" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val bdir = s"${System.getProperty("java.io.tmpdir")}/graft_bk_" +
+          Integer.toHexString(dir.hashCode)
+        val ddl = lifecycle("sql_ddl_backup", s, dir)({
+          // snapshots are create-once: wipe a prior JVM's copy so the
+          // staging replays cleanly per (key, dir)
+          graft.TempDirs.deleteTree(java.nio.file.Paths.get(bdir))
+          Seq(
+            """CREATE TABLE bk_t (
+              |  o_orderkey BIGINT,
+              |  o_totalprice DOUBLE
+              |) ENGINE=OLAP
+              |UNIQUE KEY(o_orderkey)
+              |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+            """INSERT INTO bk_t
+              |SELECT o_orderkey, o_totalprice FROM orders""".stripMargin,
+            "DELETE FROM bk_t WHERE o_orderkey % 5 = 0",
+            """INSERT INTO bk_t
+              |SELECT o_orderkey, -1.0 FROM orders
+              |WHERE o_orderkey % 10 = 0""".stripMargin,
+            s"BACKUP SNAPSHOT s1 TO '$bdir' ON (bk_t)",
+            """INSERT INTO bk_t
+              |SELECT o_orderkey, 999.0 FROM orders
+              |WHERE o_orderkey % 7 = 0""".stripMargin,
+            "DROP TABLE bk_t",
+            s"RESTORE SNAPSHOT s1 FROM '$bdir'")
+        })
+        ddl.sql(
+          """SELECT count(*) AS n, round(sum(o_totalprice), 2) AS tp,
+            |  sum(CASE WHEN o_totalprice = -1.0 THEN 1 ELSE 0 END) AS n_revived
+            |FROM bk_t""".stripMargin)
+      },
+      """WITH rev AS (SELECT o_orderkey, -1.0 AS o_totalprice FROM orders
+        |             WHERE o_orderkey % 10 = 0),
+        |m AS (SELECT * FROM rev
+        |      UNION ALL
+        |      SELECT o_orderkey, o_totalprice FROM orders
+        |      WHERE o_orderkey % 5 <> 0)
+        |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS tp,
+        |  CAST(sum(CASE WHEN o_totalprice = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_revived
         |FROM m""".stripMargin)
   )
 

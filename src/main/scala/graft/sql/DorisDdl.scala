@@ -88,6 +88,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("CREATE ROUTINE LOAD")) { createRoutineLoad(t); None }
     else if (up.startsWith("STOP ROUTINE LOAD")) { stopRoutineLoad(t); None }
     else if (up.startsWith("SHOW ROUTINE LOAD")) Some(showRoutineLoad())
+    else if (up.startsWith("BACKUP SNAPSHOT")) Some(backup(t))
+    else if (up.startsWith("RESTORE SNAPSHOT")) Some(restore(t))
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
@@ -980,6 +982,108 @@ final class DorisDdl(s: SparkSession) {
       }
       load(t, src, None, Some(lbl))
     case _ => sys.error(s"unparseable LOAD LABEL: ${text.take(80)}")
+  }
+
+  // --------------------------------------------------------- BACKUP/RESTORE
+
+  private val BackupRe =
+    """(?is)^BACKUP\s+SNAPSHOT\s+`?(\w+)`?\s+TO\s+'([^']+)'\s+ON\s*\((.*)\)$""".r
+  private val RestoreRe =
+    """(?is)^RESTORE\s+SNAPSHOT\s+`?(\w+)`?\s+FROM\s+'([^']+)'$""".r
+
+  /** `BACKUP SNAPSHOT snap TO 'repo' ON (t1, ...)` ([doris:
+    * fe/.../backup/BackupJob.java]; the named-repository indirection is
+    * folded into the path). A table's snapshot = its rowset FILES copied
+    * verbatim (no re-encode, the physical-backup property) plus a 1-row
+    * parquet meta sidecar carrying the SHOW CREATE text (the full
+    * definition round-trip: key model, partitions including holes,
+    * indexes, bloom columns, generated exprs) and the visibility metadata
+    * a physical copy alone would lose — nextVer and the standing VERSIONED
+    * DELETES. Sync MVs are not captured (recreate after restore), matching
+    * the "materializations are derived" stance. Returns the one-row job
+    * summary. */
+  private def backup(text: String): DataFrame = text match {
+    case BackupRe(snap, path, tlist) =>
+      val names = topLevelSplit(tlist).map(stripIdent)
+      require(names.nonEmpty, "BACKUP: ON (...) needs at least one table")
+      names.foreach { n =>
+        val t = state(n)
+        val dst = java.nio.file.Paths.get(path, snap, n)
+        require(!java.nio.file.Files.exists(dst),
+          s"snapshot $snap already contains $n")
+        java.nio.file.Files.createDirectories(dst)
+        copyParquetTree(java.nio.file.Paths.get(t.dir), dst.resolve("data"))
+        val createText = showCreateTable(s"SHOW CREATE TABLE $n")
+          .select("create_table").head().getString(0)
+        val (preds, vers) = t.synchronized(t.deletes.toSeq).unzip
+        import s.implicits._
+        Seq((createText, t.synchronized(t.nextVer), preds, vers))
+          .toDF("create_text", "next_ver", "del_preds", "del_vers")
+          .coalesce(1).write.parquet(dst.resolve("_meta").toString)
+      }
+      import s.implicits._
+      Seq((snap, names.size.toLong, "FINISHED"))
+        .toDF("snapshot", "n_tables", "state")
+    case _ => sys.error(s"unparseable BACKUP: ${text.take(80)}")
+  }
+
+  /** `RESTORE SNAPSHOT snap FROM 'repo'`: every table in the snapshot is
+    * recreated by replaying its SHOW CREATE text, its rowset files are
+    * copied back verbatim, and nextVer + the versioned deletes are
+    * reinstated — so the restored table reads EXACTLY the visible state at
+    * backup time (a delete recorded before the backup still hides
+    * pre-delete rowsets; labels/load history reset, as a restore is a new
+    * ingest lineage). Restoring over an existing table rejects. */
+  private def restore(text: String): DataFrame = text match {
+    case RestoreRe(snap, path) =>
+      val root = java.nio.file.Paths.get(path, snap)
+      require(java.nio.file.Files.isDirectory(root),
+        s"unknown snapshot $snap under $path")
+      val tableDirs = {
+        val l = java.nio.file.Files.list(root)
+        try l.filter(p => java.nio.file.Files.isDirectory(p))
+          .toArray(new Array[java.nio.file.Path](_)).toSeq
+        finally l.close()
+      }
+      require(tableDirs.nonEmpty, s"snapshot $snap is empty")
+      val restored = tableDirs.sortBy(_.getFileName.toString).map { td =>
+        val n = td.getFileName.toString
+        require(tables.synchronized(!tables.contains(n)),
+          s"RESTORE: table $n already exists (drop it first)")
+        val meta = s.read.parquet(td.resolve("_meta").toString).head()
+        createTable(meta.getString(0)) // full-definition replay
+        val t = state(n)
+        copyParquetTree(td.resolve("data"), java.nio.file.Paths.get(t.dir))
+        t.synchronized {
+          t.nextVer = meta.getLong(1)
+          t.deletes.clear()
+          t.deletes ++= meta.getSeq[String](2).zip(meta.getSeq[Long](3))
+        }
+        registerViews(t)
+        n
+      }
+      import s.implicits._
+      Seq((snap, restored.size.toLong, "FINISHED"))
+        .toDF("snapshot", "n_tables", "state")
+    case _ => sys.error(s"unparseable RESTORE: ${text.take(80)}")
+  }
+
+  /** Copy every parquet file under `src` to the same relative path under
+    * `dst` (close-safe walk; directory markers skipped). */
+  private def copyParquetTree(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    val files = {
+      val walk = java.nio.file.Files.walk(src)
+      try walk.filter(f => f.toString.endsWith(".parquet"))
+        .toArray(new Array[java.nio.file.Path](_)).toSeq
+      finally walk.close()
+    }
+    files.foreach { f =>
+      val to = dst.resolve(src.relativize(f))
+      java.nio.file.Files.createDirectories(to.getParent)
+      java.nio.file.Files.copy(f, to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
   }
 
   // ----------------------------------------------------------- ROUTINE LOAD

@@ -16,7 +16,9 @@ import graft.sql.DorisDdl
 class DdlFuzzSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
-  private val nSeqs = 10
+  // GRAFT_FUZZ_SEQS overrides the per-alphabet sequence count for one-off
+  // deep sweeps (e.g. 200+); the committed default keeps the suite fast
+  private val nSeqs = sys.env.get("GRAFT_FUZZ_SEQS").map(_.toInt).getOrElse(10)
   private val opsPerSeq = 7
   private val keyDomain = 8
 
@@ -90,7 +92,7 @@ class DdlFuzzSpec extends SparkSpec {
     val parts = Seq(("pa", 0L until 8L), ("pb", 8L until 16L),
       ("pc", 16L until 24L))
     def rangeOf(k: Long): String = parts.find(_._2.contains(k)).get._1
-    for (seqNo <- 1 to 12) {
+    for (seqNo <- 1 to math.max(12, nSeqs)) {
       val ddl = new DorisDdl(spark)
       ddl.execute(
         """CREATE TABLE fz2 (k BIGINT, v DOUBLE)
@@ -232,7 +234,7 @@ class DdlFuzzSpec extends SparkSpec {
     "reference model (fuzz)") {
     val rnd = new scala.util.Random(37)
     val partsInit = Map("pa" -> Set("a"), "pb" -> Set("b"), "pc" -> Set("c", "d"))
-    for (seqNo <- 1 to 10) {
+    for (seqNo <- 1 to nSeqs) {
       val ddl = new DorisDdl(spark)
       ddl.execute(
         """CREATE TABLE fz3 (

@@ -1461,6 +1461,48 @@ class DdlSpec extends SparkSpec {
     ddl.execute("DROP TABLE rt") // legal once stopped
   }
 
+  test("BACKUP/RESTORE round-trips the full definition and the visible " +
+    "state; restore-over-existing rejects") {
+    val ddl = fresh()
+    val bdir = graft.TempDirs.create("graft_bk_spec")
+    ddl.execute(
+      """CREATE TABLE bkr (
+        |  seg VARCHAR(8), k BIGINT, v DOUBLE,
+        |  v2 DOUBLE AS (round(v * 2, 2)),
+        |  INDEX seg_ix (`seg`) USING INVERTED
+        |) UNIQUE KEY(seg, k)
+        |PARTITION BY LIST(`seg`) (
+        |  PARTITION pa VALUES IN ('a'),
+        |  PARTITION pb VALUES IN ('b'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2
+        |PROPERTIES("bloom_filter_columns" = "k")""".stripMargin)
+    ddl.execute("INSERT INTO bkr (seg, k, v) VALUES ('a', 1, 1.0), " +
+      "('a', 2, 2.0), ('b', 3, 3.0)")
+    ddl.execute("DELETE FROM bkr WHERE k = 2")
+    val before = ddl.sql("SHOW CREATE TABLE bkr").select("create_table")
+      .as[String].head()
+    assert(ddl.sql(s"BACKUP SNAPSHOT sp TO '$bdir' ON (bkr)")
+      .collect().head.getString(2) == "FINISHED")
+    // restore over the live table rejects; after a drop it reinstates
+    assertThrows[IllegalArgumentException](
+      ddl.sql(s"RESTORE SNAPSHOT sp FROM '$bdir'"))
+    ddl.execute("INSERT INTO bkr (seg, k, v) VALUES ('b', 9, 9.0)") // post-backup
+    ddl.execute("DROP TABLE bkr")
+    ddl.sql(s"RESTORE SNAPSHOT sp FROM '$bdir'")
+    // visible state = backup time: delete applied, post-backup row gone,
+    // generated column intact
+    assert(ddl.sql("SELECT seg, k, v, v2 FROM bkr ORDER BY k")
+      .as[(String, Long, Double, Double)].collect().toSeq ==
+      Seq(("a", 1L, 1.0, 2.0), ("b", 3L, 3.0, 6.0)))
+    // full definition round-trip (index, bloom, LIST partitions, gen expr)
+    val after = ddl.sql("SHOW CREATE TABLE bkr").select("create_table")
+      .as[String].head()
+    assert(after == before, after)
+    // a versioned delete recorded before the backup still permits reload
+    ddl.execute("INSERT INTO bkr (seg, k, v) VALUES ('a', 2, 22.0)")
+    assert(ddl.sql("SELECT v FROM bkr WHERE k = 2").as[Double].head() == 22.0)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
