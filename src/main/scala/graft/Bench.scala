@@ -263,11 +263,40 @@ object Bench {
     // CONTENDED full run (load_start > 1.5 — the quiet band is <= ~1.0 per
     // BASELINE.md) is diverted to bench_result_contended.json: its wall
     // times carry no comparison value, only its work{} bytes do.
+    // Contention gate. load_start alone is insufficient: a run that began
+    // on a momentarily idle host but was swamped mid-run (load_start 1.17,
+    // totals 1.9× the quiet band on byte-identical work) once replaced the
+    // quiet record; load_end doesn't discriminate either (the bench's own
+    // ~1-2 of loadavg dominates — the committed quiet records end at
+    // 1.5-2.4). So the second check is EVIDENCE-based: if the common-key
+    // wall sum reads >1.5× the standing quiet record's, the host was
+    // loaded mid-run (per the bytes-first rule a real all-key 1.5×
+    // slowdown without byte growth does not exist), and the run diverts.
+    // Real regressions still surface per-key in work{} bytes and in the
+    // write-once round-stamped copies.
+    val recordInflation: Option[Double] =
+      try {
+        val p = java.nio.file.Paths.get("bench_result.json")
+        if (!java.nio.file.Files.exists(p)) None
+        else {
+          val txt = java.nio.file.Files.readString(p)
+          val recQ = "\"(\\w+)\":([0-9.E\\-]+)".r.findAllMatchIn(
+            txt.substring(txt.indexOf("\"queries\":") + 10,
+              txt.indexOf("},\"work\"") + 1))
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+          val common = results.collect {
+            case (k, v) if recQ.contains(k) => (v, recQ(k)) }
+          if (common.size < 50) None
+          else Some(common.map(_._1).sum / common.map(_._2).sum)
+        }
+      } catch { case _: Throwable => None }
+    val contended = loadStart > 1.5 || recordInflation.exists(_ > 1.5)
     val target =
       if (keyFilter.nonEmpty) "bench_scoped.json"
-      else if (loadStart > 1.5 &&
+      else if (contended &&
         java.nio.file.Files.exists(java.nio.file.Paths.get("bench_result.json"))) {
-        System.err.println(s"[bench] load_start $loadStart > 1.5: keeping " +
+        System.err.println(s"[bench] contended (load_start=$loadStart, " +
+          s"common-key inflation=${recordInflation.getOrElse(-1.0)}): keeping " +
           "the existing quiet bench_result.json; this run -> " +
           "bench_result_contended.json")
         "bench_result_contended.json"
