@@ -22,21 +22,28 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def norm(v, int_col=False):
     # int_col: the PAIRED Spark column is integer-typed, so an oracle-side
     # integral DECIMAL/float must normalize as an exact int, not through the
-    # 6-sig-digit float class — a DuckDB DECIMAL 1234567 against a Spark
+    # sig-digit float class — a DuckDB DECIMAL 1234567 against a Spark
     # BIGINT 1234567 used to land as '1.23457e+06' vs '1234567' and falsely
-    # FAIL (ADVICE r10); exactness above 2^53 is also preserved this way
+    # FAIL (ADVICE r10); exactness above 2^53 is also preserved this way.
+    # Floats compare at 12 significant digits (was 6): at the 1e8-1e9
+    # magnitude of round(sum(price),2) outputs, 6 digits cannot see cent
+    # drift — both r15 driver failures (a real Spark-vs-DuckDB round()
+    # halfway divergence summing to +0.04, and a HUGEINT-typed oracle sum)
+    # were green under 6g locally and red at the driver. 12g resolves
+    # cents at 1e9 (1e-11 relative) while staying above the ~1e-12
+    # relative noise of order-dependent double summation over ~1e4 rows.
     if int_col and type(v) in (float, decimal.Decimal) and v == int(v):
         return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return f"{v:.12g}"
     if isinstance(v, decimal.Decimal):
-        # route decimals through the SAME 6-sig-digit normalization as
+        # route decimals through the SAME 12-sig-digit normalization as
         # floats: Spark results read back from parquet are DOUBLE, so a
         # DuckDB decimal-typed cell of the same logical value must land in
         # the float tolerance class, not compare at full precision
-        return f"{float(v):.6g}"
+        return f"{float(v):.12g}"
     if isinstance(v, list):
         return "[" + ",".join(norm(x) for x in v) + "]"
     return str(v)

@@ -745,7 +745,8 @@ object DdlStatements {
             |FROM li_copy GROUP BY l_quantity ORDER BY l_quantity""".stripMargin)
       },
       """SELECT CAST(l_quantity AS INT) AS l_quantity,
-        |  count(*) AS n, sum(CAST(l_linenumber AS INT)) AS sum_ln,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_linenumber AS INT)) AS BIGINT) AS sum_ln,
         |  round(sum(l_extendedprice), 2) AS price
         |FROM lineitem WHERE l_orderkey % 10 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
@@ -908,7 +909,13 @@ object DdlStatements {
     // maps only the plain columns (naming a generated column rejects,
     // DdlSpec), the read never recomputes. The oracle recomputes both
     // expressions from raw orders, so a wrong compute-at-load (or a stale
-    // stored value after the second load) breaks the hash.
+    // stored value after the second load) breaks the hash. The stored
+    // quantity is integer CENTS via a halfway-free multiplier: a 2-dp
+    // price times 80 is cents*0.8, whose fractional part is always even
+    // tenths (cents*8 mod 10 ∈ {0,2,4,6,8}) — round() never sees a true
+    // .5 case, so Spark's HALF_UP-on-decimal and DuckDB's
+    // round-the-binary-double agree on every row (a *0.9 variant produced
+    // 1,534 genuine halfway cents at sf0.01 and a real engine divergence).
     "sql_ddl_generated_col" -> QueryDef(
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("orders")
@@ -918,7 +925,7 @@ object DdlStatements {
             |  o_totalprice DOUBLE,
             |  band VARCHAR(8) AS (CASE WHEN o_totalprice >= 200000 THEN 'high'
             |    WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END),
-            |  net DOUBLE AS (round(o_totalprice * 0.9, 2))
+            |  net_cents BIGINT AS (CAST(round(o_totalprice * 80) AS BIGINT))
             |) ENGINE=OLAP
             |DUPLICATE KEY(o_orderkey)
             |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
@@ -929,13 +936,14 @@ object DdlStatements {
             |SELECT o_orderkey, o_totalprice FROM orders
             |WHERE o_orderkey % 2 <> 0""".stripMargin))
         ddl.sql(
-          """SELECT band, count(*) AS n, round(sum(net), 2) AS net_total
+          """SELECT band, count(*) AS n, sum(net_cents) AS net_total
             |FROM ord_gen GROUP BY band ORDER BY band""".stripMargin)
       },
       """SELECT CASE WHEN o_totalprice >= 200000 THEN 'high'
         |  WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'low' END AS band,
         |  count(*) AS n,
-        |  round(sum(round(o_totalprice * 0.9, 2)), 2) AS net_total
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS net_total
         |FROM orders GROUP BY 1 ORDER BY band""".stripMargin),
 
     // ANALYZE TABLE + SHOW COLUMN STATS: the stats job — one aggregate

@@ -486,14 +486,43 @@ final class DorisDdl(s: SparkSession) {
   private val MatchPredRe =
     """(?is)`?(\w+)`?\s+MATCH_(ANY|ALL)\s+'([^']*)'""".r
 
+  /** Character positions inside single-quoted SQL string literals
+    * (`''` doubling handled by the toggle: the closing+reopening quotes
+    * keep the interior chars in-span). Used so the MATCH rewrite never
+    * fires on, or falsely rejects, MATCH_ANY text inside a literal. */
+  private def inLiteral(text: String): Int => Boolean = {
+    val flags = new Array[Boolean](text.length)
+    var in = false
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) == '\'') in = !in
+      else flags(i) = in
+      i += 1
+    }
+    j => j < flags.length && flags(j)
+  }
+
   private def rewriteMatch(text: String): String = {
+    // the index contract is per (table, column): only tables actually
+    // referenced by this statement legalize a MATCH — Doris rejects a
+    // MATCH on a column with no INVERTED index on the QUERIED table, and
+    // a same-named indexed column on some other table must not leak
+    // legality in (the referenced set reuses the same \b<name>\b scan the
+    // partition-selection rewrite runs over tables.keys)
+    val referenced = tables.synchronized(tables.keys.toSeq)
+      .filter(n => s"(?is)\\b$n\\b".r.findFirstIn(text).isDefined)
     val indexed: Set[String] = tables.synchronized(
-      tables.values.flatMap(_.def_.indexes.map(_.col)).toSet)
+      referenced.flatMap(n => tables(n).def_.indexes.map(_.col)).toSet)
+    val quoted = inLiteral(text)
     val out = MatchPredRe.replaceAllIn(text, m => {
       val c = m.group(1)
-      if (!indexed.contains(c)) m.matched // validated below
+      if (quoted(m.start) || !indexed.contains(c)) m.matched // validated below
       else {
         val toks = m.group(3).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          // tokens splice into single-quoted Spark literals, where a raw
+          // backslash would be re-interpreted by Spark's string-escape
+          // rules and diverge from the index tokenization
+          .map(_.replace("\\", "\\\\"))
         require(toks.nonEmpty, s"MATCH_${m.group(2)} needs at least one token")
         val tokens = s"array_distinct(split(lower(`$c`), ' '))"
         val repl = m.group(2).toUpperCase match {
@@ -506,7 +535,9 @@ final class DorisDdl(s: SparkSession) {
         java.util.regex.Matcher.quoteReplacement(repl)
       }
     })
-    require("""(?i)\bMATCH_(ANY|ALL)\b""".r.findFirstIn(out).isEmpty,
+    val outQuoted = inLiteral(out)
+    require(!"""(?i)\bMATCH_(ANY|ALL)\b""".r.findAllMatchIn(out)
+        .exists(m => !outQuoted(m.start)),
       "MATCH_ANY/MATCH_ALL requires an INVERTED index on the column " +
         "(CREATE INDEX ... USING INVERTED)")
     out
@@ -874,7 +905,15 @@ final class DorisDdl(s: SparkSession) {
     // key in ONE load tie on _ver; Doris keeps the LAST row of the batch —
     // without this the UNIQUE merge window breaks the tie arbitrarily
     // (caught by the LIST-partition fuzz: same-key VALUES row order flipped
-    // the winner run to run).
+    // the winner run to run). SCOPE: monotonically_increasing_id encodes
+    // statement order only for single-partition sources (VALUES lists — the
+    // case the contract exists for; a local relation plans as one
+    // partition). For a multi-partition INSERT...SELECT with duplicate keys
+    // in ONE batch, _pos follows (partitionId, offset) — source partition
+    // layout, not global row order — which is also what a distributed Doris
+    // load observes: batch order across concurrent tablets is not total.
+    // Forcing a global order (coalesce(1)/zipWithIndex) would serialize
+    // every bulk load through one task; deliberately not done.
     withPart.withColumn("_ver", lit(ver))
       .withColumn("_pos", monotonically_increasing_id())
       .repartition(t.def_.buckets, col(t.def_.hashCol))
@@ -2193,10 +2232,14 @@ final class DorisDdl(s: SparkSession) {
         else {
           registerViews(t)
           val df = visible(t, None)
+          // coalesce: rowsets can exist while ZERO rows are visible (every
+          // row removed by a versioned DELETE or delete-sign) — sum() over
+          // the empty relation is null and getLong would NPE
           val aggs = Seq(count(lit(1)).as("__n")) ++ cols.zipWithIndex.flatMap {
             case (c, i) => Seq(
               countDistinct(col(c.name)).as(s"__ndv_$i"),
-              sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"__nul_$i"),
+              coalesce(sum(when(col(c.name).isNull, 1L).otherwise(0L)), lit(0L))
+                .as(s"__nul_$i"),
               min(col(c.name)).cast("string").as(s"__min_$i"),
               max(col(c.name)).cast("string").as(s"__max_$i"))
           }

@@ -1159,6 +1159,25 @@ class DdlSpec extends SparkSpec {
       ddl.execute("CREATE INDEX b_ix ON mtx (`body`) USING BITMAP"))
     assertThrows[IllegalArgumentException](
       ddl.execute("CREATE INDEX body_ix ON mtx (`note`) USING INVERTED"))
+    // the index contract is per (table, column): an index on a SAME-NAMED
+    // column of another table must not legalize a MATCH on this one
+    // (ADVICE r15 — the rewrite used to union indexed names instance-wide)
+    ddl.execute(
+      """CREATE TABLE other_t (
+        |  id BIGINT, note STRING, INDEX n_ix (`note`) USING INVERTED
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    assertThrows[IllegalArgumentException](
+      ddl.sql("SELECT id FROM mtx WHERE note MATCH_ANY 'x'"))
+    // MATCH_ANY text INSIDE a string literal is data, not a predicate:
+    // neither rewritten nor rejected
+    assert(ddl.sql(
+      "SELECT count(*) AS n FROM mtx WHERE body <> 'no MATCH_ANY here'")
+      .as[Long].head() == 3L)
+    // a backslash in a search token survives the splice into Spark's
+    // escape-processed literal (token equality on the raw backslash)
+    ddl.execute("INSERT INTO mtx VALUES (4, 'path c:\\\\tmp listed', 'w')")
+    assert(ddl.sql("SELECT id FROM mtx WHERE body MATCH_ANY 'c:\\tmp'")
+      .as[Long].collect().toSeq == Seq(4L))
   }
 
   test("index + bloom_filter_columns round-trip SHOW CREATE; rowsets are " +
@@ -1313,6 +1332,16 @@ class DdlSpec extends SparkSpec {
     // dropping the generated column itself is a legal light change
     ddl.execute("ALTER TABLE g DROP COLUMN v2")
     assert(!ddl.sql("SELECT * FROM g").columns.contains("v2"))
+    // the sql_ddl_generated_col oracle key stores integer cents via a
+    // HALFWAY-FREE multiplier: a 2-dp price times 80 has fractional part
+    // in even tenths (cents*8 mod 10 ∈ {0,2,4,6,8}), so round() never
+    // faces a true .5 and Spark/DuckDB agree row-exactly — the r15 *0.9
+    // variant had 1,534 genuine halfway cents at sf0.01 and diverged.
+    // Pin: no orders row sits within 0.09 of a .5 boundary after *80.
+    val minDist = Tables.orders(spark, sf)
+      .select(min(abs(($"o_totalprice" * 80) % 1.0 - 0.5)))
+      .as[Double].head()
+    assert(minDist > 0.09, s"halfway-adjacent cents at distance $minDist")
   }
 
   test("ANALYZE TABLE / SHOW COLUMN STATS: exact stats from one scan, " +
@@ -1340,6 +1369,12 @@ class DdlSpec extends SparkSpec {
     ddl.sql("ANALYZE TABLE st")
     assert(ddl.sql("SHOW COLUMN STATS st")
       .filter($"column_name" === "k" && $"max" === "9").count() == 1)
+    // rowsets exist but ZERO rows are visible (all removed by a versioned
+    // DELETE): the stats aggregate must not NPE on a null sum (ADVICE r15)
+    ddl.execute("DELETE FROM st WHERE k >= 0")
+    assert(ddl.sql("ANALYZE TABLE st").collect().head.getLong(2) == 0L)
+    assert(ddl.sql("SHOW COLUMN STATS st")
+      .collect().forall(r => r.getLong(1) == 0L && r.getLong(3) == 0L))
   }
 
   test("LIST partitions: uncovered values reject, drop frees the value set, " +
