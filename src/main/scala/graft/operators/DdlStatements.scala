@@ -1168,7 +1168,65 @@ object DdlStatements {
         |SELECT count(*) AS n, round(sum(o_totalprice), 2) AS tp,
         |  CAST(sum(CASE WHEN o_totalprice = -1.0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_revived
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    // TEMPORARY partition + `ALTER TABLE ... REPLACE PARTITION` — the
+    // atomic backfill swap, all as text: load the full table, record a
+    // standing versioned DELETE, stage a REBUILT lower partition (prices
+    // doubled) into a temporary partition with the same range, swap it in,
+    // then DELETE again post-swap. The final per-partition aggregate pins
+    // all four contracts at once: the swapped partition reads the rebuilt
+    // data (not the original), the PRE-swap delete does not touch the
+    // swapped-in rows (a replace is a new publish) while it still thins
+    // the untouched partition, the POST-swap delete applies everywhere,
+    // and the staging data was invisible until the swap (else the doubled
+    // rows would double-count). Checked in integer cents (x80 is
+    // halfway-free; OracleHygieneSpec). The oracle replays both deletes
+    // and the rebuild as filters over raw orders.
+    "sql_ddl_replace_partition" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val ddl = lifecycle("sql_ddl_replace_partition", s, dir)(Seq(
+          """CREATE TABLE ord_rp (
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderkey)
+            |PARTITION BY RANGE(o_orderkey) (
+            |  PARTITION p_lo VALUES LESS THAN ('5000'),
+            |  PARTITION p_hi VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_rp
+            |SELECT o_orderkey, o_totalprice FROM orders""".stripMargin,
+          "ALTER TABLE ord_rp ADD TEMPORARY PARTITION tp_lo VALUES LESS THAN ('5000')",
+          // the staging load lands BEFORE the delete on purpose: its
+          // version is LOWER than the delete's, so only the swap-time
+          // delete scoping (not version order) keeps the rebuilt rows
+          // alive — the sharpest spelling of "deletes never touch
+          // temporary partitions"
+          """INSERT INTO ord_rp TEMPORARY PARTITION (tp_lo)
+            |SELECT o_orderkey, o_totalprice * 2 FROM orders
+            |WHERE o_orderkey < 5000""".stripMargin,
+          "DELETE FROM ord_rp WHERE o_orderkey % 7 = 0",
+          "ALTER TABLE ord_rp REPLACE PARTITION (p_lo) WITH TEMPORARY PARTITION (tp_lo)",
+          "DELETE FROM ord_rp WHERE o_orderkey % 11 = 0"))
+        ddl.sql(
+          """SELECT CASE WHEN o_orderkey < 5000 THEN 'lo' ELSE 'hi' END AS band,
+            |  count(*) AS n, sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS cents
+            |FROM ord_rp GROUP BY 1 ORDER BY band""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+        |  WHERE o_orderkey < 5000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey >= 5000 AND o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN o_orderkey < 5000 THEN 'lo' ELSE 'hi' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT) AS cents
+        |FROM m WHERE o_orderkey % 11 <> 0
+        |GROUP BY 1 ORDER BY band""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

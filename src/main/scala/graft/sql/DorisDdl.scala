@@ -102,6 +102,7 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("ANALYZE TABLE")) Some(analyzeStmt(t))
     else if (up.startsWith("SHOW COLUMN STATS")) Some(showColumnStats(t))
     else if (up.startsWith("SHOW INDEX")) Some(showIndex(t))
+    else if (up.startsWith("SHOW TEMPORARY PARTITIONS")) Some(showTempPartitions(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
@@ -813,10 +814,10 @@ final class DorisDdl(s: SparkSession) {
   // ---------------------------------------------------------------- INSERT
 
   private val InsertRe =
-    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(?:WITH\s+LABEL\s+`?(\w+)`?\s*)?(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
+    """(?is)^INSERT\s+INTO\s+`?(\w+)`?\s*(?:WITH\s+LABEL\s+`?(\w+)`?\s*)?(?:(TEMPORARY\s+)?PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?(\(([^)]*)\))?\s*(VALUES\s+.*|SELECT\s+.*)$""".r
 
   private def insertInto(text: String): Unit = text match {
-    case InsertRe(name, lbl, pname, _, colList, body) =>
+    case InsertRe(name, lbl, tempKw, pname, _, colList, body) =>
       val t = state(name)
       // WITH LABEL: load idempotence — a label is consumed by exactly one
       // SUCCESSFUL load; a duplicate rejects BEFORE any work (the Doris
@@ -825,12 +826,18 @@ final class DorisDdl(s: SparkSession) {
       val label = Option(lbl)
       label.foreach(l => require(t.synchronized(!t.labels.contains(l)),
         s"$name: errCode = 2, label $l already exists"))
+      val temp = tempKw != null
       val part = Option(pname)
       part.foreach { p =>
         require(t.def_.partCol.isDefined,
           s"$name: PARTITION insert needs a partitioned table")
-        require(partitionNames(t).contains(p), s"$name: unknown partition $p")
+        if (temp) require(t.synchronized(t.tempParts.contains(p)),
+          s"$name: unknown temporary partition $p")
+        else require(partitionNames(t).contains(p),
+          s"$name: unknown partition $p")
       }
+      require(!temp || part.isDefined,
+        s"$name: TEMPORARY needs a PARTITION (p) target")
       val src =
         if (body.toUpperCase.startsWith("VALUES")) {
           val targets = Option(colList)
@@ -846,7 +853,8 @@ final class DorisDdl(s: SparkSession) {
               case None => df.toDF(t.def_.cols.filter(_.gen.isEmpty).map(_.name): _*)
             }
         }
-      load(t, src, part, label)
+      if (temp) loadTempPartition(t, src, part.get, label)
+      else load(t, src, part, label)
     case _ => sys.error(s"unparseable INSERT: ${text.take(80)}")
   }
 
@@ -972,6 +980,128 @@ final class DorisDdl(s: SparkSession) {
           s.catalog.dropTempView(s"${t.def_.name}__part_$p")
         }
       }
+    }
+    registerViews(t)
+    refreshMvs(t)
+  }
+
+  // ---------------------------------- TEMPORARY partitions / REPLACE swap
+
+  /** `ALTER TABLE t ADD TEMPORARY PARTITION p <spec>` ([doris:
+    * fe/.../analysis/ReplacePartitionClause.java; the temporary-partition
+    * staging model]): declare the staging side of the atomic backfill
+    * swap. A temp partition's range MAY overlap the live layout — that is
+    * the point, it shadows the partition it will replace — but its name
+    * must be fresh across both namespaces. */
+  private def addTempPartition(name: String, spec: String): Unit = {
+    val t = state(name)
+    val d = t.def_
+    require(d.partCol.isDefined, s"$name: table is not partitioned")
+    require(d.autoGran.isEmpty,
+      s"$name: AUTO-partitioned tables manage their own partitions")
+    val p = parsePartition(s"PARTITION $spec")
+    require(!d.parts.exists(_.name == p.name) &&
+      t.synchronized(!t.tempParts.contains(p.name)),
+      s"$name: partition ${p.name} already exists")
+    if (d.listPart) require(p.inValues.isDefined,
+      s"$name: a LIST table's temporary partition needs VALUES IN")
+    else require(p.inValues.isEmpty,
+      s"$name: VALUES IN needs a LIST-partitioned table")
+    t.synchronized { t.tempParts(p.name) = p }
+  }
+
+  private def dropTempPartition(name: String, pname: String): Unit = {
+    val t = state(name)
+    require(t.synchronized(t.tempParts.contains(pname)),
+      s"$name: unknown temporary partition $pname")
+    t.synchronized { t.tempParts -= pname }
+    graft.TempDirs.deleteTree(
+      java.nio.file.Paths.get(t.dir, s"_p=__tmp_$pname"))
+  }
+
+  /** `INSERT INTO t TEMPORARY PARTITION (tp) ...`: the staging load. Rows
+    * route against the TEMP partition's own bounds (a row outside them
+    * kills the load — the same raise_error contract as declared
+    * partitions) and land under `_p=__tmp_<tp>`, physically co-located
+    * with the table but invisible to every read until REPLACE publishes
+    * them. Versions come from the table's own counter, so after publish
+    * the swapped rowset is a normal citizen of the merge version order. */
+  private def loadTempPartition(t: TableState, src: DataFrame,
+      tp: String, label: Option[String]): Unit = {
+    val pd = t.synchronized(t.tempParts(tp))
+    val ver = t.synchronized { t.nextVer += 1; t.nextVer }
+    // route with a one-partition shadow layout: rowset()'s partitionName
+    // CASE chain then validates the temp bounds and stamps the staging
+    // name in the same single pass a declared load gets
+    val shadow = TableState(
+      t.def_.copy(parts = Seq(pd.copy(name = s"__tmp_$tp"))), t.dir)
+    val out = rowset(shadow, src, ver)
+    val w = withBloom(out.write.mode("append"), t.def_)
+    try w.partitionBy("_p").parquet(t.dir)
+    catch { case e: Throwable =>
+      graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, "_temporary"))
+      throw e
+    }
+    t.synchronized {
+      label.foreach(t.labels += _)
+      t.loads += ((ver, label))
+    }
+    // no registerViews/refreshMvs: staging data is invisible by contract
+  }
+
+  /** `ALTER TABLE t REPLACE PARTITION (p) WITH TEMPORARY PARTITION (tp)`
+    * — the atomic backfill swap Doris production pipelines lean on: stage
+    * a rebuilt partition, swap it in as one transaction. strict_range
+    * (the Doris default) is enforced: the temp partition must cover
+    * EXACTLY the replaced partition's range — same upper bound and same
+    * effective lower (the preceding partition's bound; declare the temp
+    * with the fixed-range `VALUES [('lo'), ('hi'))` spelling when
+    * replacing a non-first partition) — or, on a LIST table, the same
+    * value set — so the swap can never lose or double-cover a key range.
+    * The swap itself is O(1) data-free metadata:
+    *   1. the replaced partition's directory is removed and the staging
+    *      directory renamed into its place (the partition KEEPS its formal
+    *      name — use_temp_partition_name=false, the Doris default);
+    *   2. standing versioned deletes are scoped away from the partition:
+    *      the swapped-in rowset is a NEW publish, and a delete recorded
+    *      before the swap must not apply to it (Doris deletes never touch
+    *      temporary partitions). Deletes issued AFTER the swap apply
+    *      normally. */
+  private def replacePartition(name: String, pname: String,
+      tmpName: String): Unit = {
+    val t = state(name)
+    val d = t.def_
+    val idx = d.parts.indexWhere(_.name == pname)
+    require(idx >= 0, s"$name: unknown partition $pname")
+    val p = d.parts(idx)
+    require(!p.dropped, s"$name: partition $pname was dropped")
+    val tp = t.synchronized(t.tempParts.get(tmpName)).getOrElse(
+      sys.error(s"$name: unknown temporary partition $tmpName"))
+    if (d.listPart)
+      require(tp.inValues.map(_.toSet) == p.inValues.map(_.toSet),
+        s"$name: strict_range: temporary partition $tmpName's value set " +
+          s"must equal partition $pname's")
+    else {
+      val effLower = p.lower.orElse(
+        if (idx == 0) None else d.parts(idx - 1).bound)
+      require(tp.bound == p.bound && tp.lower == effLower,
+        s"$name: strict_range: temporary partition $tmpName " +
+          s"[${tp.lower.getOrElse("-inf")}, ${tp.bound.getOrElse("MAX")}) " +
+          s"must equal partition $pname " +
+          s"[${effLower.getOrElse("-inf")}, ${p.bound.getOrElse("MAX")})")
+    }
+    val mainDir = java.nio.file.Paths.get(t.dir, s"_p=$pname")
+    val tmpDir = java.nio.file.Paths.get(t.dir, s"_p=__tmp_$tmpName")
+    graft.TempDirs.deleteTree(mainDir)
+    if (java.nio.file.Files.isDirectory(tmpDir))
+      java.nio.file.Files.move(tmpDir, mainDir) // one filesystem rename
+    t.synchronized {
+      t.tempParts -= tmpName
+      val amended = t.deletes.map { case (pred, v) =>
+        (s"(($pred)) AND _p <> '$pname'", v)
+      }
+      t.deletes.clear()
+      t.deletes ++= amended
     }
     registerViews(t)
     refreshMvs(t)
@@ -1113,7 +1243,11 @@ final class DorisDdl(s: SparkSession) {
       dst: java.nio.file.Path): Unit = {
     val files = {
       val walk = java.nio.file.Files.walk(src)
-      try walk.filter(f => f.toString.endsWith(".parquet"))
+      // `_p=__tmp_*` staging rowsets are NOT part of a snapshot: a backup
+      // captures the VISIBLE state, and a restore has no temp-partition
+      // defs to attach the staging data to
+      try walk.filter(f => f.toString.endsWith(".parquet") &&
+          !f.toString.contains("_p=__tmp_"))
         .toArray(new Array[java.nio.file.Path](_)).toSeq
       finally walk.close()
     }
@@ -1423,8 +1557,19 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+ROLLUP\s+`?(\w+)`?\s*\(([^)]*)\)$""".r
   private val DropRollupRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+ROLLUP\s+`?(\w+)`?$""".r
+  private val AddTempPartRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+TEMPORARY\s+PARTITION\s+(.*)$""".r
+  private val DropTempPartRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+TEMPORARY\s+PARTITION\s+`?(\w+)`?$""".r
+  private val ReplacePartRe =
+    ("""(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+REPLACE\s+PARTITION\s*\(\s*`?(\w+)`?\s*\)\s+""" +
+      """WITH\s+TEMPORARY\s+PARTITION\s*\(\s*`?(\w+)`?\s*\)$""").r
 
   private def alterTable(text: String): Unit = text match {
+    case AddTempPartRe(name, spec) => addTempPartition(name, spec)
+    case DropTempPartRe(name, pname) => dropTempPartition(name, pname)
+    case ReplacePartRe(name, pname, tmpName) =>
+      replacePartition(name, pname, tmpName)
     case DropPartRe(name, pname) =>
       val t = state(name)
       if (t.def_.autoGran.isDefined) {
@@ -1800,6 +1945,35 @@ final class DorisDdl(s: SparkSession) {
 
   private val ShowPartsRe =
     """(?is)^SHOW\s+PARTITIONS\s+FROM\s+`?(\w+)`?$""".r
+  private val ShowTempPartsRe =
+    """(?is)^SHOW\s+TEMPORARY\s+PARTITIONS\s+FROM\s+`?(\w+)`?$""".r
+
+  /** `SHOW TEMPORARY PARTITIONS FROM t`: the staging namespace —
+    * (partition_name, upper_bound, n_rows), counts read from the
+    * `_p=__tmp_*` dirs the main read path excludes by contract. */
+  private def showTempPartitions(text: String): DataFrame = text match {
+    case ShowTempPartsRe(name) =>
+      val t = state(name)
+      require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
+      import s.implicits._
+      val defs = t.synchronized(t.tempParts.values.toSeq)
+        .map(p => (p.name, p.inValues.map(_.mkString(","))
+          .getOrElse(p.bound.getOrElse("MAXVALUE"))))
+        .toDF("partition_name", "upper_bound")
+      val counts =
+        if (!hasRowsets(t.dir))
+          Seq.empty[(String, Long)].toDF("partition_name", "n_rows")
+        else s.read.option("mergeSchema", "true").parquet(t.dir)
+          .filter(col("_p").startsWith("__tmp_"))
+          .groupBy(regexp_replace(col("_p"), "^__tmp_", "")
+            .as("partition_name"))
+          .agg(count(lit(1)).as("n_rows"))
+      defs.join(counts, Seq("partition_name"), "left")
+        .select(col("partition_name"), col("upper_bound"),
+          coalesce(col("n_rows"), lit(0L)).as("n_rows"))
+        .orderBy(col("partition_name"))
+    case _ => sys.error(s"unparseable SHOW TEMPORARY PARTITIONS: ${text.take(80)}")
+  }
 
   /** `SHOW PARTITIONS FROM t` → (partition_name, upper_bound, n_rows):
     * partition metadata plus per-partition visible row counts from ONE
@@ -1952,6 +2126,12 @@ final class DorisDdl(s: SparkSession) {
     // coalesce below backfills it (model_schema_change's read contract —
     // no rowset is ever rewritten for a schema change)
     var df = s.read.option("mergeSchema", "true").parquet(t.dir)
+    // TEMPORARY partition rowsets (`_p=__tmp_*`) are staging data: never
+    // visible until REPLACE PARTITION publishes them. The startsWith is a
+    // partition-column predicate, so it prunes at planning (no temp file
+    // is even listed into the scan).
+    if (t.def_.partCol.isDefined)
+      df = df.filter(!col("_p").startsWith("__tmp_"))
     part.foreach(p => df = df.filter(col("_p") === p))
     val have = df.columns.toSet
     t.def_.cols.foreach { c =>
@@ -2497,5 +2677,10 @@ object DorisDdl {
     // last ANALYZE TABLE result: (row_count, per-column (name, ndv,
     // null_count, min, max) as strings) — SHOW COLUMN STATS serves from it
     var stats: Option[(Long, Seq[(String, Long, Long, String, String)])] = None
+    // TEMPORARY partitions (ALTER TABLE ... ADD TEMPORARY PARTITION): the
+    // staging side of the atomic backfill swap. Defs here, data under
+    // `_p=__tmp_<name>` in the table dir — excluded from every read until
+    // REPLACE PARTITION publishes it
+    val tempParts: mutable.LinkedHashMap[String, PartDef] = mutable.LinkedHashMap()
   }
 }

@@ -112,7 +112,7 @@ class DdlFuzzSpec extends SparkSpec {
       var vRetyped = false // heavy MODIFY ran: v reads back as BIGINT
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
 
-      try for (_ <- 1 to 10) rnd.nextInt(10) match {
+      try for (_ <- 1 to 10) rnd.nextInt(11) match {
         case 0 | 1 | 2 => // upsert load; a key in a dropped range fails ALL
           val n = 1 + rnd.nextInt(4)
           val ks = rnd.shuffle((0L until 24L).toList).take(n)
@@ -194,6 +194,38 @@ class DdlFuzzSpec extends SparkSpec {
             val st = s"ALTER TABLE fz2 MODIFY COLUMN $vName BIGINT"
             trace += st; ddl.execute(st)
             vRetyped = true
+          }
+        case 10 => // atomic backfill swap: stage rebuilt rows, REPLACE.
+          // Possibly EMPTY staging (the atomic partition wipe); the swap
+          // replaces the partition's keys regardless of standing deletes
+          // (a replace is a new publish), interleaving with every other op
+          val live = parts.map(_._1).filterNot(dropped.contains)
+          if (live.nonEmpty) {
+            val p = live(rnd.nextInt(live.size))
+            val range = parts.find(_._1 == p).get._2
+            val spec = p match {
+              case "pa" => "VALUES LESS THAN ('8')"
+              case "pb" => "VALUES [('8'), ('16'))"
+              case "pc" => "VALUES [('16'), ('24'))"
+            }
+            val tmp = s"tmp${trace.size}"
+            val ks = rnd.shuffle(range.toList).take(rnd.nextInt(3))
+            val rows = ks.map(k => (k, rnd.nextInt(100).toDouble))
+            val sts = Seq(s"ALTER TABLE fz2 ADD TEMPORARY PARTITION $tmp $spec") ++
+              (if (rows.isEmpty) Nil else {
+                val cols = if (tagAdded) s"(k, $vName, tag)" else s"(k, $vName)"
+                val values = rows.map { case (k, v) =>
+                  if (tagAdded) s"($k, $v, 'sw')" else s"($k, $v)"
+                }.mkString(", ")
+                Seq(s"INSERT INTO fz2 TEMPORARY PARTITION ($tmp) $cols VALUES $values")
+              }) ++
+              Seq(s"ALTER TABLE fz2 REPLACE PARTITION ($p) " +
+                s"WITH TEMPORARY PARTITION ($tmp)")
+            sts.foreach { st => trace += st; ddl.execute(st) }
+            model = model.filter { case (k, _) => !range.contains(k) }
+            rows.foreach { case (k, v) =>
+              model += k -> ((v, !tagAdded, if (tagAdded) Some("sw") else None))
+            }
           }
       } catch { case e: Throwable if !e.isInstanceOf[org.scalatest.exceptions.TestFailedException] =>
         fail(s"sequence $seqNo threw ${e.getMessage}\nstatements:\n  " +

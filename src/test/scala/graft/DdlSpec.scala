@@ -1413,6 +1413,68 @@ class DdlSpec extends SparkSpec {
     assert(stmt2.replace("lp2", "lp") == stmt, stmt2)
   }
 
+  test("temporary partitions: staging invisible, strict-range REPLACE swaps " +
+    "atomically, pre-swap deletes never touch the swapped-in rows") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE rp (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |PARTITION BY RANGE(k) (
+        |  PARTITION p1 VALUES LESS THAN ('10'),
+        |  PARTITION p2 VALUES LESS THAN ('20')
+        |) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO rp VALUES (1, 1.0), (5, 5.0), (15, 15.0)")
+    // stage a rebuilt p1: the staged rows are INVISIBLE to every read
+    ddl.execute("ALTER TABLE rp ADD TEMPORARY PARTITION t1 VALUES LESS THAN ('10')")
+    ddl.execute("INSERT INTO rp TEMPORARY PARTITION (t1) VALUES (2, 200.0), (3, 300.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM rp").as[Long].head() == 3L)
+    assert(ddl.sql("SHOW PARTITIONS FROM rp").count() == 2)
+    assert(ddl.sql("SHOW TEMPORARY PARTITIONS FROM rp")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq ==
+      Seq(("t1", 2L)))
+    // a staged row outside the TEMP partition's own bounds kills the load
+    assertThrows[Exception](ddl.execute(
+      "INSERT INTO rp TEMPORARY PARTITION (t1) VALUES (12, 0.0)"))
+    // a delete recorded AFTER the staging load (higher version!) — only
+    // the swap-time scoping can keep the staged rows alive
+    ddl.execute("DELETE FROM rp WHERE v >= 100.0")
+    // strict_range: a wrong-bound temp rejects the swap
+    ddl.execute("ALTER TABLE rp ADD TEMPORARY PARTITION tbad VALUES LESS THAN ('15')")
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE rp REPLACE PARTITION (p1) WITH TEMPORARY PARTITION (tbad)"))
+    // the swap: p1 reads the rebuilt rows, the pre-swap delete (which
+    // MATCHES them) does not apply, p2 is untouched
+    ddl.execute("ALTER TABLE rp REPLACE PARTITION (p1) WITH TEMPORARY PARTITION (t1)")
+    assert(ddl.sql("SELECT k, v FROM rp ORDER BY k").as[(Long, Double)]
+      .collect().toSeq == Seq((2L, 200.0), (3L, 300.0), (15L, 15.0)))
+    // the partition kept its FORMAL name (use_temp_partition_name=false)
+    assert(ddl.sql("SELECT count(*) AS n FROM rp PARTITION (p1)")
+      .as[Long].head() == 2L)
+    assert(ddl.sql("SHOW TEMPORARY PARTITIONS FROM rp").count() == 1) // tbad
+    // a POST-swap delete applies to the swapped rows normally
+    ddl.execute("DELETE FROM rp WHERE k = 2")
+    assert(ddl.sql("SELECT count(*) AS n FROM rp").as[Long].head() == 2L)
+    // replacing a NON-FIRST partition: a LESS THAN temp has no lower bound
+    // and fails strict_range; the fixed-range spelling carries it
+    ddl.execute("ALTER TABLE rp ADD TEMPORARY PARTITION t2a VALUES LESS THAN ('20')")
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE rp REPLACE PARTITION (p2) WITH TEMPORARY PARTITION (t2a)"))
+    ddl.execute("ALTER TABLE rp ADD TEMPORARY PARTITION t2 VALUES [('10'), ('20'))")
+    // an EMPTY temp partition swap EMPTIES the target (the Doris idiom for
+    // an atomic partition wipe)
+    ddl.execute("ALTER TABLE rp REPLACE PARTITION (p2) WITH TEMPORARY PARTITION (t2)")
+    assert(ddl.sql("SELECT count(*) AS n FROM rp").as[Long].head() == 1L)
+    // guards: unknown names, formal-name collision, abandon staging
+    assertThrows[Exception](ddl.execute(
+      "ALTER TABLE rp REPLACE PARTITION (p9) WITH TEMPORARY PARTITION (tbad)"))
+    assertThrows[Exception](ddl.execute(
+      "ALTER TABLE rp REPLACE PARTITION (p1) WITH TEMPORARY PARTITION (nope)"))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE rp ADD TEMPORARY PARTITION p1 VALUES LESS THAN ('10')"))
+    ddl.execute("ALTER TABLE rp DROP TEMPORARY PARTITION tbad")
+    ddl.execute("ALTER TABLE rp DROP TEMPORARY PARTITION t2a")
+    assert(ddl.sql("SHOW TEMPORARY PARTITIONS FROM rp").count() == 0)
+  }
+
   test("ALTER TABLE SET: dynamic properties take effect from the next load") {
     val ddl = fresh()
     ddl.execute(
