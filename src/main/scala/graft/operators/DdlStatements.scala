@@ -1226,7 +1226,59 @@ object DdlStatements {
         |  count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT) AS cents
         |FROM m WHERE o_orderkey % 11 <> 0
-        |GROUP BY 1 ORDER BY band""".stripMargin)
+        |GROUP BY 1 ORDER BY band""".stripMargin),
+
+    // VARIANT column type (Doris 2.1 schemaless subcolumns) as DDL: a
+    // `v VARIANT` column ingests JSON TEXT (malformed documents kill the
+    // load), stores it, and surfaces to queries as Spark VariantType — so
+    // `variant_get(v, '$.path', type)` subcolumn access works directly on
+    // the table view (§2.8 fn_variant is the function-surface twin; this
+    // key is the table-lifecycle one). The lifecycle builds a nested doc
+    // per event row, UPDATEs a slice to a doc MISSING most paths (so
+    // missing-subcolumn null semantics are checked through the merge), and
+    // deletes another slice; the aggregate extracts string/bigint/double/
+    // int subcolumns at once. The oracle rebuilds the same JSON and reads
+    // it with DuckDB's json_extract family.
+    "sql_ddl_variant" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_variant", s, dir)(Seq(
+          """CREATE TABLE ev_var (
+            |  event_id BIGINT,
+            |  vdoc VARIANT
+            |) ENGINE=OLAP
+            |UNIQUE KEY(event_id)
+            |DISTRIBUTED BY HASH(event_id) BUCKETS 4""".stripMargin,
+          """INSERT INTO ev_var
+            |SELECT event_id,
+            |  concat('{"t":"', event_type, '","u":', CAST(user_id AS STRING),
+            |    ',"m":{"val":', CAST(CAST(value AS DECIMAL(14,2)) AS STRING),
+            |    '},"p":', props, '}')
+            |FROM events""".stripMargin,
+          """UPDATE ev_var SET vdoc = '{"t":"redacted"}'
+            |WHERE event_id % 97 = 0""".stripMargin,
+          "DELETE FROM ev_var WHERE event_id % 53 = 0"))
+        ddl.sql(
+          """SELECT variant_get(vdoc, '$.t', 'string') AS t, count(*) AS n,
+            |  CAST(sum(variant_get(vdoc, '$.u', 'bigint')) AS BIGINT) AS su,
+            |  CAST(sum(CAST(round(variant_get(vdoc, '$.m.val', 'double') * 80)
+            |    AS BIGINT)) AS BIGINT) AS cents,
+            |  CAST(sum(variant_get(vdoc, '$.p.k', 'int')) AS BIGINT) AS sk
+            |FROM ev_var GROUP BY t ORDER BY t""".stripMargin)
+      },
+      """WITH built AS (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 97 = 0 THEN '{"t":"redacted"}'
+        |    ELSE '{"t":"' || event_type || '","u":' || CAST(user_id AS VARCHAR)
+        |      || ',"m":{"val":' || CAST(CAST(value AS DECIMAL(14,2)) AS VARCHAR)
+        |      || '},"p":' || props || '}' END AS vdoc
+        |  FROM events WHERE event_id % 53 <> 0)
+        |SELECT json_extract_string(vdoc, '$.t') AS t, count(*) AS n,
+        |  CAST(sum(CAST(json_extract(vdoc, '$.u') AS BIGINT)) AS BIGINT) AS su,
+        |  CAST(sum(CAST(round(CAST(json_extract(vdoc, '$.m.val') AS DOUBLE) * 80)
+        |    AS BIGINT)) AS BIGINT) AS cents,
+        |  CAST(sum(CAST(json_extract(vdoc, '$.p.k') AS INTEGER)) AS BIGINT) AS sk
+        |FROM built GROUP BY t ORDER BY t""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

@@ -216,6 +216,11 @@ final class DorisDdl(s: SparkSession) {
         require(keyCols.contains(c.name) == c.agg.isEmpty,
           s"$name: value column ${c.name} needs an aggregate marker (SUM/MAX/MIN/REPLACE)")
       }
+      // a VARIANT document has no total order or stable hash contract:
+      // never a key / distribution / partition column (the Doris rule)
+      cols.filter(_.variant).foreach(c =>
+        require(!keyCols.contains(c.name),
+          s"$name: VARIANT column ${c.name} cannot be a key column"))
       // AUTO PARTITION (Doris 2.1): no declared specs — partitions
       // materialize per date_trunc bucket as loads arrive
       val autoSpec = AutoPartRe.findFirstMatchIn(rest).map { m =>
@@ -258,8 +263,12 @@ final class DorisDdl(s: SparkSession) {
         .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
       val buckets = """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(rest)
         .map(_.group(1).toInt).getOrElse(10)
+      require(!cols.exists(c => c.variant && c.name == hashCol),
+        s"$name: VARIANT column $hashCol cannot be the distribution column")
       (partSpec.map(_._1) orElse autoSpec.map(_._1)).foreach { pc =>
         require(cols.exists(_.name == pc), s"$name: unknown partition column $pc")
+        require(!cols.exists(c => c.variant && c.name == pc),
+          s"$name: VARIANT column $pc cannot be the partition column")
         if (keysType != "DUPLICATE")
           require(keyCols.contains(pc),
             s"$name: partition column $pc must be a key column on $keysType tables")
@@ -283,6 +292,8 @@ final class DorisDdl(s: SparkSession) {
           s"$name: function_column.sequence_col requires a UNIQUE KEY table")
         require(cols.exists(_.name == sc) && !keyCols.contains(sc),
           s"$name: sequence_col $sc must be a declared non-key column")
+        require(!cols.exists(c => c.variant && c.name == sc),
+          s"$name: VARIANT column $sc cannot order the merge (sequence_col)")
       }
       // dynamic_partition retention over AUTO buckets: start = how many
       // periods BACK stay live; older buckets are dropped at load time
@@ -353,7 +364,21 @@ final class DorisDdl(s: SparkSession) {
       require(agg.isEmpty && default.isEmpty,
         s"${m.group(1)}: a generated column takes no aggregate marker or DEFAULT")
     }
-    ColDef(m.group(1), sparkType(m.group(2)), agg, default, gen = gen)
+    // VARIANT (Doris 2.1): text-ingested schemaless document. No DEFAULT
+    // (Doris rejects defaults on VARIANT), no generated expr; the only
+    // legal aggregate markers are the REPLACE family (SUM/MIN/MAX over a
+    // document are meaningless)
+    val isVariant = m.group(2).trim.toUpperCase == "VARIANT"
+    if (isVariant) {
+      require(default.isEmpty,
+        s"${m.group(1)}: a VARIANT column takes no DEFAULT")
+      require(gen.isEmpty,
+        s"${m.group(1)}: a VARIANT column cannot be generated")
+      agg.foreach(a => require(a.startsWith("REPLACE"),
+        s"${m.group(1)}: a VARIANT value column only aggregates as REPLACE"))
+    }
+    ColDef(m.group(1), if (isVariant) "STRING" else sparkType(m.group(2)),
+      agg, default, gen = gen, variant = isVariant)
   }
 
   /** Doris type name → Spark SQL DDL type (SURVEY §1.2 mapping);
@@ -883,8 +908,17 @@ final class DorisDdl(s: SparkSession) {
       else Seq((if (present.contains("__DELETE_SIGN__"))
         col("__DELETE_SIGN__").cast("int") else lit(0)).as("_sign"))
     val aligned0 = src.select(t.def_.cols.filter(_.gen.isEmpty).map { c =>
-      (if (present.contains(c.name)) col(c.name)
-       else lit(c.default.orNull)).cast(c.sparkType).as(c.name)
+      val in = (if (present.contains(c.name)) col(c.name)
+        else lit(c.default.orNull)).cast(c.sparkType)
+      // VARIANT ingest: the column ARRIVES as text (or anything that casts
+      // to it — a variant source stringifies back to JSON) and must parse;
+      // a malformed document kills the load, Doris's strict VARIANT rule.
+      // Stored as the text; the read projection parses it once.
+      (if (c.variant)
+        when(in.isNotNull && try_parse_json(in).isNull, raise_error(concat(
+          lit(s"${t.def_.name}: invalid JSON for VARIANT column ${c.name}: "),
+          substring(in, 1, 80)))).otherwise(in)
+      else in).as(c.name)
     } ++ sign: _*)
     // generated columns compute from the ALIGNED (already-cast) plain
     // columns at load time and are stored like any other column — reads
@@ -2206,7 +2240,12 @@ final class DorisDdl(s: SparkSession) {
           (if (keepPart && d.partCol.isDefined) Seq(col("_p")) else Nil)
         df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
     }
-    val outCols = d.cols.map(c => col(c.name)) ++
+    // VARIANT columns surface to queries as Spark VariantType: ONE
+    // parse_json in the read projection (the merge/delete machinery above
+    // ran on the stored text), so `variant_get(v, '$.path', type)` works
+    // directly against the table view with no per-access re-parse
+    val outCols = d.cols.map(c =>
+      if (c.variant) parse_json(col(c.name)).as(c.name) else col(c.name)) ++
       (if (keepPart && d.partCol.isDefined) Seq(col("_p")) else Nil)
     merged.select(outCols: _*)
   }
@@ -2393,7 +2432,8 @@ final class DorisDdl(s: SparkSession) {
     * Doris's stats job skips them. */
   private def statsable(c: ColDef): Boolean = {
     val t0 = c.sparkType.toUpperCase
-    !Seq("ARRAY", "MAP", "STRUCT", "BINARY").exists(t0.startsWith)
+    // VARIANT: documents have no ndv/min/max contract (Doris skips them)
+    !c.variant && !Seq("ARRAY", "MAP", "STRUCT", "BINARY").exists(t0.startsWith)
   }
 
   /** `ANALYZE TABLE t` ([doris: fe/.../statistics/AnalysisManager.java]):
@@ -2463,7 +2503,8 @@ final class DorisDdl(s: SparkSession) {
         val gen = c.gen.map(g => s" AS ($g)").getOrElse("")
         val agg = c.agg.map(" " + _).getOrElse("")
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
-        s"  `${c.name}` ${c.sparkType}$gen$agg$dflt"
+        val typ = if (c.variant) "VARIANT" else c.sparkType
+        s"  `${c.name}` $typ$gen$agg$dflt"
       } ++ d.indexes.map(ix =>
         s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED")).mkString(",\n")
       val partClause = (d.autoGran, d.partCol) match {
@@ -2601,7 +2642,12 @@ object DorisDdl {
       // GENERATED column (Doris 2.1 `col TYPE AS (expr)`): computed from
       // the other columns at LOAD time and stored — loads never supply it,
       // reads never recompute it
-      gen: Option[String] = None)
+      gen: Option[String] = None,
+      // VARIANT column (Doris 2.1 schemaless subcolumns): ingests JSON
+      // text (validated at load), stored as text, surfaced to queries as
+      // Spark VariantType via parse_json in the read projection — so
+      // variant_get subcolumn access works directly on the table view
+      variant: Boolean = false)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
   // no covering partition, and a drop leaves a hole, not a merged range.

@@ -1475,6 +1475,57 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SHOW TEMPORARY PARTITIONS FROM rp").count() == 0)
   }
 
+  test("VARIANT columns: JSON-validated ingest, VariantType subcolumn reads, " +
+    "SHOW CREATE round-trip, key/default/stats guards") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE vt (id BIGINT, v VARIANT) UNIQUE KEY(id)
+        |DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("""INSERT INTO vt VALUES (1, '{"a":1,"b":{"c":"x"}}'), (2, '[5,6,7]')""")
+    // the view surfaces v as Spark VariantType: variant_get works directly
+    assert(ddl.sql("SELECT v FROM vt").schema("v").dataType ==
+      org.apache.spark.sql.types.VariantType)
+    assert(ddl.sql(
+      """SELECT CAST(sum(variant_get(v, '$.a', 'int')) AS BIGINT) AS sa,
+        |  max(variant_get(v, '$.b.c', 'string')) AS bc,
+        |  CAST(sum(variant_get(v, '$[1]', 'int')) AS BIGINT) AS e1
+        |FROM vt""".stripMargin).collect().head.toSeq == Seq(1L, "x", 6L))
+    // malformed JSON kills the load (strict VARIANT ingest)
+    assertThrows[Exception](ddl.execute(
+      "INSERT INTO vt VALUES (3, '{not json')"))
+    assert(ddl.sql("SELECT count(*) AS n FROM vt").as[Long].head() == 2L)
+    // an UPDATE through the variant-typed view round-trips variant->text
+    ddl.execute("""UPDATE vt SET v = '{"a":9}' WHERE id = 1""")
+    assert(ddl.sql("SELECT variant_get(v, '$.a', 'int') AS a FROM vt WHERE id = 1")
+      .as[Int].head() == 9)
+    // SHOW CREATE emits VARIANT (not the storage type) and replays
+    val stmt = ddl.sql("SHOW CREATE TABLE vt").collect().head.getString(1)
+    assert(stmt.contains("`v` VARIANT"), stmt)
+    ddl.execute(stmt.replace("CREATE TABLE `vt`", "CREATE TABLE `vt2`"))
+    val stmt2 = ddl.sql("SHOW CREATE TABLE vt2").collect().head.getString(1)
+    assert(stmt2.replace("vt2", "vt") == stmt, stmt2)
+    // guards: never a key column, no DEFAULT, no generated expr, only
+    // REPLACE-family aggregate markers
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE TABLE bad1 (v VARIANT, x INT) DUPLICATE KEY(v) DISTRIBUTED BY HASH(x) BUCKETS 1"))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bad2 (id INT, v VARIANT DEFAULT "{}") DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1"""))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE TABLE bad3 (id INT, v VARIANT SUM) AGGREGATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1"))
+    // ANALYZE skips the variant column (no ndv/min/max contract)
+    ddl.execute("ANALYZE TABLE vt")
+    assert(!ddl.sql("SHOW COLUMN STATS vt").collect()
+      .map(_.getString(0)).contains("v"))
+    // AGGREGATE REPLACE on variant: last document by version wins
+    ddl.execute(
+      """CREATE TABLE va (id INT, v VARIANT REPLACE) AGGREGATE KEY(id)
+        |DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("""INSERT INTO va VALUES (1, '{"n":1}')""")
+    ddl.execute("""INSERT INTO va VALUES (1, '{"n":2}')""")
+    assert(ddl.sql("SELECT variant_get(v, '$.n', 'int') AS n FROM va")
+      .as[Int].head() == 2)
+  }
+
   test("ALTER TABLE SET: dynamic properties take effect from the next load") {
     val ddl = fresh()
     ddl.execute(
