@@ -87,9 +87,15 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("LOAD LABEL")) { loadLabel(t); None }
     else if (up.startsWith("CREATE ROUTINE LOAD")) { createRoutineLoad(t); None }
     else if (up.startsWith("STOP ROUTINE LOAD")) { stopRoutineLoad(t); None }
+    else if (up.startsWith("PAUSE ROUTINE LOAD")) { pauseRoutineLoad(t); None }
+    else if (up.startsWith("RESUME ROUTINE LOAD")) { resumeRoutineLoad(t); None }
     else if (up.startsWith("SHOW ROUTINE LOAD")) Some(showRoutineLoad())
+    else if (up.startsWith("CANCEL LOAD")) { cancelLoad(t); None }
     else if (up.startsWith("BACKUP SNAPSHOT")) Some(backup(t))
     else if (up.startsWith("RESTORE SNAPSHOT")) Some(restore(t))
+    else if (up.startsWith("SHOW SNAPSHOT")) Some(showSnapshot(t))
+    else if (up.startsWith("SHOW BACKUP")) Some(showBackupJobs(restoreSide = false))
+    else if (up.startsWith("SHOW RESTORE")) Some(showBackupJobs(restoreSide = true))
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
@@ -1194,6 +1200,79 @@ final class DorisDdl(s: SparkSession) {
   private val RestoreRe =
     """(?is)^RESTORE\s+SNAPSHOT\s+`?(\w+)`?\s+FROM\s+'([^']+)'$""".r
 
+  // backup/restore job history (driver metadata; SHOW BACKUP / SHOW
+  // RESTORE serve from it): (snapshot, repo, n_tables, state)
+  private val backupJobs = mutable.ArrayBuffer[(String, String, Long, String)]()
+  private val restoreJobs = mutable.ArrayBuffer[(String, String, Long, String)]()
+
+  private val ShowSnapshotRe =
+    """(?is)^SHOW\s+SNAPSHOT\s+ON\s+'([^']+)'(?:\s+WHERE\s+SNAPSHOT\s*=\s*'([^']+)')?$""".r
+
+  /** `SHOW BACKUP` / `SHOW RESTORE` → (snapshot, repo, n_tables, state):
+    * the instance's backup/restore job history ([doris:
+    * fe/.../backup/BackupHandler.java]; jobs here run synchronously, so
+    * every recorded job is FINISHED — a failed one threw before
+    * recording). */
+  private def showBackupJobs(restoreSide: Boolean): DataFrame = {
+    import s.implicits._
+    (if (restoreSide) restoreJobs else backupJobs)
+      .synchronized((if (restoreSide) restoreJobs else backupJobs).toSeq)
+      .toDF("snapshot", "repo", "n_tables", "state")
+  }
+
+  /** `SHOW SNAPSHOT ON 'repo' [WHERE SNAPSHOT = 'name']` → (snapshot,
+    * n_tables, state): list what the REPOSITORY holds — read from the
+    * repo directory itself (not job history), so snapshots written by
+    * another instance are visible, the point of a shared repo. */
+  private def showSnapshot(text: String): DataFrame = text match {
+    case ShowSnapshotRe(path, wanted) =>
+      val root = java.nio.file.Paths.get(path)
+      require(java.nio.file.Files.isDirectory(root),
+        s"unknown repository path $path")
+      val snaps = {
+        val l = java.nio.file.Files.list(root)
+        try l.filter(p => java.nio.file.Files.isDirectory(p))
+          .toArray(new Array[java.nio.file.Path](_)).toSeq
+        finally l.close()
+      }
+      val rows = snaps.map { sd =>
+        val nTables = {
+          val l = java.nio.file.Files.list(sd)
+          try l.filter(p => java.nio.file.Files.isDirectory(p)).count()
+          finally l.close()
+        }
+        (sd.getFileName.toString, nTables, "FINISHED")
+      }.filter(r => wanted == null || r._1 == wanted)
+        .sortBy(_._1)
+      import s.implicits._
+      rows.toDF("snapshot", "n_tables", "state")
+    case _ => sys.error(s"unparseable SHOW SNAPSHOT: ${text.take(80)}")
+  }
+
+  private val CancelLoadRe =
+    """(?is)^CANCEL\s+LOAD(?:\s+FROM\s+`?(\w+)`?)?\s+WHERE\s+LABEL\s*=\s*['"]([^'"]+)['"]$""".r
+
+  /** `CANCEL LOAD [FROM t] WHERE LABEL = 'l'` ([doris:
+    * fe/.../analysis/CancelLoadStmt.java]): kill a load job that has not
+    * published. In this engine every label-carrying load publishes or
+    * throws SYNCHRONOUSLY — there is no window in which a label exists
+    * un-published — so the statement's reachable contract is Doris's two
+    * terminal errors: a consumed label cannot be cancelled, an unknown
+    * label does not exist. (The one long-lived load, ROUTINE LOAD, has its
+    * own PAUSE/RESUME/STOP job control.) */
+  private def cancelLoad(text: String): Unit = text match {
+    case CancelLoadRe(tname, lbl) =>
+      val targets = Option(tname) match {
+        case Some(n) => Seq(state(n))
+        case None => tables.synchronized(tables.values.toSeq)
+      }
+      if (targets.exists(t => t.synchronized(t.labels.contains(lbl))))
+        sys.error(s"errCode = 2, label $lbl: load job is FINISHED and " +
+          "cannot be cancelled")
+      else sys.error(s"errCode = 2, load job with label $lbl does not exist")
+    case _ => sys.error(s"unparseable CANCEL LOAD: ${text.take(80)}")
+  }
+
   /** `BACKUP SNAPSHOT snap TO 'repo' ON (t1, ...)` ([doris:
     * fe/.../backup/BackupJob.java]; the named-repository indirection is
     * folded into the path). A table's snapshot = its rowset FILES copied
@@ -1223,6 +1302,9 @@ final class DorisDdl(s: SparkSession) {
         Seq((createText, t.synchronized(t.nextVer), preds, vers))
           .toDF("create_text", "next_ver", "del_preds", "del_vers")
           .coalesce(1).write.parquet(dst.resolve("_meta").toString)
+      }
+      backupJobs.synchronized {
+        backupJobs += ((snap, path, names.size.toLong, "FINISHED"))
       }
       import s.implicits._
       Seq((snap, names.size.toLong, "FINISHED"))
@@ -1265,6 +1347,9 @@ final class DorisDdl(s: SparkSession) {
         registerViews(t)
         n
       }
+      restoreJobs.synchronized {
+        restoreJobs += ((snap, path, restored.size.toLong, "FINISHED"))
+      }
       import s.implicits._
       Seq((snap, restored.size.toLong, "FINISHED"))
         .toDF("snapshot", "n_tables", "state")
@@ -1302,6 +1387,10 @@ final class DorisDdl(s: SparkSession) {
       """FROM\s+FILE\s*\(\s*'([^']+)'\s*,\s*'(\w+)'\s*\)$""").r
   private val StopRoutineRe =
     """(?is)^STOP\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+  private val PauseRoutineRe =
+    """(?is)^PAUSE\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+  private val ResumeRoutineRe =
+    """(?is)^RESUME\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
 
   /** `CREATE ROUTINE LOAD job ON t FROM FILE('dir', 'parquet'|'csv')` —
     * continuous ingest ([doris: fe/.../load/routineload/
@@ -1318,41 +1407,94 @@ final class DorisDdl(s: SparkSession) {
     case CreateRoutineRe(job, tname, dir, fmt0) =>
       require(routines.synchronized(!routines.contains(job)),
         s"routine load job $job already exists")
-      val t = state(tname)
-      val plain = t.def_.cols.filter(_.gen.isEmpty)
-      val schema = org.apache.spark.sql.types.StructType(plain.map(c =>
-        org.apache.spark.sql.types.StructField(c.name,
-          org.apache.spark.sql.types.DataType.fromDDL(c.sparkType))))
-      val reader = s.readStream.schema(schema)
-      val src = fmt0.toLowerCase match {
-        case "parquet" => reader.parquet(dir)
-        case "csv" => reader.csv(dir) // headerless, positional like LOAD LABEL
-        case other => sys.error(s"ROUTINE LOAD $job: unsupported format $other")
-      }
-      val st = RoutineState(job, tname)
-      val q = src.writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          if (!b.isEmpty) {
-            load(state(tname), b, None, Some(s"${job}_$id"))
-            st.synchronized { st.batches += 1 }
-          }
-        }
-        .queryName(s"graft_routine_$job")
-        .start()
-      st.query = q
+      state(tname) // table must exist
+      val fmt = fmt0.toLowerCase
+      require(fmt == "parquet" || fmt == "csv",
+        s"ROUTINE LOAD $job: unsupported format $fmt0")
+      // a PERSISTENT checkpoint (not the engine's run-scoped temp one) is
+      // what makes PAUSE/RESUME exactly-once: the file-source log records
+      // which files each batch consumed, so a resumed query continues from
+      // the next unseen file with the next batch id — no re-read, no
+      // label collision
+      val st = RoutineState(job, tname, dir, fmt,
+        graft.TempDirs.create(s"graft_routine_ckpt_$job"))
+      startRoutineQuery(st)
       routines.synchronized { routines(job) = st }
-      q.processAllAvailable() // initial catch-up before the statement returns
+      st.query.processAllAvailable() // initial catch-up before the statement returns
     case _ => sys.error(s"unparseable CREATE ROUTINE LOAD: ${text.take(80)}")
+  }
+
+  /** (Re)start a routine job's streaming query against its standing
+    * checkpoint — shared by CREATE and RESUME. */
+  private def startRoutineQuery(st: RoutineState): Unit = {
+    val t = state(st.table)
+    val plain = t.def_.cols.filter(_.gen.isEmpty)
+    val schema = org.apache.spark.sql.types.StructType(plain.map(c =>
+      org.apache.spark.sql.types.StructField(c.name,
+        org.apache.spark.sql.types.DataType.fromDDL(c.sparkType))))
+    val reader = s.readStream.schema(schema)
+    val src = st.fmt match {
+      case "parquet" => reader.parquet(st.srcDir)
+      case "csv" => reader.csv(st.srcDir) // headerless, positional like LOAD LABEL
+    }
+    st.query = src.writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        if (!b.isEmpty) {
+          load(state(st.table), b, None, Some(s"${st.name}_$id"))
+          st.synchronized { st.batches += 1 }
+        }
+      }
+      .option("checkpointLocation", st.ckpt)
+      .queryName(s"graft_routine_${st.name}")
+      .start()
   }
 
   private def stopRoutineLoad(text: String): Unit = text match {
     case StopRoutineRe(job) =>
       val st = routines.synchronized(routines.getOrElse(job,
         sys.error(s"unknown routine load job $job")))
-      st.query.processAllAvailable() // drain, then stop — no half batch
-      st.query.stop()
-      st.state = "STOPPED"
+      if (st.state == "RUNNING") {
+        st.query.processAllAvailable() // drain, then stop — no half batch
+        st.query.stop()
+      }
+      st.state = "STOPPED" // a PAUSED job stops where it is (query already down)
     case _ => sys.error(s"unparseable STOP ROUTINE LOAD: ${text.take(80)}")
+  }
+
+  /** `PAUSE ROUTINE LOAD job` ([doris: fe/.../load/routineload/
+    * RoutineLoadJob.java updateState NEED_SCHEDULE->PAUSED]): suspend
+    * consumption WITHOUT ending the job — the current batch drains (no
+    * half batch), the streaming query stops, and files arriving while
+    * paused simply wait. The job is the one long-lived non-terminal load
+    * in this engine, so PAUSE/RESUME is its genuine pending-state
+    * control. */
+  private def pauseRoutineLoad(text: String): Unit = text match {
+    case PauseRoutineRe(job) =>
+      val st = routines.synchronized(routines.getOrElse(job,
+        sys.error(s"unknown routine load job $job")))
+      require(st.state == "RUNNING",
+        s"routine load job $job is ${st.state}, only a RUNNING job pauses")
+      st.query.processAllAvailable()
+      st.query.stop()
+      st.state = "PAUSED"
+    case _ => sys.error(s"unparseable PAUSE ROUTINE LOAD: ${text.take(80)}")
+  }
+
+  /** `RESUME ROUTINE LOAD job`: restart the query on the SAME checkpoint —
+    * the file-source log skips every already-consumed file and batch ids
+    * continue, so the pause/resume cycle is exactly-once end to end. The
+    * statement returns after catching up on files that arrived while
+    * paused (the deterministic analogue of Doris's rescheduling). */
+  private def resumeRoutineLoad(text: String): Unit = text match {
+    case ResumeRoutineRe(job) =>
+      val st = routines.synchronized(routines.getOrElse(job,
+        sys.error(s"unknown routine load job $job")))
+      require(st.state == "PAUSED",
+        s"routine load job $job is ${st.state}, only a PAUSED job resumes")
+      startRoutineQuery(st)
+      st.state = "RUNNING"
+      st.query.processAllAvailable()
+    case _ => sys.error(s"unparseable RESUME ROUTINE LOAD: ${text.take(80)}")
   }
 
   /** `SHOW ROUTINE LOAD` → (job_name, table_name, state, batches_loaded). */
@@ -2696,7 +2838,8 @@ object DorisDdl {
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   // routine-load job: the standing streaming query + its driver metadata
-  final case class RoutineState(name: String, table: String) {
+  final case class RoutineState(name: String, table: String,
+      srcDir: String, fmt: String, ckpt: String) {
     var state: String = "RUNNING"
     var batches: Long = 0L
     var query: org.apache.spark.sql.streaming.StreamingQuery = _

@@ -1609,6 +1609,88 @@ class DdlSpec extends SparkSpec {
     ddl.execute("DROP TABLE rt") // legal once stopped
   }
 
+  test("PAUSE/RESUME ROUTINE LOAD: paused jobs hold arriving files, resume " +
+    "is exactly-once off the standing checkpoint") {
+    val ddl = fresh()
+    val rdir = graft.TempDirs.create("graft_routine_pause_spec")
+    spark.range(2).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.execute(
+      """CREATE TABLE prt (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(s"CREATE ROUTINE LOAD pj ON prt FROM FILE('$rdir', 'parquet')")
+    assert(ddl.sql("SELECT count(*) AS n FROM prt").as[Long].head() == 2L)
+    // PAUSE: a file arriving while paused is NOT consumed
+    ddl.execute("PAUSE ROUTINE LOAD pj")
+    assert(ddl.sql("SHOW ROUTINE LOAD").collect().head.getString(2) == "PAUSED")
+    spark.range(2, 5).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    Thread.sleep(300)
+    assert(ddl.sql("SELECT count(*) AS n FROM prt").as[Long].head() == 2L)
+    // a paused job cannot pause again; a running job cannot resume
+    assertThrows[IllegalArgumentException](ddl.execute("PAUSE ROUTINE LOAD pj"))
+    // RESUME catches up on exactly the waiting files — the checkpoint's
+    // file log makes it exactly-once (no re-read of the first file, so a
+    // UNIQUE count of 5, and labels keep advancing batch ids)
+    ddl.execute("RESUME ROUTINE LOAD pj")
+    assert(ddl.sql("SELECT count(*) AS n FROM prt").as[Long].head() == 5L)
+    assert(ddl.sql("SHOW ROUTINE LOAD").collect().head.getString(2) == "RUNNING")
+    assertThrows[IllegalArgumentException](ddl.execute("RESUME ROUTINE LOAD pj"))
+    // the resumed job keeps consuming new files
+    spark.range(5, 6).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.drainRoutineLoad("pj")
+    assert(ddl.sql("SELECT count(*) AS n FROM prt").as[Long].head() == 6L)
+    // STOP from PAUSED is legal and terminal
+    ddl.execute("PAUSE ROUTINE LOAD pj")
+    ddl.execute("STOP ROUTINE LOAD pj")
+    assert(ddl.sql("SHOW ROUTINE LOAD").collect().head.getString(2) == "STOPPED")
+  }
+
+  test("SHOW BACKUP/RESTORE/SNAPSHOT list job history and repo contents; " +
+    "CANCEL LOAD implements the terminal-label contract") {
+    val ddl = fresh()
+    val bdir = graft.TempDirs.create("graft_bk_obs_spec")
+    ddl.execute(
+      """CREATE TABLE ob (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ob WITH LABEL lb1 VALUES (1, 1.0), (2, 2.0)")
+    // before any job: empty histories
+    assert(ddl.sql("SHOW BACKUP").count() == 0)
+    assert(ddl.sql("SHOW RESTORE").count() == 0)
+    ddl.sql(s"BACKUP SNAPSHOT s1 TO '$bdir' ON (ob)").collect()
+    ddl.sql(s"BACKUP SNAPSHOT s2 TO '$bdir' ON (ob)").collect()
+    // SHOW BACKUP: two FINISHED jobs in order
+    val bk = ddl.sql("SHOW BACKUP").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq
+    assert(bk == Seq(("s1", 1L, "FINISHED"), ("s2", 1L, "FINISHED")), bk)
+    // SHOW SNAPSHOT reads the REPOSITORY (both snapshots), WHERE filters
+    assert(ddl.sql(s"SHOW SNAPSHOT ON '$bdir'").collect()
+      .map(_.getString(0)).toSeq == Seq("s1", "s2"))
+    assert(ddl.sql(s"SHOW SNAPSHOT ON '$bdir' WHERE SNAPSHOT = 's2'")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("s2", 1L)))
+    assertThrows[IllegalArgumentException](
+      ddl.sql(s"SHOW SNAPSHOT ON '$bdir/nope'"))
+    // restore into history
+    ddl.execute("DROP TABLE ob")
+    ddl.sql(s"RESTORE SNAPSHOT s1 FROM '$bdir'")
+    val rs = ddl.sql("SHOW RESTORE").collect()
+      .map(r => (r.getString(0), r.getString(3))).toSeq
+    assert(rs == Seq(("s1", "FINISHED")), rs)
+    // CANCEL LOAD: a consumed label cannot be cancelled (message says so);
+    // an unknown label does not exist; the FROM form scopes to one table.
+    // Labels reset across RESTORE (a restore is a new ingest lineage), so
+    // re-consume one first.
+    ddl.execute("INSERT INTO ob WITH LABEL lb1 VALUES (3, 3.0)")
+    val e1 = intercept[RuntimeException](ddl.execute(
+      "CANCEL LOAD FROM ob WHERE LABEL = 'lb1'"))
+    assert(e1.getMessage.contains("cannot be cancelled"), e1.getMessage)
+    val e2 = intercept[RuntimeException](ddl.execute(
+      "CANCEL LOAD WHERE LABEL = 'nope'"))
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
+
   test("BACKUP/RESTORE round-trips the full definition and the visible " +
     "state; restore-over-existing rejects") {
     val ddl = fresh()
