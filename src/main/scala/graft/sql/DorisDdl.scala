@@ -333,6 +333,24 @@ final class DorisDdl(s: SparkSession) {
       indexes.foreach(ix => validateIndex(name, cols, ix))
       require(indexes.map(_.name).distinct.size == indexes.size,
         s"$name: duplicate index names")
+      // colocate_with: joining group members on the distribution key is
+      // shuffle-free ONLY if every member agrees on bucket count and
+      // distribution-column type — enforce the group invariant at create
+      val coloGroup = props.get("colocate_with").filter(_.nonEmpty)
+      coloGroup.foreach { g =>
+        val hType = cols.find(_.name == hashCol).map(_.sparkType)
+          .getOrElse(sys.error(s"$name: unknown distribution column $hashCol"))
+        tables.synchronized(tables.values.toSeq)
+          .filter(_.def_.colocateWith.contains(g)).foreach { m =>
+            require(m.def_.buckets == buckets,
+              s"$name: colocate group $g has BUCKETS ${m.def_.buckets} " +
+                s"(${m.def_.name}), got $buckets")
+            val mType = m.def_.cols.find(_.name == m.def_.hashCol).get.sparkType
+            require(mType == hType,
+              s"$name: colocate group $g distributes on $mType " +
+                s"(${m.def_.name}.${m.def_.hashCol}), got $hType ($hashCol)")
+          }
+      }
       require(tables.synchronized(!tables.contains(name)),
         s"table $name already exists")
       val st = TableState(
@@ -340,7 +358,8 @@ final class DorisDdl(s: SparkSession) {
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
           hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart,
-          indexes, bloomCols, listPart = listSpec.isDefined),
+          indexes, bloomCols, listPart = listSpec.isDefined,
+          colocateWith = coloGroup),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -2679,6 +2698,7 @@ final class DorisDdl(s: SparkSession) {
       val propEntries =
         (if (d.bloomCols.isEmpty) Nil
          else Seq(s""""bloom_filter_columns" = "${d.bloomCols.mkString(",")}"""")) ++
+        d.colocateWith.map(g => s""""colocate_with" = "$g"""").toSeq ++
         d.seqCol.map(sc => s""""function_column.sequence_col" = "$sc"""").toSeq ++
         d.retainStart.toSeq.flatMap(st => Seq(
           """"dynamic_partition.enable" = "true"""",
@@ -2834,7 +2854,15 @@ object DorisDdl {
       // Stored explicitly so the kind survives every partition being
       // dropped (a LIST table with zero live partitions still rejects all
       // loads and still takes VALUES IN on ADD PARTITION).
-      listPart: Boolean = false)
+      listPart: Boolean = false,
+      // PROPERTIES("colocate_with" = "group"): tablet co-location intent
+      // ([doris: fe/.../catalog/ColocateTableIndex.java]). Every member of
+      // a group must agree on bucket count and distribution-column type —
+      // the invariant that makes a same-group equi-join on the
+      // distribution key shuffle-free (the execution-side shape is the
+      // bucketed join_colocate path; here the property is validated
+      // metadata that round-trips SHOW CREATE).
+      colocateWith: Option[String] = None)
   final case class MvDef(name: String, table: String, selectText: String,
       keys: Seq[String], columns: Map[(String, String), String])
   // routine-load job: the standing streaming query + its driver metadata

@@ -1526,6 +1526,40 @@ class DdlSpec extends SparkSpec {
       .as[Int].head() == 2)
   }
 
+  test("colocate_with: group members must agree on buckets and " +
+    "distribution-column type; the property round-trips SHOW CREATE") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE cg1 (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 8
+        |PROPERTIES("colocate_with" = "grp")""".stripMargin)
+    // same buckets + same key type joins the group
+    ddl.execute(
+      """CREATE TABLE cg2 (k2 BIGINT, w DOUBLE) DUPLICATE KEY(k2)
+        |DISTRIBUTED BY HASH(k2) BUCKETS 8
+        |PROPERTIES("colocate_with" = "grp")""".stripMargin)
+    // bucket-count mismatch rejects; distribution-type mismatch rejects
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE cg3 (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 4
+        |PROPERTIES("colocate_with" = "grp")""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE cg4 (k INT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 8
+        |PROPERTIES("colocate_with" = "grp")""".stripMargin))
+    // a DIFFERENT group is free to differ
+    ddl.execute(
+      """CREATE TABLE cg5 (k INT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 4
+        |PROPERTIES("colocate_with" = "grp2")""".stripMargin)
+    // round-trip: SHOW CREATE carries the property and replays
+    val stmt = ddl.sql("SHOW CREATE TABLE cg1").collect().head.getString(1)
+    assert(stmt.contains("\"colocate_with\" = \"grp\""), stmt)
+    ddl.execute(stmt.replace("`cg1`", "`cg6`"))
+    val stmt2 = ddl.sql("SHOW CREATE TABLE cg6").collect().head.getString(1)
+    assert(stmt2.replace("cg6", "cg1") == stmt, stmt2)
+  }
+
   test("ALTER TABLE SET: dynamic properties take effect from the next load") {
     val ddl = fresh()
     ddl.execute(
