@@ -16,6 +16,12 @@ private class WorkListener extends org.apache.spark.scheduler.SparkListener {
   val shuffleRead = new AtomicLong
   val shuffleWrite = new AtomicLong
   val spill = new AtomicLong
+  // executor CPU nanoseconds: the contention/regression discriminator. An
+  // oversubscribed host inflates WALL (tasks wait for a core) but not the
+  // CPU-ns the tasks actually burn; a real uniform regression (codegen
+  // fall-off, interpreted path, per-row UDF) inflates both (r15 verdict:
+  // the wall-only gate could never admit such a regression to the record).
+  val cpu = new AtomicLong
   private val running = new AtomicLong
   override def onJobStart(
       j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -30,6 +36,7 @@ private class WorkListener extends org.apache.spark.scheduler.SparkListener {
       shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
       spill.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      cpu.addAndGet(m.executorCpuTime)
     }
   }
   /** Wait (bounded) until every started job's end event has been delivered.
@@ -39,11 +46,21 @@ private class WorkListener extends org.apache.spark.scheduler.SparkListener {
     while (running.get > 0 && i < 500) { Thread.sleep(10); i += 1 }
     Thread.sleep(50) // grace for trailing task-end events behind the job end
   }
-  def snapshot(): (Long, Long, Long) =
-    (shuffleRead.get, shuffleWrite.get, spill.get)
+  def snapshot(): (Long, Long, Long, Long) =
+    (shuffleRead.get, shuffleWrite.get, spill.get, cpu.get)
 }
 
 object Bench {
+  /** The divert decision, factored pure so BenchGateSpec can pin it
+    * without a full bench run: divert on measured start load, or on
+    * common-key wall inflation >1.5× UNLESS CPU time inflated >1.25×
+    * alongside it (then it is a real regression and the record must be
+    * allowed to show it). */
+  private[graft] def divert(loadStart: Double, wallInflation: Option[Double],
+      cpuInflation: Option[Double]): Boolean =
+    loadStart > 1.5 ||
+      (wallInflation.exists(_ > 1.5) && !cpuInflation.exists(_ > 1.25))
+
   /** 1-minute load average from /proc/loadavg, or -1 when unreadable.
     * Recorded at bench start and end so round-over-round comparisons can
     * cite host contention as a measured fact instead of a narrative
@@ -223,9 +240,10 @@ object Bench {
     // spill, result rows) next to the wall-clock seconds in queries{}.
     // queries{} keeps its flat name->sec shape — the driver parses it.
     val work = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = ordered.map { case (name, fn) =>
       listener.drain() // don't let the previous key's stragglers leak in
-      val (r0, w0, s0) = listener.snapshot()
+      val (r0, w0, s0, c0) = listener.snapshot()
       val t0 = System.nanoTime()
       var rows = -1L
       try { rows = fn(spark, sfDir).count() }
@@ -235,9 +253,11 @@ object Bench {
       }
       val sec = (System.nanoTime() - t0) / 1e9
       listener.drain() // untimed: sec is already recorded
-      val (r1, w1, s1) = listener.snapshot()
+      val (r1, w1, s1, c1) = listener.snapshot()
+      val cpuSec = (c1 - c0) / 1e9
+      cpuSecs(name) = cpuSec
       work(name) = s"""{"sec":$sec,"rows":$rows,"shuffle_read":${r1 - r0},""" +
-        s""""shuffle_write":${w1 - w0},"spill":${s1 - s0}}"""
+        s""""shuffle_write":${w1 - w0},"spill":${s1 - s0},"cpu_sec":$cpuSec}"""
       name -> sec
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -274,10 +294,17 @@ object Bench {
     // slowdown without byte growth does not exist), and the run diverts.
     // Real regressions still surface per-key in work{} bytes and in the
     // write-once round-stamped copies.
-    val recordInflation: Option[Double] =
+    // CPU-time inflation is the wall-inflation discriminator: same keys,
+    // byte-identical work, wall >1.5× but CPU flat → the host was loaded
+    // (tasks waited for cores); wall AND CPU both inflated → a real
+    // uniform regression, which MUST be able to update the record (r15
+    // verdict: the wall-only gate would have hidden a codegen fall-off
+    // forever). Records written before cpu_sec existed yield None → the
+    // wall-only rule applies as before.
+    val (recordInflation, cpuInflation): (Option[Double], Option[Double]) =
       try {
         val p = java.nio.file.Paths.get("bench_result.json")
-        if (!java.nio.file.Files.exists(p)) None
+        if (!java.nio.file.Files.exists(p)) (None, None)
         else {
           val txt = java.nio.file.Files.readString(p)
           val recQ = "\"(\\w+)\":([0-9.E\\-]+)".r.findAllMatchIn(
@@ -285,12 +312,38 @@ object Bench {
               txt.indexOf("},\"work\"") + 1))
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
           val common = results.collect {
-            case (k, v) if recQ.contains(k) => (v, recQ(k)) }
-          if (common.size < 50) None
-          else Some(common.map(_._1).sum / common.map(_._2).sum)
+            case (k, v) if recQ.contains(k) => (k, v, recQ(k)) }
+          if (common.size < 50) {
+            // ADVICE r15: a silently-disabled check reads as a passed one
+            System.err.println(s"[bench] inflation check SKIPPED: only " +
+              s"${common.size} keys in common with the standing record (<50)")
+            (None, None)
+          } else {
+            val wall = Some(common.map(_._2).sum / common.map(_._3).sum)
+            val recCpu =
+              "\"(\\w+)\":\\{[^{}]*\"cpu_sec\":([0-9.E\\-]+)".r
+                .findAllMatchIn(txt)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap
+            val commonCpu = common.flatMap { case (k, _, _) =>
+              for (a <- cpuSecs.get(k); b <- recCpu.get(k)) yield (a, b) }
+            val cpuI =
+              if (commonCpu.size < 50 || commonCpu.map(_._2).sum <= 0) None
+              else Some(commonCpu.map(_._1).sum / commonCpu.map(_._2).sum)
+            (wall, cpuI)
+          }
         }
-      } catch { case _: Throwable => None }
-    val contended = loadStart > 1.5 || recordInflation.exists(_ > 1.5)
+      } catch { case _: Throwable => (None, None) }
+    // SPARK_GRAFT_FORCE_RECORD=1: operator override for a CONFIRMED real
+    // slowdown the heuristics misread (ADVICE r15) — the run lands in
+    // bench_result.json regardless of the gate.
+    val force = sys.env.get("SPARK_GRAFT_FORCE_RECORD").contains("1")
+    val contended = !force &&
+      Bench.divert(loadStart, recordInflation, cpuInflation)
+    if (recordInflation.exists(_ > 1.5) && cpuInflation.exists(_ > 1.25))
+      System.err.println(s"[bench] wall inflation " +
+        f"${recordInflation.get}%.2fx WITH cpu inflation " +
+        f"${cpuInflation.get}%.2fx: admitting as a REAL regression, " +
+        "not contention")
     val target =
       if (keyFilter.nonEmpty) "bench_scoped.json"
       else if (contended &&
