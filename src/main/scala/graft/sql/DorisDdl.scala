@@ -2315,12 +2315,23 @@ final class DorisDdl(s: SparkSession) {
     * versioned delete predicates apply BEFORE the merge (a deleted old
     * version must not shadow-win; a post-delete reload must survive). */
   private def visible(t: TableState, part: Option[String],
-      keepPart: Boolean = false): DataFrame = {
+      keepPart: Boolean = false,
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     // mergeSchema: rowsets written before a light ADD COLUMN lack the new
     // column; the union schema surfaces it as NULL, and the default-
     // coalesce below backfills it (model_schema_change's read contract —
-    // no rowset is ever rewritten for a schema change)
-    var df = s.read.option("mergeSchema", "true").parquet(t.dir)
+    // no rowset is ever rewritten for a schema change). The inference is
+    // an EAGER footer-merge Spark job at read() time — callers building
+    // many views over one rowset state (registerViews: main + every
+    // partition) pass the schema once via schemaHint, so each view still
+    // gets a FRESH plan (own exprIds — two filtered branches of one
+    // DataFrame must never be joined, the documented self-join hazard)
+    // but the footer job runs once, not once per partition.
+    var df = schemaHint match {
+      case Some(sc) => s.read.schema(sc).parquet(t.dir)
+      case None => s.read.option("mergeSchema", "true").parquet(t.dir)
+    }
     // TEMPORARY partition rowsets (`_p=__tmp_*`) are staging data: never
     // visible until REPLACE PARTITION publishes them. The startsWith is a
     // partition-column predicate, so it prunes at planning (no temp file
@@ -2420,9 +2431,16 @@ final class DorisDdl(s: SparkSession) {
         s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))
       return
     }
-    visible(t, None).createOrReplaceTempView(t.def_.name)
+    // ONE footer-merge job per rowset state, shared by every view built
+    // below (an auto-partitioned table registers ~1 view per materialized
+    // day — 31 eager inference jobs per statement before this, the
+    // sql_ddl_auto_partition 13 s wall at cpus=32)
+    val mergedSchema =
+      s.read.option("mergeSchema", "true").parquet(t.dir).schema
+    visible(t, None, schemaHint = Some(mergedSchema))
+      .createOrReplaceTempView(t.def_.name)
     partitionNames(t).foreach { p =>
-      visible(t, Some(p))
+      visible(t, Some(p), schemaHint = Some(mergedSchema))
         .createOrReplaceTempView(s"${t.def_.name}__part_$p")
     }
     refreshUserViews()
