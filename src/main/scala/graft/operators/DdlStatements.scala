@@ -1286,7 +1286,66 @@ object DdlStatements {
         |  CAST(sum(CAST(round(CAST(json_extract(vdoc, '$.m.val') AS DOUBLE) * 80)
         |    AS BIGINT)) AS BIGINT) AS cents,
         |  CAST(sum(CAST(json_extract(vdoc, '$.p.k') AS INTEGER)) AS BIGINT) AS sk
-        |FROM built GROUP BY t ORDER BY t""".stripMargin)
+        |FROM built GROUP BY t ORDER BY t""".stripMargin),
+
+    // Doris 2.x multi-table DML: `UPDATE t SET ... FROM s WHERE join` (the
+    // CDC-apply idiom) and `DELETE FROM t USING s WHERE join` (delete by
+    // lookup). Both execute as ONE joined SELECT over the registered views
+    // reloaded through the UNIQUE merge path — the update as an upsert
+    // batch, the delete as __DELETE_SIGN__ marker rows — so cost is
+    // O(matched), never a table rewrite. The lifecycle doubles the prices
+    // of negative-balance customers' orders via the join, then deletes
+    // rich customers' orders via the join; the aggregate checks in
+    // integer cents (x2 keeps 2-dp inputs 2-dp, x80 halfway-free).
+    "sql_ddl_delete_using" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        Tables.customer(s, dir).createOrReplaceTempView("customer")
+        val ddl = lifecycle("sql_ddl_delete_using", s, dir)(Seq(
+          """CREATE TABLE ord_m (
+            |  o_orderkey BIGINT,
+            |  o_custkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |UNIQUE KEY(o_orderkey)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """CREATE TABLE cust_m (
+            |  c_custkey BIGINT,
+            |  c_acctbal DOUBLE
+            |) ENGINE=OLAP
+            |UNIQUE KEY(c_custkey)
+            |DISTRIBUTED BY HASH(c_custkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_m
+            |SELECT o_orderkey, o_custkey, o_totalprice FROM orders""".stripMargin,
+          """INSERT INTO cust_m
+            |SELECT c_custkey, c_acctbal FROM customer""".stripMargin,
+          """UPDATE ord_m SET o_totalprice = o_totalprice * 2
+            |FROM cust_m
+            |WHERE ord_m.o_custkey = cust_m.c_custkey
+            |  AND cust_m.c_acctbal < 0""".stripMargin,
+          """DELETE FROM ord_m USING cust_m
+            |WHERE ord_m.o_custkey = cust_m.c_custkey
+            |  AND cust_m.c_acctbal > 9000""".stripMargin))
+        ddl.sql(
+          """SELECT count(*) AS n,
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents,
+            |  count(DISTINCT o_custkey) AS nck
+            |FROM ord_m""".stripMargin)
+      },
+      """WITH m AS (
+        |  SELECT o.o_orderkey, o.o_custkey,
+        |    CASE WHEN o.o_custkey IN
+        |        (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |      THEN o.o_totalprice * 2 ELSE o.o_totalprice END AS o_totalprice
+        |  FROM orders o
+        |  WHERE o.o_custkey NOT IN
+        |    (SELECT c_custkey FROM customer WHERE c_acctbal > 9000))
+        |SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  count(DISTINCT o_custkey) AS nck
+        |FROM m""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

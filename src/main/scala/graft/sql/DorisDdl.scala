@@ -1659,6 +1659,11 @@ final class DorisDdl(s: SparkSession) {
 
   private val UpdateRe =
     """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
+  // Doris 2.x multi-table UPDATE: `UPDATE t SET c = expr FROM s1 [, s2...]
+  // WHERE join-pred` — matched first (the plain UpdateRe would swallow
+  // the FROM list into its SET group)
+  private val UpdateFromRe =
+    """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+FROM\s+(.*?)\s+WHERE\s+(.*)$""".r
 
   /** Doris `UPDATE ... SET ... WHERE` (UNIQUE-key tables only, the Doris
     * restriction): executed the way the BE does — read the visible rows
@@ -1666,7 +1671,52 @@ final class DorisDdl(s: SparkSession) {
     * back as ONE new versioned rowset whose rows win the merge-on-read
     * window. Rows outside the predicate are untouched (not rewritten), so
     * the cost is O(matched rows), not a table rewrite. */
+  /** Doris 2.x `UPDATE t SET c = expr FROM s1 [, s2...] WHERE join-pred`
+    * ([doris: fe/.../analysis/UpdateStmt.java, 2.x multi-table form]):
+    * the SET expressions may reference the joined sources (the CDC-apply
+    * idiom — `SET t.v = src.v FROM src WHERE t.k = src.k`). Executed as
+    * one joined SELECT over the registered views producing the matched
+    * rows with assignments applied, reloaded as an upsert batch — the
+    * same O(matched) reload as single-table UPDATE. A target row matching
+    * several source rows resolves by within-batch position like any
+    * same-key batch (the _pos note on rowset(); Doris documents the
+    * multi-match result as order-dependent too). */
+  private def updateFrom(name: String, sets: String, fromList: String,
+      pred: String): Unit = {
+    val t = state(name)
+    require(t.def_.keysType == "UNIQUE",
+      s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
+    if (!hasRowsets(t.dir)) return
+    registerViews(t)
+    val assignments = topLevelSplit(sets).map { a =>
+      val Array(c, e) = a.split("=", 2)
+      // the LHS may be qualified (`t`.`c` / t.c): strip the target prefix
+      (stripIdent(c.trim.replaceFirst(s"^`?$name`?\\.", "")), e.trim)
+    }
+    assignments.foreach { case (c, _) =>
+      require(t.def_.cols.exists(_.name == c), s"$name: unknown column $c")
+      require(!t.def_.keyCols.contains(c),
+        s"$name: cannot UPDATE key column $c")
+      require(t.def_.cols.find(_.name == c).get.gen.isEmpty,
+        s"$name: cannot UPDATE generated column $c")
+    }
+    // assigned columns take their expression, the rest read from the
+    // target — all target references QUALIFIED so same-named source
+    // columns can't capture them
+    val selList = t.def_.cols.filter(_.gen.isEmpty).map { c =>
+      assignments.find(_._1 == c.name) match {
+        case Some((_, e)) => s"($e) AS `${c.name}`"
+        case None => s"`$name`.`${c.name}` AS `${c.name}`"
+      }
+    }.mkString(", ")
+    val updated = DorisSqlDialect.sql(s,
+      s"SELECT $selList FROM `$name`, $fromList WHERE $pred")
+    load(t, updated)
+  }
+
   private def update(text: String): Unit = text match {
+    case UpdateFromRe(name, sets, fromList, pred) =>
+      updateFrom(name, sets, fromList, pred)
     case UpdateRe(name, sets, pred) =>
       val t = state(name)
       require(t.def_.keysType == "UNIQUE",
@@ -1700,8 +1750,47 @@ final class DorisDdl(s: SparkSession) {
 
   private val DeleteRe =
     """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?WHERE\s+(.*)$""".r
+  private val DeleteUsingRe =
+    ("""(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?""" +
+      """USING\s+(.*?)\s+WHERE\s+(.*)$""").r
+
+  /** Doris 2.x `DELETE FROM t [PARTITION (p)] USING s1 [, s2...] WHERE
+    * join-pred` ([doris: fe/.../analysis/DeleteStmt.java, 2.x join
+    * form]): delete the target rows matching a join — Doris rewrites this
+    * to an INSERT of delete-sign rows, and so does this engine: one
+    * joined SELECT over the registered views yields the matched target
+    * rows, loaded with `__DELETE_SIGN__ = 1` so the markers win the
+    * UNIQUE merge window and hide their keys. O(matched), never a table
+    * rewrite; a later reload of the key revives it, exactly like batch
+    * delete. The PARTITION form joins against the partition-scoped view,
+    * so out-of-partition matches survive. */
+  private def deleteUsing(name: String, pname: String, usingList: String,
+      pred: String): Unit = {
+    val t = state(name)
+    require(t.def_.keysType == "UNIQUE",
+      s"$name: DELETE ... USING requires a UNIQUE KEY table (Doris restriction)")
+    if (!hasRowsets(t.dir)) return
+    registerViews(t)
+    val target = Option(pname) match {
+      case Some(p) =>
+        require(t.def_.partCol.isDefined,
+          s"$name: PARTITION delete needs a partitioned table")
+        require(partitionNames(t).contains(p),
+          s"$name: unknown partition $p")
+        s"`${name}__part_$p` AS `$name`"
+      case None => s"`$name`"
+    }
+    val selList = t.def_.cols.filter(_.gen.isEmpty)
+      .map(c => s"`$name`.`${c.name}` AS `${c.name}`").mkString(", ")
+    val marks = DorisSqlDialect.sql(s,
+      s"SELECT $selList, 1 AS `__DELETE_SIGN__` FROM $target, $usingList " +
+        s"WHERE $pred")
+    load(t, marks)
+  }
 
   private def deleteFrom(text: String): Unit = text match {
+    case DeleteUsingRe(name, pname, usingList, pred) =>
+      deleteUsing(name, pname, usingList, pred)
     case DeleteRe(name, pname, pred) =>
       val t = state(name)
       require(t.def_.keysType != "AGGREGATE",

@@ -1526,6 +1526,43 @@ class DdlSpec extends SparkSpec {
       .as[Int].head() == 2)
   }
 
+  test("multi-table DML: UPDATE ... FROM applies joined assignments, " +
+    "DELETE ... USING hides joined keys via delete signs, reload revives") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mt (k BIGINT, ref BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      """CREATE TABLE src (r BIGINT, w DOUBLE) UNIQUE KEY(r)
+        |DISTRIBUTED BY HASH(r) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO mt VALUES (1, 10, 1.0), (2, 20, 2.0), (3, 30, 3.0)")
+    ddl.execute("INSERT INTO src VALUES (10, 100.0), (30, 300.0)")
+    // UPDATE FROM: the SET expression reads the SOURCE table (CDC apply)
+    ddl.execute(
+      """UPDATE mt SET v = src.w FROM src
+        |WHERE mt.ref = src.r AND src.w > 150.0""".stripMargin)
+    assert(ddl.sql("SELECT k, v FROM mt ORDER BY k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 1.0), (2L, 2.0), (3L, 300.0)))
+    // DELETE USING: joined keys vanish; non-matching rows survive
+    ddl.execute("DELETE FROM mt USING src WHERE mt.ref = src.r")
+    assert(ddl.sql("SELECT k FROM mt ORDER BY k").as[Long]
+      .collect().toSeq == Seq(2L))
+    // a reload of a deleted key REVIVES it (delete-sign semantics, not a
+    // standing predicate)
+    ddl.execute("INSERT INTO mt VALUES (1, 10, 11.0)")
+    assert(ddl.sql("SELECT k, v FROM mt ORDER BY k").as[(Long, Double)]
+      .collect().toSeq == Seq((1L, 11.0), (2L, 2.0)))
+    // guards: UNIQUE-only, no key-column assignment
+    ddl.execute(
+      """CREATE TABLE dup (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dup VALUES (1, 1.0)")
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "DELETE FROM dup USING src WHERE dup.k = src.r"))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "UPDATE mt SET k = src.r FROM src WHERE mt.ref = src.r"))
+  }
+
   test("colocate_with: group members must agree on buckets and " +
     "distribution-column type; the property round-trips SHOW CREATE") {
     val ddl = fresh()
