@@ -1345,7 +1345,53 @@ object DdlStatements {
         |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
         |    AS cents,
         |  count(DISTINCT o_custkey) AS nck
-        |FROM m""".stripMargin)
+        |FROM m""".stripMargin),
+
+    // Doris 2.1 AGG_STATE<fn(type)> GENERIC — the generic aggregation-
+    // state column with the _state/_merge combinators. States here are
+    // each aggregate's ALGEBRAIC form (sum/count: running value; avg: a
+    // (sum, count) struct; max: the extremum), so loads write partial
+    // aggregates, the AGGREGATE model's merge is the state-union riding
+    // the normal partial-agg shuffle, and _merge finalizes at query time.
+    // Two loads split the corpus so the cross-rowset union is exercised.
+    // avg is checked WITHOUT rounding: its state sums are integer-valued
+    // doubles (exact below 2^53 in any order), so both engines divide
+    // bit-identical operands and the quotient is IEEE-identical.
+    "sql_ddl_agg_state" -> QueryDef(
+      (s, dir) => {
+        Tables.events(s, dir).createOrReplaceTempView("events")
+        val ddl = lifecycle("sql_ddl_agg_state", s, dir)(Seq(
+          """CREATE TABLE ev_state (
+            |  event_type VARCHAR(20),
+            |  cnt AGG_STATE<count(BIGINT)> GENERIC,
+            |  sv AGG_STATE<sum(BIGINT)> GENERIC,
+            |  av AGG_STATE<avg(BIGINT)> GENERIC,
+            |  mx AGG_STATE<max(DOUBLE)> GENERIC
+            |) ENGINE=OLAP
+            |AGGREGATE KEY(event_type)
+            |DISTRIBUTED BY HASH(event_type) BUCKETS 4""".stripMargin,
+          """INSERT INTO ev_state
+            |SELECT event_type, count_state(event_id), sum_state(user_id),
+            |  avg_state(user_id), max_state(value)
+            |FROM events WHERE event_id % 2 = 0 GROUP BY event_type""".stripMargin,
+          """INSERT INTO ev_state
+            |SELECT event_type, count_state(event_id), sum_state(user_id),
+            |  avg_state(user_id), max_state(value)
+            |FROM events WHERE event_id % 2 = 1 GROUP BY event_type""".stripMargin))
+        ddl.sql(
+          """SELECT event_type,
+            |  CAST(count_merge(cnt) AS BIGINT) AS n,
+            |  CAST(sum_merge(sv) AS BIGINT) AS su,
+            |  avg_merge(av) AS au,
+            |  max_merge(mx) AS mxv
+            |FROM ev_state GROUP BY event_type ORDER BY event_type""".stripMargin)
+      },
+      """SELECT event_type,
+        |  CAST(count(event_id) AS BIGINT) AS n,
+        |  CAST(sum(user_id) AS BIGINT) AS su,
+        |  sum(CAST(user_id AS DOUBLE)) / count(user_id) AS au,
+        |  max(value) AS mxv
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

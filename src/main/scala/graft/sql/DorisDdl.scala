@@ -389,6 +389,40 @@ final class DorisDdl(s: SparkSession) {
       require(agg.isEmpty && default.isEmpty,
         s"${m.group(1)}: a generated column takes no aggregate marker or DEFAULT")
     }
+    // AGG_STATE<fn(inner)> [GENERIC] (Doris 2.1): the generic aggregate-
+    // state column. Only legal on AGGREGATE tables (enforced by the
+    // marker rule at create — GENERIC is its marker); no DEFAULT, no
+    // generated expr, and the remainder of the def must be empty or the
+    // GENERIC keyword.
+    val AggStateRe = """(?is)^AGG_STATE\s*<\s*(\w+)\s*\(\s*(.*?)\s*\)\s*>$""".r
+    m.group(2).trim match {
+      case AggStateRe(fn0, inner0) =>
+        val fn = fn0.toLowerCase
+        val inner = inner0.trim
+        require(Set("sum", "count", "min", "max", "avg")(fn),
+          s"${m.group(1)}: unsupported AGG_STATE function $fn0 " +
+            "(sum/count/min/max/avg)")
+        require(rest.isEmpty || rest.equalsIgnoreCase("GENERIC"),
+          s"${m.group(1)}: an AGG_STATE column takes only the GENERIC " +
+            s"keyword, got: $rest")
+        val innerBase = inner.takeWhile(_ != '(').trim.toUpperCase
+        val integral =
+          Set("TINYINT", "SMALLINT", "INT", "INTEGER", "BIGINT")(innerBase)
+        if (fn == "sum" || fn == "avg")
+          require(integral ||
+            Set("FLOAT", "DOUBLE")(innerBase),
+            s"${m.group(1)}: AGG_STATE<$fn(...)> needs a numeric inner " +
+              s"type, got $inner")
+        val storage = fn match {
+          case "count" => "BIGINT"
+          case "sum" => if (integral) "BIGINT" else "DOUBLE"
+          case "avg" => "STRUCT<s: DOUBLE, c: BIGINT>"
+          case _ => sparkType(inner) // min/max keep the inner type
+        }
+        return ColDef(m.group(1), storage, Some("GENERIC"), None,
+          aggState = Some((fn, inner)))
+      case _ =>
+    }
     // VARIANT (Doris 2.1): text-ingested schemaless document. No DEFAULT
     // (Doris rejects defaults on VARIANT), no generated expr; the only
     // legal aggregate markers are the REPLACE family (SUM/MIN/MAX over a
@@ -2492,6 +2526,16 @@ final class DorisDdl(s: SparkSession) {
             case "BITMAP_UNION" =>
               graft.functions.NativeAggregates.bitmap_union_binary(col(c.name))
             case "HLL_UNION" => hll_union_agg(col(c.name))
+            // AGG_STATE GENERIC: the state-union — algebraic, so the
+            // merge is the same partial-aggregated shuffle as any sum
+            case "GENERIC" => c.aggState.get._1 match {
+              case "sum" | "count" => sum(col(c.name))
+              case "min" => min(col(c.name))
+              case "max" => max(col(c.name))
+              case "avg" => struct(
+                sum(col(c.name).getField("s")).as("s"),
+                sum(col(c.name).getField("c")).as("c"))
+            }
           }).cast(c.sparkType).as(c.name)
         }
         // _p is a function of the partition column, which non-DUPLICATE
@@ -2771,7 +2815,12 @@ final class DorisDdl(s: SparkSession) {
         val gen = c.gen.map(g => s" AS ($g)").getOrElse("")
         val agg = c.agg.map(" " + _).getOrElse("")
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
-        val typ = if (c.variant) "VARIANT" else c.sparkType
+        val typ =
+          if (c.variant) "VARIANT"
+          else c.aggState match {
+            case Some((fn, inner)) => s"AGG_STATE<$fn($inner)>"
+            case None => c.sparkType
+          }
         s"  `${c.name}` $typ$gen$agg$dflt"
       } ++ d.indexes.map(ix =>
         s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED")).mkString(",\n")
@@ -2916,7 +2965,14 @@ object DorisDdl {
       // text (validated at load), stored as text, surfaced to queries as
       // Spark VariantType via parse_json in the read projection — so
       // variant_get subcolumn access works directly on the table view
-      variant: Boolean = false)
+      variant: Boolean = false,
+      // AGG_STATE<fn(inner)> GENERIC (Doris 2.1): (fn lowercase, inner
+      // type text as declared). The column stores the aggregate's
+      // ALGEBRAIC state (sum/count: running value; avg: (s,c) struct;
+      // min/max: the extremum) loaded via the `_state` combinator, merged
+      // by the AGGREGATE model with the state-union, finalized at query
+      // time by `_merge`. agg carries "GENERIC" as the marker.
+      aggState: Option[(String, String)] = None)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
   // no covering partition, and a drop leaves a hole, not a merged range.

@@ -57,6 +57,40 @@ object DorisSqlDialect {
       case args => s"str_to_date(${args.mkString(", ")})"
     })
     t = rewriteCalls(t, "group_concat", groupConcat)
+    // Doris 2.1 AGG_STATE combinators ([doris: be/src/vec/agg_functions
+    // combinator _state/_merge/_union suffixes]): states here are the
+    // ALGEBRAIC representation each aggregate already exposes — sum/count
+    // states are the running value (partial-agg-friendly, exact), avg is a
+    // (sum, count) struct — so the combinators are pure rewrites onto
+    // codegen'd built-ins; no opaque serialized blob, no UDAF.
+    //   _state: produce a mergeable state from raw values
+    //   _union: combine states into a state (the AGGREGATE-table merge)
+    //   _merge: combine states and FINALIZE to the aggregate's value
+    for ((fn, sp) <- Seq("sum" -> "sum", "count" -> "count",
+        "min" -> "min", "max" -> "max"))
+      t = rewriteCalls(t, s"${fn}_state", {
+        case Seq(x) => s"$sp($x)"
+        case args => s"${fn}_state(${args.mkString(", ")})"
+      })
+    for ((fn, sp) <- Seq("sum" -> "sum", "count" -> "sum",
+        "min" -> "min", "max" -> "max"); suf <- Seq("merge", "union"))
+      t = rewriteCalls(t, s"${fn}_$suf", {
+        case Seq(x) => s"$sp($x)"
+        case args => s"${fn}_$suf(${args.mkString(", ")})"
+      })
+    t = rewriteCalls(t, "avg_state", {
+      case Seq(x) =>
+        s"named_struct('s', sum(CAST(($x) AS DOUBLE)), 'c', count($x))"
+      case args => s"avg_state(${args.mkString(", ")})"
+    })
+    t = rewriteCalls(t, "avg_union", {
+      case Seq(x) => s"named_struct('s', sum(($x).s), 'c', sum(($x).c))"
+      case args => s"avg_union(${args.mkString(", ")})"
+    })
+    t = rewriteCalls(t, "avg_merge", {
+      case Seq(x) => s"(sum(($x).s) / sum(($x).c))"
+      case args => s"avg_merge(${args.mkString(", ")})"
+    })
     // pre-round HALF_UP before formatting: Doris/MySQL money rounds .xx5
     // away from zero, Spark's format_number is HALF_EVEN — round(x, 2)
     // carries the HALF_UP step (exactly on DECIMAL inputs, which is what

@@ -1526,6 +1526,56 @@ class DdlSpec extends SparkSpec {
       .as[Int].head() == 2)
   }
 
+  test("AGG_STATE GENERIC: states load via _state, union across rowsets, " +
+    "finalize via _merge; _union re-aggregates states; guards hold") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE st (g VARCHAR(4),
+        |  c AGG_STATE<count(INT)> GENERIC,
+        |  s AGG_STATE<sum(INT)> GENERIC,
+        |  a AGG_STATE<avg(INT)> GENERIC,
+        |  mn AGG_STATE<min(DOUBLE)> GENERIC
+        |) AGGREGATE KEY(g) DISTRIBUTED BY HASH(g) BUCKETS 2""".stripMargin)
+    // two loads: the second's states must UNION with the first's
+    ddl.execute(
+      """INSERT INTO st SELECT 'a', count_state(x), sum_state(x),
+        |  avg_state(x), min_state(CAST(x AS DOUBLE))
+        |FROM (SELECT 1 AS x UNION ALL SELECT 2) GROUP BY 1""".stripMargin)
+    ddl.execute(
+      """INSERT INTO st SELECT 'a', count_state(x), sum_state(x),
+        |  avg_state(x), min_state(CAST(x AS DOUBLE))
+        |FROM (SELECT 6 AS x) GROUP BY 1""".stripMargin)
+    assert(ddl.sql(
+      """SELECT CAST(count_merge(c) AS BIGINT) AS n,
+        |  CAST(sum_merge(s) AS BIGINT) AS su,
+        |  avg_merge(a) AS au, min_merge(mn) AS m
+        |FROM st""".stripMargin).collect().head.toSeq ==
+      Seq(3L, 9L, 3.0, 1.0))
+    // _union: states re-aggregate into states (a rollup over states),
+    // then merge finalizes the union
+    assert(ddl.sql(
+      """SELECT CAST(sum_merge(s2) AS BIGINT) AS su
+        |FROM (SELECT g, sum_union(s) AS s2 FROM st GROUP BY g) u""".stripMargin)
+      .as[Long].head() == 9L)
+    // SHOW CREATE round-trips the state type + GENERIC marker
+    val stmt = ddl.sql("SHOW CREATE TABLE st").collect().head.getString(1)
+    assert(stmt.contains("AGG_STATE<count(INT)> GENERIC"), stmt)
+    ddl.execute(stmt.replace("`st`", "`st2`"))
+    val stmt2 = ddl.sql("SHOW CREATE TABLE st2").collect().head.getString(1)
+    assert(stmt2.replace("st2", "st") == stmt, stmt2)
+    // guards: AGGREGATE-only (marker rule), numeric inner for sum/avg,
+    // no DEFAULT/extra markers
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bad (k INT, s AGG_STATE<sum(INT)> GENERIC)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bad (k INT, s AGG_STATE<sum(VARCHAR(4))> GENERIC)
+        |AGGREGATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bad (k INT, s AGG_STATE<sum(INT)> SUM)
+        |AGGREGATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+  }
+
   test("multi-table DML: UPDATE ... FROM applies joined assignments, " +
     "DELETE ... USING hides joined keys via delete signs, reload revives") {
     val ddl = fresh()
