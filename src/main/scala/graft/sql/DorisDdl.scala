@@ -1861,6 +1861,8 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+COLUMN\s+`?(\w+)`?$""".r
   private val RenameColRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+`?(\w+)`?$""".r
+  private val RenamePartRe =
+    """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+RENAME\s+PARTITION\s+`?(\w+)`?\s+`?(\w+)`?$""".r
   private val ModifyColRe =
     """(?is)^ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+(.*)$""".r
   private val RenameTableRe =
@@ -2004,6 +2006,40 @@ final class DorisDdl(s: SparkSession) {
         s"$name: column $cname is referenced by a materialized view")
       t.synchronized { t.def_ = d.copy(cols = d.cols.filterNot(_.name == cname)) }
       registerViews(t)
+    case RenamePartRe(name, oldP, newP) =>
+      // `ALTER TABLE t RENAME PARTITION old new` ([doris: fe/.../alter/
+      // Alter.java processRename]): metadata + ONE directory rename; the
+      // partition's rowsets, bounds, and any recorded `_p`-scoped delete
+      // conjuncts move with it (delete predicates name `_p`, so they are
+      // rewritten to the new name — a pre-rename partition-scoped delete
+      // must keep thinning the renamed partition).
+      val t = state(name)
+      val d = t.def_
+      require(d.partCol.isDefined, s"$name: table is not partitioned")
+      require(d.autoGran.isEmpty,
+        s"$name: AUTO partitions are named by their period")
+      val idx = d.parts.indexWhere(p => p.name == oldP && !p.dropped)
+      require(idx >= 0, s"$name: unknown partition $oldP")
+      require(!d.parts.exists(_.name == newP) &&
+        t.synchronized(!t.tempParts.contains(newP)),
+        s"$name: partition name $newP is already in use")
+      val oldDir = java.nio.file.Paths.get(t.dir, s"_p=$oldP")
+      if (java.nio.file.Files.isDirectory(oldDir))
+        java.nio.file.Files.move(oldDir,
+          java.nio.file.Paths.get(t.dir, s"_p=$newP"))
+      t.synchronized {
+        t.def_ = d.copy(parts = d.parts.updated(idx,
+          d.parts(idx).copy(name = newP)))
+        val amended = t.deletes.map { case (pred, v) =>
+          (pred.replace(s"_p = '$oldP'", s"_p = '$newP'")
+            .replace(s"_p <> '$oldP'", s"_p <> '$newP'"), v)
+        }
+        t.deletes.clear()
+        t.deletes ++= amended
+      }
+      s.catalog.dropTempView(s"${t.def_.name}__part_$oldP")
+      registerViews(t)
+      refreshMvs(t)
     case RenameColRe(name, oldN, newN) =>
       // light RENAME COLUMN: pure metadata — no rowset is rewritten; old
       // rowsets keep their bytes under the old name and the read surfaces
@@ -2238,10 +2274,35 @@ final class DorisDdl(s: SparkSession) {
   // -------------------------------------------------------------- TRUNCATE
 
   private val TruncateRe = """(?is)^TRUNCATE\s+TABLE\s+`?(\w+)`?$""".r
+  private val TruncatePartRe =
+    """(?is)^TRUNCATE\s+TABLE\s+`?(\w+)`?\s+PARTITION\s*\(([^)]*)\)$""".r
 
   /** Doris TRUNCATE TABLE: drop all rowsets and delete predicates, keep the
     * schema — an O(files) directory wipe, no scan. */
   private def truncate(text: String): Unit = text match {
+    // `TRUNCATE TABLE t PARTITION (p1 [, p2...])`: wipe ONLY the named
+    // partitions — an O(1) directory drop per partition, the partition
+    // defs stay (unlike DROP PARTITION there is no hole: the range keeps
+    // accepting loads). Standing versioned deletes remain recorded but
+    // have nothing left to match in the wiped scope, and a later reload
+    // carries a higher version than any pre-truncate delete — the same
+    // publish-order contract as table TRUNCATE + reload.
+    case TruncatePartRe(name, plist) =>
+      val t = state(name)
+      require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
+      val ps = topLevelSplit(plist).map(stripIdent)
+      require(ps.nonEmpty, s"$name: TRUNCATE PARTITION needs partition names")
+      ps.foreach(p => require(partitionNames(t).contains(p),
+        s"$name: unknown partition $p"))
+      ps.foreach { p =>
+        graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$p"))
+        s.catalog.dropTempView(s"${t.def_.name}__part_$p")
+      }
+      // truncating the LAST populated partition empties the table: the
+      // stale rollup snapshots must deregister, same as full TRUNCATE
+      if (!hasRowsets(t.dir)) graft.plans.RollupRewrite.deregisterBase(t.dir)
+      registerViews(t)
+      refreshMvs(t)
     case TruncateRe(name) =>
       val t = state(name)
       val partViews = partitionNames(t) // capture before the wipe (AUTO)

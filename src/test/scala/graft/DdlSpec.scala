@@ -1526,6 +1526,44 @@ class DdlSpec extends SparkSpec {
       .as[Int].head() == 2)
   }
 
+  test("TRUNCATE PARTITION wipes only the named partitions (no hole); " +
+    "RENAME PARTITION moves data, bounds, and scoped deletes") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE tp (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |PARTITION BY RANGE(k) (
+        |  PARTITION p1 VALUES LESS THAN ('10'),
+        |  PARTITION p2 VALUES LESS THAN ('20'),
+        |  PARTITION p3 VALUES LESS THAN ('30')
+        |) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO tp VALUES (1, 1.0), (11, 11.0), (21, 21.0)")
+    // TRUNCATE PARTITION: only the named scopes empty; defs stay — the
+    // range keeps ACCEPTING loads (no DROP-style hole)
+    ddl.execute("TRUNCATE TABLE tp PARTITION (p1, p3)")
+    assert(ddl.sql("SELECT k FROM tp ORDER BY k").as[Long]
+      .collect().toSeq == Seq(11L))
+    ddl.execute("INSERT INTO tp VALUES (2, 2.0)") // reload into truncated range
+    assert(ddl.sql("SELECT count(*) AS n FROM tp").as[Long].head() == 2L)
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "TRUNCATE TABLE tp PARTITION (nope)"))
+    // RENAME PARTITION: data + partition-scoped delete follow the name
+    ddl.execute("INSERT INTO tp VALUES (12, 12.0)")
+    ddl.execute("DELETE FROM tp PARTITION (p2) WHERE v > 11.5")
+    ddl.execute("ALTER TABLE tp RENAME PARTITION p2 pmid")
+    assert(ddl.sql("SELECT k FROM tp PARTITION (pmid) ORDER BY k").as[Long]
+      .collect().toSeq == Seq(11L)) // 12 still hidden by the moved delete
+    assert(ddl.sql("SHOW PARTITIONS FROM tp").collect()
+      .map(_.getString(0)).toSet == Set("p1", "pmid", "p3"))
+    // the renamed partition keeps accepting loads under its bounds
+    ddl.execute("INSERT INTO tp VALUES (13, 13.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM tp PARTITION (pmid)")
+      .as[Long].head() == 2L)
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE tp RENAME PARTITION p1 pmid")) // name in use
+    assertThrows[Exception](ddl.execute(
+      "ALTER TABLE tp RENAME PARTITION ghost g2"))
+  }
+
   test("AGG_STATE GENERIC: states load via _state, union across rowsets, " +
     "finalize via _merge; _union re-aggregates states; guards hold") {
     val ddl = fresh()
