@@ -320,14 +320,21 @@ object DdlStatements {
     // final answer existing at all pins partition evolution too.
     "sql_ddl_schema_evolve" -> QueryDef(
       (s, dir) => {
+        // checked in integer cents (×80 halfway-free): at sf1 the raw
+        // double sum sits at 2.9e11 where order-dependent summation noise
+        // crosses the 12-digit comparator's resolution (caught in the r16
+        // sf1 sweep) — BIGINT cents are exact in any order
         schemaEvolveLifecycle(s, dir).sql(
           """SELECT channel, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents
             |FROM ord_evo GROUP BY channel ORDER BY channel""".stripMargin)
       },
       """SELECT CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
         |            THEN 'web' ELSE 'legacy' END AS channel,
-        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // SHOW PARTITIONS over the evolved table (same staged lifecycle):

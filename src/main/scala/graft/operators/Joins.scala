@@ -440,12 +440,19 @@ object Joins {
           .join(ord, $"l_orderkey" === $"o_orderkey")
           .join(nat, $"s_nationkey" === $"n_nationkey")
           .groupBy($"n_name", year($"o_orderdate").as("o_year"))
-          .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")
-            - $"l_quantity" * lit(10.0)), 2).as("profit"))
+          // checked in integer 1/80000-dollar units: the profit amount is
+          // an exact 4-dp rational, and ×80000 maps 4-dp values to
+          // integer×8 (never a true halfway), so each engine rounds the
+          // same per-row double to the same integer and the BIGINT sum is
+          // exact — at sf1 the rounded double sum straddled a cent
+          // boundary (…272.975) and the engines disagreed
+          .agg(sum(expr("CAST(round(l_extendedprice * (1.0 - l_discount)" +
+            " * 80000 - l_quantity * 800000) AS BIGINT)")).as("profit_i"))
           .orderBy($"n_name", $"o_year".desc)
       },
       """SELECT n_name, year(o_orderdate) AS o_year,
-        |  round(sum(l_extendedprice * (1.0 - l_discount) - l_quantity * 10.0), 2) AS profit
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+        |    * 80000 - l_quantity * 800000) AS BIGINT)) AS BIGINT) AS profit_i
         |FROM lineitem
         |  JOIN part ON l_partkey = p_partkey
         |  JOIN supplier ON l_suppkey = s_suppkey

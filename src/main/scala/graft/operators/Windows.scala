@@ -150,8 +150,15 @@ object Windows {
         Tables.orders(s, dir)
           .select(
             $"o_orderkey", $"o_orderstatus",
-            round(sum($"o_totalprice").over(
-              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_total"),
+            // running sum checked in integer cents (×80 halfway-free):
+            // Spark's window frame accumulates sequentially while DuckDB
+            // sums via a segment tree, so a DOUBLE running total's
+            // summation TREE differs and 1.5M-row prefixes drift past the
+            // 12-digit comparator (caught at sf1) — BIGINT cents are
+            // association-free
+            sum(expr("CAST(round(o_totalprice * 80) AS BIGINT)")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+              .as("running_cents"),
             round(avg($"o_totalprice").over(
               w.rowsBetween(-2, Window.currentRow)), 4).as("mv3_price"),
             (count(lit(1)).over(full) - row_number().over(w) + 1L)
@@ -159,7 +166,7 @@ object Windows {
           .orderBy($"o_orderstatus", $"o_orderkey")
       },
       """SELECT o_orderkey, o_orderstatus,
-        |  round(sum(o_totalprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents,
         |  round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mv3_price,
         |  count(*) OVER (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS remaining
         |FROM orders
