@@ -29,10 +29,20 @@ class DdlFuzzSpec extends SparkSpec {
       ddl.execute(
         """CREATE TABLE fz (k BIGINT, v DOUBLE, tag VARCHAR(4))
           |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+      // static side table for the multi-table DML ops (UPDATE ... FROM /
+      // DELETE ... USING): a random key->weight lookup, fixed per sequence
+      val side = (0 until keyDomain)
+        .map(k => k.toLong -> rnd.nextInt(50).toDouble).toMap
+      ddl.execute(
+        """CREATE TABLE fzs (r BIGINT, w DOUBLE)
+          |UNIQUE KEY(r) DISTRIBUTED BY HASH(r) BUCKETS 2""".stripMargin)
+      ddl.execute("INSERT INTO fzs VALUES " +
+        side.toSeq.sortBy(_._1).map { case (r, w) => s"($r, $w)" }
+          .mkString(", "))
       var model = Map.empty[Long, (Double, String)]
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
 
-      for (_ <- 1 to opsPerSeq) rnd.nextInt(6) match {
+      for (_ <- 1 to opsPerSeq) rnd.nextInt(8) match {
         case 0 | 1 => // upsert load: last write per key wins
           val n = 1 + rnd.nextInt(4)
           val ks = rnd.shuffle((0 until keyDomain).toList).take(n)
@@ -65,6 +75,25 @@ class DdlFuzzSpec extends SparkSpec {
           val st = s"INSERT OVERWRITE TABLE fz SELECT $k, 7.0, 'ow'"
           trace += st; ddl.execute(st)
           model = Map(k.toLong -> ((7.0, "ow")))
+        case 6 => // multi-table UPDATE ... FROM: CDC-apply from the lookup
+          val x = rnd.nextInt(50)
+          val st = s"UPDATE fz SET v = fzs.w, tag = 'cdc' FROM fzs " +
+            s"WHERE fz.k = fzs.r AND fzs.w >= $x"
+          trace += st; ddl.execute(st)
+          model = model.map { case (k, (v, t)) =>
+            side.get(k).filter(_ >= x) match {
+              case Some(w) => k -> ((w, "cdc"))
+              case None => k -> ((v, t))
+            }
+          }
+        case 7 => // multi-table DELETE ... USING: delete by lookup join
+          val x = rnd.nextInt(50)
+          val st = s"DELETE FROM fz USING fzs " +
+            s"WHERE fz.k = fzs.r AND fzs.w < $x"
+          trace += st; ddl.execute(st)
+          model = model.filter { case (k, _) =>
+            !side.get(k).exists(_ < x)
+          }
       }
 
       val got =
@@ -77,6 +106,7 @@ class DdlFuzzSpec extends SparkSpec {
           s"\nengine: $got\nmodel:  $want")
       // leave no temp views behind for the next sequence
       ddl.execute("DROP TABLE fz")
+      ddl.execute("DROP TABLE fzs")
     }
   }
 
