@@ -494,15 +494,26 @@ final class DorisDdl(s: SparkSession) {
   private val ListPartRe =
     """(?is)^\s*PARTITION\s+`?(\w+)`?\s+VALUES\s+IN\s*\((.*)\)\s*$""".r
 
+  /** `__tmp_` prefixes the DIRECTORY names of temporary-partition staging
+    * rowsets, which every read path treats as invisible — a user partition
+    * named that way would have its data silently hidden and skipped by
+    * BACKUP. Reserved at every naming site (parse + rename). */
+  private def requireNotReserved(pname: String): String = {
+    require(!pname.startsWith("__tmp_"),
+      s"partition name $pname is reserved (the __tmp_ prefix marks " +
+        "temporary-partition staging data)")
+    pname
+  }
+
   private def parsePartition(text: String): PartDef = text match {
-    case PartRe(name, lit, _) => PartDef(name, Option(lit))
+    case PartRe(name, lit, _) => PartDef(requireNotReserved(name), Option(lit))
     case FixedPartRe(name, lo, hi, _) =>
-      PartDef(name, Option(hi), lower = Some(lo))
+      PartDef(requireNotReserved(name), Option(hi), lower = Some(lo))
     case ListPartRe(name, vals) =>
       val vs = topLevelSplit(vals).map(v =>
         v.trim.stripPrefix("'").stripSuffix("'"))
       require(vs.nonEmpty, s"partition $name: VALUES IN needs at least one value")
-      PartDef(name, None, inValues = Some(vs))
+      PartDef(requireNotReserved(name), None, inValues = Some(vs))
     case _ => sys.error(s"unparseable partition spec: $text")
   }
 
@@ -587,15 +598,67 @@ final class DorisDdl(s: SparkSession) {
     j => j < flags.length && flags(j)
   }
 
+  /** Start index of the first whole-word `kw` at/after `from` that sits
+    * OUTSIDE single-quoted literals and at top-level paren depth; -1 if
+    * none. Statement routing splits here — a SET value like 'removed
+    * from catalog', an `extract(DAY FROM ts)` call, or a subquery's FROM
+    * must never route a single-table UPDATE/DELETE onto the multi-table
+    * FROM/USING path. */
+  private def topLevelKeywordAt(text: String, kw: String,
+      from: Int = 0): Int = {
+    val depth = new Array[Int](text.length)
+    var d = 0; var inQ = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (inQ) { depth(i) = -1; if (c == '\'') inQ = false }
+      else c match {
+        case '\'' => inQ = true; depth(i) = -1
+        case '(' => d += 1; depth(i) = d
+        case ')' => depth(i) = d; d -= 1
+        case _ => depth(i) = d
+      }
+      i += 1
+    }
+    s"(?i)\\b$kw\\b".r.findAllMatchIn(text)
+      .find(m => m.start >= from && depth(m.start) == 0)
+      .map(_.start).getOrElse(-1)
+  }
+
+  /** Table names referenced by the statement OUTSIDE string literals,
+    * with user-view bodies expanded transitively — a MATCH issued through
+    * a view over an indexed table stays legal, while a table name that
+    * appears only inside a literal ('see table lineitem') references
+    * nothing and must not leak index legality in. */
+  private def referencedTables(text: String): Set[String] = {
+    val tableNames = tables.synchronized(tables.keys.toSeq)
+    val views = viewDefs.synchronized(viewDefs.toMap)
+    def refs(t: String, cands: Seq[String]): Seq[String] = {
+      val q = inLiteral(t)
+      cands.filter(n =>
+        s"(?is)\\b$n\\b".r.findAllMatchIn(t).exists(m => !q(m.start)))
+    }
+    val out = mutable.Set[String]() ++ refs(text, tableNames)
+    val seen = mutable.Set[String]()
+    var frontier = refs(text, views.keys.toSeq)
+    while (frontier.nonEmpty) {
+      val v = frontier.head
+      frontier = frontier.tail
+      if (seen.add(v)) {
+        out ++= refs(views(v), tableNames)
+        frontier = frontier ++ refs(views(v), views.keys.toSeq).filterNot(seen)
+      }
+    }
+    out.toSet
+  }
+
   private def rewriteMatch(text: String): String = {
     // the index contract is per (table, column): only tables actually
-    // referenced by this statement legalize a MATCH — Doris rejects a
-    // MATCH on a column with no INVERTED index on the QUERIED table, and
-    // a same-named indexed column on some other table must not leak
-    // legality in (the referenced set reuses the same \b<name>\b scan the
-    // partition-selection rewrite runs over tables.keys)
-    val referenced = tables.synchronized(tables.keys.toSeq)
-      .filter(n => s"(?is)\\b$n\\b".r.findFirstIn(text).isDefined)
+    // referenced by this statement (directly or through a view it names)
+    // legalize a MATCH — Doris rejects a MATCH on a column with no
+    // INVERTED index on the QUERIED table, and a same-named indexed
+    // column on some other table must not leak legality in
+    val referenced = referencedTables(text)
     val indexed: Set[String] = tables.synchronized(
       referenced.flatMap(n => tables(n).def_.indexes.map(_.col)).toSet)
     val quoted = inLiteral(text)
@@ -724,7 +787,7 @@ final class DorisDdl(s: SparkSession) {
       else {
         val filteredRead = graft.operators.KeyModels.applyDeletePredicates(
           s.read.option("mergeSchema", "true").parquet(t.dir),
-          t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
+          t.synchronized(t.deletes.toSeq).map(d => (expr(d.compiled), d.ver)))
         filteredRead.queryExecution.optimizedPlan.collect {
           case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
             def split(e: org.apache.spark.sql.catalyst.expressions.Expression)
@@ -1032,7 +1095,13 @@ final class DorisDdl(s: SparkSession) {
       acc.option(s"parquet.bloom.filter.enabled#$c", "true"))
 
   private def load(t: TableState, src: DataFrame,
-      part: Option[String] = None, label: Option[String] = None): Unit = {
+      part: Option[String] = None, label: Option[String] = None): Unit =
+      t.loadLock.synchronized {
+    // label dedup re-checked INSIDE the publish lock: the insertInto-time
+    // check is a cheap early reject, but two concurrent loads carrying the
+    // same label must resolve atomically — exactly one claims it
+    label.foreach(l => require(t.synchronized(!t.labels.contains(l)),
+      s"${t.def_.name}: errCode = 2, label $l already exists"))
     val ver = t.synchronized { t.nextVer += 1; t.nextVer }
     var out = rowset(t, src, ver)
     // INSERT INTO t PARTITION (p): a row routed anywhere else kills the
@@ -1120,7 +1189,10 @@ final class DorisDdl(s: SparkSession) {
     * them. Versions come from the table's own counter, so after publish
     * the swapped rowset is a normal citizen of the merge version order. */
   private def loadTempPartition(t: TableState, src: DataFrame,
-      tp: String, label: Option[String]): Unit = {
+      tp: String, label: Option[String]): Unit =
+      t.loadLock.synchronized {
+    label.foreach(l => require(t.synchronized(!t.labels.contains(l)),
+      s"${t.def_.name}: errCode = 2, label $l already exists"))
     val pd = t.synchronized(t.tempParts(tp))
     val ver = t.synchronized { t.nextVer += 1; t.nextVer }
     // route with a one-partition shadow layout: rowset()'s partitionName
@@ -1190,8 +1262,14 @@ final class DorisDdl(s: SparkSession) {
       java.nio.file.Files.move(tmpDir, mainDir) // one filesystem rename
     t.synchronized {
       t.tempParts -= tmpName
-      val amended = t.deletes.map { case (pred, v) =>
-        (s"(($pred)) AND _p <> '$pname'", v)
+      // amend STRUCTURALLY: a delete scoped to the replaced partition only
+      // ever applied to the swapped-out data (now gone) — drop it; one
+      // scoped elsewhere already excludes this partition; an unscoped one
+      // records the exclusion
+      val amended = t.deletes.flatMap { d =>
+        if (d.scope.contains(pname)) None
+        else if (d.scope.isDefined) Some(d)
+        else Some(d.copy(excluded = d.excluded :+ pname))
       }
       t.deletes.clear()
       t.deletes ++= amended
@@ -1350,10 +1428,16 @@ final class DorisDdl(s: SparkSession) {
         copyParquetTree(java.nio.file.Paths.get(t.dir), dst.resolve("data"))
         val createText = showCreateTable(s"SHOW CREATE TABLE $n")
           .select("create_table").head().getString(0)
-        val (preds, vers) = t.synchronized(t.deletes.toSeq).unzip
+        val recs = t.synchronized(t.deletes.toSeq)
         import s.implicits._
-        Seq((createText, t.synchronized(t.nextVer), preds, vers))
-          .toDF("create_text", "next_ver", "del_preds", "del_vers")
+        // deletes serialize field-per-field (pred / ver / scope / excluded)
+        // so a restored table keeps the STRUCTURAL records — a post-restore
+        // partition rename must still amend them by name, not by splicing
+        Seq((createText, t.synchronized(t.nextVer), recs.map(_.pred),
+            recs.map(_.ver), recs.map(_.scope.getOrElse("")),
+            recs.map(_.excluded.mkString(","))))
+          .toDF("create_text", "next_ver", "del_preds", "del_vers",
+            "del_scopes", "del_excls")
           .coalesce(1).write.parquet(dst.resolve("_meta").toString)
       }
       backupJobs.synchronized {
@@ -1395,7 +1479,11 @@ final class DorisDdl(s: SparkSession) {
         t.synchronized {
           t.nextVer = meta.getLong(1)
           t.deletes.clear()
-          t.deletes ++= meta.getSeq[String](2).zip(meta.getSeq[Long](3))
+          val (preds, vers) = (meta.getSeq[String](2), meta.getSeq[Long](3))
+          val (scopes, excls) = (meta.getSeq[String](4), meta.getSeq[String](5))
+          t.deletes ++= preds.indices.map(i => DeleteRec(preds(i), vers(i),
+            Option(scopes(i)).filter(_.nonEmpty),
+            excls(i).split(",").filter(_.nonEmpty).toSeq))
         }
         registerViews(t)
         n
@@ -1691,13 +1779,11 @@ final class DorisDdl(s: SparkSession) {
 
   // ---------------------------------------------------------------- UPDATE
 
-  private val UpdateRe =
-    """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+WHERE\s+(.*)$""".r
-  // Doris 2.x multi-table UPDATE: `UPDATE t SET c = expr FROM s1 [, s2...]
-  // WHERE join-pred` — matched first (the plain UpdateRe would swallow
-  // the FROM list into its SET group)
-  private val UpdateFromRe =
-    """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)\s+FROM\s+(.*?)\s+WHERE\s+(.*)$""".r
+  // UPDATE splits on the first TOP-LEVEL (non-literal, paren-depth-0)
+  // FROM/WHERE keyword via topLevelKeywordAt, so only the head needs a
+  // regex — a FROM inside a string literal or a subquery can't misroute
+  private val UpdateHeadRe =
+    """(?is)^UPDATE\s+`?(\w+)`?\s+SET\s+(.*)$""".r
 
   /** Doris `UPDATE ... SET ... WHERE` (UNIQUE-key tables only, the Doris
     * restriction): executed the way the BE does — read the visible rows
@@ -1748,45 +1834,60 @@ final class DorisDdl(s: SparkSession) {
     load(t, updated)
   }
 
-  private def update(text: String): Unit = text match {
-    case UpdateFromRe(name, sets, fromList, pred) =>
-      updateFrom(name, sets, fromList, pred)
-    case UpdateRe(name, sets, pred) =>
-      val t = state(name)
-      require(t.def_.keysType == "UNIQUE",
-        s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
-      // an empty table (never loaded, or truncated) has nothing to update
-      if (!hasRowsets(t.dir)) return
-      registerViews(t)
-      val assignments = topLevelSplit(sets).map { a =>
-        val Array(c, e) = a.split("=", 2)
-        (stripIdent(c), DorisSqlDialect.rewrite(e.trim))
+  private def update(text: String): Unit = {
+    val whereAt = topLevelKeywordAt(text, "WHERE")
+    require(whereAt >= 0, s"unparseable UPDATE (missing WHERE): ${text.take(80)}")
+    val fromAt = topLevelKeywordAt(text, "FROM")
+    // multi-table (Doris 2.x `UPDATE t SET ... FROM s1, ... WHERE join`)
+    // only when a top-level FROM precedes the top-level WHERE
+    if (fromAt >= 0 && fromAt < whereAt) {
+      val fromList = text.substring(fromAt + "FROM".length, whereAt).trim
+      val pred = text.substring(whereAt + "WHERE".length).trim
+      text.substring(0, fromAt).trim match {
+        case UpdateHeadRe(name, sets) => updateFrom(name, sets, fromList, pred)
+        case _ => sys.error(s"unparseable UPDATE: ${text.take(80)}")
       }
-      assignments.foreach { case (c, _) =>
-        require(t.def_.cols.exists(_.name == c), s"$name: unknown column $c")
-        require(!t.def_.keyCols.contains(c),
-          s"$name: cannot UPDATE key column $c")
-        require(t.def_.cols.find(_.name == c).get.gen.isEmpty,
-          s"$name: cannot UPDATE generated column $c")
-      }
-      val matched = visible(t, None)
-        .filter(expr(DorisSqlDialect.rewrite(pred)))
-      val updated = assignments.foldLeft(matched) { case (df, (c, e)) =>
-        df.withColumn(c, expr(e))
-      }
-      // generated columns RECOMPUTE from the updated row in rowset() —
-      // drop their stale stored values from the reload frame
-      load(t, updated.drop(t.def_.cols.filter(_.gen.isDefined).map(_.name): _*))
-    case _ => sys.error(s"unparseable UPDATE: ${text.take(80)}")
+      return
+    }
+    val pred = text.substring(whereAt + "WHERE".length).trim
+    text.substring(0, whereAt).trim match {
+      case UpdateHeadRe(name, sets) =>
+        val t = state(name)
+        require(t.def_.keysType == "UNIQUE",
+          s"$name: UPDATE requires a UNIQUE KEY table (Doris restriction)")
+        // an empty table (never loaded, or truncated) has nothing to update
+        if (!hasRowsets(t.dir)) return
+        registerViews(t)
+        val assignments = topLevelSplit(sets).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          (stripIdent(c), DorisSqlDialect.rewrite(e.trim))
+        }
+        assignments.foreach { case (c, _) =>
+          require(t.def_.cols.exists(_.name == c), s"$name: unknown column $c")
+          require(!t.def_.keyCols.contains(c),
+            s"$name: cannot UPDATE key column $c")
+          require(t.def_.cols.find(_.name == c).get.gen.isEmpty,
+            s"$name: cannot UPDATE generated column $c")
+        }
+        val matched = visible(t, None)
+          .filter(expr(DorisSqlDialect.rewrite(pred)))
+        val updated = assignments.foldLeft(matched) { case (df, (c, e)) =>
+          df.withColumn(c, expr(e))
+        }
+        // generated columns RECOMPUTE from the updated row in rowset() —
+        // drop their stale stored values from the reload frame
+        load(t, updated.drop(t.def_.cols.filter(_.gen.isDefined).map(_.name): _*))
+      case _ => sys.error(s"unparseable UPDATE: ${text.take(80)}")
+    }
   }
 
   // ---------------------------------------------------------------- DELETE
 
-  private val DeleteRe =
-    """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?WHERE\s+(.*)$""".r
-  private val DeleteUsingRe =
-    ("""(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?""" +
-      """USING\s+(.*?)\s+WHERE\s+(.*)$""").r
+  // DELETE splits on the first TOP-LEVEL USING/WHERE via
+  // topLevelKeywordAt (a literal 'made using tools' or a subquery's
+  // JOIN ... USING (k) can't misroute); only the head needs a regex
+  private val DeleteHeadRe =
+    """(?is)^DELETE\s+FROM\s+`?(\w+)`?\s*(?:PARTITION\s*\(\s*`?(\w+)`?\s*\)\s*)?$""".r
 
   /** Doris 2.x `DELETE FROM t [PARTITION (p)] USING s1 [, s2...] WHERE
     * join-pred` ([doris: fe/.../analysis/DeleteStmt.java, 2.x join
@@ -1822,31 +1923,44 @@ final class DorisDdl(s: SparkSession) {
     load(t, marks)
   }
 
-  private def deleteFrom(text: String): Unit = text match {
-    case DeleteUsingRe(name, pname, usingList, pred) =>
-      deleteUsing(name, pname, usingList, pred)
-    case DeleteRe(name, pname, pred) =>
-      val t = state(name)
-      require(t.def_.keysType != "AGGREGATE",
-        s"$name: DELETE WHERE is not supported on AGGREGATE tables (Doris restriction)")
-      // DELETE FROM t PARTITION (p) WHERE ...: the predicate is recorded
-      // scoped to the partition (an `_p` conjunct — the read applies delete
-      // predicates before the merge, where `_p` is still in scope), so
-      // matching rows in OTHER partitions survive
-      val scoped = Option(pname) match {
-        case Some(p) =>
+  private def deleteFrom(text: String): Unit = {
+    val whereAt = topLevelKeywordAt(text, "WHERE")
+    require(whereAt >= 0, s"unparseable DELETE (missing WHERE): ${text.take(80)}")
+    val usingAt = topLevelKeywordAt(text, "USING")
+    val pred = text.substring(whereAt + "WHERE".length).trim
+    if (usingAt >= 0 && usingAt < whereAt) {
+      val usingList = text.substring(usingAt + "USING".length, whereAt).trim
+      text.substring(0, usingAt).trim match {
+        case DeleteHeadRe(name, pname) => deleteUsing(name, pname, usingList, pred)
+        case _ => sys.error(s"unparseable DELETE: ${text.take(80)}")
+      }
+      return
+    }
+    text.substring(0, whereAt).trim match {
+      case DeleteHeadRe(name, pname) =>
+        val t = state(name)
+        require(t.def_.keysType != "AGGREGATE",
+          s"$name: DELETE WHERE is not supported on AGGREGATE tables (Doris restriction)")
+        // DELETE FROM t PARTITION (p) WHERE ...: the predicate is recorded
+        // SCOPED to the partition (DeleteRec.scope compiles to an `_p`
+        // conjunct — the read applies delete predicates before the merge,
+        // where `_p` is still in scope), so matching rows in OTHER
+        // partitions survive
+        val scope = Option(pname).map { p =>
           require(t.def_.partCol.isDefined,
             s"$name: PARTITION delete needs a partitioned table")
           require(partitionNames(t).contains(p),
             s"$name: unknown partition $p")
-          s"(_p = '$p') AND (${DorisSqlDialect.rewrite(pred)})"
-        case None => DorisSqlDialect.rewrite(pred)
-      }
-      val ver = t.synchronized { t.nextVer += 1; t.nextVer }
-      t.synchronized { t.deletes += ((scoped, ver)) }
-      registerViews(t)
-      refreshMvs(t)
-    case _ => sys.error(s"unparseable DELETE: ${text.take(80)}")
+          p
+        }
+        val ver = t.synchronized { t.nextVer += 1; t.nextVer }
+        t.synchronized {
+          t.deletes += DeleteRec(DorisSqlDialect.rewrite(pred), ver, scope)
+        }
+        registerViews(t)
+        refreshMvs(t)
+      case _ => sys.error(s"unparseable DELETE: ${text.take(80)}")
+    }
   }
 
   // ----------------------------------------------------------------- ALTER
@@ -2020,6 +2134,7 @@ final class DorisDdl(s: SparkSession) {
         s"$name: AUTO partitions are named by their period")
       val idx = d.parts.indexWhere(p => p.name == oldP && !p.dropped)
       require(idx >= 0, s"$name: unknown partition $oldP")
+      requireNotReserved(newP)
       require(!d.parts.exists(_.name == newP) &&
         t.synchronized(!t.tempParts.contains(newP)),
         s"$name: partition name $newP is already in use")
@@ -2030,10 +2145,12 @@ final class DorisDdl(s: SparkSession) {
       t.synchronized {
         t.def_ = d.copy(parts = d.parts.updated(idx,
           d.parts(idx).copy(name = newP)))
-        val amended = t.deletes.map { case (pred, v) =>
-          (pred.replace(s"_p = '$oldP'", s"_p = '$newP'")
-            .replace(s"_p <> '$oldP'", s"_p <> '$newP'"), v)
-        }
+        // the rename follows the STRUCTURAL name fields only — user
+        // predicate text coincidentally containing "_p = '<old>'" (e.g.
+        // inside a string literal) is never touched
+        def ren(p: String) = if (p == oldP) newP else p
+        val amended = t.deletes.map(del =>
+          del.copy(scope = del.scope.map(ren), excluded = del.excluded.map(ren)))
         t.deletes.clear()
         t.deletes ++= amended
       }
@@ -2116,7 +2233,7 @@ final class DorisDdl(s: SparkSession) {
               df = df.withColumn(x.name, coalesce(sources.map(col): _*))
           }
           df = graft.operators.KeyModels.applyDeletePredicates(df,
-            t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
+            t.synchronized(t.deletes.toSeq).map(d => (expr(d.compiled), d.ver)))
           val keep = newCols.map(x =>
             (if (df.columns.contains(x.name)) col(x.name) else lit(null))
               .cast(x.sparkType).as(x.name)) ++
@@ -2547,7 +2664,7 @@ final class DorisDdl(s: SparkSession) {
       }
     }
     df = graft.operators.KeyModels.applyDeletePredicates(
-      df, t.synchronized(t.deletes.toSeq).map { case (p, v) => (expr(p), v) })
+      df, t.synchronized(t.deletes.toSeq).map(d => (expr(d.compiled), d.ver)))
     val d = t.def_
     val merged = d.keysType match {
       case "DUPLICATE" => df
@@ -3103,13 +3220,35 @@ object DorisDdl {
   final case class MtmvState(name: String, table: String, pcol: String,
       selList: String, keys: Seq[String], dir: String) {
     var lastFiles: Map[String, Set[String]] = Map.empty
-    var lastDeletes: List[(String, Long)] = Nil
+    var lastDeletes: List[DeleteRec] = Nil
     var lastPlan: String = ""
   }
+  /** One recorded versioned delete, stored STRUCTURALLY: the user
+    * predicate text never carries engine-added `_p` conjuncts, so a
+    * partition RENAME amends the name fields and can neither miss a
+    * differently-spelled conjunct nor rewrite user literal text that
+    * happens to contain one. `scope` Some(p) = issued as `DELETE ...
+    * PARTITION (p)` (applies only inside p); `excluded` = partitions
+    * REPLACE'd after this delete was recorded — the swapped-in rowset is
+    * a new publish the delete must not touch. `compiled` is the read
+    * filter KeyModels.applyDeletePredicates consumes. */
+  final case class DeleteRec(pred: String, ver: Long,
+      scope: Option[String] = None, excluded: Seq[String] = Nil) {
+    def compiled: String =
+      (scope.map(p => s"(_p = '$p')").toSeq ++
+        excluded.map(p => s"(_p <> '$p')") :+ s"($pred)").mkString(" AND ")
+  }
+
   final case class TableState(var def_ : TableDef, dir: String) {
+    // serializes the whole claim-label → write-rowset → publish sequence
+    // of one load (Doris's per-table publish lock): concurrent writers'
+    // versions are allocated in publish order and a label is consumed by
+    // exactly ONE successful load even under interleaving. Acquired
+    // BEFORE (never inside) the metadata monitor below.
+    val loadLock = new Object
     var nextVer: Long = 0L
     var mvVer: Long = 0L
-    val deletes: mutable.ArrayBuffer[(String, Long)] = mutable.ArrayBuffer()
+    val deletes: mutable.ArrayBuffer[DeleteRec] = mutable.ArrayBuffer()
     val mvs: mutable.ArrayBuffer[MvDef] = mutable.ArrayBuffer()
     // consumed load labels (WITH LABEL dedup) + published load history
     // (version, label) — SHOW LOAD's source, driver metadata only

@@ -384,4 +384,86 @@ class DdlFuzzSpec extends SparkSpec {
       ddl.execute("DROP TABLE fz3")
     }
   }
+
+  test("concurrent loaders, colliding labels: each label publishes exactly " +
+    "once (atomic claim), versions linearize, final state = winners' rows") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ddl = new DorisDdl(spark)
+    ddl.execute(
+      """CREATE TABLE clab (k BIGINT, v BIGINT, src VARCHAR(2))
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    val nLabels = 10
+    // both writers race the SAME label set; per label the row value
+    // identifies the writer, so the surviving row names the claim winner
+    def writer(w: String, tag: Long): Seq[Boolean] =
+      (0 until nLabels).map { i =>
+        try {
+          ddl.execute(s"INSERT INTO clab WITH LABEL lab_$i " +
+            s"VALUES ($i, ${i * 10 + tag}, '$w')")
+          true
+        } catch {
+          case e: Exception
+              if String.valueOf(e.getMessage).contains("already exists") =>
+            false
+        }
+      }
+    val fa = Future(writer("a", 1L))
+    val fb = Future(writer("b", 2L))
+    val (ra, rb) = (Await.result(fa, 5.minutes), Await.result(fb, 5.minutes))
+    // the txn-label contract under interleaving: EXACTLY one writer
+    // claims each label — never zero (lost label), never both (dup load)
+    for (i <- 0 until nLabels)
+      assert(ra(i) ^ rb(i), s"label lab_$i: writerA=${ra(i)} writerB=${rb(i)}")
+    // one published load per label; versions distinct and strictly
+    // increasing in publish order (the linearizable-publish contract)
+    val loads = ddl.sql("SHOW LOAD FROM clab")
+      .select("label", "version").as[(String, Long)].collect().toSeq
+    assert(loads.map(_._1).sorted ==
+      (0 until nLabels).map(i => s"lab_$i").sorted)
+    assert(loads.map(_._2) == loads.map(_._2).sorted &&
+      loads.map(_._2).distinct.size == nLabels, loads.toString)
+    // final visible state: one row per key, and it is the claim winner's
+    val rows = ddl.sql("SELECT k, v, src FROM clab ORDER BY k")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows.size == nLabels)
+    rows.foreach { case (k, v, src) =>
+      val wonByA = ra(k.toInt)
+      assert(src == (if (wonByA) "a" else "b") &&
+        v == k * 10 + (if (wonByA) 1L else 2L),
+        s"key $k: got ($v, $src), winner=${if (wonByA) "a" else "b"}")
+    }
+    ddl.execute("DROP TABLE clab")
+  }
+
+  test("concurrent loaders, disjoint labels: every publish lands; the " +
+    "final state is the full upsert union regardless of interleaving") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ddl = new DorisDdl(spark)
+    ddl.execute(
+      """CREATE TABLE cdis (k BIGINT, v BIGINT)
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    val per = 8
+    def writer(base: Int, w: String): Unit =
+      (0 until per).foreach { i =>
+        ddl.execute(s"INSERT INTO cdis WITH LABEL ${w}_$i " +
+          s"VALUES (${base + i}, ${(base + i) * 7})")
+      }
+    val fa = Future(writer(0, "wa"))
+    val fb = Future(writer(100, "wb"))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    val rows = ddl.sql("SELECT k, v FROM cdis ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    val want = ((0 until per).map(_.toLong) ++
+      (0 until per).map(i => (100 + i).toLong)).map(k => (k, k * 7)).sorted
+    assert(rows == want)
+    // all 16 labels consumed, 16 distinct versions
+    val loads = ddl.sql("SHOW LOAD FROM cdis")
+      .select("version").as[Long].collect().toSeq
+    assert(loads.size == 2 * per && loads.distinct.size == 2 * per)
+    ddl.execute("DROP TABLE cdis")
+  }
 }

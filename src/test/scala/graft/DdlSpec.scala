@@ -1892,6 +1892,125 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT v FROM bkr WHERE k = 2").as[Double].head() == 22.0)
   }
 
+  test("statement routing is literal- and paren-aware: FROM/USING inside " +
+    "a string literal or a subquery never misroutes single-table DML") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE rt (k BIGINT, note VARCHAR(40), v DOUBLE)
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO rt VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'c', 3.0)")
+    // single-table UPDATE whose SET value contains ' from ' (the r16
+    // advisory repro): must route to the single-table path
+    ddl.execute("UPDATE rt SET note = 'removed from catalog' WHERE k = 1")
+    assert(ddl.sql("SELECT note FROM rt WHERE k = 1").as[String].head() ==
+      "removed from catalog")
+    // ...and one whose WHERE literal contains ' where ' and ' using '
+    ddl.execute("UPDATE rt SET v = 20.0 WHERE note <> 'made using x where y'")
+    assert(ddl.sql("SELECT sum(v) AS s FROM rt").as[Double].head() == 60.0)
+    // function-call FROM (paren depth > 0) stays single-table
+    ddl.execute(
+      """CREATE TABLE rtd (k BIGINT, ts DATETIME, d BIGINT) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO rtd VALUES (1, '2024-06-15 10:30:00', 0)")
+    ddl.execute("UPDATE rtd SET d = extract(DAY FROM ts) WHERE k = 1")
+    assert(ddl.sql("SELECT d FROM rtd WHERE k = 1").as[Long].head() == 15L)
+    // single-table DELETE with literals containing ' using '/' from '
+    // (DUPLICATE table: one rowset, so the versioned predicate is the
+    // whole story — pure routing check)
+    ddl.execute(
+      """CREATE TABLE rdel (k BIGINT, note VARCHAR(40)) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO rdel VALUES (1, 'made using tools'), (2, 'plain')")
+    ddl.execute("DELETE FROM rdel WHERE note = 'made using tools'")
+    assert(ddl.sql("SELECT k FROM rdel").as[Long].collect().toSeq == Seq(2L))
+    // multi-table forms still route (top-level FROM/USING)
+    ddl.execute(
+      """CREATE TABLE rsrc (r BIGINT, w DOUBLE) DUPLICATE KEY(r)
+        |DISTRIBUTED BY HASH(r) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO rsrc VALUES (2, 222.0)")
+    ddl.execute("UPDATE rt SET v = rsrc.w FROM rsrc WHERE rt.k = rsrc.r")
+    assert(ddl.sql("SELECT v FROM rt WHERE k = 2").as[Double].head() == 222.0)
+    ddl.execute("DELETE FROM rt USING rsrc WHERE rt.k = rsrc.r")
+    assert(!ddl.sql("SELECT k FROM rt").as[Long].collect().contains(2L))
+  }
+
+  test("MATCH legality: granted through a user view over an indexed table, " +
+    "NOT by a table name that appears only inside a string literal") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mix (id BIGINT, body VARCHAR(60),
+        |  INDEX ix_body (body) USING INVERTED
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO mix VALUES (1, 'spark shuffles data'), (2, 'duckdb is fast')")
+    // an un-indexed table with a SAME-NAMED column
+    ddl.execute(
+      """CREATE TABLE mox (id BIGINT, body VARCHAR(60))
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO mox VALUES (9, 'spark text')")
+    // through a VIEW over the indexed table: MATCH stays legal
+    ddl.execute("CREATE VIEW vmix AS SELECT id, body FROM mix")
+    assert(ddl.sql("SELECT id FROM vmix WHERE body MATCH_ANY 'spark'")
+      .as[Long].collect().toSeq == Seq(1L))
+    // the indexed table's name INSIDE A LITERAL must not legalize a MATCH
+    // on the un-indexed table's same-named column
+    assertThrows[IllegalArgumentException](ddl.sql(
+      "SELECT id FROM mox WHERE body MATCH_ANY 'spark' AND body <> 'see mix'"))
+  }
+
+  test("__tmp_ partition-name prefix is reserved at every naming site") {
+    val ddl = fresh()
+    // CREATE-time spec
+    assertThrows[Exception](ddl.execute(
+      """CREATE TABLE tres (k BIGINT, d DATE) DUPLICATE KEY(k, d)
+        |PARTITION BY RANGE(d) (PARTITION __tmp_x VALUES LESS THAN ('2024-02-01'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+    ddl.execute(
+      """CREATE TABLE tok (k BIGINT, d DATE) DUPLICATE KEY(k, d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION p2 VALUES LESS THAN ('2024-03-01'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    // ADD PARTITION and ADD TEMPORARY PARTITION share the parse guard
+    assertThrows[Exception](ddl.execute(
+      "ALTER TABLE tok ADD PARTITION __tmp_p3 VALUES LESS THAN ('2024-04-01')"))
+    assertThrows[Exception](ddl.execute(
+      "ALTER TABLE tok ADD TEMPORARY PARTITION __tmp_s " +
+        "VALUES [('2024-01-01'), ('2024-02-01'))"))
+    // RENAME target
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "ALTER TABLE tok RENAME PARTITION p1 __tmp_p1"))
+  }
+
+  test("RENAME PARTITION amends delete records STRUCTURALLY: user literal " +
+    "text containing an _p conjunct spelling is never rewritten") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE rp (k BIGINT, d DATE, note VARCHAR(30))
+        |DUPLICATE KEY(k, d)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p0 VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION p1 VALUES LESS THAN ('2024-03-01'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    // note value is EXACTLY the spelling the old splice rewrote
+    ddl.execute("INSERT INTO rp VALUES " +
+      "(1, '2024-01-10', \"_p = 'p0'\"), (2, '2024-01-11', 'plain'), " +
+      "(3, '2024-02-10', 'keep')")
+    // unscoped delete whose predicate TEXT contains the conjunct spelling
+    // inside a literal: deletes only the 'plain' row of p0's range
+    ddl.execute("DELETE FROM rp WHERE note <> \"_p = 'p0'\" AND d < '2024-02-01'")
+    assert(ddl.sql("SELECT k FROM rp ORDER BY k").as[Long].collect().toSeq ==
+      Seq(1L, 3L))
+    ddl.execute("ALTER TABLE rp RENAME PARTITION p0 pz")
+    // after the rename the literal must be untouched: row 1 still visible
+    // (its note still equals the literal), row 2 still deleted
+    assert(ddl.sql("SELECT k FROM rp ORDER BY k").as[Long].collect().toSeq ==
+      Seq(1L, 3L))
+    // and a partition-SCOPED delete follows the rename by name
+    ddl.execute("DELETE FROM rp PARTITION (pz) WHERE note = \"_p = 'p0'\"")
+    assert(ddl.sql("SELECT k FROM rp ORDER BY k").as[Long].collect().toSeq ==
+      Seq(3L))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
