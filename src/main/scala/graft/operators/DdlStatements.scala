@@ -1398,7 +1398,54 @@ object DdlStatements {
         |  CAST(sum(user_id) AS BIGINT) AS su,
         |  sum(CAST(user_id AS DOUBLE)) / count(user_id) AS au,
         |  max(value) AS mxv
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    // DISTRIBUTED BY RANDOM BUCKETS AUTO (Doris 2.0 create-table
+    // spellings): round-robin write layout — no distribution key, so a
+    // hot-key load can't skew a tablet — with the bucket count derived
+    // per load from the data volume. DUPLICATE-only (the merge models
+    // need key-hash locality; DdlSpec pins the rejects). The lifecycle
+    // proves distribution is a LAYOUT choice, not a semantics one:
+    // versioned DELETE and post-delete reload behave identically to a
+    // hash-distributed table.
+    "sql_ddl_random_bucket" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        val ddl = lifecycle("sql_ddl_random_bucket", s, dir)(Seq(
+          """CREATE TABLE li_rand (
+            |  k BIGINT,
+            |  qty DOUBLE,
+            |  flag VARCHAR(4)
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(k)
+            |DISTRIBUTED BY RANDOM BUCKETS AUTO""".stripMargin,
+          """INSERT INTO li_rand
+            |SELECT l_orderkey, l_quantity, l_returnflag
+            |FROM lineitem WHERE l_orderkey % 5 = 0""".stripMargin,
+          // versioned delete: hides v1 'A' rows only
+          "DELETE FROM li_rand WHERE flag = 'A'",
+          // post-delete reload of 'A' rows — must survive the delete
+          """INSERT INTO li_rand
+            |SELECT l_orderkey, l_quantity, 'A'
+            |FROM lineitem WHERE l_orderkey % 10 = 0""".stripMargin))
+        ddl.sql(
+          """SELECT flag, count(*) AS n,
+            |  CAST(sum(CAST(qty * 10 AS BIGINT)) AS BIGINT) AS qty10
+            |FROM li_rand GROUP BY flag ORDER BY flag""".stripMargin)
+      },
+      // replay: two DUPLICATE batches with versions, the versioned-delete
+      // visibility rule, no merge window (duplicate model)
+      """WITH b AS (
+        |  SELECT l_orderkey AS k, l_quantity AS qty, l_returnflag AS flag,
+        |         1 AS _ver
+        |  FROM lineitem WHERE l_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_quantity, 'A', 3
+        |  FROM lineitem WHERE l_orderkey % 10 = 0),
+        |vis AS (SELECT * FROM b WHERE NOT (flag = 'A' AND _ver < 2))
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(qty * 10 AS BIGINT)) AS BIGINT) AS qty10
+        |FROM vis GROUP BY flag ORDER BY flag""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

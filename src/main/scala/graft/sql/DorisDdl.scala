@@ -161,18 +161,44 @@ final class DorisDdl(s: SparkSession) {
       .getOrElse(Seq(cols.head.name)) // Doris defaults the leading column(s)
     require(cols.map(_.name).startsWith(keyCols),
       s"$name: KEY($keyCols) must be a prefix of the SELECT's columns")
-    val hashCol = clauseParen(clauses, """(?is)\bDISTRIBUTED\s+BY\s+HASH\s*\(""")
-      .map(x => stripIdent(x.trim))
-      .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
-    val buckets = """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(clauses)
-      .map(_.group(1).toInt).getOrElse(10)
+    val (randomDist, hashCol, buckets, autoBuckets) =
+      parseDistribution(name, clauses, keysType)
     require(tables.synchronized(!tables.contains(name)),
       s"table $name already exists")
     val st = TableState(
-      TableDef(name, cols, keysType, keyCols, None, Nil, hashCol, buckets),
+      TableDef(name, cols, keysType, keyCols, None, Nil, hashCol, buckets,
+        randomDist = randomDist, autoBuckets = autoBuckets),
       graft.TempDirs.create(s"graft_ddl_$name"))
     tables.synchronized { tables(name) = st }
     load(st, df)
+  }
+
+  /** `DISTRIBUTED BY HASH(col) | RANDOM` + `BUCKETS n | AUTO` ([doris:
+    * fe/.../analysis/DistributionDesc.java; RANDOM and AUTO are the 2.0
+    * spellings]) → (randomDist, hashCol ("" when random), buckets (0 when
+    * AUTO), autoBuckets). RANDOM is round-robin tablet layout, legal on
+    * DUPLICATE tables only — the merge models need same-key rows
+    * co-located by the distribution hash. */
+  private def parseDistribution(name: String, clauses: String,
+      keysType: String): (Boolean, String, Int, Boolean) = {
+    val randomDist =
+      """(?is)\bDISTRIBUTED\s+BY\s+RANDOM\b""".r.findFirstIn(clauses).isDefined
+    val hashCol =
+      if (randomDist) ""
+      else clauseParen(clauses, """(?is)\bDISTRIBUTED\s+BY\s+HASH\s*\(""")
+        .map(x => stripIdent(x.trim))
+        .getOrElse(sys.error(
+          s"$name: missing DISTRIBUTED BY HASH(col) (or DISTRIBUTED BY RANDOM)"))
+    require(!randomDist || keysType == "DUPLICATE",
+      s"$name: DISTRIBUTED BY RANDOM requires a DUPLICATE table " +
+        "(UNIQUE/AGGREGATE merge-on-read needs key-hash tablet locality)")
+    val autoBuckets =
+      """(?is)\bBUCKETS\s+AUTO\b""".r.findFirstIn(clauses).isDefined
+    val buckets =
+      if (autoBuckets) 0
+      else """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(clauses)
+        .map(_.group(1).toInt).getOrElse(10)
+    (randomDist, hashCol, buckets, autoBuckets)
   }
 
   private val CreateLikeRe =
@@ -264,11 +290,8 @@ final class DorisDdl(s: SparkSession) {
           s"$name: a value may belong to only one LIST partition")
       }
       val partSpec = rangeSpec orElse listSpec
-      val hashCol = clauseParen(rest, """(?is)\bDISTRIBUTED\s+BY\s+HASH\s*\(""")
-        .map(x => stripIdent(x.trim))
-        .getOrElse(sys.error(s"$name: missing DISTRIBUTED BY HASH"))
-      val buckets = """(?is)\bBUCKETS\s+(\d+)""".r.findFirstMatchIn(rest)
-        .map(_.group(1).toInt).getOrElse(10)
+      val (randomDist, hashCol, buckets, autoBuckets) =
+        parseDistribution(name, rest, keysType)
       require(!cols.exists(c => c.variant && c.name == hashCol),
         s"$name: VARIANT column $hashCol cannot be the distribution column")
       (partSpec.map(_._1) orElse autoSpec.map(_._1)).foreach { pc =>
@@ -338,6 +361,12 @@ final class DorisDdl(s: SparkSession) {
       // distribution-column type — enforce the group invariant at create
       val coloGroup = props.get("colocate_with").filter(_.nonEmpty)
       coloGroup.foreach { g =>
+        require(!randomDist,
+          s"$name: colocate_with requires DISTRIBUTED BY HASH (a colocate " +
+            "group's shuffle-free join keys on the distribution column)")
+        require(!autoBuckets,
+          s"$name: colocate_with requires a declared BUCKETS count " +
+            "(AUTO sizes per load, breaking the group's bucket agreement)")
         val hType = cols.find(_.name == hashCol).map(_.sparkType)
           .getOrElse(sys.error(s"$name: unknown distribution column $hashCol"))
         tables.synchronized(tables.values.toSeq)
@@ -357,9 +386,11 @@ final class DorisDdl(s: SparkSession) {
         TableDef(name, cols, keysType, keyCols,
           partSpec.map(_._1) orElse autoSpec.map(_._1),
           partSpec.map(_._2).getOrElse(Nil),
-          hashCol, buckets, autoSpec.map(_._2), seqCol, retainStart,
-          indexes, bloomCols, listPart = listSpec.isDefined,
-          colocateWith = coloGroup),
+          hashCol, buckets, randomDist = randomDist,
+          autoBuckets = autoBuckets, autoGran = autoSpec.map(_._2),
+          seqCol = seqCol, retainStart = retainStart,
+          indexes = indexes, bloomCols = bloomCols,
+          listPart = listSpec.isDefined, colocateWith = coloGroup),
         graft.TempDirs.create(s"graft_ddl_$name"))
       tables.synchronized { tables(name) = st }
     case _ => sys.error(s"unparseable CREATE TABLE: ${text.take(80)}")
@@ -1078,10 +1109,27 @@ final class DorisDdl(s: SparkSession) {
     // load observes: batch order across concurrent tablets is not total.
     // Forcing a global order (coalesce(1)/zipWithIndex) would serialize
     // every bulk load through one task; deliberately not done.
-    withPart.withColumn("_ver", lit(ver))
-      .withColumn("_pos", monotonically_increasing_id())
-      .repartition(t.def_.buckets, col(t.def_.hashCol))
+    bucketed(t.def_, withPart.withColumn("_ver", lit(ver))
+      .withColumn("_pos", monotonically_increasing_id()))
       .sortWithinPartitions(sortCols: _*)
+  }
+
+  /** Apply the table's declared distribution to one rowset frame: HASH =
+    * repartition on the distribution column (key-hash tablet locality),
+    * RANDOM = round-robin repartition. BUCKETS AUTO derives the count PER
+    * LOAD from the source plan's size estimate (~1 GiB per bucket, capped
+    * at 128, Doris's auto-bucket sizing idea) — a VALUES trickle stays
+    * one file per partition while a 100 GB backfill fans out, with no
+    * user-guessed constant to outgrow. */
+  private def bucketed(d: TableDef, df: DataFrame): DataFrame = {
+    val n =
+      if (!d.autoBuckets) d.buckets
+      else {
+        val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+        val per = BigInt(1L << 30)
+        ((bytes + per - 1) / per).max(1).min(128).toInt
+      }
+    if (d.randomDist) df.repartition(n) else df.repartition(n, col(d.hashCol))
   }
 
   /** Apply the table's bloom_filter_columns as parquet bloom-filter write
@@ -2241,8 +2289,7 @@ final class DorisDdl(s: SparkSession) {
             (if (df.columns.contains("_pos")) Seq(col("_pos")) else Nil) ++
             (if (df.columns.contains("_sign")) Seq(col("_sign")) else Nil) ++
             (if (d.partCol.isDefined) Seq(col("_p")) else Nil)
-          val out = df.select(keep: _*)
-            .repartition(d.buckets, col(d.hashCol))
+          val out = bucketed(d, df.select(keep: _*))
           val staging = graft.TempDirs.create(s"graft_ddl_sc_$name")
           val w = withBloom(out.write.mode("overwrite"), d)
           (if (d.partCol.isDefined) w.partitionBy("_p") else w).parquet(staging)
@@ -3046,7 +3093,11 @@ final class DorisDdl(s: SparkSession) {
            |$colLines
            |) ENGINE=OLAP
            |${d.keysType} KEY(${d.keyCols.map(k => s"`$k`").mkString(", ")})$partClause
-           |DISTRIBUTED BY HASH(`${d.hashCol}`) BUCKETS ${d.buckets}$propsClause""".stripMargin
+           |DISTRIBUTED BY ${
+             if (d.randomDist) "RANDOM" else s"HASH(`${d.hashCol}`)"
+           } BUCKETS ${
+             if (d.autoBuckets) "AUTO" else d.buckets.toString
+           }$propsClause""".stripMargin
       import s.implicits._
       Seq((d.name, stmt)).toDF("table", "create_table")
     case _ => sys.error(s"unparseable SHOW CREATE TABLE: ${text.take(80)}")
@@ -3173,6 +3224,15 @@ object DorisDdl {
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int,
+      // DISTRIBUTED BY RANDOM (DUPLICATE tables only): round-robin write
+      // layout instead of key-hash tablets — Doris's recommended default
+      // for append-only duplicate data since 2.0 (no skew from a hot
+      // distribution key; merge models still require HASH). hashCol is ""
+      // when set.
+      randomDist: Boolean = false,
+      // BUCKETS AUTO: bucket count derived per load from the data volume
+      // instead of a declared constant (buckets is 0 when set)
+      autoBuckets: Boolean = false,
       // AUTO PARTITION BY RANGE (date_trunc(col, 'gran')): partitions
       // materialize per granularity bucket as loads arrive (Doris 2.1)
       autoGran: Option[String] = None,

@@ -2011,6 +2011,55 @@ class DdlSpec extends SparkSpec {
       Seq(3L))
   }
 
+  test("DISTRIBUTED BY RANDOM + BUCKETS AUTO: DUPLICATE-only round-robin " +
+    "layout, per-load sized buckets, SHOW CREATE round-trips") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE rnd (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY RANDOM BUCKETS AUTO""".stripMargin)
+    ddl.execute("INSERT INTO rnd VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // a tiny load sizes to ONE bucket: exactly one data file written
+    val files = new java.io.File(ddlDir(ddl, "rnd"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 auto-sized bucket file, got $files")
+    // semantics unchanged by layout: versioned delete + survive-reload
+    ddl.execute("DELETE FROM rnd WHERE v < 2.0")
+    ddl.execute("INSERT INTO rnd VALUES (1, 11.0)")
+    assert(ddl.sql("SELECT k, v FROM rnd ORDER BY k, v")
+      .as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 11.0), (2L, 2.0), (3L, 3.0)))
+    // SHOW CREATE round-trips both spellings
+    val stmt = ddl.sql("SHOW CREATE TABLE rnd").collect().head.getString(1)
+    assert(stmt.contains("DISTRIBUTED BY RANDOM BUCKETS AUTO"), stmt)
+    ddl.execute(stmt.replace("`rnd`", "`rnd2`"))
+    val stmt2 = ddl.sql("SHOW CREATE TABLE rnd2").collect().head.getString(1)
+    assert(stmt2.replace("rnd2", "rnd") == stmt, stmt2)
+    // HASH + BUCKETS AUTO also legal
+    ddl.execute(
+      """CREATE TABLE hau (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS AUTO""".stripMargin)
+    ddl.execute("INSERT INTO hau VALUES (1, 1.0), (1, 2.0)")
+    assert(ddl.sql("SELECT v FROM hau WHERE k = 1").as[Double].head() == 2.0)
+    val stmt3 = ddl.sql("SHOW CREATE TABLE hau").collect().head.getString(1)
+    assert(stmt3.contains("DISTRIBUTED BY HASH(`k`) BUCKETS AUTO"), stmt3)
+    // guards: RANDOM is DUPLICATE-only; colocation needs HASH + a declared
+    // bucket count
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE badr (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY RANDOM BUCKETS 4""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE badr (k BIGINT, v DOUBLE SUM) AGGREGATE KEY(k)
+        |DISTRIBUTED BY RANDOM BUCKETS 4""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE badc (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY RANDOM BUCKETS 4
+        |PROPERTIES("colocate_with" = "cg")""".stripMargin))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE badc (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS AUTO
+        |PROPERTIES("colocate_with" = "cg")""".stripMargin))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
