@@ -1445,7 +1445,37 @@ object DdlStatements {
         |vis AS (SELECT * FROM b WHERE NOT (flag = 'A' AND _ver < 2))
         |SELECT flag, count(*) AS n,
         |  CAST(sum(CAST(qty * 10 AS BIGINT)) AS BIGINT) AS qty10
-        |FROM vis GROUP BY flag ORDER BY flag""".stripMargin)
+        |FROM vis GROUP BY flag ORDER BY flag""".stripMargin),
+
+    // NGRAM_BF index (Doris 2.x n-gram bloom filter): an infix LIKE on
+    // the indexed column rewrites to NARROW-THEN-VERIFY — a constant-
+    // folded gram-hash membership probe (a bloom check: false positives
+    // possible, the exact LIKE catches them) ANDed ahead of the substring
+    // scan. The oracle runs the plain LIKE: the rewrite must be invisible
+    // to results. DdlSpec asserts the plan shape (narrow before verify).
+    "sql_ddl_ngram_index" -> QueryDef(
+      (s, dir) => {
+        Tables.documents(s, dir).createOrReplaceTempView("documents")
+        val ddl = lifecycle("sql_ddl_ngram_index", s, dir)(Seq(
+          """CREATE TABLE doc_ng (
+            |  doc_id BIGINT,
+            |  body VARCHAR(65533),
+            |  src VARCHAR(16),
+            |  INDEX ix_body (body) USING NGRAM_BF
+            |    PROPERTIES("gram_size" = "3", "bf_size" = "256")
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(doc_id)
+            |DISTRIBUTED BY HASH(doc_id) BUCKETS 8""".stripMargin,
+          """INSERT INTO doc_ng
+            |SELECT doc_id, text, source FROM documents""".stripMargin))
+        ddl.sql(
+          """SELECT src, count(*) AS n
+            |FROM doc_ng WHERE body LIKE '%data%'
+            |GROUP BY src ORDER BY src""".stripMargin)
+      },
+      """SELECT source AS src, count(*) AS n
+        |FROM documents WHERE text LIKE '%data%'
+        |GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

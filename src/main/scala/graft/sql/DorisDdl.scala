@@ -550,16 +550,26 @@ final class DorisDdl(s: SparkSession) {
 
   // ----------------------------------------------------- inverted indexes
 
-  // INDEX name (`col`) USING kind — the inline (CREATE TABLE) and the
-  // standalone (CREATE INDEX / ALTER TABLE ADD INDEX) spellings share it
+  // INDEX name (`col`) USING kind [PROPERTIES("k"="v", ...)] — the inline
+  // (CREATE TABLE) and the standalone (CREATE INDEX / ALTER TABLE ADD
+  // INDEX) spellings share it
   private val IndexItemRe =
-    """(?is)^INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(\w+)$""".r
+    """(?is)^INDEX\s+`?(\w+)`?\s*\(\s*`?(\w+)`?\s*\)\s+USING\s+(\w+)\s*(?:PROPERTIES\s*\((.*)\))?$""".r
 
   private def parseIndexDef(table: String, text: String): IndexDef =
     text.trim match {
-      case IndexItemRe(iname, icol, kind) =>
+      case IndexItemRe(iname, icol, kind, propText) =>
+        val props = Option(propText).map(parseProps).getOrElse(Map.empty)
         kind.toUpperCase match {
           case "INVERTED" => IndexDef(iname, icol)
+          case "NGRAM_BF" =>
+            val g = props.getOrElse("gram_size", "2").toInt
+            val b = props.getOrElse("bf_size", "256").toInt
+            require(g >= 1 && g <= 8,
+              s"$table: NGRAM_BF gram_size must be in [1, 8], got $g")
+            require(b >= 64 && b <= 65536,
+              s"$table: NGRAM_BF bf_size must be in [64, 65536], got $b")
+            IndexDef(iname, icol, kind = "NGRAM_BF", gramSize = g, bfSize = b)
           case "BITMAP" => sys.error(s"$table: USING BITMAP is not " +
             "supported; use PROPERTIES(\"bloom_filter_columns\") for " +
             "equality skip indexes")
@@ -572,7 +582,7 @@ final class DorisDdl(s: SparkSession) {
     val c = cols.find(_.name == ix.col)
       .getOrElse(sys.error(s"$table: unknown index column ${ix.col}"))
     require(c.sparkType.toUpperCase == "STRING",
-      s"$table: INVERTED index needs a text column, ${ix.col} is ${c.sparkType}")
+      s"$table: ${ix.kind} index needs a text column, ${ix.col} is ${c.sparkType}")
   }
 
   private val CreateIndexRe =
@@ -691,7 +701,8 @@ final class DorisDdl(s: SparkSession) {
     // column on some other table must not leak legality in
     val referenced = referencedTables(text)
     val indexed: Set[String] = tables.synchronized(
-      referenced.flatMap(n => tables(n).def_.indexes.map(_.col)).toSet)
+      referenced.flatMap(n => tables(n).def_.indexes
+        .filter(_.kind == "INVERTED").map(_.col)).toSet)
     val quoted = inLiteral(text)
     val out = MatchPredRe.replaceAllIn(text, m => {
       val c = m.group(1)
@@ -720,6 +731,46 @@ final class DorisDdl(s: SparkSession) {
       "MATCH_ANY/MATCH_ALL requires an INVERTED index on the column " +
         "(CREATE INDEX ... USING INVERTED)")
     out
+  }
+
+  // `col LIKE '%needle%'` — the infix-match predicate an NGRAM_BF index
+  // accelerates. Only a pure infix (no inner %/_ wildcards) rewrites.
+  private val InfixLikeRe =
+    """(?is)`?(\w+)`?\s+LIKE\s+'%([^%_']+)%'""".r
+
+  /** NGRAM_BF rewrite ([doris: be/.../ngram_bloom_filter — the 2.x n-gram
+    * bloom index]): an infix LIKE on an indexed column becomes
+    * NARROW-THEN-VERIFY — a gram-hash membership pre-filter (each needle
+    * gram's hash, mod bf_size, must appear among the row's gram hashes:
+    * exactly a bloom probe, false positives possible and harmless) ANDed
+    * BEFORE the exact LIKE, so the cheap integer stage prunes rows ahead
+    * of the substring scan. Both gram arrays are built IN the query:
+    * the needle side is constant-folded by Catalyst, the row side is one
+    * codegen'd transform — nothing driver-side, nothing collected. */
+  private def rewriteNgramLike(text: String): String = {
+    val ngram: Map[String, IndexDef] = tables.synchronized(
+      referencedTables(text).flatMap(n => tables(n).def_.indexes
+        .filter(_.kind == "NGRAM_BF").map(ix => ix.col -> ix)).toMap)
+    if (ngram.isEmpty) return text
+    val quoted = inLiteral(text)
+    InfixLikeRe.replaceAllIn(text, m => {
+      val (c, needle) = (m.group(1), m.group(2))
+      ngram.get(c) match {
+        case Some(ix) if !quoted(m.start) && needle.length >= ix.gramSize =>
+          val g = ix.gramSize
+          val rowGrams =
+            s"transform(sequence(1, length(`$c`) - ${g - 1}), " +
+              s"i -> pmod(hash(substring(`$c`, i, $g)), ${ix.bfSize}))"
+          val needleGrams =
+            s"transform(sequence(1, ${needle.length - g + 1}), " +
+              s"i -> pmod(hash(substring('$needle', i, $g)), ${ix.bfSize}))"
+          java.util.regex.Matcher.quoteReplacement(
+            s"((length(`$c`) >= $g AND forall($needleGrams, " +
+              s"h -> array_contains($rowGrams, h))) " +
+              s"AND `$c` LIKE '%$needle%')")
+        case _ => m.matched
+      }
+    })
   }
 
   // ----------------------------------------------- CREATE MATERIALIZED VIEW
@@ -2656,7 +2707,7 @@ final class DorisDdl(s: SparkSession) {
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }
-    DorisSqlDialect.sql(s, rewriteMatch(rewritten))
+    DorisSqlDialect.sql(s, rewriteNgramLike(rewriteMatch(rewritten)))
   }
 
   /** Merge-on-read view of the current visible data, per key model; the
@@ -2953,7 +3004,7 @@ final class DorisDdl(s: SparkSession) {
     case ShowIndexRe(name) =>
       val d = state(name).def_
       import s.implicits._
-      (d.indexes.map(ix => (ix.name, ix.col, "INVERTED")) ++
+      (d.indexes.map(ix => (ix.name, ix.col, ix.kind)) ++
         d.bloomCols.map(c => (s"__bloom_$c", c, "BLOOM_FILTER")))
         .toDF("index_name", "column_name", "index_type")
     case _ => sys.error(s"unparseable SHOW INDEX: ${text.take(80)}")
@@ -3048,7 +3099,12 @@ final class DorisDdl(s: SparkSession) {
           }
         s"  `${c.name}` $typ$gen$agg$dflt"
       } ++ d.indexes.map(ix =>
-        s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED")).mkString(",\n")
+        if (ix.kind == "NGRAM_BF")
+          s"  INDEX ${ix.name} (`${ix.col}`) USING NGRAM_BF " +
+            s"""PROPERTIES("gram_size" = "${ix.gramSize}", """ +
+            s""""bf_size" = "${ix.bfSize}")"""
+        else s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED"))
+        .mkString(",\n")
       val partClause = (d.autoGran, d.partCol) match {
         case (Some(g), Some(pc)) =>
           s"\nAUTO PARTITION BY RANGE (date_trunc(`$pc`, '$g')) ()"
@@ -3217,10 +3273,13 @@ object DorisDdl {
   final case class PartDef(name: String, bound: Option[String],
       dropped: Boolean = false, lower: Option[String] = None,
       inValues: Option[Seq[String]] = None)
-  // CREATE INDEX ... USING INVERTED: read-side tokenized text index — the
-  // registration is what LEGALIZES MATCH_ANY/MATCH_ALL on the column
-  // (Doris rejects MATCH without an inverted index)
-  final case class IndexDef(name: String, col: String)
+  // CREATE INDEX ... USING INVERTED | NGRAM_BF: read-side text indexes.
+  // INVERTED legalizes MATCH_ANY/MATCH_ALL on the column (Doris rejects
+  // MATCH without one); NGRAM_BF (Doris 2.x n-gram bloom filter,
+  // "gram_size"/"bf_size" properties) accelerates infix LIKE '%x%' via a
+  // gram-hash narrow stage ahead of the exact verify.
+  final case class IndexDef(name: String, col: String,
+      kind: String = "INVERTED", gramSize: Int = 2, bfSize: Int = 256)
   final case class TableDef(name: String, cols: Seq[ColDef], keysType: String,
       keyCols: Seq[String], partCol: Option[String], parts: Seq[PartDef],
       hashCol: String, buckets: Int,

@@ -2060,6 +2060,74 @@ class DdlSpec extends SparkSpec {
         |PROPERTIES("colocate_with" = "cg")""".stripMargin))
   }
 
+  test("NGRAM_BF index: infix LIKE gains a gram-hash narrow stage ahead of " +
+    "the exact verify; exactness survives bloom false positives; SHOW " +
+    "INDEX and SHOW CREATE surface it; MATCH stays INVERTED-only") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ng (id BIGINT, body VARCHAR(80),
+        |  INDEX ix_ng (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "2", "bf_size" = "128")
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    // row 4 shares every 2-gram of 'spark' (sp/pa/ar/rk) without the
+    // substring: it passes the bloom narrow stage and must be caught by
+    // the exact verify — the false-positive path
+    ddl.execute("INSERT INTO ng VALUES (1, 'spark shuffles data'), " +
+      "(2, 'duckdb is fast'), (3, 'sparkling water'), (4, 'park spa dark')")
+    val df = ddl.sql("SELECT id FROM ng WHERE body LIKE '%spark%'")
+    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the optimized filter carries the narrow stage BEFORE the LIKE
+    val cond = df.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.sql
+    }.mkString(" ")
+    // Catalyst simplifies the LIKE verify into contains(col, needle); the
+    // narrow stage's forall(gram probes) must sit BEFORE it in the AND
+    assert(cond.contains("forall(") && cond.contains("array_contains("), cond)
+    val verifyAt = cond.indexOf("contains(ng.body, 'spark')")
+    assert(verifyAt >= 0, cond)
+    assert(cond.indexOf("forall(") < verifyAt, cond)
+    // a needle shorter than gram_size and a non-indexed column stay plain
+    assert(ddl.sql("SELECT count(*) AS n FROM ng WHERE body LIKE '%s%'")
+      .as[Long].head() == 4L)
+    // NGRAM_BF does not legalize MATCH (INVERTED-only)
+    assertThrows[IllegalArgumentException](ddl.sql(
+      "SELECT id FROM ng WHERE body MATCH_ANY 'spark'"))
+    // SHOW INDEX lists the kind; SHOW CREATE round-trips the properties
+    assert(ddl.sql("SHOW INDEX FROM ng")
+      .as[(String, String, String)].collect().toSeq
+      .contains(("ix_ng", "body", "NGRAM_BF")))
+    val stmt = ddl.sql("SHOW CREATE TABLE ng").collect().head.getString(1)
+    assert(stmt.contains("USING NGRAM_BF PROPERTIES(\"gram_size\" = \"2\", " +
+      "\"bf_size\" = \"128\")"), stmt)
+    ddl.execute(stmt.replace("`ng`", "`ng2`"))
+    val stmt2 = ddl.sql("SHOW CREATE TABLE ng2").collect().head.getString(1)
+    assert(stmt2.replace("ng2", "ng") == stmt, stmt2)
+    // standalone CREATE INDEX form + DROP INDEX retires the rewrite
+    ddl.execute(
+      """CREATE TABLE ng3 (id BIGINT, body VARCHAR(80))
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO ng3 VALUES (1, 'alpha beta')")
+    ddl.execute("CREATE INDEX ix3 ON ng3 (body) USING NGRAM_BF " +
+      "PROPERTIES(\"gram_size\" = \"3\", \"bf_size\" = \"256\")")
+    val df3 = ddl.sql("SELECT id FROM ng3 WHERE body LIKE '%beta%'")
+    assert(df3.as[Long].collect().toSeq == Seq(1L))
+    assert(df3.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.sql
+    }.mkString(" ").contains("forall("))
+    ddl.execute("DROP INDEX ix3 ON ng3")
+    val plain = ddl.sql("SELECT id FROM ng3 WHERE body LIKE '%beta%'")
+    assert(!plain.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        f.condition.sql
+    }.mkString(" ").contains("forall("))
+    // guards: property ranges
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE INDEX bad ON ng3 (body) USING NGRAM_BF " +
+        "PROPERTIES(\"gram_size\" = \"0\")"))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
