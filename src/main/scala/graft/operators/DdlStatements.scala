@@ -507,14 +507,26 @@ object DdlStatements {
           """INSERT INTO ev_auto
             |SELECT ts, event_id, value FROM events
             |WHERE ts >= TIMESTAMP '2024-01-16'""".stripMargin,
-          "ALTER TABLE ev_auto DROP PARTITION p20240101"))
+          "ALTER TABLE ev_auto DROP PARTITION p20240101",
+          // forward buffer: two empty FUTURE buckets materialize past the
+          // newest data day and must list in SHOW PARTITIONS (n_rows 0)
+          // before any row lands in them
+          """ALTER TABLE ev_auto SET ("dynamic_partition.end" = "2")"""))
         ddl.sql("SHOW PARTITIONS FROM ev_auto")
       },
-      """SELECT concat('p', strftime(date_trunc('day', ts), '%Y%m%d')) AS partition_name,
-        |  'AUTO(day)' AS upper_bound, count(*) AS n_rows
-        |FROM events
-        |WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-01'
-        |GROUP BY 1 ORDER BY 1""".stripMargin),
+      """WITH days AS (
+        |  SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS n
+        |  FROM events
+        |  WHERE date_trunc('day', ts) <> TIMESTAMP '2024-01-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT max(date_trunc('day', ts)) AS m FROM events),
+        |fut AS (SELECT m + INTERVAL 1 DAY AS d, CAST(0 AS BIGINT) AS n FROM mx
+        |        UNION ALL
+        |        SELECT m + INTERVAL 2 DAY, CAST(0 AS BIGINT) FROM mx),
+        |allp AS (SELECT * FROM days UNION ALL SELECT * FROM fut)
+        |SELECT concat('p', strftime(d, '%Y%m%d')) AS partition_name,
+        |  'AUTO(day)' AS upper_bound, n AS n_rows
+        |FROM allp ORDER BY 1""".stripMargin),
 
     // Sync MV over an AGGREGATE-key base — the layered-serving case: the
     // table's read is itself a merge aggregate, so the MV is computed OVER

@@ -108,6 +108,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("ANALYZE TABLE")) Some(analyzeStmt(t))
     else if (up.startsWith("SHOW COLUMN STATS")) Some(showColumnStats(t))
     else if (up.startsWith("SHOW INDEX")) Some(showIndex(t))
+    else if (up.startsWith("SHOW DYNAMIC PARTITION TABLES"))
+      Some(showDynamicPartitionTables())
     else if (up.startsWith("SHOW TEMPORARY PARTITIONS")) Some(showTempPartitions(t))
     else if (up.startsWith("SHOW PARTITIONS")) Some(showPartitions(t))
     else if (up.startsWith("SHOW CREATE TABLE")) Some(showCreateTable(t))
@@ -328,8 +330,9 @@ final class DorisDdl(s: SparkSession) {
       // periods BACK stay live; older buckets are dropped at load time
       // ("now" is DATA time — the newest materialized bucket — which keeps
       // retention deterministic and backfill-safe, vs Doris's wall clock)
-      val retainStart: Option[Int] =
-        if (!props.get("dynamic_partition.enable").contains("true")) None
+      val (retainStart: Option[Int], dynEnd: Option[Int]) =
+        if (!props.get("dynamic_partition.enable").contains("true"))
+          (None, None)
         else {
           require(autoSpec.isDefined,
             s"$name: dynamic_partition retention requires AUTO PARTITION here")
@@ -340,7 +343,10 @@ final class DorisDdl(s: SparkSession) {
           val st = props.getOrElse("dynamic_partition.start",
             sys.error(s"$name: dynamic_partition.start is required")).toInt
           require(st < 0, s"$name: dynamic_partition.start must be negative")
-          Some(st)
+          val en = props.get("dynamic_partition.end").map(_.toInt)
+          en.foreach(e => require(e > 0,
+            s"$name: dynamic_partition.end must be positive"))
+          (Some(st), en)
         }
       // bloom_filter_columns: parquet bloom filters per rowset file; Doris
       // rejects float/double bloom columns (no stable hashable equality)
@@ -388,7 +394,7 @@ final class DorisDdl(s: SparkSession) {
           partSpec.map(_._2).getOrElse(Nil),
           hashCol, buckets, randomDist = randomDist,
           autoBuckets = autoBuckets, autoGran = autoSpec.map(_._2),
-          seqCol = seqCol, retainStart = retainStart,
+          seqCol = seqCol, retainStart = retainStart, dynEnd = dynEnd,
           indexes = indexes, bloomCols = bloomCols,
           listPart = listSpec.isDefined, colocateWith = coloGroup),
         graft.TempDirs.create(s"graft_ddl_$name"))
@@ -1227,23 +1233,42 @@ final class DorisDdl(s: SparkSession) {
       label.foreach(t.labels += _)
       t.loads += ((ver, label))
     }
-    // dynamic-partition RETENTION (AUTO tables): drop materialized buckets
-    // older than (newest bucket + start) — an O(1) directory op per
-    // expired period, which is what makes log retention free at 100 TB
-    t.def_.retainStart.foreach { start =>
-      val gran = t.def_.autoGran.get
-      val names = partitionNames(t)
-      if (names.nonEmpty) {
-        val idx = names.map(n => n -> bucketIndex(gran, n)).toMap
-        val newest = idx.values.max
-        names.filter(n => idx(n) < newest + start).foreach { p =>
-          graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$p"))
-          s.catalog.dropTempView(s"${t.def_.name}__part_$p")
-        }
-      }
-    }
+    dynamicPartitionMaintain(t)
     registerViews(t)
     refreshMvs(t)
+  }
+
+  /** Dynamic-partition maintenance (AUTO tables) — runs at load time and
+    * when ALTER SET flips the knobs, both anchored on DATA time (the
+    * newest bucket that actually holds rowsets, so a forward-created
+    * empty buffer never advances "now"):
+    *  - RETENTION (start < 0): drop buckets older than newest + start, an
+    *    O(1) directory op per expired period — log retention free at
+    *    100 TB;
+    *  - FORWARD BUFFER (end > 0): pre-create the next `end` empty
+    *    buckets, so SHOW PARTITIONS (and partition-targeted statements)
+    *    see tomorrow's partition before any row lands in it — the buffer
+    *    Doris's dynamic-partition scheduler maintains. */
+  private def dynamicPartitionMaintain(t: TableState): Unit = {
+    if (t.def_.autoGran.isEmpty ||
+      (t.def_.retainStart.isEmpty && t.def_.dynEnd.isEmpty)) return
+    val gran = t.def_.autoGran.get
+    val all = partitionNames(t)
+    val dataNames = all.filter(p => partitionHasData(t, p))
+    if (dataNames.isEmpty) return
+    val newest = dataNames.map(bucketIndex(gran, _)).max
+    t.def_.retainStart.foreach { start =>
+      all.filter(p => bucketIndex(gran, p) < newest + start).foreach { p =>
+        graft.TempDirs.deleteTree(java.nio.file.Paths.get(t.dir, s"_p=$p"))
+        s.catalog.dropTempView(s"${t.def_.name}__part_$p")
+      }
+    }
+    t.def_.dynEnd.foreach { end =>
+      (1 to end).foreach { i =>
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(t.dir, s"_p=${bucketName(gran, newest + i)}"))
+      }
+    }
   }
 
   // ---------------------------------- TEMPORARY partitions / REPLACE swap
@@ -1388,6 +1413,21 @@ final class DorisDdl(s: SparkSession) {
         digits.take(4).toLong * 12 + (digits.drop(4).toLong - 1)
       case "year" => digits.toLong
     }
+  }
+
+  /** Inverse of [[bucketIndex]]: the AUTO bucket name at ordinal `idx`. */
+  private def bucketName(gran: String, idx: Long): String = gran match {
+    case "day" => "p" + java.time.LocalDate.ofEpochDay(idx)
+      .format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    case "month" => f"p${idx / 12}%04d${idx % 12 + 1}%02d"
+    case "year" => s"p$idx"
+  }
+
+  /** Does this partition's directory hold any rowset file? (Metadata-sized
+    * listing — distinguishes data buckets from forward-created empties.) */
+  private def partitionHasData(t: TableState, p: String): Boolean = {
+    val d = new java.io.File(t.dir, s"_p=$p")
+    d.isDirectory && Option(d.list()).exists(_.exists(_.endsWith(".parquet")))
   }
 
   // ------------------------------------------------------------ LOAD LABEL
@@ -2370,13 +2410,18 @@ final class DorisDdl(s: SparkSession) {
       var nd = d
       props.foreach {
         case ("dynamic_partition.enable", "false") =>
-          nd = nd.copy(retainStart = None)
-        case ("dynamic_partition.enable", "true") => () // start carries it
+          nd = nd.copy(retainStart = None, dynEnd = None)
+        case ("dynamic_partition.enable", "true") => () // start/end carry it
         case ("dynamic_partition.start", v) =>
           require(nd.autoGran.isDefined,
             s"$name: dynamic_partition retention requires AUTO PARTITION")
           require(v.toInt < 0, s"$name: dynamic_partition.start must be negative")
           nd = nd.copy(retainStart = Some(v.toInt))
+        case ("dynamic_partition.end", v) =>
+          require(nd.autoGran.isDefined,
+            s"$name: dynamic_partition forward creation requires AUTO PARTITION")
+          require(v.toInt > 0, s"$name: dynamic_partition.end must be positive")
+          nd = nd.copy(dynEnd = Some(v.toInt))
         case ("dynamic_partition.time_unit", v) =>
           require(nd.autoGran.contains(v.toLowerCase),
             s"$name: dynamic_partition.time_unit $v must match the AUTO " +
@@ -2393,6 +2438,10 @@ final class DorisDdl(s: SparkSession) {
         case (k, _) => sys.error(s"$name: unsupported dynamic property $k")
       }
       t.synchronized { t.def_ = nd }
+      // a new retention window / forward buffer takes effect NOW, not at
+      // the next load (pre-created partitions must be visible immediately)
+      dynamicPartitionMaintain(t)
+      if (hasRowsets(t.dir)) registerViews(t)
     case AlterAddIndexRe(name, idxText) => addIndex(name, idxText.trim)
     case AlterDropIndexRe(name, iname) => dropIndex(name, iname)
     case AddRollupRe(name, rname, colList) =>
@@ -2584,9 +2633,14 @@ final class DorisDdl(s: SparkSession) {
         .groupBy(col("_p").as("partition_name"))
         .agg(count(lit(1)).as("n_rows"))
       val out = t.def_.autoGran match {
-        case Some(g) => counts
-          .withColumn("upper_bound", lit(s"AUTO($g)"))
-          .select(col("partition_name"), col("upper_bound"), col("n_rows"))
+        case Some(g) =>
+          // anchor on the directory listing, not the data scan: forward-
+          // created buffer partitions hold no rows yet and must still list
+          val meta = partitionNames(t).toDF("partition_name")
+          meta.join(counts, Seq("partition_name"), "left")
+            .withColumn("upper_bound", lit(s"AUTO($g)"))
+            .select(col("partition_name"), col("upper_bound"),
+              coalesce(col("n_rows"), lit(0L)).as("n_rows"))
         case None =>
           val meta = t.def_.parts.filterNot(_.dropped)
             .map(p => (p.name, p.inValues.map(_.mkString(","))
@@ -2969,6 +3023,26 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable SHOW LOAD: ${text.take(80)}")
   }
 
+  /** `SHOW DYNAMIC PARTITION TABLES` ([doris: fe/.../analysis/
+    * ShowDynamicPartitionStmt.java]): one row per dynamic-partition table
+    * — the retention window, the forward buffer size, and how many empty
+    * future buckets currently stand pre-created. Driver metadata plus one
+    * directory listing per table; zero data IO. */
+  private def showDynamicPartitionTables(): DataFrame = {
+    import s.implicits._
+    tables.synchronized(tables.values.toSeq)
+      .filter(t => t.def_.retainStart.isDefined || t.def_.dynEnd.isDefined)
+      .map { t =>
+        val buffered = partitionNames(t).count(p => !partitionHasData(t, p))
+        (t.def_.name, "true", t.def_.autoGran.getOrElse(""),
+          t.def_.retainStart.map(_.toString).getOrElse(""),
+          t.def_.dynEnd.map(_.toString).getOrElse(""),
+          buffered.toLong, "NORMAL")
+      }
+      .toDF("table_name", "enable", "time_unit", "start", "end",
+        "buffered_partitions", "state")
+  }
+
   private val ShowDataRe =
     """(?is)^SHOW\s+DATA(?:\s+FROM\s+`?(\w+)`?)?$""".r
 
@@ -3140,7 +3214,8 @@ final class DorisDdl(s: SparkSession) {
         d.retainStart.toSeq.flatMap(st => Seq(
           """"dynamic_partition.enable" = "true"""",
           s""""dynamic_partition.time_unit" = "${d.autoGran.get}"""",
-          s""""dynamic_partition.start" = "$st""""))
+          s""""dynamic_partition.start" = "$st"""") ++
+          d.dynEnd.map(e => s""""dynamic_partition.end" = "$e""""))
       val propsClause =
         if (propEntries.isEmpty) ""
         else propEntries.mkString("\nPROPERTIES (", ", ", ")")
@@ -3300,8 +3375,15 @@ object DorisDdl {
       // version alone, so out-of-order loads keep the logically newest row
       seqCol: Option[String] = None,
       // dynamic_partition.start (negative): AUTO buckets more than |start|
-      // periods behind the newest are dropped at load time (retention)
+      // periods behind the newest DATA bucket are dropped at load time
+      // (retention)
       retainStart: Option[Int] = None,
+      // dynamic_partition.end (positive): that many FUTURE empty buckets
+      // are pre-created past the newest data bucket at load time — the
+      // forward buffer Doris's dynamic-partition scheduler maintains, so
+      // SHOW PARTITIONS surfaces tomorrow's partition before any row
+      // lands in it
+      dynEnd: Option[Int] = None,
       // inverted text indexes (CREATE-time INDEX items or CREATE INDEX /
       // ALTER TABLE ADD INDEX statements)
       indexes: Seq[IndexDef] = Nil,

@@ -2128,6 +2128,57 @@ class DdlSpec extends SparkSpec {
         "PROPERTIES(\"gram_size\" = \"0\")"))
   }
 
+  test("dynamic_partition.end: forward buffer pre-creates empty future " +
+    "buckets at SET/load time; SHOW DYNAMIC PARTITION TABLES reports; " +
+    "buffered buckets accept loads and never advance data-time") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE fwd (ts DATETIME, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(ts, k)
+        |AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+        |DISTRIBUTED BY HASH(k) BUCKETS 2
+        |PROPERTIES("dynamic_partition.enable" = "true",
+        |  "dynamic_partition.time_unit" = "day",
+        |  "dynamic_partition.start" = "-3",
+        |  "dynamic_partition.end" = "2")""".stripMargin)
+    ddl.execute("INSERT INTO fwd VALUES ('2024-01-10 01:00:00', 1, 1.0)")
+    // buffer: p20240111 and p20240112 pre-created, visible, empty
+    val parts = ddl.sql("SHOW PARTITIONS FROM fwd")
+      .as[(String, String, Long)].collect().toSeq
+    assert(parts == Seq(("p20240110", "AUTO(day)", 1L),
+      ("p20240111", "AUTO(day)", 0L), ("p20240112", "AUTO(day)", 0L)), parts)
+    // the report statement
+    val rep = ddl.sql("SHOW DYNAMIC PARTITION TABLES")
+      .select("table_name", "time_unit", "start", "end", "buffered_partitions")
+      .as[(String, String, String, String, Long)].collect().toSeq
+    assert(rep == Seq(("fwd", "day", "-3", "2", 2L)), rep)
+    // a load into a buffered day: the bucket fills, buffer extends past it
+    ddl.execute("INSERT INTO fwd VALUES ('2024-01-11 05:00:00', 2, 2.0)")
+    val parts2 = ddl.sql("SHOW PARTITIONS FROM fwd")
+      .select("partition_name").as[String].collect().toSeq
+    assert(parts2 == Seq("p20240110", "p20240111", "p20240112", "p20240113"),
+      parts2)
+    // retention anchors on DATA time: a day-14 load drops day 10 (< 14-3)
+    // but the empty buffers never count as "now"
+    ddl.execute("INSERT INTO fwd VALUES ('2024-01-14 09:00:00', 3, 3.0)")
+    val parts3 = ddl.sql("SHOW PARTITIONS FROM fwd")
+      .select("partition_name").as[String].collect().toSeq
+    assert(parts3 == Seq("p20240111", "p20240112", "p20240113", "p20240114",
+      "p20240115", "p20240116"), parts3)
+    // ALTER SET takes effect immediately (no load needed)
+    ddl.execute("""ALTER TABLE fwd SET ("dynamic_partition.end" = "3")""")
+    assert(ddl.sql("SHOW PARTITIONS FROM fwd")
+      .select("partition_name").as[String].collect().toSeq.contains("p20240117"))
+    // guards: end must be positive, and needs AUTO partitioning
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """ALTER TABLE fwd SET ("dynamic_partition.end" = "0")"""))
+    ddl.execute(
+      """CREATE TABLE nofwd (k BIGINT, v DOUBLE) DUPLICATE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    assertThrows[IllegalArgumentException](ddl.execute(
+      """ALTER TABLE nofwd SET ("dynamic_partition.end" = "2")"""))
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
