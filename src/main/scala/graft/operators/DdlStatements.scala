@@ -1487,7 +1487,30 @@ object DdlStatements {
       },
       """SELECT source AS src, count(*) AS n
         |FROM documents WHERE text LIKE '%data%'
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    // Doris join hints: `JOIN [broadcast] t` translates to Spark's
+    // BROADCAST(t) relation hint (DdlSpec asserts it flips the physical
+    // build side; [shuffle] → SHUFFLE_HASH), and the LEADING join-order
+    // hint strips with a log — hints steer the PLAN, never results, so
+    // the oracle replays the plain join.
+    "sql_hint_join" -> QueryDef(
+      (s, dir) => {
+        Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+        Tables.part(s, dir).createOrReplaceTempView("part")
+        graft.sql.DorisSqlDialect.sql(s,
+          """SELECT /*+ LEADING(p, l) */ p.p_brand AS brand,
+            |  CAST(sum(CAST(l.l_quantity * 10 AS BIGINT)) AS BIGINT) AS qty10
+            |FROM lineitem l JOIN [broadcast] part p
+            |  ON l.l_partkey = p.p_partkey
+            |WHERE p.p_size <= 10
+            |GROUP BY p.p_brand ORDER BY brand""".stripMargin)
+      },
+      """SELECT p.p_brand AS brand,
+        |  CAST(sum(CAST(l.l_quantity * 10 AS BIGINT)) AS BIGINT) AS qty10
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE p.p_size <= 10
+        |GROUP BY p.p_brand ORDER BY brand""".stripMargin)
   )
 
   /** The shared evolved-table staging used by `sql_ddl_schema_evolve` and

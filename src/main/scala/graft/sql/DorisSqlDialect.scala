@@ -46,6 +46,7 @@ object DorisSqlDialect {
   /** Doris/MySQL SQL text → Spark SQL text. */
   def rewrite(sql0: String): String = {
     var t = sql0
+    t = joinHints(t)
     t = rewriteCalls(t, "date_format", {
       case Seq(x, Lit(f)) if f.contains('%') =>
         s"date_format($x, '${DorisFunctions.translateDateFormat(f)}')"
@@ -148,6 +149,57 @@ object DorisSqlDialect {
 
   private def limitOffset(sql: String): String =
     sql.replaceAll("(?i)\\bLIMIT\\s+(\\d+)\\s*,\\s*(\\d+)", "LIMIT $2 OFFSET $1")
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  // Doris bracket join hint in the FROM clause: JOIN [broadcast|shuffle]
+  // t [alias] — the alias is captured because Spark resolves relation
+  // hints against the ALIAS when one is declared
+  private val BracketJoinRe =
+    ("""(?is)\bJOIN\s*\[\s*(broadcast|shuffle)\s*\]\s*`?(\w+)`?""" +
+      """(\s+(?:AS\s+)?(?!ON\b|USING\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|""" +
+      """HAVING\b|JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b|SEMI\b|""" +
+      """ANTI\b|UNION\b)`?(\w+)`?)?""").r
+  // join-ORDER hints Spark's CBO has no equivalent for — stripped with a log
+  private val OrderHintRe =
+    """(?is)/\*\+\s*(LEADING|ORDERED|SET_VAR)\s*(\([^)]*\))?\s*\*/""".r
+
+  /** Doris join hints ([doris: fe/.../analysis — `JOIN [broadcast]` /
+    * `JOIN [shuffle]` distribution markers; `/*+ LEADING(...) */` order
+    * hint]):
+    *  - bracket markers translate to Spark's relation-level join-strategy
+    *    hints, injected into the nearest SELECT — `[broadcast]` →
+    *    `BROADCAST(t)` (replicate the marked side), `[shuffle]` →
+    *    `SHUFFLE_HASH(t)` (Doris "shuffle" = both sides hash-partitioned,
+    *    Spark's shuffled hash join). The hint changes the physical BUILD
+    *    SIDE only, never results — the oracle replays the plain join.
+    *  - LEADING/ORDERED/SET_VAR strip with a log line: Spark's optimizer
+    *    owns join order here. Every other block-comment hint spelling
+    *    (BROADCAST, SHUFFLE_HASH, MERGE...) is already Spark-native and
+    *    passes through untouched. */
+  private def joinHints(sql: String): String = {
+    var t = OrderHintRe.replaceAllIn(sql, m => {
+      log.info(s"ignoring join-order hint ${m.group(1)} " +
+        "(Spark's optimizer owns join order)")
+      ""
+    })
+    val hints = scala.collection.mutable.ArrayBuffer.empty[String]
+    t = BracketJoinRe.replaceAllIn(t, m => {
+      // hint the alias when declared — Spark's hint resolution matches
+      // the alias, not the underlying table name, for aliased relations
+      val target = Option(m.group(4)).getOrElse(m.group(2))
+      hints += (m.group(1).toLowerCase match {
+        case "broadcast" => s"BROADCAST($target)"
+        case _ => s"SHUFFLE_HASH($target)"
+      })
+      java.util.regex.Matcher.quoteReplacement(
+        s"JOIN ${m.group(2)}${Option(m.group(3)).getOrElse("")}")
+    })
+    if (hints.isEmpty) t
+    else t.replaceFirst("(?is)\\bSELECT\\b",
+      java.util.regex.Matcher.quoteReplacement(
+        s"SELECT /*+ ${hints.mkString(", ")} */"))
+  }
 
   private def isIdentChar(c: Char) = c.isLetterOrDigit || c == '_'
 

@@ -2179,6 +2179,47 @@ class DdlSpec extends SparkSpec {
       """ALTER TABLE nofwd SET ("dynamic_partition.end" = "2")"""))
   }
 
+  test("join hints: [broadcast] forces a broadcast of the marked side, " +
+    "[shuffle] forces a shuffled hash join, LEADING strips harmlessly") {
+    import graft.sql.DorisSqlDialect
+    val spark = TestSpark.spark
+    (1 to 2000).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("hj_l")
+    (1 to 2000).map(i => (i.toLong, i * 2L)).toDF("k", "w")
+      .createOrReplaceTempView("hj_r")
+    // the chosen join STRATEGY must follow the hint on the marked relation
+    def planOf(q: String) = {
+      val df = DorisSqlDialect.sql(spark, q)
+      df.collect() // materialize so AQE finalizes the plan
+      df.queryExecution.executedPlan.toString
+    }
+    // auto-broadcast off: only the HINT can produce a broadcast here, so
+    // the assertion proves the hint (tiny tables would mask it otherwise)
+    val thr = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try {
+      val plain = planOf("SELECT count(*) AS n FROM hj_l l " +
+        "JOIN hj_r r ON l.k = r.k")
+      assert(!plain.contains("BroadcastHashJoin"), plain)
+      val pb = planOf("SELECT count(*) AS n FROM hj_l l " +
+        "JOIN [broadcast] hj_r r ON l.k = r.k")
+      assert(pb.contains("BroadcastHashJoin"), pb)
+      val ps = planOf("SELECT count(*) AS n FROM hj_l l " +
+        "JOIN [shuffle] hj_r r ON l.k = r.k")
+      assert(ps.contains("ShuffledHashJoin"), ps)
+    } finally spark.conf.set(thr, prev)
+    // LEADING strips; results identical with and without hints
+    val withHints = DorisSqlDialect.sql(spark,
+      "SELECT /*+ LEADING(r, l) */ l.k AS k, r.w AS w FROM hj_l l " +
+        "JOIN [broadcast] hj_r r ON l.k = r.k WHERE l.k <= 5 ORDER BY k")
+      .collect().toSeq
+    val plain = spark.sql(
+      "SELECT l.k AS k, r.w AS w FROM hj_l l JOIN hj_r r ON l.k = r.k " +
+        "WHERE l.k <= 5 ORDER BY k").collect().toSeq
+    assert(withHints == plain)
+  }
+
   private def ddlDir(ddl: DorisDdl, table: String): String = {
     val f = ddl.getClass.getDeclaredField("tables")
     f.setAccessible(true)
