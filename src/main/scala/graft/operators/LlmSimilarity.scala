@@ -883,29 +883,48 @@ object LlmSimilarity {
         |FROM agg a JOIN sc s ON a.vec_id = s.vec_id
         |ORDER BY a.vec_id""".stripMargin),
 
-    // Embedding-cosine near-duplicate pairs within a bounded slice — the
-    // exact verification stage a production near-dup pipeline runs after
-    // blocking. Threshold 0.4 because the synthetic embeddings' max pair
-    // cosine is ~0.51 (0.95 would be vacuously empty).
+    // Embedding-cosine near-duplicate pairs — the exact verification stage
+    // of a production near-dup pipeline, FED BY THE BLOCKING: candidate
+    // pairs come from the SemDeDup coarse cells (an equi-join on the cell
+    // id over the whole table — never a crossJoin, never a bounded slice),
+    // and the cosine verify runs only inside each cell. Pairwise cost is
+    // Σ|cell|², the shape that survives 100 TB; cross-cell near-dups are
+    // out of the candidate set by design (the SemDeDup trade, recall
+    // measured in LlmSpec). Threshold 0.4 because the synthetic
+    // embeddings' max pair cosine is ~0.51 (0.95 would be vacuously
+    // empty).
     "llm_embed_neardup" -> QueryDef(
       (s, dir) => {
         import s.implicits._
         graft.functions.CosineSim.register(s)
-        val emb = Tables.embeddings(s, dir).filter($"vec_id" < 200)
-          .select($"vec_id", $"embedding")
-        emb.as("a").crossJoin(emb.as("b"))
-          .filter($"a.vec_id" < $"b.vec_id")
+        val cells = cellRanked(s, dir).filter($"rn" === 1)
+          .select($"vec_id", $"embedding", $"cell")
+        cells.as("a").join(cells.as("b"),
+            $"a.cell" === $"b.cell" && $"a.vec_id" < $"b.vec_id")
           .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
             round(TextOps.cosine($"a.embedding", $"b.embedding"), 4).as("cos"))
           .filter($"cos" >= 0.4)
           .orderBy($"i", $"j")
       },
-      """WITH el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |    CAST(unnest(embedding) AS DOUBLE) AS v
-        |  FROM embeddings WHERE vec_id < 200),
-        |pairs AS (SELECT a.vec_id i, b.vec_id j,
-        |    round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 4) AS cos
-        |  FROM el a JOIN el b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      // replay: the same label-centroid cell assignment, then pair cosines
+      // within shared cells only
+      """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
+        |         FROM el GROUP BY 1, 2),
+        |sims AS (SELECT e.vec_id, ct.cell,
+        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
+        |  FROM el e JOIN cent ct ON e.pos = ct.pos
+        |  GROUP BY 1, 2),
+        |cl AS (SELECT vec_id, cell FROM (
+        |    SELECT vec_id, cell,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
+        |    FROM sims) WHERE rn = 1),
+        |pairs AS (SELECT ca.vec_id AS i, cb.vec_id AS j,
+        |    round(sum(ea.v * eb.v) / (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v))), 4) AS cos
+        |  FROM cl ca JOIN cl cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
+        |    JOIN el ea ON ea.vec_id = ca.vec_id
+        |    JOIN el eb ON eb.vec_id = cb.vec_id AND eb.pos = ea.pos
         |  GROUP BY 1, 2)
         |SELECT i, j, cos FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin),
 
@@ -918,9 +937,10 @@ object LlmSimilarity {
     // cell a vector is dropped if a SMALLER-id vector sits at cosine ≥ 0.4
     // (min-id survivor — deterministic; the paper keeps the
     // farthest-from-centroid instead, an orthogonal choice). Cells are the
-    // standing coarse-cell artifact (cellRanked); the same bounded slice
-    // discipline as llm_embed_neardup keeps the 64-dim pairwise oracle
-    // replayable in SQL. Recall vs unblocked brute force is measured in
+    // standing coarse-cell artifact (cellRanked); the vec_id < 500 slice
+    // keeps the 64-dim pairwise oracle replayable in SQL (llm_embed_neardup
+    // runs the same cell-blocked verify UNsliced). Recall vs unblocked
+    // brute force is measured in
     // LlmSpec (blocking misses cross-cell dups by design — the documented
     // SemDeDup trade).
     "llm_semdedup" -> QueryDef(

@@ -27,7 +27,6 @@ class PlanAuditSpec extends SparkSpec {
   // broadcast side that justifies it:
   //   join_cross            — the CROSS JOIN key itself (5×5×5 dims)
   //   llm_knn               — documented baseline: broadcast query set × corpus
-  //   llm_embed_neardup     — documented bounded-slice verify stage
   //   llm_dedup_minhash(_incr), llm_dedup_simhash(_incr)
   //                         — 2-row threshold table non-equi-joined to the
   //                           recall projection
@@ -43,7 +42,7 @@ class PlanAuditSpec extends SparkSpec {
   //                         — corpus × 1-row derived-phrase broadcast
   //                           crossJoin
   private val bnljAllowed = Set(
-    "join_cross", "llm_knn", "llm_embed_neardup",
+    "join_cross", "llm_knn",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
     "llm_dedup_simhash", "llm_dedup_simhash_incr",
     "llm_decontaminate", "llm_langid", "llm_unigram_logprob",
