@@ -907,25 +907,33 @@ object LlmSimilarity {
           .orderBy($"i", $"j")
       },
       // replay: the same label-centroid cell assignment, then pair cosines
-      // within shared cells only
+      // within shared cells only. list_dot_product (DuckDB 1.0) keeps the
+      // vectors as lists through the pair join — the unnest-join spelling
+      // of the same math explodes pairs ×64 positions and ground for
+      // core-HOURS at sf1's 20k vectors; this form replays in seconds
+      // (verified equal at sf0.01 and sf1, 24 309 pairs).
       """WITH el AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
         |cent AS (SELECT label AS cell, pos, round(avg(v), 6) AS c
         |         FROM el GROUP BY 1, 2),
+        |centl AS (SELECT cell, list(c ORDER BY pos) AS cv FROM cent GROUP BY 1),
+        |ed AS (SELECT vec_id, list(v ORDER BY pos) AS ev FROM el GROUP BY 1),
         |sims AS (SELECT e.vec_id, ct.cell,
-        |    round(sum(e.v * ct.c) / (sqrt(sum(e.v * e.v)) * sqrt(sum(ct.c * ct.c))), 6) AS sim
-        |  FROM el e JOIN cent ct ON e.pos = ct.pos
-        |  GROUP BY 1, 2),
+        |    round(list_dot_product(e.ev, ct.cv) /
+        |      (sqrt(list_dot_product(e.ev, e.ev)) *
+        |       sqrt(list_dot_product(ct.cv, ct.cv))), 6) AS sim
+        |  FROM ed e CROSS JOIN centl ct),
         |cl AS (SELECT vec_id, cell FROM (
         |    SELECT vec_id, cell,
         |      row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell ASC) AS rn
         |    FROM sims) WHERE rn = 1),
         |pairs AS (SELECT ca.vec_id AS i, cb.vec_id AS j,
-        |    round(sum(ea.v * eb.v) / (sqrt(sum(ea.v * ea.v)) * sqrt(sum(eb.v * eb.v))), 4) AS cos
+        |    round(list_dot_product(ea.ev, eb.ev) /
+        |      (sqrt(list_dot_product(ea.ev, ea.ev)) *
+        |       sqrt(list_dot_product(eb.ev, eb.ev))), 4) AS cos
         |  FROM cl ca JOIN cl cb ON ca.cell = cb.cell AND ca.vec_id < cb.vec_id
-        |    JOIN el ea ON ea.vec_id = ca.vec_id
-        |    JOIN el eb ON eb.vec_id = cb.vec_id AND eb.pos = ea.pos
-        |  GROUP BY 1, 2)
+        |    JOIN ed ea ON ea.vec_id = ca.vec_id
+        |    JOIN ed eb ON eb.vec_id = cb.vec_id)
         |SELECT i, j, cos FROM pairs WHERE cos >= 0.4 ORDER BY i, j""".stripMargin),
 
     // SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023 "SemDeDup: Data-efficient

@@ -22,4 +22,17 @@ class DocsSpec extends AnyFunSuite {
     assert(missing.isEmpty && stale.isEmpty,
       s"matrix missing=${missing.toSeq.sorted} stale=${stale.toSeq.sorted}")
   }
+
+  test("SURVEY.md §8 header's key COUNT matches the code (prose counters " +
+    "drifted for three rounds before this pin)") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val header = """(?m)^## 8\..*?(\d+) keys as of round (\d+)""".r
+      .findFirstMatchIn(survey)
+      .getOrElse(fail("SURVEY §8 header must state '<N> keys as of round <R>'"))
+    assert(header.group(1).toInt == SparkEntry.defs.size,
+      s"SURVEY §8 header says ${header.group(1)} keys; code has " +
+        s"${SparkEntry.defs.size} — update the header (and the round number)")
+  }
 }
