@@ -143,4 +143,42 @@ class DdlNegativeSpec extends SparkSpec {
     assert(crashes.isEmpty,
       s"${crashes.size} unnamed crashes:\n  ${crashes.take(12).mkString("\n  ")}")
   }
+
+  test("dispatch probes: bare prefixes, half-statements, garbage, and the " +
+    "empty string all reject with named errors (never crash classes)") {
+    val ddl = new DorisDdl(TestSpark.spark)
+    ddl.execute(
+      """CREATE TABLE np (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO np VALUES (1, 1.0)")
+    val probes = Seq(
+      "CREATE", "CREATE TABLE", "CREATE TABLE t2x", "CREATE TABLE t2x (",
+      "CREATE INDEX", "CREATE MATERIALIZED VIEW", "CREATE VIEW",
+      "INSERT", "INSERT INTO", "INSERT INTO ghost VALUES (1)",
+      "UPDATE", "UPDATE np", "UPDATE np SET", "UPDATE np SET v = 1",
+      "UPDATE np SET v = 1 FROM", "DELETE", "DELETE FROM", "DELETE FROM np",
+      "DELETE FROM np USING", "ALTER TABLE", "ALTER TABLE np",
+      "ALTER TABLE np FROBNICATE x", "ALTER TABLE np SET", "TRUNCATE",
+      "TRUNCATE TABLE ghost", "DROP TABLE", "DROP TABLE ghost",
+      "DROP INDEX foo", "DROP MATERIALIZED VIEW",
+      "SHOW", "SHOW GIZMOS", "SHOW PARTITIONS", "SHOW CREATE TABLE",
+      "SHOW INDEX", "SHOW COLUMN STATS", "DESC ghost", "EXPLAIN", "ANALYZE",
+      "ANALYZE TABLE ghost", "BACKUP SNAPSHOT",
+      "RESTORE SNAPSHOT s FROM '/nonexistent'", "LOAD LABEL", "CANCEL LOAD",
+      "STOP ROUTINE LOAD ghost", "PAUSE ROUTINE LOAD", "EXPORT TABLE",
+      "SELECT FROM WHERE", ")(", "'", "", ";", "/*+ LEADING(a) */")
+    val crashes = scala.collection.mutable.ArrayBuffer.empty[String]
+    probes.foreach { p =>
+      try { ddl.execute(p); () }
+      catch {
+        case e: Throwable if unnamed(e) =>
+          crashes += s"[${e.getClass.getSimpleName}: ${e.getMessage}] '$p'"
+        case _: Throwable => ()
+      }
+    }
+    assert(crashes.isEmpty, crashes.mkString("\n"))
+    // the context table must be untouched by the probe barrage
+    import TestSpark.spark.implicits._
+    assert(ddl.sql("SELECT v FROM np WHERE k = 1").as[Double].head() == 1.0)
+  }
 }
