@@ -1057,6 +1057,107 @@ object LlmSimilarity {
         |  CAST(coalesce(sum(CASE WHEN d.vec_id IS NOT NULL THEN h.vec_id END), 0)
         |    AS BIGINT) AS sum_dropped_ids
         |FROM home h LEFT JOIN dropped d ON d.vec_id = h.vec_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // HYBRID RETRIEVAL with Reciprocal Rank Fusion (Cormack et al. 2009,
+    // the standard way RAG stacks combine a lexical and a dense ranker
+    // without score calibration). Query = document 0 (its top-3 tf tokens
+    // for the lexical side, its embedding for the dense side); corpus =
+    // id >= 5 in both spaces. Each ranker produces its own top-30 list —
+    // lexical is the llm_bm25 Okapi scorer (df/dl/avgdl standing artifacts
+    // over the corpus, 3-row query table broadcast into the tf stream),
+    // dense is the brute-force cosine the llm_knn family serves (at 100 TB
+    // the IVF probe replaces it; the fusion stage is identical) — and RRF
+    // fuses them as Σ 1/(60+rank) over a FULL OUTER join of the two lists:
+    // the corpus is never touched again after each ranker's own top-k cut.
+    // Ranks are integers computed from rounded scores under total
+    // (score, id) orders, and the fused score is one fixed-shape expression
+    // over two exact integer ranks — both engines compute bit-identical
+    // doubles, so ordering is deterministic; + 1e-9 display nudge per the
+    // llm_cosine convention.
+    "llm_rrf_fusion" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.CosineSim.register(s)
+        val tf = LlmText.termStats(s, dir)
+        // lexical: BM25 of corpus docs vs doc 0's top-3 tokens
+        val ctf = tf.filter($"doc_id" >= 5)
+        val q = tf.filter($"doc_id" === 0)
+          .orderBy($"tf".desc, $"tok".asc).limit(3).select($"tok")
+        val dl = ctf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        val df = ctf.groupBy($"tok").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg($"dl").as("avgdl"))
+        val lex = ctf.join(broadcast(q), "tok")
+          .join(df, "tok").join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("w",
+            log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0) *
+              ($"tf" * 2.2) /
+              ($"tf" + (lit(0.25) + $"dl" / $"avgdl" * 0.75) * 1.2))
+          .groupBy($"doc_id").agg(round(sum($"w"), 4).as("bm25"))
+          .withColumn("r_lex", row_number().over(
+            Window.orderBy($"bm25".desc, $"doc_id")))
+          .filter($"r_lex" <= 30)
+          .select($"doc_id".as("id"), $"r_lex")
+        // dense: cosine of corpus vectors vs vector 0
+        val emb = Tables.embeddings(s, dir)
+        val qv = emb.filter($"vec_id" === 0)
+          .select($"embedding".as("qvec"))
+        val dense = emb.filter($"vec_id" >= 5)
+          .crossJoin(broadcast(qv))
+          .select($"vec_id",
+            round(TextOps.cosine($"qvec", $"embedding"), 6).as("cos"))
+          .withColumn("r_dense", row_number().over(
+            Window.orderBy($"cos".desc, $"vec_id")))
+          .filter($"r_dense" <= 30)
+          .select($"vec_id".as("id"), $"r_dense")
+        lex.join(dense, Seq("id"), "full_outer")
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + $"r_lex"), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + $"r_dense"), lit(0.0)))
+          .orderBy($"rrf".desc, $"id")
+          .limit(15)
+          .select($"id", $"r_lex", $"r_dense",
+            round($"rrf" + lit(1e-9), 6).as("rrf6"))
+      },
+      """WITH tl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM documents),
+        |tfa AS (SELECT doc_id, tok, count(*) AS tf FROM tl GROUP BY 1, 2),
+        |ctf AS (SELECT * FROM tfa WHERE doc_id >= 5),
+        |q AS (SELECT tok FROM tfa WHERE doc_id = 0
+        |      ORDER BY tf DESC, tok LIMIT 3),
+        |dl AS (SELECT doc_id, sum(tf) AS dl FROM ctf GROUP BY 1),
+        |df AS (SELECT tok, count(*) AS df FROM ctf GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+        |      FROM dl),
+        |bm AS (SELECT doc_id,
+        |         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |           (tf * 2.2) / (tf + (0.25 + dl / avgdl * 0.75) * 1.2)), 4)
+        |           AS bm25
+        |       FROM ctf JOIN q USING (tok) JOIN df USING (tok)
+        |         JOIN dl USING (doc_id) CROSS JOIN s
+        |       GROUP BY 1),
+        |lex AS (SELECT doc_id AS id, r_lex FROM (
+        |          SELECT doc_id, row_number() OVER
+        |            (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bm)
+        |        WHERE r_lex <= 30),
+        |el AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |         CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |cs AS (SELECT c.vec_id,
+        |         round(sum(q.v * c.v) /
+        |           (sqrt(sum(q.v * q.v)) * sqrt(sum(c.v * c.v))), 6) AS cos
+        |       FROM el q JOIN el c ON q.pos = c.pos
+        |       WHERE q.vec_id = 0 AND c.vec_id >= 5 GROUP BY 1),
+        |dense AS (SELECT vec_id AS id, r_dense FROM (
+        |            SELECT vec_id, row_number() OVER
+        |              (ORDER BY cos DESC, vec_id) AS r_dense FROM cs)
+        |          WHERE r_dense <= 30),
+        |fused AS (SELECT coalesce(lex.id, dense.id) AS id, r_lex, r_dense,
+        |            coalesce(CAST(1.0 AS DOUBLE) / (60 + r_lex), 0.0) +
+        |              coalesce(CAST(1.0 AS DOUBLE) / (60 + r_dense), 0.0) AS rrf
+        |          FROM lex FULL OUTER JOIN dense ON lex.id = dense.id)
+        |SELECT id, r_lex, r_dense, round(rrf + 1e-9, 6) AS rrf6
+        |FROM fused ORDER BY rrf DESC, id LIMIT 15""".stripMargin)
   )
 }

@@ -1576,6 +1576,178 @@ object LlmText {
         |  CAST(sum(t) AS BIGINT) AS sum_tokens,
         |  CAST(sum(doc_id) AS BIGINT) AS sum_ids
         |FROM c WHERE cum <= 2000
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // BPE TOKENIZER TRAINING (Sennrich et al. 2016, the byte-pair-encoding
+    // merge loop every open tokenizer uses). The scale shape is the
+    // standard one: the corpus is touched ONCE (token → word-TYPE counts,
+    // one shuffle); every merge iteration then runs over the vocabulary-
+    // sized type table only — pair counting is an explode + groupBy over
+    // word types weighted by corpus frequency, so 100 TB of text and 100 GB
+    // of text cost the same per iteration after the first count. The
+    // per-iteration argmax is a limit(1).collect() of ONE row (metadata,
+    // like PCA's dim-row stats); the merge application is a codegen
+    // aggregate-HOF left fold over each word's symbol list, localCheckpoint
+    // per round to cut the 6-deep lineage (the dedup-clustering precedent).
+    // The fold (never re-merging the symbol it just produced) is exactly
+    // greedy left-to-right BPE — equivalence to a reference implementation
+    // is property-tested in LlmSpec. Output = the learned merge table
+    // (rank, pair, merged symbol, weighted pair count): all strings and
+    // integers, so the oracle — which replays the same fold in DuckDB via
+    // list_reduce on '|'-joined symbols (corpus tokens are [a-z0-9], so '|'
+    // is free as a separator) — hash-compares exactly, no float anywhere.
+    "llm_bpe_train" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        var w = Tables.documents(s, dir)
+          .select(explode(TextOps.tokens($"text")).as("word"))
+          .groupBy($"word").agg(count(lit(1)).as("cnt"))
+          .select($"word", $"cnt",
+            expr("concat(filter(split(word, ''), ch -> ch <> '')," +
+              " array('</w>'))").as("syms"))
+          .localCheckpoint(true)
+        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+        for (i <- 1 to bpeMerges) {
+          val best = w
+            .select($"cnt", explode(expr(
+              "transform(sequence(1, size(syms) - 1)," +
+                " j -> struct(element_at(syms, j) as a," +
+                " element_at(syms, j + 1) as b))")).as("p"))
+            .groupBy($"p.a".as("a"), $"p.b".as("b"))
+            .agg(sum($"cnt").as("c"))
+            .orderBy($"c".desc, $"a".asc, $"b".asc)
+            .limit(1).collect()(0)
+          val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+          merges += ((i, a, b, a + b, c))
+          w = w.select($"word", $"cnt", expr(bpeFoldExpr(a, b)).as("syms"))
+            .localCheckpoint(true)
+        }
+        merges.result()
+          .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+          .orderBy($"merge_rank")
+      },
+      bpeOracleSql),
+
+    // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    // select raw-corpus documents whose unigram distribution looks like a
+    // TARGET domain (here lang='en') by per-document importance weight
+    // w(d) = Σ_tok tf_d(tok)·(ln p_target(tok) − ln p_raw(tok)), add-1
+    // smoothed over the raw vocabulary. The paper hashes n-grams into a
+    // fixed bucket count to bound the feature table; exact token buckets
+    // are strictly more accurate and keep the same plan — at 100 TB the
+    // bucket column would be xxhash64(tok) % 2^18 with nothing else
+    // changing. Shape: the log-ratio table is a standing artifact the size
+    // of the vocabulary (built from the same termStats checkpoint tfidf
+    // and bm25 share), BROADCAST into the tf stream — the corpus never
+    // shuffles except the one per-doc aggregate. The per-token log-ratio is
+    // snapped to INTEGER MICRO-UNITS at the 31-row table (the integer-units
+    // rule applied at design time), so every per-doc weight is an exact
+    // BIGINT dot product — order-independent on both engines — and the
+    // top-k selection (TakeOrdered, the sort_topk shape) is fully
+    // deterministic under the (weight desc, doc_id) total order.
+    "llm_dsir" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val tf = termStats(s, dir)
+        val isTgt = Tables.documents(s, dir)
+          .select($"doc_id", ($"lang" === "en").as("tgt"))
+        val perTok = tf.join(isTgt, "doc_id")
+          .groupBy($"tok")
+          .agg(sum($"tf").as("cr"),
+            sum(when($"tgt", $"tf").otherwise(0L)).as("ct"))
+        val stats = perTok.agg(sum($"cr").as("nr"), sum($"ct").as("nt"),
+          count(lit(1)).as("v"))
+        val lam = perTok.crossJoin(broadcast(stats))
+          .select($"tok",
+            round(
+              (log(($"ct" + 1.0) / ($"nt" + $"v")) -
+                log(($"cr" + 1.0) / ($"nr" + $"v"))) * 1e6 + lit(1e-9))
+              .cast("long").as("lam"))
+        val sel = tf.join(broadcast(lam), "tok")
+          .groupBy($"doc_id")
+          .agg(sum($"tf" * $"lam").as("weight_micro"))
+          .orderBy($"weight_micro".desc, $"doc_id")
+          .limit(60)
+        sel.withColumn("rank", row_number().over(
+            Window.orderBy($"weight_micro".desc, $"doc_id")))
+          .select($"rank", $"doc_id", $"weight_micro")
+          .orderBy($"rank")
+      },
+      """WITH tl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+        |            FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tl GROUP BY 1, 2),
+        |pt AS (SELECT tok, sum(tf) AS cr,
+        |         sum(CASE WHEN lang = 'en' THEN tf ELSE 0 END) AS ct
+        |       FROM tf JOIN documents USING (doc_id) GROUP BY 1),
+        |st AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM pt),
+        |lam AS (SELECT tok, CAST(round(
+        |          (ln((ct + 1.0) / (nt + v)) - ln((cr + 1.0) / (nr + v)))
+        |            * 1000000 + 1e-9, 0) AS BIGINT) AS lam
+        |        FROM pt CROSS JOIN st),
+        |w AS (SELECT doc_id, CAST(sum(tf * lam) AS BIGINT) AS weight_micro
+        |      FROM tf JOIN lam USING (tok) GROUP BY 1)
+        |SELECT row_number() OVER (ORDER BY weight_micro DESC, doc_id) AS rank,
+        |  doc_id, weight_micro
+        |FROM w ORDER BY weight_micro DESC, doc_id LIMIT 60""".stripMargin)
   )
+
+  /** Merge count for llm_bpe_train — shared by the Spark loop and the
+    * unrolled DuckDB oracle below. */
+  private val bpeMerges = 6
+
+  /** One BPE merge application as a Spark SQL aggregate-HOF left fold:
+    * append each symbol, except that a symbol equal to `b` arriving while
+    * the accumulator's LAST symbol is exactly `a` replaces that last symbol
+    * with the merged `ab`. A just-merged symbol can never re-match (ab ≠ a
+    * since b is non-empty), which makes the fold exactly greedy
+    * left-to-right BPE (LlmSpec property-tests this against a reference).
+    * Symbols are corpus-token chars plus '</w>' — no quotes — but guard the
+    * splice anyway. */
+  private[graft] def bpeFoldExpr(a: String, b: String): String = {
+    require(!a.contains("'") && !b.contains("'"), s"unsafe BPE symbol: $a $b")
+    val m = a + b
+    s"""aggregate(syms, cast(array() as array<string>),
+       |  (acc, x) -> CASE
+       |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$a' AND x = '$b'
+       |    THEN concat(slice(acc, 1, size(acc) - 1), array('$m'))
+       |    ELSE concat(acc, array(x)) END)""".stripMargin
+  }
+
+  /** DuckDB replay of the whole BPE loop, unrolled `bpeMerges` times: the
+    * same fold runs as list_reduce over a '|'-joined accumulator string
+    * (symbols are [a-z0-9] + '</w>' — '|' cannot occur), re-split per
+    * round. Each iteration: adjacent-pair explode → weighted count →
+    * (count desc, lhs, rhs) argmax → fold. All integers and strings. */
+  private def bpeOracleSql: String = {
+    def iter(i: Int): String = {
+      val p = s"w${i - 1}"
+      s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
+         |  FROM (SELECT cnt, syms,
+         |          unnest(generate_series(1, len(syms) - 1)) AS j FROM $p)
+         |  GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, a || b AS m, c FROM p$i
+         |        ORDER BY c DESC, a, b LIMIT 1),
+         |w$i AS (SELECT word, cnt, string_split(list_reduce(syms, (acc, x) ->
+         |    CASE WHEN x = b$i.b AND (acc = b$i.a
+         |           OR (length(acc) > length(b$i.a)
+         |               AND substr(acc, length(acc) - length(b$i.a) + 1) = b$i.a
+         |               AND substr(acc, length(acc) - length(b$i.a), 1) = '|'))
+         |      THEN substr(acc, 1, length(acc) - length(b$i.a)) || b$i.a || b$i.b
+         |      ELSE acc || '|' || x END), '|') AS syms
+         |  FROM $p CROSS JOIN b$i)""".stripMargin
+    }
+    val rows = (1 to bpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, m AS merged," +
+        s" CAST(c AS BIGINT) AS pair_count FROM b$i"
+    }
+    s"""WITH tl AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+       |            FROM documents),
+       |w0 AS (SELECT tok AS word, count(*) AS cnt,
+       |         list_append(string_split(tok, ''), '</w>') AS syms
+       |       FROM tl GROUP BY 1, 3),
+       |${(1 to bpeMerges).map(iter).mkString(",\n")}
+       |SELECT merge_rank, lhs, rhs, merged, pair_count FROM (
+       |${rows.mkString(" UNION ALL\n")}
+       |) ORDER BY merge_rank""".stripMargin
+  }
 }

@@ -718,4 +718,93 @@ class LlmSpec extends SparkSpec {
         s"doc $id tail dropped")
     }
   }
+
+  test("BPE fold expression = reference greedy left-to-right merge " +
+    "(property over random words, incl. runs and alternating chains)") {
+    import graft.operators.LlmText
+    // reference greedy: scan left to right, merge (a,b) when adjacent,
+    // consumed symbols never re-match
+    def greedy(syms: Seq[String], a: String, b: String): Seq[String] = {
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(17)
+    val alphabet = Vector("a", "b", "c", "ab", "aa")
+    val words: Seq[Seq[String]] =
+      Seq("aaaa", "ababab", "aab", "abb", "bab", "aaab", "abab", "a", "")
+        .map(_.map(_.toString)) ++
+        Seq.fill(200)(Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(5))))
+    val pairs = Seq(("a", "b"), ("a", "a"), ("b", "a"), ("a", "ab"), ("ab", "a"))
+    for ((a, b) <- pairs) {
+      val df = words.zipWithIndex.map { case (w, i) => (i, w) }
+        .toDF("id", "syms")
+        .select($"id", expr(LlmText.bpeFoldExpr(a, b)).as("merged"))
+      val got = df.as[(Int, Seq[String])].collect().toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        assert(got(i) == greedy(w, a, b),
+          s"pair ($a,$b) word=$w got=${got(i)} want=${greedy(w, a, b)}")
+      }
+    }
+  }
+
+  test("llm_bpe_train: merge table well-formed; rank-1 merge is the true " +
+    "corpus argmax recomputed independently") {
+    val rows = run("llm_bpe_train")
+      .as[(Int, String, String, String, Long)].collect().sortBy(_._1)
+    assert(rows.length == 6 && rows.map(_._1).toSeq == (1 to 6))
+    rows.foreach { case (_, lhs, rhs, merged, c) =>
+      assert(merged == lhs + rhs && c > 0) }
+    // independent argmax of iteration 1: adjacent char-pair counts weighted
+    // by word frequency, straight over the corpus
+    val freq = Tables.documents(spark, sf)
+      .select(explode(split(lower($"text"), "\\s+")).as("w"))
+      .as[String].collect().groupBy(identity).view.mapValues(_.size.toLong)
+    val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+    freq.foreach { case (w, n) =>
+      val syms = w.map(_.toString) :+ "</w>"
+      syms.sliding(2).foreach { p =>
+        pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + n }
+    }
+    val best = pc.toSeq.sortBy { case ((a, b), c) => (-c, a, b) }.head
+    assert((rows(0)._2, rows(0)._3) == best._1 && rows(0)._5 == best._2,
+      s"rank-1 merge ${rows(0)} != independent argmax $best")
+  }
+
+  test("llm_dsir: weights rank-ordered; selection is target-enriched " +
+    "(en fraction above corpus base rate)") {
+    val sel = run("llm_dsir").as[(Int, Long, Long)].collect().sortBy(_._1)
+    assert(sel.length == 60 && sel.map(_._1).toSeq == (1 to 60))
+    assert(sel.sliding(2).forall { case Array(x, y) =>
+      x._3 > y._3 || (x._3 == y._3 && x._2 < y._2) }, "rank order broken")
+    val langs = Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .as[(Long, String)].collect().toMap
+    val base = langs.values.count(_ == "en").toDouble / langs.size
+    val got = sel.count(r => langs(r._2) == "en").toDouble / sel.length
+    assert(got > base,
+      f"selection en-fraction $got%.3f not above base rate $base%.3f")
+  }
+
+  test("llm_rrf_fusion: fused scores bounded by best-possible dual rank, " +
+    "ordered, ids distinct, every row backed by at least one ranker") {
+    val rows = run("llm_rrf_fusion")
+      .as[(Long, Option[Int], Option[Int], Double)].collect()
+    assert(rows.length == 15)
+    assert(rows.map(_._1).distinct.length == 15, "duplicate ids")
+    assert(rows.sliding(2).forall { case Array(x, y) => x._4 >= y._4 },
+      "not ordered by fused score")
+    rows.foreach { case (id, rl, rd, rrf) =>
+      assert(rl.isDefined || rd.isDefined, s"$id in neither list")
+      assert(rl.forall(r => r >= 1 && r <= 30) && rd.forall(r => r >= 1 && r <= 30))
+      val want = rl.map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        rd.map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      assert(math.abs(rrf - want) < 2e-6, s"$id rrf=$rrf want=$want")
+      assert(rrf <= math.rint((2.0 / 61 + 1e-9) * 1e6) / 1e6 + 1e-12)
+    }
+  }
 }

@@ -41,6 +41,11 @@ class PlanAuditSpec extends SparkSpec {
   //   llm_match_phrase, llm_match_phrase_prefix, llm_match_phrase_edge
   //                         — corpus × 1-row derived-phrase broadcast
   //                           crossJoin
+  //   llm_dsir              — log-ratio table × 1-row corpus-totals
+  //                           broadcast crossJoin (the tfidf/bm25 shape)
+  //   llm_rrf_fusion        — BM25 stream × 1-row stats crossJoin plus
+  //                           corpus × 1-row query-vector crossJoin (the
+  //                           llm_knn baseline shape)
   private val bnljAllowed = Set(
     "join_cross", "llm_knn",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
@@ -48,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     "llm_decontaminate", "llm_langid", "llm_unigram_logprob",
     "llm_bigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
-    "llm_match_phrase_edge", "llm_match_regexp")
+    "llm_match_phrase_edge", "llm_match_regexp",
+    "llm_dsir", "llm_rrf_fusion")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
