@@ -117,6 +117,36 @@ object LlmText {
     }
   }
 
+  /** Per-document interpolated bigram LM score (the CCNet/KenLM-flavored
+    * perplexity signal) — shared by llm_bigram_logprob (raw scores) and
+    * llm_perplexity_bucket (per-language tercile partition). Returns
+    * (doc_id, n_bigrams, logprob) with logprob rounded at 4 dp; see the
+    * llm_bigram_logprob key comment for the plan-shape rationale. */
+  private[graft] def bigramDocScore(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, dir)
+      .select($"doc_id",
+        posexplode(TextOps.tokens($"text")).as(Seq("pos", "w")))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    val bg = toks
+      .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(win).as("w2"))
+      .filter($"w2".isNotNull)
+    val c1 = toks.groupBy($"w".as("cw")).agg(count(lit(1)).as("c"))
+    val c2 = bg.groupBy($"w1".as("aw1"), $"w2".as("aw2"))
+      .agg(count(lit(1)).as("c2"))
+    val tot = toks.agg(count(lit(1)).as("n_total"))
+    bg.join(c2, $"w1" === $"aw1" && $"w2" === $"aw2")
+      .join(c1.toDF("j1", "ca"), $"w1" === $"j1")
+      .join(c1.toDF("j2", "cb"), $"w2" === $"j2")
+      .crossJoin(broadcast(tot))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log(lit(0.8) * $"c2".cast("double") / $"ca" +
+          lit(0.2) * $"cb".cast("double") / $"n_total")), 4).as("logprob"))
+  }
+
   /** Winnowing fingerprint build shared by llm_winnow / llm_winnow_pairs:
     * (doc_id, n_grams, fps) — k=4-token gram hashes and the w=5 window-min
     * selection. CHECKPOINTED, and not optional: downstream of a Generate,
@@ -230,30 +260,8 @@ object LlmText {
     // element (the llm_winnow_pairs trap, measured 300×). The 1-row corpus
     // total broadcasts map-side onto the instance stream.
     "llm_bigram_logprob" -> QueryDef(
-      (s, dir) => {
-        import s.implicits._
-        val toks = Tables.documents(s, dir)
-          .select($"doc_id",
-            posexplode(TextOps.tokens($"text")).as(Seq("pos", "w")))
-        val win = org.apache.spark.sql.expressions.Window
-          .partitionBy($"doc_id").orderBy($"pos")
-        val bg = toks
-          .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(win).as("w2"))
-          .filter($"w2".isNotNull)
-        val c1 = toks.groupBy($"w".as("cw")).agg(count(lit(1)).as("c"))
-        val c2 = bg.groupBy($"w1".as("aw1"), $"w2".as("aw2"))
-          .agg(count(lit(1)).as("c2"))
-        val tot = toks.agg(count(lit(1)).as("n_total"))
-        bg.join(c2, $"w1" === $"aw1" && $"w2" === $"aw2")
-          .join(c1.toDF("j1", "ca"), $"w1" === $"j1")
-          .join(c1.toDF("j2", "cb"), $"w2" === $"j2")
-          .crossJoin(broadcast(tot))
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_bigrams"),
-            round(avg(log(lit(0.8) * $"c2".cast("double") / $"ca" +
-              lit(0.2) * $"cb".cast("double") / $"n_total")), 4).as("logprob"))
-          .orderBy($"doc_id")
-      },
+      (s, dir) => bigramDocScore(s, dir)
+        .orderBy(org.apache.spark.sql.functions.col("doc_id")),
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
         |           FROM documents),
         |ti AS (SELECT doc_id, unnest(toks) AS w FROM t),
@@ -274,6 +282,71 @@ object LlmText {
         |JOIN c1 ca ON ca.w = p.w1
         |JOIN c1 cb ON cb.w = p.w2
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin),
+
+    // CCNet PERPLEXITY BUCKETING (Wenzek et al. 2020): partition each
+    // language's documents into head/middle/tail terciles by LM score —
+    // the curation step real pretraining corpora apply right after
+    // language ID (train on head+middle, sample or drop tail). Scoring is
+    // the shared bigramDocScore artifact; the bucket assignment is one
+    // ntile(3) window PARTITIONED BY LANGUAGE, so at 100 TB the sort is
+    // per-language-partition (never global) and composes with the same
+    // doc-count-sized rows every per-doc scorer emits. Determinism: ntile
+    // runs over the (logprob 4dp desc, doc_id) total order — the 4 dp
+    // rounding is the proven llm_bigram_logprob contract, so both engines
+    // see identical orderings and identical tercile cut points. Docs
+    // shorter than 2 tokens carry no bigram signal and are out of scope
+    // (inner join), matching the scorer key.
+    "llm_perplexity_bucket" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val scored = bigramDocScore(s, dir)
+          .join(Tables.documents(s, dir).select($"doc_id", $"lang"), "doc_id")
+        scored
+          .withColumn("bucket", ntile(3).over(
+            Window.partitionBy($"lang").orderBy($"logprob".desc, $"doc_id")))
+          .groupBy($"lang", $"bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"doc_id").as("sum_doc_ids"),
+            min($"logprob").as("min_logprob"),
+            max($"logprob").as("max_logprob"))
+          .select($"lang", $"bucket",
+            when($"bucket" === 1, "head").when($"bucket" === 2, "middle")
+              .otherwise("tail").as("tier"),
+            $"n_docs", $"sum_doc_ids", $"min_logprob", $"max_logprob")
+          .orderBy($"lang", $"bucket")
+      },
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+        |           FROM documents),
+        |ti AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |p AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i])) AS w1,
+        |        unnest(list_transform(generate_series(1, len(toks) - 1),
+        |          i -> toks[i+1])) AS w2
+        |      FROM t WHERE len(toks) >= 2),
+        |c1 AS (SELECT w, count(*) AS c FROM ti GROUP BY 1),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM p GROUP BY 1, 2),
+        |tot AS (SELECT count(*) AS n FROM ti),
+        |lp AS (SELECT p.doc_id,
+        |         round(avg(ln(0.8 * CAST(c2.c AS DOUBLE) / ca.c
+        |           + 0.2 * CAST(cb.c AS DOUBLE) / (SELECT n FROM tot))), 4)
+        |           AS logprob
+        |       FROM p
+        |       JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+        |       JOIN c1 ca ON ca.w = p.w1
+        |       JOIN c1 cb ON cb.w = p.w2
+        |       GROUP BY p.doc_id),
+        |bk AS (SELECT d.lang, lp.doc_id, lp.logprob,
+        |         ntile(3) OVER (PARTITION BY d.lang
+        |           ORDER BY lp.logprob DESC, lp.doc_id) AS bucket
+        |       FROM lp JOIN documents d USING (doc_id))
+        |SELECT lang, bucket,
+        |  CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |    ELSE 'tail' END AS tier,
+        |  count(*) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+        |  min(logprob) AS min_logprob, max(logprob) AS max_logprob
+        |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // TF-IDF top terms per document — the classic corpus-relevance signal
     // (keyword extraction, near-dup triage, topic labeling). score(d, t) =
@@ -1599,34 +1672,37 @@ object LlmText {
     "llm_bpe_train" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        var w = Tables.documents(s, dir)
-          .select(explode(TextOps.tokens($"text")).as("word"))
-          .groupBy($"word").agg(count(lit(1)).as("cnt"))
-          .select($"word", $"cnt",
-            expr("concat(filter(split(word, ''), ch -> ch <> '')," +
-              " array('</w>'))").as("syms"))
-          .localCheckpoint(true)
-        val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-        for (i <- 1 to bpeMerges) {
-          val best = w
-            .select($"cnt", explode(expr(
-              "transform(sequence(1, size(syms) - 1)," +
-                " j -> struct(element_at(syms, j) as a," +
-                " element_at(syms, j + 1) as b))")).as("p"))
-            .groupBy($"p.a".as("a"), $"p.b".as("b"))
-            .agg(sum($"cnt").as("c"))
-            .orderBy($"c".desc, $"a".asc, $"b".asc)
-            .limit(1).collect()(0)
-          val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
-          merges += ((i, a, b, a + b, c))
-          w = w.select($"word", $"cnt", expr(bpeFoldExpr(a, b)).as("syms"))
-            .localCheckpoint(true)
-        }
-        merges.result()
+        bpeLearned(s, dir).merges
           .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
           .orderBy($"merge_rank")
       },
       bpeOracleSql),
+
+    // BPE ENCODE — the second half of the tokenizer loop: apply the learned
+    // merge table to the corpus and report each document's subtoken count
+    // (the number every token-budget / context-packing step downstream
+    // consumes). The trained vocabulary is word-type-level, so encoding is
+    // a BROADCAST join of the corpus token stream against the final
+    // word→symbol-count map (vocabulary-sized standing artifact — the same
+    // economics as the tfidf df table) plus one per-doc aggregate; the
+    // corpus is never re-folded per document. n_chars_ws (chars + the
+    // end-of-word marker) pins the compression direction: merges can only
+    // shrink symbol counts, asserted in LlmSpec. All-integer output.
+    "llm_bpe_encode" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vocab = bpeLearned(s, dir).words
+          .select($"word", size($"syms").cast("long").as("n_syms"))
+        Tables.documents(s, dir)
+          .select($"doc_id", explode(TextOps.tokens($"text")).as("word"))
+          .join(broadcast(vocab), "word")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_syms").as("n_subtokens"),
+            (sum(length($"word")) + count(lit(1))).as("n_sym0"))
+          .orderBy($"doc_id")
+      },
+      bpeEncodeOracleSql),
 
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     // select raw-corpus documents whose unigram distribution looks like a
@@ -1695,6 +1771,55 @@ object LlmText {
     * unrolled DuckDB oracle below. */
   private val bpeMerges = 6
 
+  /** Trained-BPE state: the merge table plus the post-merge word-type
+    * table (word, cnt, syms). Both are vocabulary-sized. */
+  private[graft] case class BpeModel(
+      merges: Seq[(Int, String, String, String, Long)],
+      words: org.apache.spark.sql.DataFrame)
+
+  private case class BpeEntry(mtime: Long, model: BpeModel)
+  private val bpeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BpeEntry]()
+
+  /** Run (or serve) the BPE training loop for a corpus dir — the standing
+    * tokenizer artifact llm_bpe_train and llm_bpe_encode both consume.
+    * Same source-mtime freshness + session-rebind contract as termStats:
+    * a rewritten documents table retrains instead of serving stale merges,
+    * and a checkpointed word table from a dead session is rebuilt. */
+  private[graft] def bpeLearned(s: SparkSession, dir: String): BpeModel = {
+    import s.implicits._
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = bpeCache.get(dir)
+    if (e != null && e.mtime == srcMtime && (e.model.words.sparkSession eq s))
+      return e.model
+    var w = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .select($"word", $"cnt",
+        expr("concat(filter(split(word, ''), ch -> ch <> '')," +
+          " array('</w>'))").as("syms"))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (i <- 1 to bpeMerges) {
+      val best = w
+        .select($"cnt", explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " j -> struct(element_at(syms, j) as a," +
+            " element_at(syms, j + 1) as b))")).as("p"))
+        .groupBy($"p.a".as("a"), $"p.b".as("b"))
+        .agg(sum($"cnt").as("c"))
+        .orderBy($"c".desc, $"a".asc, $"b".asc)
+        .limit(1).collect()(0)
+      val (a, b, c) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((i, a, b, a + b, c))
+      w = w.select($"word", $"cnt", expr(bpeFoldExpr(a, b)).as("syms"))
+        .localCheckpoint(true)
+    }
+    val model = BpeModel(merges.result(), w)
+    bpeCache.put(dir, BpeEntry(srcMtime, model))
+    model
+  }
+
   /** One BPE merge application as a Spark SQL aggregate-HOF left fold:
     * append each symbol, except that a symbol equal to `b` arriving while
     * the accumulator's LAST symbol is exactly `a` replaces that last symbol
@@ -1713,12 +1838,13 @@ object LlmText {
        |    ELSE concat(acc, array(x)) END)""".stripMargin
   }
 
-  /** DuckDB replay of the whole BPE loop, unrolled `bpeMerges` times: the
-    * same fold runs as list_reduce over a '|'-joined accumulator string
+  /** DuckDB replay of the BPE training loop, unrolled `bpeMerges` times:
+    * the same fold runs as list_reduce over a '|'-joined accumulator string
     * (symbols are [a-z0-9] + '</w>' — '|' cannot occur), re-split per
     * round. Each iteration: adjacent-pair explode → weighted count →
-    * (count desc, lhs, rhs) argmax → fold. All integers and strings. */
-  private def bpeOracleSql: String = {
+    * (count desc, lhs, rhs) argmax → fold. All integers and strings.
+    * Shared WITH-prefix for both BPE oracles. */
+  private def bpeOracleCtes: String = {
     def iter(i: Int): String = {
       val p = s"w${i - 1}"
       s"""p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, sum(cnt) AS c
@@ -1736,18 +1862,30 @@ object LlmText {
          |      ELSE acc || '|' || x END), '|') AS syms
          |  FROM $p CROSS JOIN b$i)""".stripMargin
     }
-    val rows = (1 to bpeMerges).map { i =>
-      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, m AS merged," +
-        s" CAST(c AS BIGINT) AS pair_count FROM b$i"
-    }
-    s"""WITH tl AS (SELECT unnest(string_split(lower(text), ' ')) AS tok
+    s"""WITH tl AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
        |            FROM documents),
        |w0 AS (SELECT tok AS word, count(*) AS cnt,
        |         list_append(string_split(tok, ''), '</w>') AS syms
        |       FROM tl GROUP BY 1, 3),
-       |${(1 to bpeMerges).map(iter).mkString(",\n")}
+       |${(1 to bpeMerges).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  private def bpeOracleSql: String = {
+    val rows = (1 to bpeMerges).map { i =>
+      s"SELECT $i AS merge_rank, a AS lhs, b AS rhs, m AS merged," +
+        s" CAST(c AS BIGINT) AS pair_count FROM b$i"
+    }
+    s"""$bpeOracleCtes
        |SELECT merge_rank, lhs, rhs, merged, pair_count FROM (
        |${rows.mkString(" UNION ALL\n")}
        |) ORDER BY merge_rank""".stripMargin
   }
+
+  private def bpeEncodeOracleSql: String =
+    s"""$bpeOracleCtes
+       |SELECT tl.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subtokens,
+       |  CAST(sum(length(tl.tok)) + count(*) AS BIGINT) AS n_sym0
+       |FROM tl JOIN w$bpeMerges w ON w.word = tl.tok
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -776,6 +776,45 @@ class LlmSpec extends SparkSpec {
       s"rank-1 merge ${rows(0)} != independent argmax $best")
   }
 
+  test("llm_bpe_encode: every doc covered; merges only shrink symbol " +
+    "counts; at least one word actually compressed") {
+    val rows = run("llm_bpe_encode")
+      .as[(Long, Long, Long, Long)].collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length == nDocs, s"${rows.length} of $nDocs docs encoded")
+    rows.foreach { case (id, nWords, nSub, nSym0) =>
+      assert(nSub >= nWords, s"doc $id: fewer symbols than words")
+      assert(nSub <= nSym0, s"doc $id: merge grew the symbol count")
+    }
+    assert(rows.exists { case (_, _, nSub, nSym0) => nSub < nSym0 },
+      "six merges compressed nothing — degenerate corpus or broken fold")
+  }
+
+  test("llm_perplexity_bucket: per-language terciles balanced, exhaustive " +
+    "over scored docs, and score-monotone head >= middle >= tail") {
+    val rows = run("llm_perplexity_bucket")
+      .as[(String, Int, String, Long, Long, Double, Double)].collect()
+    val langs = rows.map(_._1).distinct
+    val scoredPerLang = run("llm_bigram_logprob")
+      .join(Tables.documents(spark, sf).select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    langs.foreach { l =>
+      val bs = rows.filter(_._1 == l).sortBy(_._2)
+      assert(bs.map(_._2).toSeq == Seq(1, 2, 3), s"$l: missing tercile")
+      assert(bs.map(_._3).toSeq == Seq("head", "middle", "tail"))
+      assert(bs.map(_._4).sum == scoredPerLang(l),
+        s"$l: buckets don't partition the scored docs")
+      assert(bs.map(_._4).max - bs.map(_._4).min <= 1,
+        s"$l: ntile terciles unbalanced: ${bs.map(_._4).toSeq}")
+      // bucket b's worst score is never below bucket b+1's best (ties may
+      // straddle the cut, so >=)
+      bs.sliding(2).foreach { case Array(hi, lo) =>
+        assert(hi._6 >= lo._7,
+          s"$l: bucket ${hi._2} min ${hi._6} < bucket ${lo._2} max ${lo._7}")
+      }
+    }
+  }
+
   test("llm_dsir: weights rank-ordered; selection is target-enriched " +
     "(en fraction above corpus base rate)") {
     val sel = run("llm_dsir").as[(Int, Long, Long)].collect().sortBy(_._1)

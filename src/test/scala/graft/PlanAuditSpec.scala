@@ -43,6 +43,9 @@ class PlanAuditSpec extends SparkSpec {
   //                           crossJoin
   //   llm_dsir              — log-ratio table × 1-row corpus-totals
   //                           broadcast crossJoin (the tfidf/bm25 shape)
+  //   llm_perplexity_bucket — bigram instance stream × 1-row corpus-total
+  //                           broadcast crossJoin (the llm_bigram_logprob
+  //                           scorer shared via bigramDocScore)
   //   llm_rrf_fusion        — BM25 stream × 1-row stats crossJoin plus
   //                           corpus × 1-row query-vector crossJoin (the
   //                           llm_knn baseline shape)
@@ -54,7 +57,7 @@ class PlanAuditSpec extends SparkSpec {
     "llm_bigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
     "llm_match_phrase_edge", "llm_match_regexp",
-    "llm_dsir", "llm_rrf_fusion")
+    "llm_dsir", "llm_rrf_fusion", "llm_perplexity_bucket")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
