@@ -1366,6 +1366,73 @@ object DdlStatements {
         |  count(DISTINCT o_custkey) AS nck
         |FROM m""".stripMargin),
 
+    // USER / GRANT / REVOKE — Doris's privilege surface ([doris:
+    // fe/.../mysql/privilege/Auth.java]) as statements: CREATE USER, GRANT
+    // priv ON scope TO user, SHOW GRANTS, with enforcement evaluated in the
+    // statement front-end BEFORE execution (the embedded login() stands in
+    // for the MySQL connection identity). The lifecycle is driven as the
+    // restricted 'analyst' everywhere the grants allow: a CTAS readable
+    // only through its SELECT_PRIV grant on the source, a DELETE gated by
+    // LOAD_PRIV, and the final read runs AS the analyst — so the checked
+    // aggregate proves the grants actually admit the statements they
+    // should (the rejections they enforce are pinned in DdlSpec). Grants
+    // are driver metadata; the root session pays zero on any path. The
+    // grants column replays in DuckDB as the deterministic constant the
+    // metadata must equal.
+    "sql_ddl_grant" -> QueryDef(
+      (s, dir) => {
+        Tables.orders(s, dir).createOrReplaceTempView("orders")
+        val key = ("sql_ddl_grant", dir)
+        val e = staged.get(key)
+        val ddl = if (e != null && (e.session eq s)) e.ddl
+        else {
+          val d = new DorisDdl(s)
+          Seq(
+            """CREATE TABLE ord_g (
+              |  o_orderkey BIGINT,
+              |  o_totalprice DOUBLE
+              |) ENGINE=OLAP
+              |UNIQUE KEY(o_orderkey)
+              |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+            "INSERT INTO ord_g SELECT o_orderkey, o_totalprice FROM orders",
+            "CREATE USER 'analyst' IDENTIFIED BY 'pw'",
+            "GRANT SELECT_PRIV ON ord_g TO 'analyst'",
+            "GRANT CREATE_PRIV ON * TO 'analyst'").foreach(d.execute)
+          d.login("analyst")
+          d.execute("""CREATE TABLE top_g
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4
+            |AS SELECT o_orderkey, o_totalprice FROM ord_g
+            |WHERE o_totalprice > 150000""".stripMargin)
+          d.login("root")
+          d.execute("GRANT SELECT_PRIV, LOAD_PRIV ON top_g TO 'analyst'")
+          d.login("analyst")
+          d.execute("DELETE FROM top_g WHERE o_totalprice > 300000")
+          d.login("root")
+          staged.put(key, Staged(d, s))
+          d
+        }
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        ddl.login("analyst")
+        val res = ddl.sql(
+          """SELECT count(*) AS n,
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents
+            |FROM top_g""".stripMargin)
+        val grants = ddl.sql("SHOW GRANTS FOR 'analyst'")
+          .agg(concat_ws(";", sort_array(collect_list(
+            concat($"scope", lit(":"), $"privs")))).as("grants"))
+        ddl.login("root")
+        res.crossJoin(grants)
+      },
+      """SELECT count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  '*:CREATE_PRIV;ord_g:SELECT_PRIV;top_g:LOAD_PRIV,SELECT_PRIV'
+        |    AS grants
+        |FROM orders
+        |WHERE o_totalprice > 150000 AND NOT (o_totalprice > 300000)""".stripMargin),
+
     // Doris 2.1 AGG_STATE<fn(type)> GENERIC — the generic aggregation-
     // state column with the _state/_merge combinators. States here are
     // each aggregate's ALGEBRAIC form (sum/count: running value; avg: a

@@ -63,6 +63,7 @@ final class DorisDdl(s: SparkSession) {
   def execute(sqlText: String): Option[DataFrame] = {
     val t = sqlText.trim.stripSuffix(";").trim
     val up = t.toUpperCase
+    authorize(t, up)
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }
     else if (up.startsWith("CREATE INDEX")) {
       t match {
@@ -116,6 +117,11 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("SHOW COLUMNS")) Some(showColumns(t))
     else if (up.startsWith("SHOW LOAD")) Some(showLoad(t))
     else if (up.startsWith("SHOW DATA")) Some(showData(t))
+    else if (up.startsWith("CREATE USER")) { createUser(t); None }
+    else if (up.startsWith("DROP USER")) { dropUser(t); None }
+    else if (up.startsWith("GRANT ")) { grantStmt(t); None }
+    else if (up.startsWith("REVOKE ")) { revokeStmt(t); None }
+    else if (up.startsWith("SHOW GRANTS")) Some(showGrants(t))
     else if (up.startsWith("SHOW TABLES")) Some(showTables())
     else if (up.startsWith("DESC")) Some(describe(t))
     else Some(select(t))
@@ -3303,6 +3309,226 @@ final class DorisDdl(s: SparkSession) {
       }
     }
     out.map(_.toString.trim).filter(_.nonEmpty).toSeq
+  }
+
+  // ------------------------------------------------------------ privileges
+  // Doris's user/privilege model ([doris: fe/.../mysql/privilege/Auth.java],
+  // GRANT/REVOKE in the FE grammar) reduced to this instance's single flat
+  // namespace: users are names (the 'u'@'host' host part is accepted and
+  // ignored — the embedded engine has no wire protocol, so login() below is
+  // the stand-in for the MySQL connection's authenticated identity), scopes
+  // are `*` or one managed table/view, and the privilege set is Doris's:
+  // SELECT/LOAD/ALTER/CREATE/DROP/GRANT/ADMIN _PRIV. `root` exists from the
+  // start and bypasses every check, as does ADMIN_PRIV ON *. Grants are
+  // driver metadata only — zero cost on any data path, and the default
+  // session (root) pays nothing anywhere. Spark-side temp views the caller
+  // registered directly are NOT managed objects and are never gated.
+  private val users = mutable.Set[String]("root")
+  private val userGrants =
+    mutable.Map[(String, String), mutable.Set[String]]()
+  private var currentUser = "root"
+
+  private val allPrivs = Set("SELECT_PRIV", "LOAD_PRIV", "ALTER_PRIV",
+    "CREATE_PRIV", "DROP_PRIV", "GRANT_PRIV", "ADMIN_PRIV")
+
+  /** Switch the session identity (the embedded stand-in for a MySQL
+    * connection login). Returns this for chaining. */
+  def login(user: String): DorisDdl = {
+    require(users.synchronized(users.contains(user)), s"unknown user: $user")
+    currentUser = user
+    this
+  }
+
+  /** Current session identity (for SHOW GRANTS default and tests). */
+  def whoami: String = currentUser
+
+  private def hasPriv(user: String, priv: String, obj: String): Boolean =
+    user == "root" || userGrants.synchronized {
+      def at(scope: String) =
+        userGrants.get((user, scope)).exists(g =>
+          g.contains(priv) || (scope == "*" && g.contains("ADMIN_PRIV")))
+      at("*") || (obj != "*" && at(obj))
+    }
+
+  /** Check `priv` on every object in `objs` (empty = nothing to check —
+    * an empty SOURCE set must not escalate to a global requirement). A
+    * target-less fallback passes "*" explicitly. */
+  private def requirePriv(priv: String, objs: Iterable[String]): Unit =
+    objs.foreach { o =>
+      if (!hasPriv(currentUser, priv, o))
+        sys.error(s"access denied: user '$currentUser' needs $priv on " +
+          s"${if (o == "*") "*" else s"'$o'"}")
+    }
+
+  /** Managed objects (tables or views) the statement names DIRECTLY,
+    * outside string literals — no view expansion: per Doris, querying a
+    * view needs SELECT on the VIEW, not on its base tables. */
+  private def directRefs(text: String): Set[String] = {
+    val cands = tables.synchronized(tables.keys.toSeq) ++
+      viewDefs.synchronized(viewDefs.keys.toSeq)
+    val q = inLiteral(text)
+    cands.filter(n =>
+      s"(?is)\\b$n\\b".r.findAllMatchIn(text).exists(m => !q(m.start))).toSet
+  }
+
+  // The write target of a DML/DDL statement, by form.
+  private val TargetRes: Seq[scala.util.matching.Regex] = Seq(
+    """(?is)^INSERT\s+(?:OVERWRITE|INTO)\s+(?:TABLE\s+)?`?(\w+)`?""".r,
+    """(?is)^UPDATE\s+`?(\w+)`?""".r,
+    """(?is)^DELETE\s+FROM\s+`?(\w+)`?""".r,
+    """(?is)^(?:ALTER|TRUNCATE)\s+TABLE\s+`?(\w+)`?""".r,
+    """(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?""".r,
+    """(?is)^(?:CREATE|DROP)\s+INDEX\s+\S+\s+ON\s+`?(\w+)`?""".r,
+    """(?is)^EXPORT\s+TABLE\s+`?(\w+)`?""".r,
+    """(?is).*?\bINTO\s+TABLE\s+`?(\w+)`?""".r, // LOAD LABEL body
+    """(?is)^(?:CREATE|STOP|PAUSE|RESUME)\s+ROUTINE\s+LOAD\s+\S+\s+ON\s+`?(\w+)`?""".r)
+
+  private def targetOf(t: String): Option[String] =
+    TargetRes.view.flatMap(_.findFirstMatchIn(t)).headOption.map(_.group(1))
+
+  /** Statement-family → required privilege, evaluated BEFORE execution.
+    * root short-circuits (the default session — zero overhead for every
+    * existing caller). Sources of a gated write (INSERT ... SELECT, CTAS,
+    * UPDATE ... FROM) additionally need SELECT_PRIV, matching Doris. */
+  private def authorize(t: String, up: String): Unit = {
+    if (currentUser == "root") return
+    val tgt = targetOf(t)
+    def sources(): Set[String] = directRefs(t) -- tgt
+    if (up.startsWith("GRANT ") || up.startsWith("REVOKE ") ||
+      up.startsWith("CREATE USER") || up.startsWith("DROP USER"))
+      requirePriv("GRANT_PRIV", Seq("*"))
+    else if (up.startsWith("SHOW GRANTS")) t match {
+      // own grants are always visible; listing someone else's needs GRANT
+      case ShowGrantsRe(forUser)
+        if forUser == null || forUser == currentUser => ()
+      case _ => requirePriv("GRANT_PRIV", Seq("*"))
+    }
+    else if (up.startsWith("BACKUP") || up.startsWith("RESTORE"))
+      requirePriv("ADMIN_PRIV", Seq("*"))
+    else if (up.startsWith("CREATE TABLE") || up.startsWith("CREATE VIEW") ||
+      up.startsWith("CREATE OR REPLACE VIEW")) {
+      requirePriv("CREATE_PRIV", Seq("*"))
+      requirePriv("SELECT_PRIV", sources())
+    }
+    else if (up.startsWith("CREATE MATERIALIZED VIEW") ||
+      up.startsWith("REFRESH MATERIALIZED VIEW"))
+      requirePriv("ALTER_PRIV", sources())
+    else if (up.startsWith("DROP MATERIALIZED VIEW"))
+      requirePriv("DROP_PRIV", Seq("*"))
+    else if (up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
+      up.startsWith("ALTER TABLE") || up.startsWith("TRUNCATE TABLE"))
+      requirePriv("ALTER_PRIV", tgt.orElse(Some("*")))
+    else if (up.startsWith("DROP TABLE"))
+      requirePriv("DROP_PRIV", tgt.orElse(Some("*")))
+    else if (up.startsWith("INSERT ") || up.startsWith("LOAD LABEL") ||
+      up.startsWith("UPDATE ") || up.startsWith("DELETE FROM") ||
+      up.startsWith("CANCEL LOAD") || up.contains("ROUTINE LOAD")) {
+      if (!up.startsWith("SHOW")) {
+        requirePriv("LOAD_PRIV", tgt.orElse(Some("*")))
+        requirePriv("SELECT_PRIV", sources())
+      }
+    }
+    else if (up.startsWith("EXPORT TABLE"))
+      requirePriv("SELECT_PRIV", tgt.orElse(Some("*")))
+    else if (up.startsWith("SHOW TABLES") || up.startsWith("SHOW ROUTINE") ||
+      up.startsWith("SHOW BACKUP") || up.startsWith("SHOW RESTORE") ||
+      up.startsWith("SHOW SNAPSHOT") ||
+      up.startsWith("SHOW DYNAMIC PARTITION TABLES")) ()
+    else // SELECT / DESC / EXPLAIN / ANALYZE / remaining SHOW ... FROM t
+      requirePriv("SELECT_PRIV", directRefs(t))
+  }
+
+  private val CreateUserRe =
+    """(?is)^CREATE\s+USER\s+'(\w+)'(?:@'[^']*')?(?:\s+IDENTIFIED\s+BY\s+'[^']*')?$""".r
+  private val DropUserRe = """(?is)^DROP\s+USER\s+'(\w+)'(?:@'[^']*')?$""".r
+  private val GrantRe =
+    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
+  private val RevokeRe =
+    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
+  private val ShowGrantsRe =
+    """(?is)^SHOW\s+GRANTS(?:\s+FOR\s+'(\w+)'(?:@'[^']*')?)?$""".r
+
+  private def createUser(text: String): Unit = text match {
+    case CreateUserRe(name) => users.synchronized {
+      require(!users.contains(name), s"user '$name' already exists")
+      users += name
+    }
+    case _ => sys.error(s"unparseable CREATE USER: ${text.take(80)}")
+  }
+
+  private def dropUser(text: String): Unit = text match {
+    case DropUserRe(name) =>
+      require(name != "root", "cannot drop root")
+      users.synchronized {
+        require(users.contains(name), s"unknown user: $name")
+        users -= name
+      }
+      userGrants.synchronized {
+        userGrants.keys.filter(_._1 == name).toSeq
+          .foreach(userGrants.remove)
+      }
+      if (currentUser == name) currentUser = "root"
+    case _ => sys.error(s"unparseable DROP USER: ${text.take(80)}")
+  }
+
+  /** Parse `priv[, priv] ON scope`, validating names and the object. The
+    * optional `db.` qualifier is accepted and dropped (single-namespace
+    * instance); ADMIN_PRIV is grantable only ON *, per Doris. */
+  private def parseGrant(privCsv: String, scope: String): (Set[String], String) = {
+    val privs = privCsv.split(",").map(_.trim.toUpperCase).toSet
+    val bad = privs -- allPrivs
+    require(bad.isEmpty, s"unknown privilege(s): ${bad.toSeq.sorted.mkString(", ")}")
+    val obj0 = scope.replace("`", "")
+    val obj = if (obj0.startsWith("*")) "*"
+      else obj0.split("\\.").last match { case "*" => "*"; case o => o }
+    if (obj != "*")
+      require(tables.synchronized(tables.contains(obj)) ||
+        viewDefs.synchronized(viewDefs.contains(obj)),
+        s"unknown table or view: $obj")
+    require(!privs.contains("ADMIN_PRIV") || obj == "*",
+      "ADMIN_PRIV is grantable only ON *")
+    (privs, obj)
+  }
+
+  private def grantStmt(text: String): Unit = text match {
+    case GrantRe(privCsv, scope, user) =>
+      require(users.synchronized(users.contains(user)), s"unknown user: $user")
+      val (privs, obj) = parseGrant(privCsv, scope)
+      userGrants.synchronized {
+        userGrants.getOrElseUpdate((user, obj), mutable.Set()) ++= privs
+      }
+    case _ => sys.error(s"unparseable GRANT: ${text.take(80)}")
+  }
+
+  private def revokeStmt(text: String): Unit = text match {
+    case RevokeRe(privCsv, scope, user) =>
+      require(users.synchronized(users.contains(user)), s"unknown user: $user")
+      val (privs, obj) = parseGrant(privCsv, scope)
+      userGrants.synchronized {
+        userGrants.get((user, obj)).foreach { g =>
+          g --= privs
+          if (g.isEmpty) userGrants.remove((user, obj))
+        }
+      }
+    case _ => sys.error(s"unparseable REVOKE: ${text.take(80)}")
+  }
+
+  /** `SHOW GRANTS [FOR 'user']` → (user, scope, privs csv, sorted). root's
+    * implicit superuser grant is synthesized so the listing is honest. */
+  private def showGrants(text: String): DataFrame = text match {
+    case ShowGrantsRe(forUser) =>
+      val who = Option(forUser).getOrElse(currentUser)
+      require(users.synchronized(users.contains(who)), s"unknown user: $who")
+      import s.implicits._
+      val rows =
+        if (who == "root") Seq(("root", "*", "ADMIN_PRIV"))
+        else userGrants.synchronized {
+          userGrants.toSeq.collect { case ((u, scope), privs) if u == who =>
+            (u, scope, privs.toSeq.sorted.mkString(","))
+          }
+        }.sortBy(r => (r._2, r._3))
+      rows.toDF("user_identity", "scope", "privs")
+    case _ => sys.error(s"unparseable SHOW GRANTS: ${text.take(80)}")
   }
 }
 

@@ -2225,4 +2225,134 @@ class DdlSpec extends SparkSpec {
     f.setAccessible(true)
     f.get(ddl).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, DorisDdl.TableState]](table).dir
   }
+
+  // ------------------------------------------------------------ privileges
+
+  private def authFixture(): DorisDdl = {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sec_t (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO sec_t VALUES (1, 10), (2, 20), (3, 30)")
+    ddl.execute("CREATE USER 'alice'")
+    ddl
+  }
+
+  private def denied(body: => Any): String = {
+    val e = intercept[RuntimeException](body)
+    assert(e.getMessage.startsWith("access denied"), e.getMessage)
+    e.getMessage
+  }
+
+  test("privileges: SELECT/LOAD/ALTER/DROP each gate their statement " +
+    "family; grant admits, revoke re-denies immediately") {
+    val ddl = authFixture()
+    ddl.login("alice")
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("SELECT_PRIV"))
+    assert(denied(ddl.execute("INSERT INTO sec_t VALUES (4, 40)"))
+      .contains("LOAD_PRIV"))
+    assert(denied(ddl.execute("ALTER TABLE sec_t ADD COLUMN w BIGINT"))
+      .contains("ALTER_PRIV"))
+    assert(denied(ddl.execute("DROP TABLE sec_t")).contains("DROP_PRIV"))
+    assert(denied(ddl.execute(
+      """CREATE TABLE mine (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+      .contains("CREATE_PRIV"))
+    ddl.login("root")
+    ddl.execute("GRANT SELECT_PRIV, LOAD_PRIV ON sec_t TO 'alice'")
+    ddl.login("alice")
+    ddl.execute("INSERT INTO sec_t VALUES (4, 40)")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_t").head.getLong(0) == 4)
+    ddl.login("root")
+    ddl.execute("REVOKE SELECT_PRIV ON sec_t FROM 'alice'")
+    ddl.login("alice")
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("SELECT_PRIV"))
+    // LOAD survives the SELECT revoke — grants are per-priv, not per-scope
+    ddl.execute("INSERT INTO sec_t VALUES (5, 50)")
+  }
+
+  test("privileges: INSERT ... SELECT needs LOAD on the target AND " +
+    "SELECT on the source; scope * covers all objects") {
+    val ddl = authFixture()
+    ddl.execute(
+      """CREATE TABLE sec_dst (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("GRANT LOAD_PRIV ON sec_dst TO 'alice'")
+    ddl.login("alice")
+    assert(denied(ddl.execute("INSERT INTO sec_dst SELECT k, v FROM sec_t"))
+      .contains("SELECT_PRIV"))
+    ddl.login("root")
+    ddl.execute("GRANT SELECT_PRIV ON * TO 'alice'")
+    ddl.login("alice")
+    ddl.execute("INSERT INTO sec_dst SELECT k, v FROM sec_t")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_dst").head.getLong(0) == 3)
+  }
+
+  test("privileges: a view is its own grant scope — SELECT through a " +
+    "granted view works without any base-table grant") {
+    val ddl = authFixture()
+    ddl.execute("CREATE VIEW sec_v AS SELECT k, v FROM sec_t WHERE k <= 2")
+    ddl.execute("GRANT SELECT_PRIV ON sec_v TO 'alice'")
+    ddl.login("alice")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_v").head.getLong(0) == 2)
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("sec_t"))
+  }
+
+  test("privileges: GRANT_PRIV delegates administration; ADMIN_PRIV " +
+    "opens everything and is grantable only ON *") {
+    val ddl = authFixture()
+    ddl.execute("CREATE USER 'bob'")
+    ddl.login("alice")
+    assert(denied(ddl.execute("GRANT SELECT_PRIV ON sec_t TO 'bob'"))
+      .contains("GRANT_PRIV"))
+    assert(denied(ddl.execute("CREATE USER 'eve'")).contains("GRANT_PRIV"))
+    ddl.login("root")
+    ddl.execute("GRANT GRANT_PRIV ON * TO 'alice'")
+    ddl.login("alice")
+    ddl.execute("GRANT SELECT_PRIV ON sec_t TO 'bob'")
+    ddl.login("bob")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_t").head.getLong(0) == 3)
+    ddl.login("root")
+    assertThrows[IllegalArgumentException](
+      ddl.execute("GRANT ADMIN_PRIV ON sec_t TO 'bob'"))
+    ddl.execute("GRANT ADMIN_PRIV ON * TO 'bob'")
+    ddl.login("bob")
+    ddl.execute("ALTER TABLE sec_t ADD COLUMN w BIGINT")
+    ddl.execute("DROP TABLE sec_t")
+  }
+
+  test("privileges: SHOW GRANTS lists own grants freely, others need " +
+    "GRANT_PRIV; user lifecycle guards (dup create, drop root, drop " +
+    "resets session, unknown names reject)") {
+    val ddl = authFixture()
+    ddl.execute("GRANT SELECT_PRIV ON sec_t TO 'alice'")
+    ddl.execute("GRANT LOAD_PRIV, SELECT_PRIV ON * TO 'alice'")
+    ddl.login("alice")
+    val own = ddl.sql("SHOW GRANTS").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(own == Set(("*", "LOAD_PRIV,SELECT_PRIV"), ("sec_t", "SELECT_PRIV")))
+    assert(denied(ddl.sql("SHOW GRANTS FOR 'root'")).contains("GRANT_PRIV"))
+    assert(ddl.sql("SHOW GRANTS FOR 'alice'").count() == 2)
+    ddl.login("root")
+    assert(ddl.sql("SHOW GRANTS").head.getString(2) == "ADMIN_PRIV")
+    assertThrows[IllegalArgumentException](ddl.execute("CREATE USER 'alice'"))
+    assertThrows[IllegalArgumentException](ddl.execute("DROP USER 'root'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("GRANT SELECT_PRIV ON nope_t TO 'alice'"))
+    assertThrows[RuntimeException](
+      ddl.execute("GRANT FLY_PRIV ON sec_t TO 'alice'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("GRANT SELECT_PRIV ON sec_t TO 'nobody'"))
+    ddl.login("alice")
+    ddl.login("root")
+    ddl.execute("DROP USER 'alice'")
+    assertThrows[IllegalArgumentException](ddl.login("alice"))
+    assert(ddl.whoami == "root")
+    // dropping a logged-in user elsewhere resets that session to root
+    ddl.execute("CREATE USER 'carol'")
+    ddl.login("carol")
+    ddl.login("root") // need GRANT_PRIV to drop; switch back first
+    ddl.execute("DROP USER 'carol'")
+    assert(ddl.whoami == "root")
+  }
 }

@@ -49,6 +49,8 @@ class PlanAuditSpec extends SparkSpec {
   //   llm_rrf_fusion        — BM25 stream × 1-row stats crossJoin plus
   //                           corpus × 1-row query-vector crossJoin (the
   //                           llm_knn baseline shape)
+  //   sql_ddl_grant         — 1-row data aggregate × 1-row SHOW GRANTS
+  //                           summary crossJoin (metadata, not data)
   private val bnljAllowed = Set(
     "join_cross", "llm_knn",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
@@ -57,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     "llm_bigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
     "llm_match_phrase_edge", "llm_match_regexp",
-    "llm_dsir", "llm_rrf_fusion", "llm_perplexity_bucket")
+    "llm_dsir", "llm_rrf_fusion", "llm_perplexity_bucket", "sql_ddl_grant")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
