@@ -1433,6 +1433,28 @@ object DdlStatements {
         |FROM orders
         |WHERE o_totalprice > 150000 AND NOT (o_totalprice > 300000)""".stripMargin),
 
+    // SESSION VARIABLES — `SET name = value`, `SHOW VARIABLES`, `@@name`
+    // reads: the MySQL-compat session surface every Doris client and
+    // script touches on connect. sql_select_limit is the LIVE knob (caps
+    // every top-level SELECT exactly as in Doris/MySQL — internal SELECT
+    // consumers like CTAS stay uncapped, pinned in DdlSpec); the final
+    // read proves both the cap and an @@ read-back in one statement.
+    "sql_ddl_variables" -> QueryDef(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        val ddl = lifecycle("sql_ddl_variables", s, dir)(Seq(
+          """CREATE TABLE nat_v (n_nationkey BIGINT, n_name VARCHAR(32))
+            |DUPLICATE KEY(n_nationkey)
+            |DISTRIBUTED BY HASH(n_nationkey) BUCKETS 2""".stripMargin,
+          "INSERT INTO nat_v SELECT n_nationkey, n_name FROM nation",
+          "SET sql_select_limit = 7"))
+        ddl.sql(
+          """SELECT n_nationkey, n_name, @@sql_select_limit AS cap
+            |FROM nat_v ORDER BY n_nationkey""".stripMargin)
+      },
+      """SELECT n_nationkey, n_name, 7 AS cap
+        |FROM nation ORDER BY n_nationkey LIMIT 7""".stripMargin),
+
     // Doris 2.1 AGG_STATE<fn(type)> GENERIC — the generic aggregation-
     // state column with the _state/_merge combinators. States here are
     // each aggregate's ALGEBRAIC form (sum/count: running value; avg: a

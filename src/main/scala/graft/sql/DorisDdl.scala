@@ -122,9 +122,16 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("GRANT ")) { grantStmt(t); None }
     else if (up.startsWith("REVOKE ")) { revokeStmt(t); None }
     else if (up.startsWith("SHOW GRANTS")) Some(showGrants(t))
+    else if (up.startsWith("SHOW VARIABLES") ||
+      up.startsWith("SHOW SESSION VARIABLES") ||
+      up.startsWith("SHOW GLOBAL VARIABLES")) Some(showVariables(t))
+    else if (up.startsWith("SET ")) { setVariable(t); None }
     else if (up.startsWith("SHOW TABLES")) Some(showTables())
     else if (up.startsWith("DESC")) Some(describe(t))
-    else Some(select(t))
+    // sql_select_limit caps TOP-LEVEL SELECT results only (the MySQL/Doris
+    // contract) — internal SELECT consumers (CTAS, OUTFILE) call select()
+    // directly and stay uncapped
+    else Some(applySelectLimit(select(t)))
   }
 
   /** Execute a SELECT (or any statement returning rows). */
@@ -2763,7 +2770,7 @@ final class DorisDdl(s: SparkSession) {
     // restricted view (a partition-PRUNED scan, filtered before the merge
     // window — sound because the partition column is part of the key)
     val rewritten = tables.synchronized(tables.keys.toSeq).foldLeft(
-      rewriteFileTvf(text)) { (acc, name) =>
+      rewriteFileTvf(rewriteVarReads(text))) { (acc, name) =>
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }
@@ -3436,6 +3443,94 @@ final class DorisDdl(s: SparkSession) {
       up.startsWith("SHOW DYNAMIC PARTITION TABLES")) ()
     else // SELECT / DESC / EXPLAIN / ANALYZE / remaining SHOW ... FROM t
       requirePriv("SELECT_PRIV", directRefs(t))
+  }
+
+  // ------------------------------------------------------ session variables
+  // Doris session variables ([doris: fe/.../qe/SessionVariable.java] — the
+  // ~500-knob surface every MySQL client and script touches): `SET name =
+  // value`, `SHOW VARIABLES [LIKE 'pat']`, and `@@name` reads inside SELECT
+  // text. This instance carries the Doris-flavored default set below with
+  // per-variable type validation. Most knobs are session metadata (the
+  // engine's real equivalents are Spark confs), but `sql_select_limit` is
+  // LIVE exactly as in Doris/MySQL: it caps every top-level SELECT's
+  // result. Variables are per-instance (per-connection in Doris terms);
+  // GLOBAL is accepted and treated as SESSION — one instance IS the scope.
+  private val varDefaults: Map[String, String] = Map(
+    "version_comment" -> "palospark",
+    "sql_mode" -> "STRICT_TRANS_TABLES",
+    "time_zone" -> "UTC",
+    "exec_mem_limit" -> "2147483648",
+    "query_timeout" -> "300",
+    "batch_size" -> "4096",
+    "parallel_fragment_exec_instance_num" -> "1",
+    "enable_profile" -> "false",
+    "sql_select_limit" -> Long.MaxValue.toString)
+  private val intVars = Set("exec_mem_limit", "query_timeout", "batch_size",
+    "parallel_fragment_exec_instance_num", "sql_select_limit")
+  private val boolVars = Set("enable_profile")
+  private val sessionVars = mutable.Map[String, String]() ++= varDefaults
+
+  private val SetVarRe =
+    """(?is)^SET\s+(?:SESSION\s+|GLOBAL\s+)?`?(\w+)`?\s*=\s*(.+)$""".r
+
+  private def setVariable(text: String): Unit = text match {
+    case SetVarRe(name0, raw0) =>
+      val name = name0.toLowerCase
+      require(varDefaults.contains(name), s"Unknown system variable '$name'")
+      val raw = raw0.trim
+      val value =
+        if (raw.equalsIgnoreCase("DEFAULT")) varDefaults(name)
+        else if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+          raw.substring(1, raw.length - 1)
+        else raw
+      if (intVars(name))
+        require(scala.util.Try(value.toLong).isSuccess,
+          s"variable '$name' requires an integer value, got: $value")
+      if (boolVars(name))
+        require(Set("true", "false", "0", "1")(value.toLowerCase),
+          s"variable '$name' requires a boolean value, got: $value")
+      sessionVars.synchronized { sessionVars(name) = value }
+    case _ => sys.error(s"unparseable SET: ${text.take(80)}")
+  }
+
+  private val ShowVariablesRe =
+    """(?is)^SHOW\s+(?:SESSION\s+|GLOBAL\s+)?VARIABLES(?:\s+LIKE\s+'([^']*)')?$""".r
+
+  private def showVariables(text: String): DataFrame = text match {
+    case ShowVariablesRe(pat) =>
+      val re = Option(pat).map(p =>
+        ("(?is)^" + java.util.regex.Pattern.quote(p)
+          .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q") + "$").r)
+      import s.implicits._
+      sessionVars.synchronized(sessionVars.toSeq)
+        .filter { case (n, _) => re.forall(_.findFirstIn(n).isDefined) }
+        .sortBy(_._1)
+        .toDF("variable_name", "value")
+    case _ => sys.error(s"unparseable SHOW VARIABLES: ${text.take(80)}")
+  }
+
+  /** Replace `@@name` (and `@@session.name`/`@@global.name`) outside string
+    * literals with the variable's value — numerics/booleans bare, strings
+    * as quoted literals — before the dialect sees the text. */
+  private def rewriteVarReads(text: String): String = {
+    val VarRead = """@@(?:(?:session|global)\.)?(\w+)""".r
+    val q = inLiteral(text)
+    VarRead.replaceAllIn(text, m =>
+      if (q(m.start)) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val name = m.group(1).toLowerCase
+        require(varDefaults.contains(name), s"Unknown system variable '$name'")
+        val v = sessionVars.synchronized(sessionVars(name))
+        val lit = if (intVars(name)) v
+          else if (boolVars(name)) v
+          else "'" + v.replace("'", "''") + "'"
+        scala.util.matching.Regex.quoteReplacement(lit)
+      })
+  }
+
+  private def applySelectLimit(df: DataFrame): DataFrame = {
+    val n = sessionVars.synchronized(sessionVars("sql_select_limit")).toLong
+    if (n >= Int.MaxValue) df else df.limit(math.max(n, 0L).toInt)
   }
 
   private val CreateUserRe =

@@ -2226,6 +2226,55 @@ class DdlSpec extends SparkSpec {
     f.get(ddl).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, DorisDdl.TableState]](table).dir
   }
 
+  // ------------------------------------------------------ session variables
+
+  test("session variables: SET/SHOW round-trip, LIKE filter, DEFAULT " +
+    "reset, validation, and @@ reads in SELECT text") {
+    val ddl = fresh()
+    ddl.execute("SET query_timeout = 60")
+    ddl.execute("SET GLOBAL enable_profile = true")
+    val vars = ddl.sql("SHOW VARIABLES").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(vars("query_timeout") == "60" && vars("enable_profile") == "true")
+    assert(vars.contains("version_comment") && vars.size >= 9)
+    val like = ddl.sql("SHOW VARIABLES LIKE '%limit%'").collect()
+    assert(like.map(_.getString(0)).toSeq ==
+      Seq("exec_mem_limit", "sql_select_limit"))
+    assert(ddl.sql("SHOW VARIABLES LIKE 'sql_select_limit'").count() == 1)
+    ddl.execute("SET query_timeout = DEFAULT")
+    assert(ddl.sql("SHOW VARIABLES LIKE 'query_timeout'")
+      .head.getString(1) == "300")
+    // @@ reads: int bare, string quoted; literals containing @@ untouched
+    val r = ddl.sql("SELECT @@query_timeout AS qt, " +
+      "@@session.version_comment AS vc, '@@not_a_var' AS lit").head
+    assert(r.getInt(0) == 300 && r.getString(1) == "palospark" &&
+      r.getString(2) == "@@not_a_var")
+    assertThrows[IllegalArgumentException](ddl.execute("SET no_such_var = 1"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("SET query_timeout = 'abc'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("SET enable_profile = maybe"))
+    assertThrows[IllegalArgumentException](ddl.sql("SELECT @@nope AS x"))
+  }
+
+  test("session variables: sql_select_limit caps top-level SELECT only " +
+    "(CTAS and OUTFILE-style internal reads stay uncapped)") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sv_t (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO sv_t VALUES (1), (2), (3), (4), (5)")
+    ddl.execute("SET sql_select_limit = 2")
+    assert(ddl.sql("SELECT k FROM sv_t ORDER BY k").count() == 2)
+    ddl.execute(
+      """CREATE TABLE sv_copy DISTRIBUTED BY HASH(k) BUCKETS 1
+        |AS SELECT k FROM sv_t""".stripMargin)
+    ddl.execute("SET sql_select_limit = DEFAULT")
+    assert(ddl.sql("SELECT k FROM sv_copy").count() == 5,
+      "CTAS body must not be capped by sql_select_limit")
+    assert(ddl.sql("SELECT k FROM sv_t").count() == 5, "DEFAULT must reset")
+  }
+
   // ------------------------------------------------------------ privileges
 
   private def authFixture(): DorisDdl = {
