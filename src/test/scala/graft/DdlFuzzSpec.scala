@@ -466,4 +466,77 @@ class DdlFuzzSpec extends SparkSpec {
     assert(loads.size == 2 * per && loads.distinct.size == 2 * per)
     ddl.execute("DROP TABLE cdis")
   }
+
+  // Round-17 alphabet: the privilege layer fuzzed against a reference ACL
+  // model — random grant/revoke (per-object and *), random statements
+  // attempted as random users, and SHOW GRANTS listings, each checked
+  // against the model's allow/deny verdict. The property under test is
+  // that enforcement is EXACTLY the granted set: no op a grant should
+  // admit is denied, and no op a revoke should deny is admitted, under
+  // any interleaving.
+  test("privilege grant/revoke/attempt sequences match a reference ACL " +
+    "model (fuzz)") {
+    val rnd = new scala.util.Random(41)
+    val privs = Vector("SELECT_PRIV", "LOAD_PRIV", "ALTER_PRIV", "DROP_PRIV")
+    val who = Vector("u1", "u2")
+    for (seqNo <- 1 to 25) {
+      val ddl = new DorisDdl(spark)
+      ddl.execute(
+        """CREATE TABLE az (k BIGINT, v DOUBLE)
+          |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+      ddl.execute("INSERT INTO az VALUES (1, 1.0)")
+      who.foreach(u => ddl.execute(s"CREATE USER '$u'"))
+      var acl = Set.empty[(String, String, String)] // (user, scope, priv)
+      def allowed(u: String, p: String) =
+        acl.contains((u, "*", p)) || acl.contains((u, "az", p))
+      val trace = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (_ <- 1 to 30) rnd.nextInt(4) match {
+        case 0 => // grant (root)
+          val (u, p) = (who(rnd.nextInt(2)), privs(rnd.nextInt(4)))
+          val scope = if (rnd.nextBoolean()) "az" else "*"
+          val st = s"GRANT $p ON $scope TO '$u'"
+          trace += st; ddl.execute(st)
+          acl += ((u, scope, p))
+        case 1 => // revoke (root) — revoking an absent priv is a no-op
+          val (u, p) = (who(rnd.nextInt(2)), privs(rnd.nextInt(4)))
+          val scope = if (rnd.nextBoolean()) "az" else "*"
+          val st = s"REVOKE $p ON $scope FROM '$u'"
+          trace += st; ddl.execute(st)
+          acl -= ((u, scope, p))
+        case 2 => // attempt an op as a random user; model decides the verdict
+          val u = who(rnd.nextInt(2))
+          val (st, need) = rnd.nextInt(3) match {
+            case 0 => ("SELECT k FROM az ORDER BY k", "SELECT_PRIV")
+            case 1 => (s"INSERT INTO az VALUES (${rnd.nextInt(9)}, 2.0)",
+              "LOAD_PRIV")
+            case 2 => ("DELETE FROM az WHERE k = 999", "LOAD_PRIV")
+          }
+          val want = allowed(u, need)
+          trace += s"[$u] $st (expect ${if (want) "allow" else "deny"})"
+          ddl.login(u)
+          val got =
+            try { ddl.execute(st); true }
+            catch {
+              case e: RuntimeException
+                if e.getMessage != null &&
+                  e.getMessage.startsWith("access denied") => false
+            }
+          ddl.login("root")
+          assert(got == want,
+            s"seq $seqNo: enforcement diverged from the ACL model\n  " +
+              trace.mkString("\n  "))
+        case 3 => // SHOW GRANTS must equal the model's rows for that user
+          val u = who(rnd.nextInt(2))
+          trace += s"SHOW GRANTS FOR '$u'"
+          val got = ddl.sql(s"SHOW GRANTS FOR '$u'").collect()
+            .flatMap(r => r.getString(2).split(",")
+              .map(p => (r.getString(1), p))).toSet
+          val want = acl.collect { case (`u`, scope, p) => (scope, p) }
+          assert(got == want,
+            s"seq $seqNo: SHOW GRANTS diverged\n  ${trace.mkString("\n  ")}" +
+              s"\n  got=$got want=$want")
+      }
+      ddl.execute("DROP TABLE az")
+    }
+  }
 }

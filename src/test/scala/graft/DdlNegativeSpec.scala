@@ -76,6 +76,16 @@ class DdlNegativeSpec extends SparkSpec {
       "SHOW DYNAMIC PARTITION TABLES",
       "DESC nf_u",
       "EXPLAIN SELECT k FROM nf_u",
+      "CREATE USER 'nf_user' IDENTIFIED BY 'x'",
+      "GRANT SELECT_PRIV, LOAD_PRIV ON nf_u TO 'nf_user'",
+      "GRANT CREATE_PRIV ON * TO 'nf_user'",
+      "SHOW GRANTS FOR 'nf_user'",
+      "REVOKE LOAD_PRIV ON nf_u FROM 'nf_user'",
+      "SET sql_select_limit = 100",
+      "SET GLOBAL query_timeout = DEFAULT",
+      "SHOW VARIABLES LIKE '%limit%'",
+      "SELECT @@query_timeout AS qt",
+      "DROP USER 'nf_user'",
       "SELECT k, v FROM nf_u ORDER BY k")
     (ddl, statements)
   }
@@ -92,7 +102,8 @@ class DdlNegativeSpec extends SparkSpec {
     "COLUMN", "TEMPORARY", "REPLACE", "TRUNCATE", "INDEX", "ON",
     "MATERIALIZED", "VIEW", "AS", "SHOW", "DESC", "EXPLAIN", "ANALYZE",
     "PROPERTIES", "ENGINE", "INVERTED", "NGRAM_BF", "DEFAULT", "SUM",
-    "STATS", "LOAD", "DYNAMIC")
+    "STATS", "LOAD", "DYNAMIC", "GRANT", "REVOKE", "TO", "USER", "GRANTS",
+    "VARIABLES", "LIKE", "SESSION", "GLOBAL", "IDENTIFIED")
 
   private def mutants(st: String): Seq[String] = {
     val toks = st.split("\\s+").toVector
@@ -166,6 +177,13 @@ class DdlNegativeSpec extends SparkSpec {
       "ANALYZE TABLE ghost", "BACKUP SNAPSHOT",
       "RESTORE SNAPSHOT s FROM '/nonexistent'", "LOAD LABEL", "CANCEL LOAD",
       "STOP ROUTINE LOAD ghost", "PAUSE ROUTINE LOAD", "EXPORT TABLE",
+      "GRANT", "GRANT SELECT_PRIV", "GRANT SELECT_PRIV ON",
+      "GRANT SELECT_PRIV ON np TO", "GRANT NOPE_PRIV ON np TO 'x'",
+      "REVOKE", "REVOKE SELECT_PRIV ON np FROM",
+      "CREATE USER", "CREATE USER root", "DROP USER", "DROP USER 'ghost'",
+      "SHOW GRANTS FOR", "SHOW GRANTS FOR 'ghost'",
+      "SET", "SET =", "SET sql_select_limit", "SET no_such = 1",
+      "SHOW VARIABLES LIKE", "SELECT @@", "SELECT @@no_such_var",
       "SELECT FROM WHERE", ")(", "'", "", ";", "/*+ LEADING(a) */")
     val crashes = scala.collection.mutable.ArrayBuffer.empty[String]
     probes.foreach { p =>
