@@ -1704,6 +1704,41 @@ object LlmText {
       },
       bpeEncodeOracleSql),
 
+    // TOKENIZER FERTILITY BY LANGUAGE — subtokens per word under the
+    // trained BPE vocabulary, the standard multilingual tokenizer-eval
+    // metric (reported for every multilingual tokenizer since XLM-R: a
+    // language with higher fertility pays more sequence length per word,
+    // which skews token budgets and training mix). Same economics as
+    // llm_bpe_encode: the cached model's word→symbol-count map broadcasts
+    // into the corpus token stream, then one per-language aggregate — at
+    // 100 TB the only corpus-scale work is the token scan. The ratio is
+    // two exact BIGINTs divided as doubles on both engines (+1e-9 nudge,
+    // llm_cosine convention).
+    "llm_bpe_fertility" -> QueryDef(
+      (s, dir) => {
+        import s.implicits._
+        val vocab = bpeLearned(s, dir).words
+          .select($"word", size($"syms").cast("long").as("n_syms"))
+        Tables.documents(s, dir)
+          .select($"doc_id", $"lang",
+            explode(TextOps.tokens($"text")).as("word"))
+          .join(broadcast(vocab), "word")
+          .groupBy($"lang")
+          .agg(count(lit(1)).as("n_words"),
+            sum($"n_syms").as("n_subtokens"),
+            round(sum($"n_syms").cast("double") / count(lit(1)) + lit(1e-9), 4)
+              .as("fertility"))
+          .orderBy($"lang")
+      },
+      s"""$bpeOracleCtes
+         |SELECT d.lang, count(*) AS n_words,
+         |  CAST(sum(len(w.syms)) AS BIGINT) AS n_subtokens,
+         |  round(CAST(sum(len(w.syms)) AS DOUBLE) / count(*) + 1e-9, 4)
+         |    AS fertility
+         |FROM tl JOIN w$bpeMerges w ON w.word = tl.tok
+         |  JOIN documents d USING (doc_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
     // select raw-corpus documents whose unigram distribution looks like a
     // TARGET domain (here lang='en') by per-document importance weight

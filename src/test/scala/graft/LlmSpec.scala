@@ -790,6 +790,23 @@ class LlmSpec extends SparkSpec {
       "six merges compressed nothing — degenerate corpus or broken fold")
   }
 
+  test("llm_bpe_fertility: per-language totals tie out against the " +
+    "per-doc encode; fertility >= 1 everywhere") {
+    val byLang = run("llm_bpe_fertility")
+      .as[(String, Long, Long, Double)].collect()
+    val langs = Tables.documents(spark, sf).select($"lang").distinct()
+      .as[String].collect().toSet
+    assert(byLang.map(_._1).toSet == langs)
+    byLang.foreach { case (l, nWords, nSub, fert) =>
+      assert(nSub >= nWords && fert >= 1.0, s"$l: fertility below 1")
+      assert(math.abs(fert - nSub.toDouble / nWords) < 2e-4, s"$l: ratio off")
+    }
+    val enc = run("llm_bpe_encode")
+      .agg(sum($"n_words"), sum($"n_subtokens")).as[(Long, Long)].head()
+    assert((byLang.map(_._2).sum, byLang.map(_._3).sum) == enc,
+      "fertility totals diverge from the per-doc encode")
+  }
+
   test("llm_perplexity_bucket: per-language terciles balanced, exhaustive " +
     "over scored docs, and score-monotone head >= middle >= tail") {
     val rows = run("llm_perplexity_bucket")
