@@ -807,6 +807,29 @@ class LlmSpec extends SparkSpec {
       "fertility totals diverge from the per-doc encode")
   }
 
+  test("BPE model cache: repeat serves the standing artifact, corpus " +
+    "mutation retrains (the langProfile/termStats freshness contract)") {
+    val dir = TempDirs.create("graft_bpesrc")
+    Tables.documents(spark, sf).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    GenScale.stamp(dir)
+    val m1 = operators.LlmText.bpeLearned(spark, dir)
+    val m2 = operators.LlmText.bpeLearned(spark, dir)
+    assert(m1.words eq m2.words, "repeat must serve the cached model")
+    assert(m1.merges.size == 6)
+    // mutate: keep only the shortest docs — a different corpus, so at
+    // least the merge COUNTS must change (pair frequencies shrink);
+    // bump mtime explicitly for coarse-mtime filesystems
+    Tables.documents(spark, sf).filter($"n_chars" < 200)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/documents.parquet")
+      .setLastModified(System.currentTimeMillis() + 5000)
+    val m3 = operators.LlmText.bpeLearned(spark, dir)
+    assert(!(m3.words eq m1.words), "source mutation must retrain")
+    assert(m3.merges.map(_._5) != m1.merges.map(_._5),
+      "retrained merge counts must reflect the shrunken corpus")
+  }
+
   test("llm_perplexity_bucket: per-language terciles balanced, exhaustive " +
     "over scored docs, and score-monotone head >= middle >= tail") {
     val rows = run("llm_perplexity_bucket")
