@@ -121,8 +121,27 @@ object LlmText {
     * perplexity signal) — shared by llm_bigram_logprob (raw scores) and
     * llm_perplexity_bucket (per-language tercile partition). Returns
     * (doc_id, n_bigrams, logprob) with logprob rounded at 4 dp; see the
-    * llm_bigram_logprob key comment for the plan-shape rationale. */
+    * llm_bigram_logprob key comment for the plan-shape rationale.
+    * CHECKPOINTED standing artifact (doc-count rows) under the termStats
+    * freshness contract: both consumers otherwise pay the full bigram
+    * explode + three token joins each — at 100 TB the LM score table
+    * persists with the corpus and every filter stage reads it. */
+  private case class LmScoreEntry(mtime: Long, df: org.apache.spark.sql.DataFrame)
+  private val lmScoreCache =
+    new java.util.concurrent.ConcurrentHashMap[String, LmScoreEntry]()
+
   private[graft] def bigramDocScore(
+      s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
+    val e = lmScoreCache.get(dir)
+    if (e != null && e.mtime == srcMtime && (e.df.sparkSession eq s))
+      return e.df
+    val df = bigramDocScoreBuild(s, dir).localCheckpoint(true)
+    lmScoreCache.put(dir, LmScoreEntry(srcMtime, df))
+    df
+  }
+
+  private def bigramDocScoreBuild(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, dir)

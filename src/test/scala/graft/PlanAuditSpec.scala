@@ -14,7 +14,9 @@ package graft
   *
   * KNOWN BLIND SPOT — localCheckpoint: keys that materialize intermediates
   * via localCheckpoint (llm_kmeans's per-iteration assignment, the shared
-  * jaccard pair table) expose only a post-checkpoint LogicalRDD here, so
+  * jaccard pair table, the checkpointed bigramDocScore LM artifact the
+  * llm_bigram_logprob/llm_perplexity_bucket keys serve) expose only a
+  * post-checkpoint LogicalRDD here, so
   * their internal join shapes are invisible to this sweep (and building the
   * plan silently executes those checkpoint jobs). Those interior plans are
   * audited at their source instead: LlmSpec asserts the kmeans assign-step
