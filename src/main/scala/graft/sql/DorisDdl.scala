@@ -100,6 +100,9 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("UPDATE ")) { update(t); None }
     else if (up.startsWith("DELETE FROM")) { deleteFrom(t); None }
     else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
+    else if (up.startsWith("DROP VIEW")) { dropView(t); None }
+    else if (up.startsWith("ALTER VIEW")) { alterView(t); None }
+    else if (up.startsWith("SHOW CREATE VIEW")) Some(showCreateView(t))
     else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
     else if (up.startsWith("TRUNCATE TABLE")) { truncate(t); None }
@@ -2956,6 +2959,52 @@ final class DorisDdl(s: SparkSession) {
       DorisSqlDialect.sql(s, body).createOrReplaceTempView(name)
     }
 
+  private val AlterViewRe =
+    """(?is)^ALTER\s+VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\s+.*)$""".r
+
+  /** `ALTER VIEW v AS SELECT ...` — replace the view's TEXT (the catalog
+    * object); readers see the new definition immediately. */
+  private def alterView(text: String): Unit = text match {
+    case AlterViewRe(name, body) =>
+      require(viewDefs.synchronized(viewDefs.contains(name)),
+        s"unknown view: $name")
+      viewDefs.synchronized { viewDefs(name) = body }
+      refreshUserViews()
+    case _ => sys.error(s"unparseable ALTER VIEW: ${text.take(80)}")
+  }
+
+  private val DropViewRe =
+    """(?is)^DROP\s+VIEW\s+(?:(IF\s+EXISTS)\s+)?`?(\w+)`?$""".r
+
+  /** `DROP VIEW [IF EXISTS] v` — a view name only (Doris rejects DROP VIEW
+    * on a table even under IF EXISTS: the name resolves, to the wrong
+    * object kind). */
+  private def dropView(text: String): Unit = text match {
+    case DropViewRe(ifEx, name) =>
+      require(!tables.synchronized(tables.contains(name)),
+        s"$name is a table, not a view (use DROP TABLE)")
+      if (viewDefs.synchronized(viewDefs.contains(name))) {
+        viewDefs.synchronized { viewDefs.remove(name) }
+        s.catalog.dropTempView(name)
+      } else require(ifEx != null, s"unknown view: $name")
+    case _ => sys.error(s"unparseable DROP VIEW: ${text.take(80)}")
+  }
+
+  private val ShowCreateViewRe =
+    """(?is)^SHOW\s+CREATE\s+VIEW\s+`?(\w+)`?$""".r
+
+  /** `SHOW CREATE VIEW v` → (view, create_view); the emitted text replayed
+    * through execute() recreates the identical view (DdlSpec round-trip). */
+  private def showCreateView(text: String): DataFrame = text match {
+    case ShowCreateViewRe(name) =>
+      val body = viewDefs.synchronized(viewDefs.get(name)).getOrElse(
+        sys.error(s"unknown view: $name"))
+      import s.implicits._
+      Seq((name, s"CREATE VIEW `$name` AS $body"))
+        .toDF("view", "create_view")
+    case _ => sys.error(s"unparseable SHOW CREATE VIEW: ${text.take(80)}")
+  }
+
   private val DropTableRe = """(?is)^DROP\s+TABLE\s+`?(\w+)`?$""".r
 
   /** DROP TABLE: remove the catalog entry, its views, its rowset dir, and
@@ -3393,6 +3442,13 @@ final class DorisDdl(s: SparkSession) {
   private def targetOf(t: String): Option[String] =
     TargetRes.view.flatMap(_.findFirstMatchIn(t)).headOption.map(_.group(1))
 
+  private val ViewStmtTargetRe =
+    """(?is)^(?:ALTER|DROP)\s+VIEW\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?""".r
+
+  private def viewStmtTarget(t: String): Iterable[String] =
+    ViewStmtTargetRe.findFirstMatchIn(t).map(_.group(1))
+      .orElse(Some("*"))
+
   /** Statement-family → required privilege, evaluated BEFORE execution.
     * root short-circuits (the default session — zero overhead for every
     * existing caller). Sources of a gated write (INSERT ... SELECT, CTAS,
@@ -3422,6 +3478,12 @@ final class DorisDdl(s: SparkSession) {
       requirePriv("ALTER_PRIV", sources())
     else if (up.startsWith("DROP MATERIALIZED VIEW"))
       requirePriv("DROP_PRIV", Seq("*"))
+    else if (up.startsWith("ALTER VIEW")) {
+      requirePriv("ALTER_PRIV", viewStmtTarget(t))
+      requirePriv("SELECT_PRIV", sources() -- viewStmtTarget(t))
+    }
+    else if (up.startsWith("DROP VIEW"))
+      requirePriv("DROP_PRIV", viewStmtTarget(t))
     else if (up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
       up.startsWith("ALTER TABLE") || up.startsWith("TRUNCATE TABLE"))
       requirePriv("ALTER_PRIV", tgt.orElse(Some("*")))

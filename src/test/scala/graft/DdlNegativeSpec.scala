@@ -50,6 +50,8 @@ class DdlNegativeSpec extends SparkSpec {
       "CREATE MATERIALIZED VIEW nf_mv AS SELECT k, SUM(v) AS sv " +
         "FROM nf_d GROUP BY k",
       "CREATE VIEW nf_vw AS SELECT k, v FROM nf_u",
+      "ALTER VIEW nf_vw AS SELECT k FROM nf_u",
+      "SHOW CREATE VIEW nf_vw",
       "ALTER TABLE nf_d ADD PARTITION p3 VALUES LESS THAN ('2024-04-01')",
       "ALTER TABLE nf_d ADD COLUMN tag VARCHAR(8) DEFAULT 'none'",
       "ALTER TABLE nf_d DROP PARTITION p3",
@@ -182,6 +184,8 @@ class DdlNegativeSpec extends SparkSpec {
       "REVOKE", "REVOKE SELECT_PRIV ON np FROM",
       "CREATE USER", "CREATE USER root", "DROP USER", "DROP USER 'ghost'",
       "SHOW GRANTS FOR", "SHOW GRANTS FOR 'ghost'",
+      "DROP VIEW", "DROP VIEW IF EXISTS", "ALTER VIEW",
+      "ALTER VIEW np AS", "SHOW CREATE VIEW", "SHOW CREATE VIEW ghost_v",
       "SET", "SET =", "SET sql_select_limit", "SET no_such = 1",
       "SHOW VARIABLES LIKE", "SELECT @@", "SELECT @@no_such_var",
       "SELECT FROM WHERE", ")(", "'", "", ";", "/*+ LEADING(a) */")

@@ -2226,6 +2226,45 @@ class DdlSpec extends SparkSpec {
     f.get(ddl).asInstanceOf[scala.collection.mutable.LinkedHashMap[String, DorisDdl.TableState]](table).dir
   }
 
+  // -------------------------------------------------------- view lifecycle
+
+  test("view lifecycle: ALTER VIEW redefines immediately, SHOW CREATE VIEW " +
+    "round-trips, DROP VIEW removes (IF EXISTS tolerant, tables rejected)") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE vt (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO vt VALUES (1, 10), (2, 20), (3, 30)")
+    ddl.execute("CREATE VIEW vv AS SELECT k, v FROM vt WHERE k <= 2")
+    assert(ddl.sql("SELECT count(*) AS n FROM vv").head.getLong(0) == 2)
+    // ALTER VIEW: readers see the new text immediately
+    ddl.execute("ALTER VIEW vv AS SELECT k, v FROM vt WHERE k >= 2")
+    assert(ddl.sql("SELECT count(*) AS n FROM vv").head.getLong(0) == 2)
+    assert(ddl.sql("SELECT min(k) AS m FROM vv").head.getLong(0) == 2)
+    // SHOW CREATE VIEW round-trip: drop, replay the emitted text, identical
+    val emitted = ddl.sql("SHOW CREATE VIEW vv").head.getString(1)
+    ddl.execute("DROP VIEW vv")
+    assertThrows[Exception](ddl.sql("SELECT * FROM vv").collect())
+    ddl.execute(emitted)
+    assert(ddl.sql("SELECT min(k) AS m FROM vv").head.getLong(0) == 2)
+    // guards
+    assertThrows[IllegalArgumentException](ddl.execute("DROP VIEW vt"))
+    assertThrows[IllegalArgumentException](ddl.execute("DROP VIEW ghost_v"))
+    ddl.execute("DROP VIEW IF EXISTS ghost_v") // tolerant
+    assertThrows[IllegalArgumentException](
+      ddl.execute("ALTER VIEW ghost_v AS SELECT 1"))
+    assertThrows[RuntimeException](ddl.sql("SHOW CREATE VIEW ghost_v"))
+    // privileges: ALTER/DROP VIEW gate on the view's own scope
+    ddl.execute("CREATE USER 'vu'")
+    ddl.login("vu")
+    val e1 = intercept[RuntimeException](
+      ddl.execute("ALTER VIEW vv AS SELECT k FROM vt"))
+    assert(e1.getMessage.contains("ALTER_PRIV"), e1.getMessage)
+    val e2 = intercept[RuntimeException](ddl.execute("DROP VIEW vv"))
+    assert(e2.getMessage.contains("DROP_PRIV"), e2.getMessage)
+    ddl.login("root")
+  }
+
   // ------------------------------------------------------ session variables
 
   test("session variables: SET/SHOW round-trip, LIKE filter, DEFAULT " +
