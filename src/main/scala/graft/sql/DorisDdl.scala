@@ -2954,9 +2954,16 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable CREATE VIEW: ${text.take(80)}")
   }
 
+  /** Re-register every user view from its text. A view whose base was
+    * dropped is BROKEN, not poisonous (Doris: querying it errors "references
+    * invalid table", every other statement still works): its temp view is
+    * dropped so reads fail with a named not-found, but the TEXT stays in
+    * the catalog — recreating the base heals the view on the next refresh,
+    * exactly Doris's behavior. */
   private def refreshUserViews(): Unit =
     viewDefs.synchronized(viewDefs.toSeq).foreach { case (name, body) =>
-      DorisSqlDialect.sql(s, body).createOrReplaceTempView(name)
+      try DorisSqlDialect.sql(s, body).createOrReplaceTempView(name)
+      catch { case _: Exception => s.catalog.dropTempView(name) }
     }
 
   private val AlterViewRe =

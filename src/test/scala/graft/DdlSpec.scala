@@ -2265,6 +2265,33 @@ class DdlSpec extends SparkSpec {
     ddl.login("root")
   }
 
+  test("a view over a dropped table is broken, not poisonous: unrelated " +
+    "statements keep working, the view errors on read, and recreating " +
+    "the base heals it (Doris's invalid-view semantics)") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE dvt (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dvt VALUES (1), (2)")
+    ddl.execute("CREATE VIEW dvv AS SELECT k FROM dvt")
+    ddl.execute("DROP TABLE dvt")
+    // unrelated statements must not be poisoned by the dangling view
+    // (pre-fix: EVERY statement failed re-registering it)
+    ddl.execute(
+      """CREATE TABLE dvo (x BIGINT)
+        |DUPLICATE KEY(x) DISTRIBUTED BY HASH(x) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dvo VALUES (5)")
+    assert(ddl.sql("SELECT x FROM dvo").count() == 1)
+    // the view itself errors on read with a named not-found
+    assertThrows[Exception](ddl.sql("SELECT * FROM dvv").collect())
+    // but its text survives — recreating the base heals it
+    ddl.execute(
+      """CREATE TABLE dvt (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO dvt VALUES (7)")
+    assert(ddl.sql("SELECT k FROM dvv").as[Long].collect().toSeq == Seq(7))
+  }
+
   // ------------------------------------------------------ session variables
 
   test("session variables: SET/SHOW round-trip, LIKE filter, DEFAULT " +
