@@ -2960,11 +2960,24 @@ final class DorisDdl(s: SparkSession) {
     * dropped so reads fail with a named not-found, but the TEXT stays in
     * the catalog — recreating the base heals the view on the next refresh,
     * exactly Doris's behavior. */
-  private def refreshUserViews(): Unit =
-    viewDefs.synchronized(viewDefs.toSeq).foreach { case (name, body) =>
-      try DorisSqlDialect.sql(s, body).createOrReplaceTempView(name)
-      catch { case _: Exception => s.catalog.dropTempView(name) }
+  private def refreshUserViews(): Unit = {
+    // Fixpoint over the registration order: a view over a view re-created
+    // LATER in catalog order (drop v1, recreate v1 — it re-enters the
+    // LinkedHashMap after its dependents) would otherwise stay broken for
+    // one extra statement. Passes are bounded by the longest dependency
+    // chain; each pass only retries what failed.
+    var pending = viewDefs.synchronized(viewDefs.toSeq)
+    var progress = true
+    while (pending.nonEmpty && progress) {
+      val failed = pending.filter { case (name, body) =>
+        try { DorisSqlDialect.sql(s, body).createOrReplaceTempView(name); false }
+        catch { case _: Exception => true }
+      }
+      progress = failed.size < pending.size
+      pending = failed
     }
+    pending.foreach { case (name, _) => s.catalog.dropTempView(name) }
+  }
 
   private val AlterViewRe =
     """(?is)^ALTER\s+VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\s+.*)$""".r

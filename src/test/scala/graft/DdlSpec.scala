@@ -2292,6 +2292,25 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT k FROM dvv").as[Long].collect().toSeq == Seq(7))
   }
 
+  test("view-over-view chains survive a drop-and-recreate of the root " +
+    "(registration reaches a fixpoint regardless of catalog order)") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE cvt (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO cvt VALUES (1), (2), (3)")
+    ddl.execute("CREATE VIEW cv1 AS SELECT k FROM cvt WHERE k >= 2")
+    ddl.execute("CREATE VIEW cv2 AS SELECT k FROM cv1 WHERE k >= 3")
+    assert(ddl.sql("SELECT k FROM cv2").as[Long].collect().toSeq == Seq(3))
+    // drop the INTERMEDIATE view, then recreate it — it re-enters the
+    // catalog AFTER its dependent cv2, the order the fixpoint must absorb
+    ddl.execute("DROP VIEW cv1")
+    assertThrows[Exception](ddl.sql("SELECT * FROM cv2").collect())
+    ddl.execute("CREATE VIEW cv1 AS SELECT k FROM cvt WHERE k >= 1")
+    assert(ddl.sql("SELECT count(*) AS n FROM cv2").head.getLong(0) == 1,
+      "dependent view must heal in the SAME statement that recreates its base")
+  }
+
   // ------------------------------------------------------ session variables
 
   test("session variables: SET/SHOW round-trip, LIKE filter, DEFAULT " +
