@@ -61,7 +61,11 @@ final class DorisDdl(s: SparkSession) {
 
   /** Execute one statement; Some(result) for SELECT/SHOW, None for DDL/DML. */
   def execute(sqlText: String): Option[DataFrame] = {
-    val t = sqlText.trim.stripSuffix(";").trim
+    // @@var reads resolve at the statement entry so they work in EVERY
+    // statement body (INSERT ... SELECT @@x, SET y = @@x, CTAS), exactly
+    // MySQL/Doris scope — not just top-level SELECT. Idempotent: resolved
+    // values contain no '@@', and literals are protected by inLiteral.
+    val t = rewriteVarReads(sqlText.trim.stripSuffix(";").trim)
     val up = t.toUpperCase
     authorize(t, up)
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }

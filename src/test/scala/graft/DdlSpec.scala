@@ -2334,6 +2334,17 @@ class DdlSpec extends SparkSpec {
       "@@session.version_comment AS vc, '@@not_a_var' AS lit").head
     assert(r.getInt(0) == 300 && r.getString(1) == "palospark" &&
       r.getString(2) == "@@not_a_var")
+    // @@ resolves at the STATEMENT entry, so it works in every body
+    // (MySQL/Doris scope), not just top-level SELECT
+    ddl.execute(
+      """CREATE TABLE vat (x BIGINT)
+        |DUPLICATE KEY(x) DISTRIBUTED BY HASH(x) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO vat SELECT CAST(@@query_timeout AS BIGINT)")
+    assert(ddl.sql("SELECT x FROM vat").head.getLong(0) == 300)
+    ddl.execute("SET exec_mem_limit = @@batch_size")
+    assert(ddl.sql("SHOW VARIABLES LIKE 'exec_mem_limit'")
+      .head.getString(1) == "4096")
+    ddl.execute("SET exec_mem_limit = DEFAULT")
     assertThrows[IllegalArgumentException](ddl.execute("SET no_such_var = 1"))
     assertThrows[IllegalArgumentException](
       ddl.execute("SET query_timeout = 'abc'"))
