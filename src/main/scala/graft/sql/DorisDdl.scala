@@ -2987,11 +2987,20 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^ALTER\s+VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\s+.*)$""".r
 
   /** `ALTER VIEW v AS SELECT ...` — replace the view's TEXT (the catalog
-    * object); readers see the new definition immediately. */
+    * object); readers see the new definition immediately. The new body is
+    * ANALYZED before the catalog mutates: Doris validates the query and
+    * rejects the ALTER, keeping the old definition — committing first and
+    * letting the lenient refresh swallow the failure would silently destroy
+    * a working view (the lenient path exists only for base-table drops). */
   private def alterView(text: String): Unit = text match {
     case AlterViewRe(name, body) =>
       require(viewDefs.synchronized(viewDefs.contains(name)),
         s"unknown view: $name")
+      try DorisSqlDialect.sql(s, body)
+      catch { case e: Exception =>
+        sys.error(s"ALTER VIEW $name: invalid view definition: " +
+          s"${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
+      }
       viewDefs.synchronized { viewDefs(name) = body }
       refreshUserViews()
     case _ => sys.error(s"unparseable ALTER VIEW: ${text.take(80)}")
@@ -3444,11 +3453,28 @@ final class DorisDdl(s: SparkSession) {
     * outside string literals — no view expansion: per Doris, querying a
     * view needs SELECT on the VIEW, not on its base tables. */
   private def directRefs(text: String): Set[String] = {
-    val cands = tables.synchronized(tables.keys.toSeq) ++
-      viewDefs.synchronized(viewDefs.keys.toSeq)
     val q = inLiteral(text)
-    cands.filter(n =>
-      s"(?is)\\b$n\\b".r.findAllMatchIn(text).exists(m => !q(m.start))).toSet
+    def hit(pat: String): Boolean =
+      s"(?is)\\b$pat\\b".r.findAllMatchIn(text).exists(m => !q(m.start))
+    // name-pattern → the privilege scope the reference READS. Tables and
+    // user views are their own scope. A sync MV, an MTMV, or an internal
+    // partition view (`t__part_p`, the FROM t PARTITION(p) spelling) all
+    // serve the BASE table's rows, so referencing one requires the base
+    // table's grant — otherwise a zero-grant user could read ungranted
+    // data straight through the derived object's registered temp view.
+    val cands: Seq[(String, String)] =
+      tables.synchronized(tables.values.toSeq).flatMap { t =>
+        val n = t.def_.name
+        Seq(n -> n, s"${n}__part_\\w+" -> n) ++
+          t.synchronized(t.mvs.toSeq).map(_.name -> n)
+      } ++
+        viewDefs.synchronized(viewDefs.keys.toSeq).map(v => v -> v) ++
+        mtmvs.synchronized(mtmvs.values.toSeq).map(m => m.name -> m.table)
+    val scopes = cands.collect { case (pat, scope) if hit(pat) => scope }.toSet
+    // Internal scratch views (file-TVF results, MTMV build sources) are
+    // not grantable objects: a direct reference demands the superuser
+    // scope rather than slipping past every check.
+    if (hit("__(?:file_tvf|mtmv_src)_\\w+")) scopes + "*" else scopes
   }
 
   // The write target of a DML/DDL statement, by form.
@@ -3472,6 +3498,9 @@ final class DorisDdl(s: SparkSession) {
   private def viewStmtTarget(t: String): Iterable[String] =
     ViewStmtTargetRe.findFirstMatchIn(t).map(_.group(1))
       .orElse(Some("*"))
+
+  private val RoutineLoadStmtRe =
+    """^(?:CREATE|STOP|PAUSE|RESUME)\s+ROUTINE\s+LOAD\b""".r
 
   /** Statement-family → required privilege, evaluated BEFORE execution.
     * root short-circuits (the default session — zero overhead for every
@@ -3515,11 +3544,12 @@ final class DorisDdl(s: SparkSession) {
       requirePriv("DROP_PRIV", tgt.orElse(Some("*")))
     else if (up.startsWith("INSERT ") || up.startsWith("LOAD LABEL") ||
       up.startsWith("UPDATE ") || up.startsWith("DELETE FROM") ||
-      up.startsWith("CANCEL LOAD") || up.contains("ROUTINE LOAD")) {
-      if (!up.startsWith("SHOW")) {
-        requirePriv("LOAD_PRIV", tgt.orElse(Some("*")))
-        requirePriv("SELECT_PRIV", sources())
-      }
+      up.startsWith("CANCEL LOAD") ||
+      // anchored to the statement START: a SELECT whose literal merely
+      // contains the words 'routine load' must stay on the SELECT path
+      RoutineLoadStmtRe.findFirstIn(up).isDefined) {
+      requirePriv("LOAD_PRIV", tgt.orElse(Some("*")))
+      requirePriv("SELECT_PRIV", sources())
     }
     else if (up.startsWith("EXPORT TABLE"))
       requirePriv("SELECT_PRIV", tgt.orElse(Some("*")))
@@ -3570,8 +3600,12 @@ final class DorisDdl(s: SparkSession) {
           raw.substring(1, raw.length - 1)
         else raw
       if (intVars(name))
-        require(scala.util.Try(value.toLong).isSuccess,
-          s"variable '$name' requires an integer value, got: $value")
+        // all of this instance's integer variables are UNSIGNED in
+        // MySQL/Doris (mem limits, timeouts, row caps): a negative
+        // assignment errors rather than, e.g., turning sql_select_limit
+        // into an every-SELECT-returns-zero-rows trap
+        require(scala.util.Try(value.toLong).toOption.exists(_ >= 0L),
+          s"variable '$name' requires a non-negative integer value, got: $value")
       if (boolVars(name))
         require(Set("true", "false", "0", "1")(value.toLowerCase),
           s"variable '$name' requires a boolean value, got: $value")

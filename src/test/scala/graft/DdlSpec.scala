@@ -2500,4 +2500,92 @@ class DdlSpec extends SparkSpec {
     ddl.execute("DROP USER 'carol'")
     assert(ddl.whoami == "root")
   }
+
+  test("privileges: derived objects are not a bypass — MV, MTMV, and " +
+    "partition-view references require the BASE table's grant; internal " +
+    "scratch views demand superuser scope") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sec_p (d DATE, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(
+      "INSERT INTO sec_p VALUES ('2024-01-10', 1, 1.0), ('2024-02-10', 2, 2.0)")
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW sec_mtmv
+        |BUILD IMMEDIATE REFRESH AUTO ON MANUAL
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM sec_p GROUP BY d""".stripMargin)
+    ddl.execute(
+      "CREATE MATERIALIZED VIEW sec_smv AS SELECT d, SUM(v) AS sv FROM sec_p GROUP BY d")
+    ddl.execute("CREATE USER 'mallory'")
+    ddl.login("mallory")
+    // every derived spelling of sec_p's data is denied without the grant
+    assert(denied(ddl.sql("SELECT * FROM sec_mtmv")).contains("sec_p"))
+    assert(denied(ddl.sql("SELECT * FROM sec_smv")).contains("sec_p"))
+    assert(denied(ddl.sql("SELECT * FROM sec_p__part_pa")).contains("sec_p"))
+    assert(denied(ddl.sql("SELECT * FROM sec_p PARTITION (pa)"))
+      .contains("sec_p"))
+    // internal scratch views are not grantable objects: superuser scope
+    assert(denied(ddl.sql("SELECT * FROM __file_tvf_1")).endsWith("on *"))
+    assert(denied(ddl.sql("SELECT * FROM __mtmv_src_sec_mtmv")).endsWith("on *"))
+    // the base grant admits the derived reads
+    ddl.login("root")
+    ddl.execute("GRANT SELECT_PRIV ON sec_p TO 'mallory'")
+    ddl.login("mallory")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_mtmv").as[Long].head() == 2L)
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_p__part_pa")
+      .as[Long].head() == 1L)
+  }
+
+  test("privileges: a literal containing 'routine load' stays a SELECT — " +
+    "only a statement-initial ROUTINE LOAD form demands LOAD_PRIV") {
+    val ddl = authFixture()
+    ddl.execute("GRANT SELECT_PRIV ON sec_t TO 'alice'")
+    ddl.login("alice")
+    assert(ddl.sql(
+      "SELECT k FROM sec_t WHERE CAST(v AS STRING) = 'routine load'")
+      .count() == 0L)
+    assert(denied(ddl.execute(
+      """CREATE ROUTINE LOAD rl_sec ON sec_t
+        |PROPERTIES("desired_concurrent_number" = "1")
+        |FROM FILE ("path" = "/tmp/nope", "format" = "csv")""".stripMargin))
+      .contains("LOAD_PRIV"))
+  }
+
+  test("ALTER VIEW validates the new body BEFORE committing: a broken " +
+    "definition rejects and the working one survives") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE av_t (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO av_t VALUES (1, 10), (2, 20)")
+    ddl.execute("CREATE VIEW av_v AS SELECT k, v FROM av_t")
+    val e = intercept[RuntimeException](
+      ddl.execute("ALTER VIEW av_v AS SELECT no_such_col FROM av_t"))
+    assert(e.getMessage.contains("invalid view definition"), e.getMessage)
+    // the old definition is intact — not silently destroyed
+    assert(ddl.sql("SELECT count(*) AS n FROM av_v").as[Long].head() == 2L)
+    assert(ddl.sql("SHOW CREATE VIEW av_v").head.getString(1)
+      .contains("SELECT k, v FROM av_t"))
+  }
+
+  test("session variables: negative values reject on unsigned int vars " +
+    "(a negative sql_select_limit must not zero out every SELECT)") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE sv_neg (k BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO sv_neg VALUES (1), (2), (3)")
+    val e = intercept[IllegalArgumentException](
+      ddl.execute("SET sql_select_limit = -1"))
+    assert(e.getMessage.contains("non-negative"), e.getMessage)
+    assertThrows[IllegalArgumentException](
+      ddl.execute("SET exec_mem_limit = -5"))
+    assert(ddl.sql("SELECT k FROM sv_neg").count() == 3L,
+      "the rejected SET must leave the cap at its default (uncapped)")
+  }
 }
