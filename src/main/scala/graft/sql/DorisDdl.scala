@@ -629,6 +629,10 @@ final class DorisDdl(s: SparkSession) {
     require(!d.indexes.exists(_.name == ix.name),
       s"$tname: index ${ix.name} already exists")
     t.synchronized { t.def_ = d.copy(indexes = d.indexes :+ ix) }
+    // NGRAM_BF on a loaded table: backfill the gram-bloom sidecars over
+    // every existing rowset file NOW (Doris's ADD INDEX build job), so
+    // the first query already prunes
+    if (ix.kind == "NGRAM_BF") buildNgramSidecars(t)
   }
 
   private def dropIndex(tname: String, iname: String): Unit = {
@@ -764,39 +768,323 @@ final class DorisDdl(s: SparkSession) {
   private val InfixLikeRe =
     """(?is)`?(\w+)`?\s+LIKE\s+'%([^%_']+)%'""".r
 
-  /** NGRAM_BF rewrite ([doris: be/.../ngram_bloom_filter — the 2.x n-gram
-    * bloom index]): an infix LIKE on an indexed column becomes
-    * NARROW-THEN-VERIFY — a gram-hash membership pre-filter (each needle
-    * gram's hash, mod bf_size, must appear among the row's gram hashes:
-    * exactly a bloom probe, false positives possible and harmless) ANDed
-    * BEFORE the exact LIKE, so the cheap integer stage prunes rows ahead
-    * of the substring scan. Both gram arrays are built IN the query:
-    * the needle side is constant-folded by Catalyst, the row side is one
-    * codegen'd transform — nothing driver-side, nothing collected. */
+  // ------------------------------------------- NGRAM_BF skipping sidecars
+
+  /** Sidecar directory for one NGRAM_BF index. The index PARAMETERS are
+    * part of the path, so an index dropped and re-created with different
+    * gram/bf sizes can never consult a stale bitset (the old dir is just
+    * orphaned bytes). Lives under the table dir behind a `_` prefix,
+    * which Spark's reader ignores — sidecars are never scanned as data. */
+  private def ngramDir(t: TableState, ix: IndexDef): java.nio.file.Path =
+    java.nio.file.Paths.get(t.dir, "_ngram_bf",
+      s"${ix.col}_g${ix.gramSize}_b${ix.bfSize}")
+
+  private def sha1hex(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Current committed rowset files, table-dir-relative — the exact file
+    * set the read path serves (`__tmp_` staging and `_`-markers excluded).
+    * Driver directory walk, metadata-sized. */
+  private def rowsetFiles(t: TableState): Seq[String] = {
+    val root = java.nio.file.Paths.get(t.dir)
+    if (!java.nio.file.Files.isDirectory(root)) return Nil
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      val out = mutable.ArrayBuffer[String]()
+      walk.forEach { p =>
+        if (p.toString.endsWith(".parquet")) {
+          val rel = root.relativize(p).toString
+          if (!rel.startsWith("_ngram_bf") && !rel.contains("_temporary") &&
+            !rel.startsWith("_p=__tmp_")) out += rel
+        }
+      }
+      out.toSeq.sorted
+    } finally walk.close()
+  }
+
+  /** The read-side VALUE of the indexed column, replicated for the
+    * sidecar build: the same priors-coalesce (light RENAME) and
+    * pre-change DEFAULT backfill (light ADD COLUMN) visible() applies —
+    * the index must be true to what queries actually see, not to the raw
+    * file bytes. None = the column has no stored source yet (unprunable,
+    * never unsound). */
+  private def ngramReadCol(t: TableState, df: DataFrame,
+      ix: IndexDef): Option[Column] = {
+    val c = t.def_.cols.find(_.name == ix.col).getOrElse(return None)
+    val have = df.columns.toSet
+    val sources = (c.name +: c.priors).filter(have.contains)
+    if (sources.isEmpty) return None
+    val base = if (sources == Seq(c.name)) col(c.name).cast("string")
+      else coalesce(sources.map(n => col(n).cast("string")): _*)
+    Some(c.default match {
+      case Some(d) if have.contains("_ver") =>
+        when(base.isNull && col("_ver") <= c.addedVer, lit(d)).otherwise(base)
+      case _ => base
+    })
+  }
+
+  /** Build missing per-rowset-file gram-bloom sidecars for every NGRAM_BF
+    * index on `t` ([doris: be/.../ngram_bloom_filter — built per segment
+    * at write time]). One distributed pass per index over exactly the
+    * files that LACK a sidecar (the read PATH-restricts to them, so a
+    * fresh load scans only its own new rowset files): load() builds per
+    * publish, CREATE INDEX on a loaded table backfills everything once,
+    * and writers that bypass load() (partition swap, RESTORE) are healed
+    * lazily by the first indexed query — steady state is a directory
+    * check only. The collect is INDEX METADATA (≤ bf_size bits + one path
+    * per file, the sidecar content itself), never row data; a cluster
+    * deployment would write each sidecar executor-side — same bytes,
+    * same single pass. */
+  private def buildNgramSidecars(t: TableState): Unit = {
+    // merge-on-read models can never consume the sidecars (pruning files
+    // pre-merge on a content predicate is unsound — a key's winning
+    // version may live in the pruned file): don't pay the build pass
+    if (t.def_.keysType != "DUPLICATE") return
+    val ixs = t.def_.indexes.filter(_.kind == "NGRAM_BF")
+    if (ixs.isEmpty || !hasRowsets(t.dir)) return
+    val all = rowsetFiles(t)
+    val root = java.nio.file.Paths.get(t.dir)
+    ixs.foreach { ix =>
+      val dir = ngramDir(t, ix)
+      val missing = all.filterNot(rel =>
+        java.nio.file.Files.exists(dir.resolve(sha1hex(rel) + ".bf")))
+      if (missing.nonEmpty) {
+        java.nio.file.Files.createDirectories(dir)
+        val missingSet = missing.toSet
+        val read = s.read.option("basePath", t.dir)
+          .option("mergeSchema", "true")
+          .parquet(missing.map(rel => s"${t.dir}/$rel"): _*)
+        ngramReadCol(t, read, ix).foreach { c =>
+          val g = ix.gramSize
+          // one distinct (file, gram-bucket) pair stream: map-side partial
+          // distinct, then a file-keyed shuffle of ≤ files × bf_size ints
+          val grams = expr(
+            s"CASE WHEN __ng_c IS NULL OR length(__ng_c) < $g THEN array() " +
+              s"ELSE transform(sequence(1, length(__ng_c) - ${g - 1}), " +
+              s"i -> pmod(hash(substring(__ng_c, i, $g)), ${ix.bfSize})) END")
+          val rows = read.withColumn("__ng_c", c)
+            .select(input_file_name().as("_f"), explode_outer(grams).as("_h"))
+            .distinct()
+            .groupBy("_f").agg(collect_set(col("_h")).as("hs"))
+            .collect()
+          val written = mutable.Set[String]()
+          rows.foreach { r =>
+            scala.util.Try {
+              val p = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+              root.relativize(java.nio.file.Paths.get(p)).toString
+            }.toOption.filter(missingSet.contains).foreach { rel =>
+              val bs = new java.util.BitSet(ix.bfSize)
+              r.getSeq[Int](1).foreach(bs.set)
+              java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
+                bs.toByteArray)
+              written += rel
+            }
+          }
+          // a missing file ABSENT from the aggregate has ZERO rows (the
+          // read listed exactly the missing files — an empty bucket
+          // partition's writer leaves such files): no row can ever match
+          // any needle, so an empty bitset is its exact bloom
+          (missingSet -- written).foreach { rel =>
+            java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
+              new java.util.BitSet(ix.bfSize).toByteArray)
+          }
+        }
+      }
+    }
+  }
+
+  /** Driver-side replica of `pmod(hash(substring(needle, i, g)), b)` —
+    * the same Murmur3(seed 42) Spark's `hash()` evaluates, applied to the
+    * CONSTANT needle only (the row side never hashes: that is the whole
+    * point of the persisted index). Pinned against the SQL function by
+    * DdlSpec — a drift here would prune wrongly. */
+  private[graft] def needleGramHashes(needle: String, gramSize: Int,
+      bfSize: Int): Seq[Int] =
+    (0 to needle.length - gramSize).map { i =>
+      val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
+        .hash(org.apache.spark.unsafe.types.UTF8String
+          .fromString(needle.substring(i, i + gramSize)),
+          org.apache.spark.sql.types.StringType, 42L).toInt
+      ((h % bfSize) + bfSize) % bfSize
+    }
+
+  /** Consult the sidecars: a file whose bloom is missing some needle gram
+    * provably cannot contain the needle and is PRUNED from the scan; a
+    * file with no sidecar always survives — pruning is best-effort, never
+    * unsound. Bitsets are cached per content-addressed sidecar name
+    * (rowset files are immutable, so the cache never invalidates).
+    * Returns (survivors, total file count). */
+  private def ngramSurvivors(t: TableState, ix: IndexDef,
+      needle: String): (Seq[String], Int) = {
+    val all = rowsetFiles(t)
+    val dir = ngramDir(t, ix)
+    val sub = dir.getFileName.toString
+    val hs = needleGramHashes(needle, ix.gramSize, ix.bfSize)
+    val surv = all.filter { rel =>
+      val key = sha1hex(rel)
+      val bs = t.ngramCache.synchronized(t.ngramCache.get((sub, key)))
+        .orElse {
+          val f = dir.resolve(key + ".bf")
+          if (!java.nio.file.Files.exists(f)) None
+          else {
+            val b = java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(f))
+            t.ngramCache.synchronized(t.ngramCache((sub, key)) = b)
+            Some(b)
+          }
+        }
+      bs.forall(b => hs.forall(b.get))
+    }
+    (surv, all.size)
+  }
+
+  /** Is text[start,end) a TOP-LEVEL conjunct of the WHERE clause that
+    * encloses it? Splitting the enclosing WHERE on its own-depth ANDs
+    * must yield a conjunct that is exactly this span (modulo wrapping
+    * parens/whitespace). This is the soundness gate for scan pruning: a
+    * predicate under OR/NOT/CASE restricts nothing about the scan, and a
+    * LIKE in a SELECT list or JOIN condition is not a row filter. */
+  private def isTopWhereConjunct(text: String, mStart: Int, mEnd: Int): Boolean = {
+    val q = inLiteral(text)
+    val depth = new Array[Int](text.length + 1)
+    var d = 0
+    var i = 0
+    while (i < text.length) {
+      depth(i) = d
+      if (!q(i)) {
+        if (text(i) == '(') d += 1 else if (text(i) == ')') d -= 1
+      }
+      i += 1
+    }
+    depth(text.length) = d
+    val where = """(?is)\bWHERE\b""".r.findAllMatchIn(text)
+      .filter(w => !q(w.start) && w.end <= mStart &&
+        depth(w.start) == depth(mStart))
+      .toSeq.lastOption.getOrElse(return false)
+    val wd = depth(where.start)
+    // clause ends where depth drops below the WHERE's, or at the next
+    // own-depth clause keyword
+    val kwEnd = """(?is)\b(GROUP|ORDER|LIMIT|HAVING|UNION|INTERSECT|EXCEPT|QUALIFY|WINDOW)\b""".r
+      .findAllMatchIn(text)
+      .filter(k => !q(k.start) && k.start >= where.end && depth(k.start) == wd)
+      .map(_.start).toSeq.minOption.getOrElse(text.length)
+    val parenEnd = (where.end until text.length)
+      .find(j => depth(j) < wd).getOrElse(text.length)
+    val ce = math.min(kwEnd, parenEnd)
+    if (mEnd > ce) return false
+    val andStarts = """(?is)\bAND\b""".r.findAllMatchIn(text)
+      .filter(a => !q(a.start) && a.start >= where.end && a.end <= ce &&
+        depth(a.start) == wd).toSeq
+    val cuts = (where.end +: andStarts.map(_.end)) zip
+      (andStarts.map(_.start) :+ ce)
+    cuts.find { case (cs, ceEnd) => cs <= mStart && mEnd <= ceEnd }
+      .exists { case (cs, ceEnd) =>
+        val pre = text.substring(cs, mStart)
+        val post = text.substring(mEnd, ceEnd)
+        pre.forall(ch => ch.isWhitespace || ch == '(') &&
+          post.forall(ch => ch.isWhitespace || ch == ')') &&
+          pre.count(_ == '(') == post.count(_ == ')')
+      }
+  }
+
+  /** Table referenced exactly once in a FROM/JOIN position, with every
+    * other mention a `t.`-qualifier — the only shape where renaming the
+    * table token to a pruned view is a pure scan substitution. */
+  private def tableRefOnce(text: String, n: String): Boolean = {
+    val q = inLiteral(text)
+    val occ = s"(?is)\\b$n\\b".r.findAllMatchIn(text)
+      .filter(m => !q(m.start)).toSeq
+    val fromPos = occ.count { m =>
+      val w = text.substring(math.max(0, m.start - 16), m.start)
+      """(?is)\b(FROM|JOIN)\s*$""".r.findFirstIn(w).isDefined
+    }
+    val qual = occ.count(m => m.end < text.length && text(m.end) == '.')
+    fromPos == 1 && occ.size == fromPos + qual
+  }
+
+  private def replaceTableToken(text: String, n: String, repl: String): String = {
+    val q = inLiteral(text)
+    s"(?is)\\b$n\\b".r.replaceAllIn(text, m =>
+      if (q(m.start)) m.matched
+      else java.util.regex.Matcher.quoteReplacement(repl))
+  }
+
+  /** Last prune decision — (table, surviving files, total files) — for
+    * tests and plan review. */
+  @volatile var lastNgramPrune: Option[(String, Int, Int)] = None
+
+  /** NGRAM_BF read path ([doris: be/.../ngram_bloom_filter — the 2.x
+    * n-gram bloom index]): an infix LIKE on an indexed column consults
+    * the PERSISTED per-rowset-file gram blooms and prunes files that
+    * provably cannot contain the needle BEFORE any per-row work — the
+    * scan then reads only surviving files and the exact LIKE is the
+    * residual verify, exactly Doris's rowset-skip-then-verify shape.
+    * (An earlier revision recomputed the row side's gram hashes per query
+    * as a row-level pre-filter; that costs strictly MORE than the LIKE it
+    * fronts — the index must SKIP STORAGE or do nothing.)
+    *
+    * Soundness gates, each falling back to the plain LIKE (never wrong,
+    * just unpruned): DUPLICATE key model only (UNIQUE/AGGREGATE
+    * merge-on-read must see every version of a key, so a content
+    * predicate cannot drop files pre-merge); the LIKE must be a top-level
+    * WHERE conjunct (under OR/NOT it restricts nothing); the table must
+    * be referenced exactly once. Zero surviving files folds the predicate
+    * to FALSE — Catalyst's PropagateEmptyRelation then erases the whole
+    * scan. */
   private def rewriteNgramLike(text: String): String = {
-    val ngram: Map[String, IndexDef] = tables.synchronized(
-      referencedTables(text).flatMap(n => tables(n).def_.indexes
-        .filter(_.kind == "NGRAM_BF").map(ix => ix.col -> ix)).toMap)
+    val ngram: Map[String, (TableState, IndexDef)] = tables.synchronized {
+      val pairs = referencedTables(text).toSeq.flatMap(n =>
+        tables(n).def_.indexes.filter(_.kind == "NGRAM_BF")
+          .map(ix => ix.col -> ((tables(n), ix))))
+      // a column indexed on more than one referenced table is ambiguous —
+      // no rewrite for it
+      pairs.groupBy(_._1).collect { case (c, Seq(one)) => c -> one._2 }
+    }
     if (ngram.isEmpty) return text
     val quoted = inLiteral(text)
-    InfixLikeRe.replaceAllIn(text, m => {
+    // per-table intersection of survivors across every prunable LIKE
+    val prunes = mutable.LinkedHashMap[String, (TableState, Set[String])]()
+    val out = InfixLikeRe.replaceAllIn(text, m => {
       val (c, needle) = (m.group(1), m.group(2))
       ngram.get(c) match {
-        case Some(ix) if !quoted(m.start) && needle.length >= ix.gramSize =>
-          val g = ix.gramSize
-          val rowGrams =
-            s"transform(sequence(1, length(`$c`) - ${g - 1}), " +
-              s"i -> pmod(hash(substring(`$c`, i, $g)), ${ix.bfSize}))"
-          val needleGrams =
-            s"transform(sequence(1, ${needle.length - g + 1}), " +
-              s"i -> pmod(hash(substring('$needle', i, $g)), ${ix.bfSize}))"
-          java.util.regex.Matcher.quoteReplacement(
-            s"((length(`$c`) >= $g AND forall($needleGrams, " +
-              s"h -> array_contains($rowGrams, h))) " +
-              s"AND `$c` LIKE '%$needle%')")
+        case Some((t, ix)) if !quoted(m.start) &&
+          needle.length >= ix.gramSize && !needle.contains("\\") &&
+          t.def_.keysType == "DUPLICATE" &&
+          tableRefOnce(text, t.def_.name) &&
+          isTopWhereConjunct(text, m.start, m.end) =>
+          // lazy repair covers writers that bypass load(); steady-state
+          // this is a directory existence check only
+          buildNgramSidecars(t)
+          val (surv, total) = ngramSurvivors(t, ix, needle)
+          lastNgramPrune = Some((t.def_.name, surv.size, total))
+          if (surv.isEmpty) "FALSE" // conjunct position: NULL ≡ FALSE here
+          else {
+            if (surv.size < total) {
+              val n = t.def_.name
+              val cur = prunes.get(n).map(_._2).getOrElse(surv.toSet)
+              prunes(n) = (t, cur intersect surv.toSet)
+            }
+            m.matched // the residual verify — a plain, codegen'd LIKE
+          }
         case _ => m.matched
       }
     })
+    prunes.foldLeft(out) { case (acc, (n, (t, surv))) =>
+      // a multi-needle intersection CAN empty out (needle1 only in file A,
+      // needle2 only in file B — no one file can satisfy both): a zero-file
+      // view has no schema to read, so fall back to the unpruned scan and
+      // let the two residual LIKEs return the (empty) result
+      if (surv.isEmpty) acc
+      else {
+        val pv = s"${n}__ngbf"
+        val mergedSchema =
+          s.read.option("mergeSchema", "true").parquet(t.dir).schema
+        visible(t, None, schemaHint = Some(mergedSchema),
+          files = Some(surv.toSeq.sorted.map(rel => s"${t.dir}/$rel")))
+          .createOrReplaceTempView(pv)
+        replaceTableToken(acc, n, pv)
+      }
+    }
   }
 
   // ----------------------------------------------- CREATE MATERIALIZED VIEW
@@ -1256,6 +1544,10 @@ final class DorisDdl(s: SparkSession) {
     dynamicPartitionMaintain(t)
     registerViews(t)
     refreshMvs(t)
+    // NGRAM_BF load-time index build: the new rowset's files get their
+    // gram-bloom sidecars here (one pass over the new files only — the
+    // _ver filter's parquet stats skip every older rowset)
+    buildNgramSidecars(t)
   }
 
   /** Dynamic-partition maintenance (AUTO tables) — runs at load time and
@@ -2789,7 +3081,11 @@ final class DorisDdl(s: SparkSession) {
     * version must not shadow-win; a post-delete reload must survive). */
   private def visible(t: TableState, part: Option[String],
       keepPart: Boolean = false,
-      schemaHint: Option[org.apache.spark.sql.types.StructType] = None)
+      schemaHint: Option[org.apache.spark.sql.types.StructType] = None,
+      // explicit rowset-file subset (NGRAM_BF file pruning): the scan
+      // LISTS only these files — true storage skipping, not a row filter.
+      // basePath keeps `_p` partition-column inference intact.
+      files: Option[Seq[String]] = None)
       : DataFrame = {
     // mergeSchema: rowsets written before a light ADD COLUMN lack the new
     // column; the union schema surfaces it as NULL, and the default-
@@ -2801,9 +3097,16 @@ final class DorisDdl(s: SparkSession) {
     // gets a FRESH plan (own exprIds — two filtered branches of one
     // DataFrame must never be joined, the documented self-join hazard)
     // but the footer job runs once, not once per partition.
-    var df = schemaHint match {
-      case Some(sc) => s.read.schema(sc).parquet(t.dir)
-      case None => s.read.option("mergeSchema", "true").parquet(t.dir)
+    var df = {
+      val r0 = files.fold(s.read)(_ => s.read.option("basePath", t.dir))
+      val r = schemaHint match {
+        case Some(sc) => r0.schema(sc)
+        case None => r0.option("mergeSchema", "true")
+      }
+      files match {
+        case Some(fs) => r.parquet(fs: _*)
+        case None => r.parquet(t.dir)
+      }
     }
     // TEMPORARY partition rowsets (`_p=__tmp_*`) are staging data: never
     // visible until REPLACE PARTITION publishes them. The startsWith is a
@@ -3465,7 +3768,7 @@ final class DorisDdl(s: SparkSession) {
     val cands: Seq[(String, String)] =
       tables.synchronized(tables.values.toSeq).flatMap { t =>
         val n = t.def_.name
-        Seq(n -> n, s"${n}__part_\\w+" -> n) ++
+        Seq(n -> n, s"${n}__part_\\w+" -> n, s"${n}__ngbf" -> n) ++
           t.synchronized(t.mvs.toSeq).map(_.name -> n)
       } ++
         viewDefs.synchronized(viewDefs.keys.toSeq).map(v => v -> v) ++
@@ -3904,5 +4207,10 @@ object DorisDdl {
     // `_p=__tmp_<name>` in the table dir — excluded from every read until
     // REPLACE PARTITION publishes it
     val tempParts: mutable.LinkedHashMap[String, PartDef] = mutable.LinkedHashMap()
+    // NGRAM_BF sidecar bitsets, keyed (paramDir, sha1(relpath)) — rowset
+    // files are immutable, so entries never invalidate; dead files' entries
+    // are just unreferenced
+    val ngramCache: mutable.Map[(String, String), java.util.BitSet] =
+      mutable.Map()
   }
 }

@@ -2060,36 +2060,49 @@ class DdlSpec extends SparkSpec {
         |PROPERTIES("colocate_with" = "cg")""".stripMargin))
   }
 
-  test("NGRAM_BF index: infix LIKE gains a gram-hash narrow stage ahead of " +
-    "the exact verify; exactness survives bloom false positives; SHOW " +
-    "INDEX and SHOW CREATE surface it; MATCH stays INVERTED-only") {
+  private def scanFileCounts(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }
+
+  test("NGRAM_BF index: persisted per-rowset gram blooms PRUNE FILES at " +
+    "read before any per-row work; residual LIKE catches bloom false " +
+    "positives; zero survivors fold the predicate away; SHOW surfaces it") {
     val ddl = fresh()
     ddl.execute(
       """CREATE TABLE ng (id BIGINT, body VARCHAR(80),
         |  INDEX ix_ng (body) USING NGRAM_BF
-        |    PROPERTIES("gram_size" = "2", "bf_size" = "128")
-        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
-    // row 4 shares every 2-gram of 'spark' (sp/pa/ar/rk) without the
-    // substring: it passes the bloom narrow stage and must be caught by
-    // the exact verify — the false-positive path
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    // two loads = two rowsets with disjoint vocabulary
     ddl.execute("INSERT INTO ng VALUES (1, 'spark shuffles data'), " +
       "(2, 'duckdb is fast'), (3, 'sparkling water'), (4, 'park spa dark')")
-    val df = ddl.sql("SELECT id FROM ng WHERE body LIKE '%spark%'")
-    assert(df.as[Long].collect().sorted.toSeq == Seq(1L, 3L))
-    // the optimized filter carries the narrow stage BEFORE the LIKE
-    val cond = df.queryExecution.optimizedPlan.collect {
+    ddl.execute("INSERT INTO ng VALUES (10, 'the xylophone sings')")
+    // selective needle: only the second rowset's file can contain it
+    val df = ddl.sql("SELECT id FROM ng WHERE body LIKE '%xylophone%'")
+    assert(df.as[Long].collect().toSeq == Seq(10L))
+    val Some((tn, surv, total)) = ddl.lastNgramPrune
+    assert(tn == "ng" && surv < total && surv >= 1, s"($tn, $surv, $total)")
+    // the SCAN lists only surviving files — storage skipping, not a filter
+    assert(scanFileCounts(df).sum == surv, df.queryExecution.executedPlan)
+    // common needle: every file survives, the plan is the PLAIN LIKE (the
+    // per-row gram re-hash of earlier revisions cost more than the LIKE)
+    val all = ddl.sql("SELECT id FROM ng WHERE body LIKE '%spark%'")
+    assert(all.as[Long].collect().sorted.toSeq == Seq(1L, 3L),
+      "residual LIKE must catch rows/files the bloom admits but don't match")
+    val cond = all.queryExecution.optimizedPlan.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
         f.condition.sql
     }.mkString(" ")
-    // Catalyst simplifies the LIKE verify into contains(col, needle); the
-    // narrow stage's forall(gram probes) must sit BEFORE it in the AND
-    assert(cond.contains("forall(") && cond.contains("array_contains("), cond)
-    val verifyAt = cond.indexOf("contains(ng.body, 'spark')")
-    assert(verifyAt >= 0, cond)
-    assert(cond.indexOf("forall(") < verifyAt, cond)
+    assert(!cond.contains("forall(") && !cond.contains("array_contains("), cond)
+    // a needle NO file contains folds to an empty relation: zero files read
+    val none = ddl.sql("SELECT id FROM ng WHERE body LIKE '%zzzqqq%'")
+    assert(none.count() == 0L)
+    assert(scanFileCounts(none).sum == 0, none.queryExecution.executedPlan)
     // a needle shorter than gram_size and a non-indexed column stay plain
     assert(ddl.sql("SELECT count(*) AS n FROM ng WHERE body LIKE '%s%'")
-      .as[Long].head() == 4L)
+      .as[Long].head() == 5L)
     // NGRAM_BF does not legalize MATCH (INVERTED-only)
     assertThrows[IllegalArgumentException](ddl.sql(
       "SELECT id FROM ng WHERE body MATCH_ANY 'spark'"))
@@ -2098,34 +2111,111 @@ class DdlSpec extends SparkSpec {
       .as[(String, String, String)].collect().toSeq
       .contains(("ix_ng", "body", "NGRAM_BF")))
     val stmt = ddl.sql("SHOW CREATE TABLE ng").collect().head.getString(1)
-    assert(stmt.contains("USING NGRAM_BF PROPERTIES(\"gram_size\" = \"2\", " +
-      "\"bf_size\" = \"128\")"), stmt)
+    assert(stmt.contains("USING NGRAM_BF PROPERTIES(\"gram_size\" = \"3\", " +
+      "\"bf_size\" = \"65536\")"), stmt)
     ddl.execute(stmt.replace("`ng`", "`ng2`"))
     val stmt2 = ddl.sql("SHOW CREATE TABLE ng2").collect().head.getString(1)
     assert(stmt2.replace("ng2", "ng") == stmt, stmt2)
-    // standalone CREATE INDEX form + DROP INDEX retires the rewrite
-    ddl.execute(
-      """CREATE TABLE ng3 (id BIGINT, body VARCHAR(80))
-        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
-    ddl.execute("INSERT INTO ng3 VALUES (1, 'alpha beta')")
-    ddl.execute("CREATE INDEX ix3 ON ng3 (body) USING NGRAM_BF " +
-      "PROPERTIES(\"gram_size\" = \"3\", \"bf_size\" = \"256\")")
-    val df3 = ddl.sql("SELECT id FROM ng3 WHERE body LIKE '%beta%'")
-    assert(df3.as[Long].collect().toSeq == Seq(1L))
-    assert(df3.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.sql
-    }.mkString(" ").contains("forall("))
-    ddl.execute("DROP INDEX ix3 ON ng3")
-    val plain = ddl.sql("SELECT id FROM ng3 WHERE body LIKE '%beta%'")
-    assert(!plain.queryExecution.optimizedPlan.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-        f.condition.sql
-    }.mkString(" ").contains("forall("))
     // guards: property ranges
     assertThrows[IllegalArgumentException](ddl.execute(
-      "CREATE INDEX bad ON ng3 (body) USING NGRAM_BF " +
+      "CREATE INDEX bad ON ng (note) USING NGRAM_BF " +
         "PROPERTIES(\"gram_size\" = \"0\")"))
+  }
+
+  test("NGRAM_BF soundness gates: driver needle hashes equal Spark's " +
+    "hash(); no pruning under OR or in SELECT list or on UNIQUE tables; " +
+    "CREATE INDEX backfills existing rowsets; DROP INDEX retires pruning") {
+    val ddl = fresh()
+    // the driver-side Murmur3 replica must equal the SQL hash() the
+    // sidecar build evaluates — a drift here would prune WRONGLY
+    for (needle <- Seq("xylophone", "data", "日本語テキスト", "a'b c")) {
+      val g = 3
+      val sparkSide = spark.sql(
+        s"SELECT transform(sequence(1, ${needle.length - g + 1}), " +
+          s"i -> pmod(hash(substring('${needle.replace("'", "''")}', i, $g)), 65536))")
+        .head.getSeq[Int](0)
+      assert(ddl.needleGramHashes(needle, g, 65536) == sparkSide, needle)
+    }
+    ddl.execute(
+      """CREATE TABLE ngs (id BIGINT, body VARCHAR(80))
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ngs VALUES (1, 'alpha beta'), (2, 'gamma delta')")
+    ddl.execute("INSERT INTO ngs VALUES (3, 'epsilon zeta')")
+    // CREATE INDEX after the loads: the backfill build makes the very
+    // first query prune
+    ddl.execute("CREATE INDEX ix_s ON ngs (body) USING NGRAM_BF " +
+      "PROPERTIES(\"gram_size\" = \"3\", \"bf_size\" = \"65536\")")
+    ddl.lastNgramPrune = None
+    val df = ddl.sql("SELECT id FROM ngs WHERE body LIKE '%epsilon%'")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    val Some((_, surv, total)) = ddl.lastNgramPrune
+    assert(surv < total, s"($surv, $total)")
+    assert(scanFileCounts(df).sum == surv)
+    // under OR the predicate restricts nothing about the scan: no pruning
+    ddl.lastNgramPrune = None
+    assert(ddl.sql("SELECT id FROM ngs WHERE body LIKE '%epsilon%' OR id = 1")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    assert(ddl.lastNgramPrune.isEmpty, "OR-position must not prune")
+    // in a SELECT list it is not a row filter: no pruning
+    assert(ddl.sql(
+      "SELECT id, (body LIKE '%epsilon%') AS hit FROM ngs ORDER BY id")
+      .collect().length == 3)
+    assert(ddl.lastNgramPrune.isEmpty, "SELECT-list position must not prune")
+    // NOT-wrapped: the conjunct is the NOT, not the LIKE — and the result
+    // must keep rows from pruned-for-the-needle files
+    assert(ddl.sql("SELECT id FROM ngs WHERE NOT (body LIKE '%epsilon%')")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    assert(ddl.lastNgramPrune.isEmpty, "NOT-position must not prune")
+    // DROP INDEX retires pruning (plain LIKE over all files)
+    ddl.execute("DROP INDEX ix_s ON ngs")
+    ddl.lastNgramPrune = None
+    val plain = ddl.sql("SELECT id FROM ngs WHERE body LIKE '%epsilon%'")
+    assert(plain.as[Long].collect().toSeq == Seq(3L))
+    assert(ddl.lastNgramPrune.isEmpty)
+    assert(scanFileCounts(plain).sum == total)
+    // UNIQUE key model: merge-on-read must see every version of a key —
+    // no file pruning, results stay exact
+    ddl.execute(
+      """CREATE TABLE ngu (id BIGINT, body VARCHAR(80),
+        |  INDEX ixu (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) UNIQUE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ngu VALUES (1, 'xylophone here')")
+    ddl.execute("INSERT INTO ngu VALUES (1, 'replaced away')")
+    ddl.lastNgramPrune = None
+    assert(ddl.sql("SELECT id FROM ngu WHERE body LIKE '%xylophone%'")
+      .count() == 0L, "the key's LATEST version has no match")
+    assert(ddl.lastNgramPrune.isEmpty, "UNIQUE tables must not file-prune")
+  }
+
+  test("NGRAM_BF lazy repair: a writer that bypasses load() (partition " +
+    "REPLACE swap) leaves files without sidecars; the next indexed query " +
+    "heals them and then prunes") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ngr (d DATE, id BIGINT, body VARCHAR(80),
+        |  INDEX ixr (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(d, id)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO ngr VALUES ('2024-01-10', 1, 'alpha beta'), " +
+      "('2024-02-10', 2, 'gamma delta')")
+    // stage + swap pa: the published rowset files never went through load()
+    ddl.execute("ALTER TABLE ngr ADD TEMPORARY PARTITION tp " +
+      "VALUES LESS THAN ('2024-02-01')")
+    ddl.execute("INSERT INTO ngr TEMPORARY PARTITION (tp) " +
+      "VALUES ('2024-01-15', 3, 'xylophone staged')")
+    ddl.execute("ALTER TABLE ngr REPLACE PARTITION (pa) WITH " +
+      "TEMPORARY PARTITION (tp)")
+    val df = ddl.sql("SELECT id FROM ngr WHERE body LIKE '%xylophone%'")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    val Some((_, surv, total)) = ddl.lastNgramPrune
+    assert(surv < total && surv >= 1, s"($surv, $total): the repaired " +
+      "sidecars must prune the gamma-delta file")
+    assert(scanFileCounts(df).sum == surv)
   }
 
   test("dynamic_partition.end: forward buffer pre-creates empty future " +
