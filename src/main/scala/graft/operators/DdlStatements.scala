@@ -1408,6 +1408,12 @@ object DdlStatements {
           d.login("analyst")
           d.execute("DELETE FROM top_g WHERE o_totalprice > 300000")
           d.login("root")
+          // role-based half (Doris FE roles): a role holds the grant, a
+          // user holds the role — 'viewer' reads top_g with ZERO direct
+          // grants, purely through DEFAULT ROLE 'reader'
+          d.execute("CREATE ROLE 'reader'")
+          d.execute("GRANT SELECT_PRIV ON top_g TO ROLE 'reader'")
+          d.execute("CREATE USER 'viewer' DEFAULT ROLE 'reader'")
           staged.put(key, Staged(d, s))
           d
         }
@@ -1422,14 +1428,23 @@ object DdlStatements {
         val grants = ddl.sql("SHOW GRANTS FOR 'analyst'")
           .agg(concat_ws(";", sort_array(collect_list(
             concat($"scope", lit(":"), $"privs")))).as("grants"))
+        // the role-derived read: same rows, no direct grant on 'viewer'
+        ddl.login("viewer")
+        val viewerN = ddl.sql("SELECT count(*) AS viewer_n FROM top_g")
         ddl.login("root")
-        res.crossJoin(grants)
+        val roleRows = ddl.sql("SHOW ROLES")
+          .filter($"name" === "reader")
+          .select(concat($"name", lit("->"), $"users", lit("@"), $"grants")
+            .as("role_row"))
+        res.crossJoin(grants).crossJoin(viewerN).crossJoin(roleRows)
       },
       """SELECT count(*) AS n,
         |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
         |    AS cents,
         |  '*:CREATE_PRIV;ord_g:SELECT_PRIV;top_g:LOAD_PRIV,SELECT_PRIV'
-        |    AS grants
+        |    AS grants,
+        |  count(*) AS viewer_n,
+        |  'reader->viewer@top_g: SELECT_PRIV' AS role_row
         |FROM orders
         |WHERE o_totalprice > 150000 AND NOT (o_totalprice > 300000)""".stripMargin),
 

@@ -126,6 +126,9 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("SHOW DATA")) Some(showData(t))
     else if (up.startsWith("CREATE USER")) { createUser(t); None }
     else if (up.startsWith("DROP USER")) { dropUser(t); None }
+    else if (up.startsWith("CREATE ROLE")) { createRole(t); None }
+    else if (up.startsWith("DROP ROLE")) { dropRole(t); None }
+    else if (up.startsWith("SHOW ROLES")) Some(showRoles())
     else if (up.startsWith("GRANT ")) { grantStmt(t); None }
     else if (up.startsWith("REVOKE ")) { revokeStmt(t); None }
     else if (up.startsWith("SHOW GRANTS")) Some(showGrants(t))
@@ -3705,8 +3708,10 @@ final class DorisDdl(s: SparkSession) {
 
   // ------------------------------------------------------------ privileges
   // Doris's user/privilege model ([doris: fe/.../mysql/privilege/Auth.java],
-  // GRANT/REVOKE in the FE grammar) reduced to this instance's single flat
-  // namespace: users are names (the 'u'@'host' host part is accepted and
+  // GRANT/REVOKE in the FE grammar) in this instance's single namespace,
+  // ROLE-BASED as in the FE (CREATE/DROP ROLE, GRANT ... TO ROLE,
+  // GRANT 'role' TO user; effective = direct ∪ roles). Users are names
+  // (the 'u'@'host' host part is accepted and
   // ignored — the embedded engine has no wire protocol, so login() below is
   // the stand-in for the MySQL connection's authenticated identity), scopes
   // are `*` or one managed table/view, and the privilege set is Doris's:
@@ -3718,6 +3723,19 @@ final class DorisDdl(s: SparkSession) {
   private val users = mutable.Set[String]("root")
   private val userGrants =
     mutable.Map[(String, String), mutable.Set[String]]()
+  // Doris role-based ACL ([doris: fe/.../mysql/privilege/Role.java]): a
+  // role is a named grant set; a user's EFFECTIVE privileges are their
+  // direct grants ∪ every assigned role's grants. The two built-ins ship
+  // with ADMIN_PRIV ON * ('operator' additionally holds NODE_PRIV in
+  // Doris — node administration is env-excluded here) and cannot be
+  // dropped or re-granted-into, matching FE behavior.
+  private val builtinRoles = Set("admin", "operator")
+  private val roles = mutable.Set[String]() ++ builtinRoles
+  private val roleGrants =
+    mutable.Map[(String, String), mutable.Set[String]](
+      ("admin", "*") -> mutable.Set("ADMIN_PRIV"),
+      ("operator", "*") -> mutable.Set("ADMIN_PRIV"))
+  private val userRoles = mutable.Map[String, mutable.Set[String]]()
   private var currentUser = "root"
 
   private val allPrivs = Set("SELECT_PRIV", "LOAD_PRIV", "ALTER_PRIV",
@@ -3734,13 +3752,24 @@ final class DorisDdl(s: SparkSession) {
   /** Current session identity (for SHOW GRANTS default and tests). */
   def whoami: String = currentUser
 
-  private def hasPriv(user: String, priv: String, obj: String): Boolean =
-    user == "root" || userGrants.synchronized {
-      def at(scope: String) =
-        userGrants.get((user, scope)).exists(g =>
-          g.contains(priv) || (scope == "*" && g.contains("ADMIN_PRIV")))
-      at("*") || (obj != "*" && at(obj))
+  /** Effective check = direct grants ∪ assigned roles' grants (Doris
+    * resolution order — there is no precedence, the union decides). */
+  private def hasPriv(user: String, priv: String, obj: String): Boolean = {
+    if (user == "root") return true
+    val rs = userRoles.synchronized(
+      userRoles.get(user).map(_.toSet).getOrElse(Set.empty))
+    def eff(scope: String): Set[String] =
+      userGrants.synchronized(
+        userGrants.get((user, scope)).map(_.toSet).getOrElse(Set.empty)) ++
+        roleGrants.synchronized(
+          rs.flatMap(r => roleGrants.get((r, scope))
+            .map(_.toSet).getOrElse(Set.empty)))
+    def at(scope: String) = {
+      val g = eff(scope)
+      g.contains(priv) || (scope == "*" && g.contains("ADMIN_PRIV"))
     }
+    at("*") || (obj != "*" && at(obj))
+  }
 
   /** Check `priv` on every object in `objs` (empty = nothing to check —
     * an empty SOURCE set must not escalate to a global requirement). A
@@ -3814,7 +3843,9 @@ final class DorisDdl(s: SparkSession) {
     val tgt = targetOf(t)
     def sources(): Set[String] = directRefs(t) -- tgt
     if (up.startsWith("GRANT ") || up.startsWith("REVOKE ") ||
-      up.startsWith("CREATE USER") || up.startsWith("DROP USER"))
+      up.startsWith("CREATE USER") || up.startsWith("DROP USER") ||
+      up.startsWith("CREATE ROLE") || up.startsWith("DROP ROLE") ||
+      up.startsWith("SHOW ROLES"))
       requirePriv("GRANT_PRIV", Seq("*"))
     else if (up.startsWith("SHOW GRANTS")) t match {
       // own grants are always visible; listing someone else's needs GRANT
@@ -3957,8 +3988,21 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private val CreateUserRe =
-    """(?is)^CREATE\s+USER\s+'(\w+)'(?:@'[^']*')?(?:\s+IDENTIFIED\s+BY\s+'[^']*')?$""".r
+    """(?is)^CREATE\s+USER\s+'(\w+)'(?:@'[^']*')?(?:\s+IDENTIFIED\s+BY\s+'[^']*')?(?:\s+DEFAULT\s+ROLE\s+'(\w+)')?$""".r
   private val DropUserRe = """(?is)^DROP\s+USER\s+'(\w+)'(?:@'[^']*')?$""".r
+  private val CreateRoleRe = """(?is)^CREATE\s+ROLE\s+'?(\w+)'?$""".r
+  private val DropRoleRe = """(?is)^DROP\s+ROLE\s+'?(\w+)'?$""".r
+  // `GRANT privs ON scope TO ROLE 'r'` — grants land on the ROLE
+  private val GrantToRoleRe =
+    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+ROLE\s+'?(\w+)'?$""".r
+  private val RevokeFromRoleRe =
+    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+ROLE\s+'?(\w+)'?$""".r
+  // `GRANT 'r1'[, 'r2'] TO 'user'` — role ASSIGNMENT (no ON clause)
+  private val GrantRolesRe =
+    """(?is)^GRANT\s+('\w+'(?:\s*,\s*'\w+')*)\s+TO\s+'(\w+)'(?:@'[^']*')?$""".r
+  private val RevokeRolesRe =
+    """(?is)^REVOKE\s+('\w+'(?:\s*,\s*'\w+')*)\s+FROM\s+'(\w+)'(?:@'[^']*')?$""".r
+  private val ShowRolesRe = """(?is)^SHOW\s+ROLES$""".r
   private val GrantRe =
     """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
   private val RevokeRe =
@@ -3967,11 +4011,41 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^SHOW\s+GRANTS(?:\s+FOR\s+'(\w+)'(?:@'[^']*')?)?$""".r
 
   private def createUser(text: String): Unit = text match {
-    case CreateUserRe(name) => users.synchronized {
-      require(!users.contains(name), s"user '$name' already exists")
-      users += name
-    }
+    case CreateUserRe(name, defaultRole) =>
+      Option(defaultRole).foreach(r =>
+        require(roles.synchronized(roles.contains(r)), s"unknown role: $r"))
+      users.synchronized {
+        require(!users.contains(name), s"user '$name' already exists")
+        users += name
+      }
+      Option(defaultRole).foreach(r => userRoles.synchronized {
+        userRoles.getOrElseUpdate(name, mutable.Set()) += r
+      })
     case _ => sys.error(s"unparseable CREATE USER: ${text.take(80)}")
+  }
+
+  private def createRole(text: String): Unit = text match {
+    case CreateRoleRe(name) => roles.synchronized {
+      require(!roles.contains(name), s"role '$name' already exists")
+      roles += name
+    }
+    case _ => sys.error(s"unparseable CREATE ROLE: ${text.take(80)}")
+  }
+
+  /** DROP ROLE revokes it everywhere: members lose the role's privileges
+    * with the role (Doris semantics — the role IS the grant holder). */
+  private def dropRole(text: String): Unit = text match {
+    case DropRoleRe(name) =>
+      require(!builtinRoles(name), s"cannot drop built-in role '$name'")
+      roles.synchronized {
+        require(roles.contains(name), s"unknown role: $name")
+        roles -= name
+      }
+      roleGrants.synchronized {
+        roleGrants.keys.filter(_._1 == name).toSeq.foreach(roleGrants.remove)
+      }
+      userRoles.synchronized(userRoles.values.foreach(_ -= name))
+    case _ => sys.error(s"unparseable DROP ROLE: ${text.take(80)}")
   }
 
   private def dropUser(text: String): Unit = text match {
@@ -3985,6 +4059,7 @@ final class DorisDdl(s: SparkSession) {
         userGrants.keys.filter(_._1 == name).toSeq
           .foreach(userGrants.remove)
       }
+      userRoles.synchronized(userRoles.remove(name))
       if (currentUser == name) currentUser = "root"
     case _ => sys.error(s"unparseable DROP USER: ${text.take(80)}")
   }
@@ -4009,6 +4084,22 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def grantStmt(text: String): Unit = text match {
+    case GrantToRoleRe(privCsv, scope, role) =>
+      require(roles.synchronized(roles.contains(role)), s"unknown role: $role")
+      require(!builtinRoles(role),
+        s"cannot modify built-in role '$role'")
+      val (privs, obj) = parseGrant(privCsv, scope)
+      roleGrants.synchronized {
+        roleGrants.getOrElseUpdate((role, obj), mutable.Set()) ++= privs
+      }
+    case GrantRolesRe(rolesCsv, user) =>
+      require(users.synchronized(users.contains(user)), s"unknown user: $user")
+      val rs = rolesCsv.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+      rs.foreach(r => require(roles.synchronized(roles.contains(r)),
+        s"unknown role: $r"))
+      userRoles.synchronized {
+        userRoles.getOrElseUpdate(user, mutable.Set()) ++= rs
+      }
     case GrantRe(privCsv, scope, user) =>
       require(users.synchronized(users.contains(user)), s"unknown user: $user")
       val (privs, obj) = parseGrant(privCsv, scope)
@@ -4019,6 +4110,23 @@ final class DorisDdl(s: SparkSession) {
   }
 
   private def revokeStmt(text: String): Unit = text match {
+    case RevokeFromRoleRe(privCsv, scope, role) =>
+      require(roles.synchronized(roles.contains(role)), s"unknown role: $role")
+      require(!builtinRoles(role),
+        s"cannot modify built-in role '$role'")
+      val (privs, obj) = parseGrant(privCsv, scope)
+      roleGrants.synchronized {
+        roleGrants.get((role, obj)).foreach { g =>
+          g --= privs
+          if (g.isEmpty) roleGrants.remove((role, obj))
+        }
+      }
+    case RevokeRolesRe(rolesCsv, user) =>
+      require(users.synchronized(users.contains(user)), s"unknown user: $user")
+      val rs = rolesCsv.split(",").map(_.trim.stripPrefix("'").stripSuffix("'"))
+      userRoles.synchronized {
+        userRoles.get(user).foreach(_ --= rs)
+      }
     case RevokeRe(privCsv, scope, user) =>
       require(users.synchronized(users.contains(user)), s"unknown user: $user")
       val (privs, obj) = parseGrant(privCsv, scope)
@@ -4029,6 +4137,22 @@ final class DorisDdl(s: SparkSession) {
         }
       }
     case _ => sys.error(s"unparseable REVOKE: ${text.take(80)}")
+  }
+
+  /** `SHOW ROLES` → (name, members csv, grants listing), sorted. */
+  private def showRoles(): DataFrame = {
+    import s.implicits._
+    val rows = roles.synchronized(roles.toSeq).sorted.map { r =>
+      val members = userRoles.synchronized(
+        userRoles.collect { case (u, rs) if rs.contains(r) => u }.toSeq)
+        .sorted.mkString(",")
+      val grants = roleGrants.synchronized(
+        roleGrants.collect { case ((`r`, scope), ps) =>
+          s"$scope: ${ps.toSeq.sorted.mkString(",")}" }.toSeq)
+        .sorted.mkString("; ")
+      (r, members, grants)
+    }
+    rows.toDF("name", "users", "grants")
   }
 
   /** `SHOW GRANTS [FOR 'user']` → (user, scope, privs csv, sorted). root's

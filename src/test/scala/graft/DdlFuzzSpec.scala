@@ -486,11 +486,15 @@ class DdlFuzzSpec extends SparkSpec {
           |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
       ddl.execute("INSERT INTO az VALUES (1, 1.0)")
       who.foreach(u => ddl.execute(s"CREATE USER '$u'"))
+      ddl.execute("CREATE ROLE 'fz'")
       var acl = Set.empty[(String, String, String)] // (user, scope, priv)
+      var roleAcl = Set.empty[(String, String)] // (scope, priv) on role fz
+      var members = Set.empty[String] // users holding fz
       def allowed(u: String, p: String) =
-        acl.contains((u, "*", p)) || acl.contains((u, "az", p))
+        acl.contains((u, "*", p)) || acl.contains((u, "az", p)) ||
+          (members(u) && (roleAcl(("*", p)) || roleAcl(("az", p))))
       val trace = scala.collection.mutable.ArrayBuffer.empty[String]
-      for (_ <- 1 to 30) rnd.nextInt(4) match {
+      for (_ <- 1 to 40) rnd.nextInt(6) match {
         case 0 => // grant (root)
           val (u, p) = (who(rnd.nextInt(2)), privs(rnd.nextInt(4)))
           val scope = if (rnd.nextBoolean()) "az" else "*"
@@ -535,6 +539,29 @@ class DdlFuzzSpec extends SparkSpec {
           assert(got == want,
             s"seq $seqNo: SHOW GRANTS diverged\n  ${trace.mkString("\n  ")}" +
               s"\n  got=$got want=$want")
+        case 4 => // role grant/revoke (root): privileges land on the ROLE
+          val p = privs(rnd.nextInt(4))
+          val scope = if (rnd.nextBoolean()) "az" else "*"
+          if (rnd.nextBoolean()) {
+            val st = s"GRANT $p ON $scope TO ROLE 'fz'"
+            trace += st; ddl.execute(st)
+            roleAcl += ((scope, p))
+          } else {
+            val st = s"REVOKE $p ON $scope FROM ROLE 'fz'"
+            trace += st; ddl.execute(st)
+            roleAcl -= ((scope, p))
+          }
+        case 5 => // role membership toggle
+          val u = who(rnd.nextInt(2))
+          if (rnd.nextBoolean()) {
+            val st = s"GRANT 'fz' TO '$u'"
+            trace += st; ddl.execute(st)
+            members += u
+          } else {
+            val st = s"REVOKE 'fz' FROM '$u'"
+            trace += st; ddl.execute(st)
+            members -= u
+          }
       }
       ddl.execute("DROP TABLE az")
     }

@@ -2591,6 +2591,68 @@ class DdlSpec extends SparkSpec {
     assert(ddl.whoami == "root")
   }
 
+  test("roles: a role holds grants, a user holds roles — effective " +
+    "privileges are direct ∪ roles; revoking the role or dropping it " +
+    "removes its privileges everywhere; built-ins are guarded") {
+    val ddl = authFixture()
+    ddl.execute("CREATE ROLE 'reader'")
+    ddl.execute("GRANT SELECT_PRIV ON sec_t TO ROLE 'reader'")
+    // nothing direct: still denied
+    ddl.login("alice")
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("SELECT_PRIV"))
+    ddl.login("root")
+    ddl.execute("GRANT 'reader' TO 'alice'")
+    ddl.login("alice")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_t").as[Long].head() == 3L)
+    // the role carries only SELECT — LOAD stays denied
+    assert(denied(ddl.execute("INSERT INTO sec_t VALUES (9, 90)"))
+      .contains("LOAD_PRIV"))
+    // union with a DIRECT grant
+    ddl.login("root")
+    ddl.execute("GRANT LOAD_PRIV ON sec_t TO 'alice'")
+    ddl.login("alice")
+    ddl.execute("INSERT INTO sec_t VALUES (9, 90)")
+    // un-assigning the role removes ONLY its privileges
+    ddl.login("root")
+    ddl.execute("REVOKE 'reader' FROM 'alice'")
+    ddl.login("alice")
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("SELECT_PRIV"))
+    ddl.execute("INSERT INTO sec_t VALUES (10, 100)") // direct LOAD survives
+    // DROP ROLE revokes it everywhere (grants die with the role)
+    ddl.login("root")
+    ddl.execute("GRANT 'reader' TO 'alice'")
+    ddl.execute("DROP ROLE 'reader'")
+    ddl.login("alice")
+    assert(denied(ddl.sql("SELECT * FROM sec_t")).contains("SELECT_PRIV"))
+    ddl.login("root")
+    // DEFAULT ROLE at CREATE USER; built-in 'admin' = ADMIN_PRIV ON *
+    ddl.execute("CREATE USER 'boss' DEFAULT ROLE 'admin'")
+    ddl.login("boss")
+    assert(ddl.sql("SELECT count(*) AS n FROM sec_t").as[Long].head() == 5L)
+    ddl.execute("ALTER TABLE sec_t ADD COLUMN w BIGINT")
+    ddl.login("root")
+    // SHOW ROLES lists built-ins and memberships
+    val rows = ddl.sql("SHOW ROLES").as[(String, String, String)]
+      .collect().map { case (n, u, _) => n -> u }.toMap
+    assert(rows.keySet == Set("admin", "operator"))
+    assert(rows("admin") == "boss")
+    // guards: built-ins immutable, unknown names reject, ACL statements
+    // need GRANT_PRIV
+    assertThrows[IllegalArgumentException](ddl.execute("DROP ROLE 'admin'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("GRANT SELECT_PRIV ON sec_t TO ROLE 'admin'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("GRANT 'ghost' TO 'alice'"))
+    assertThrows[IllegalArgumentException](
+      ddl.execute("CREATE USER 'x' DEFAULT ROLE 'ghost'"))
+    ddl.execute("CREATE ROLE 'dup'")
+    assertThrows[IllegalArgumentException](ddl.execute("CREATE ROLE 'dup'"))
+    ddl.login("alice")
+    assert(denied(ddl.execute("CREATE ROLE 'evil'")).contains("GRANT_PRIV"))
+    assert(denied(ddl.sql("SHOW ROLES")).contains("GRANT_PRIV"))
+    ddl.login("root")
+  }
+
   test("privileges: derived objects are not a bypass — MV, MTMV, and " +
     "partition-view references require the BASE table's grant; internal " +
     "scratch views demand superuser scope") {
