@@ -59,8 +59,27 @@ final class DorisDdl(s: SparkSession) {
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
 
+  /** Run `body` under the session's `time_zone` variable: Spark's
+    * timezone-aware expressions capture their zone at ANALYSIS
+    * (ResolveTimeZone reads spark.sql.session.timeZone), and statement
+    * DataFrames analyze eagerly inside execute(), so scoping the conf
+    * around one statement pins that statement's datetime semantics to the
+    * variable — Doris's live `SET time_zone` — and restores the session
+    * for every other consumer. UTC (the default) is a no-op: the zero-
+    * cost path every existing caller stays on. */
+  private def withSessionTz[T](body: => T): T = {
+    val tz = sessionVars.synchronized(sessionVars("time_zone"))
+    if (tz == "UTC") body
+    else {
+      val key = "spark.sql.session.timeZone"
+      val old = s.conf.get(key)
+      s.conf.set(key, tz)
+      try body finally s.conf.set(key, old)
+    }
+  }
+
   /** Execute one statement; Some(result) for SELECT/SHOW, None for DDL/DML. */
-  def execute(sqlText: String): Option[DataFrame] = {
+  def execute(sqlText: String): Option[DataFrame] = withSessionTz {
     // @@var reads resolve at the statement entry so they work in EVERY
     // statement body (INSERT ... SELECT @@x, SET y = @@x, CTAS), exactly
     // MySQL/Doris scope — not just top-level SELECT. Idempotent: resolved
@@ -68,6 +87,7 @@ final class DorisDdl(s: SparkSession) {
     val t = rewriteVarReads(sqlText.trim.stripSuffix(";").trim)
     val up = t.toUpperCase
     authorize(t, up)
+    maintainScheduledMtmvs()
     if (up.startsWith("CREATE TABLE")) { createTable(t); None }
     else if (up.startsWith("CREATE INDEX")) {
       t match {
@@ -106,6 +126,8 @@ final class DorisDdl(s: SparkSession) {
     else if (up.startsWith("DROP MATERIALIZED VIEW")) { dropMv(t); None }
     else if (up.startsWith("DROP VIEW")) { dropView(t); None }
     else if (up.startsWith("ALTER VIEW")) { alterView(t); None }
+    else if (up.startsWith("SHOW CREATE MATERIALIZED VIEW"))
+      Some(showCreateMtmv(t))
     else if (up.startsWith("SHOW CREATE VIEW")) Some(showCreateView(t))
     else if (up.startsWith("DROP TABLE")) { dropTable(t); None }
     else if (up.startsWith("ALTER TABLE")) { alterTable(t); None }
@@ -1111,18 +1133,37 @@ final class DorisDdl(s: SparkSession) {
 
   // Doris 2.1 ASYNC partitioned MTMV ([doris: fe/.../mtmv/MTMVPartitionUtil
   // .java — partition-version diffing]): BUILD IMMEDIATE materializes at
-  // CREATE; REFRESH ON MANUAL defers later staleness to an explicit
-  // `REFRESH MATERIALIZED VIEW` statement; `PARTITION BY (col)` pins the MV
-  // partitions to the base table's range partitions, which is what makes
-  // the refresh partition-INCREMENTAL (only changed partitions recompute).
+  // CREATE; the REFRESH trigger is ON MANUAL (an explicit `REFRESH
+  // MATERIALIZED VIEW` statement), ON COMMIT (every publish of the base
+  // refreshes), or ON SCHEDULE EVERY n unit (no daemon here: the schedule
+  // is honored at the next statement entry, the same from-next-touch
+  // contract dynamic-partition retention keeps). `PARTITION BY (col)`
+  // pins the MV partitions to the base table's range partitions, which is
+  // what makes every refresh partition-INCREMENTAL (only changed
+  // partitions recompute) — a due-but-fresh schedule tick costs one
+  // file-listing diff, no data.
   private val MtmvRe =
     ("""(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?\s+BUILD\s+IMMEDIATE\s+""" +
-      """REFRESH\s+(?:AUTO\s+)?ON\s+MANUAL\s+PARTITION\s+BY\s*\(\s*`?(\w+)`?\s*\)\s+""" +
+      """REFRESH\s+(?:AUTO\s+)?ON\s+(MANUAL|COMMIT|SCHEDULE\s+EVERY\s+\d+\s+\w+(?:\s+STARTS\s+'[^']*')?)\s+""" +
+      """PARTITION\s+BY\s*\(\s*`?(\w+)`?\s*\)\s+""" +
       """AS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*)$""").r
+  private val ScheduleRe =
+    """(?is)^SCHEDULE\s+EVERY\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)(?:\s+STARTS\s+'[^']*')?$""".r
 
   private def createMv(text: String): Unit = text match {
-    case MtmvRe(mvName, pcol, selList, tableName, groupBy) =>
-      createMtmv(mvName, pcol, selList, tableName, groupBy)
+    case MtmvRe(mvName, refreshClause, pcol, selList, tableName, groupBy) =>
+      val (mode, sched) = refreshClause.trim.toUpperCase match {
+        case "MANUAL" => ("MANUAL", None)
+        case "COMMIT" => ("COMMIT", None)
+        case _ => refreshClause.trim match {
+          case ScheduleRe(n, unit) =>
+            ("SCHEDULE", Some((n.toInt, unit.toUpperCase)))
+          case other => sys.error(
+            s"$mvName: unsupported REFRESH trigger: ON $other " +
+              "(MANUAL | COMMIT | SCHEDULE EVERY n SECOND|MINUTE|HOUR|DAY|WEEK)")
+        }
+      }
+      createMtmv(mvName, pcol, selList, tableName, groupBy, mode, sched)
     case MvRe(mvName, selList, tableName, groupBy) =>
       val t = state(tableName)
       val keys = topLevelSplit(groupBy).map(stripIdent)
@@ -1215,15 +1256,24 @@ final class DorisDdl(s: SparkSession) {
         columns = mv.columns, absorbed = absorbed, innerAgg = innerAgg))
   }
 
-  private def refreshMvs(t: TableState): Unit =
+  private def refreshMvs(t: TableState): Unit = {
     t.synchronized(t.mvs.toSeq).foreach(refreshMv(t, _))
+    // ON COMMIT MTMVs over this base refresh with the publish, exactly
+    // like sync rollups — still partition-incremental (only the published
+    // partition's file set changed)
+    mtmvs.synchronized(mtmvs.values.toSeq)
+      .filter(m => m.table == t.def_.name && m.refreshMode == "COMMIT")
+      .foreach(refreshMtmv)
+  }
 
   // ------------------------------------------------------------ async MTMV
 
   private val mtmvs = mutable.LinkedHashMap[String, MtmvState]()
 
   private def createMtmv(mvName: String, pcol: String, selList: String,
-      tableName: String, groupBy: String): Unit = {
+      tableName: String, groupBy: String,
+      refreshMode: String = "MANUAL",
+      schedule: Option[(Int, String)] = None): Unit = {
     val t = state(tableName)
     require(t.def_.partCol.contains(pcol) && t.def_.autoGran.isEmpty,
       s"$mvName: PARTITION BY ($pcol) must name the base table's declared " +
@@ -1242,10 +1292,29 @@ final class DorisDdl(s: SparkSession) {
     require(mtmvs.synchronized(!mtmvs.contains(mvName)),
       s"materialized view $mvName already exists")
     val m = MtmvState(mvName, tableName, pcol, selList, keys,
-      graft.TempDirs.create(s"graft_ddl_mtmv_$mvName"))
+      graft.TempDirs.create(s"graft_ddl_mtmv_$mvName"),
+      refreshMode = refreshMode, schedule = schedule)
     mtmvs.synchronized { mtmvs(mvName) = m }
     refreshMtmv(m) // BUILD IMMEDIATE
   }
+
+  /** ON SCHEDULE triggers, honored at statement entry (no daemon): a due
+    * MV runs the normal partition-incremental refresh — if nothing
+    * changed underneath, that is one file-listing diff and no data. */
+  private def maintainScheduledMtmvs(): Unit =
+    mtmvs.synchronized(mtmvs.values.toSeq).foreach { m =>
+      m.schedule.foreach { case (n, unit) =>
+        val ms = n.toLong * (unit match {
+          case "SECOND" => 1000L
+          case "MINUTE" => 60000L
+          case "HOUR" => 3600000L
+          case "DAY" => 86400000L
+          case "WEEK" => 604800000L
+        })
+        if (System.currentTimeMillis() - m.lastRefreshMs >= ms)
+          refreshMtmv(m)
+      }
+    }
 
   /** Partition-incremental MTMV refresh: diff each base partition's rowset
     * FILE SET against the snapshot taken at the last refresh (pure driver
@@ -1288,6 +1357,7 @@ final class DorisDdl(s: SparkSession) {
     }
     m.lastFiles = cur
     m.lastDeletes = delSig
+    m.lastRefreshMs = System.currentTimeMillis()
     registerMtmvView(m)
     stale.size
   }
@@ -1356,6 +1426,30 @@ final class DorisDdl(s: SparkSession) {
   /** Test hook: the physical plan of `m`'s last incremental recompute. */
   private[graft] def mtmvLastPlan(name: String): String =
     mtmvs.synchronized(mtmvs(name).lastPlan)
+
+  private val ShowCreateMtmvRe =
+    """(?is)^SHOW\s+CREATE\s+MATERIALIZED\s+VIEW\s+`?(\w+)`?$""".r
+
+  /** `SHOW CREATE MATERIALIZED VIEW m` — the replayable CREATE text,
+    * refresh trigger included (the schedule round-trips). */
+  private def showCreateMtmv(text: String): DataFrame = text match {
+    case ShowCreateMtmvRe(name) =>
+      val m = mtmvs.synchronized(mtmvs.getOrElse(name,
+        sys.error(s"unknown materialized view $name")))
+      val trigger = m.refreshMode match {
+        case "SCHEDULE" =>
+          val (n, u) = m.schedule.get
+          s"ON SCHEDULE EVERY $n $u"
+        case other => s"ON $other"
+      }
+      val stmt = s"CREATE MATERIALIZED VIEW `${m.name}` BUILD IMMEDIATE " +
+        s"REFRESH AUTO $trigger PARTITION BY (`${m.pcol}`) " +
+        s"AS SELECT ${m.selList} FROM `${m.table}` " +
+        s"GROUP BY ${m.keys.mkString(", ")}"
+      import s.implicits._
+      Seq((m.name, stmt)).toDF("materialized_view", "create_stmt")
+    case _ => sys.error(s"unparseable SHOW CREATE MATERIALIZED VIEW: ${text.take(80)}")
+  }
 
   // ---------------------------------------------------------------- INSERT
 
@@ -3901,10 +3995,13 @@ final class DorisDdl(s: SparkSession) {
   // value`, `SHOW VARIABLES [LIKE 'pat']`, and `@@name` reads inside SELECT
   // text. This instance carries the Doris-flavored default set below with
   // per-variable type validation. Most knobs are session metadata (the
-  // engine's real equivalents are Spark confs), but `sql_select_limit` is
-  // LIVE exactly as in Doris/MySQL: it caps every top-level SELECT's
-  // result. Variables are per-instance (per-connection in Doris terms);
-  // GLOBAL is accepted and treated as SESSION — one instance IS the scope.
+  // engine's real equivalents are Spark confs), but two are LIVE exactly
+  // as in Doris/MySQL: `sql_select_limit` caps every top-level SELECT's
+  // result, and `time_zone` pins each statement's datetime semantics
+  // (scoped onto spark.sql.session.timeZone for the statement — see
+  // withSessionTz). Variables are per-instance (per-connection in Doris
+  // terms); GLOBAL is accepted and treated as SESSION — one instance IS
+  // the scope.
   private val varDefaults: Map[String, String] = Map(
     "version_comment" -> "palospark",
     "sql_mode" -> "STRICT_TRANS_TABLES",
@@ -3943,6 +4040,9 @@ final class DorisDdl(s: SparkSession) {
       if (boolVars(name))
         require(Set("true", "false", "0", "1")(value.toLowerCase),
           s"variable '$name' requires a boolean value, got: $value")
+      if (name == "time_zone")
+        require(scala.util.Try(java.time.ZoneId.of(value)).isSuccess,
+          s"Unknown or incorrect time zone: '$value'")
       sessionVars.synchronized { sessionVars(name) = value }
     case _ => sys.error(s"unparseable SET: ${text.take(80)}")
   }
@@ -4287,10 +4387,15 @@ object DorisDdl {
   // versioned-delete list it absorbed; `lastPlan` the last incremental
   // recompute's physical plan (pruning is spec-asserted against it)
   final case class MtmvState(name: String, table: String, pcol: String,
-      selList: String, keys: Seq[String], dir: String) {
+      selList: String, keys: Seq[String], dir: String,
+      // REFRESH trigger: MANUAL (explicit statement), COMMIT (every base
+      // publish), SCHEDULE (every n units, honored at statement entry)
+      refreshMode: String = "MANUAL",
+      schedule: Option[(Int, String)] = None) {
     var lastFiles: Map[String, Set[String]] = Map.empty
     var lastDeletes: List[DeleteRec] = Nil
     var lastPlan: String = ""
+    var lastRefreshMs: Long = 0L
   }
   /** One recorded versioned delete, stored STRUCTURALLY: the user
     * predicate text never carries engine-added `_p` conjuncts, so a

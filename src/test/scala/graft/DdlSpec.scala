@@ -2461,6 +2461,65 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT k FROM sv_t").count() == 5, "DEFAULT must reset")
   }
 
+  test("async MTMV refresh triggers: ON COMMIT refreshes with every base " +
+    "publish; ON SCHEDULE EVERY n honors the schedule at statement entry; " +
+    "SHOW CREATE MATERIALIZED VIEW round-trips the trigger") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE mtt (d DATE, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO mtt VALUES ('2024-01-10', 1, 1.0)")
+    // ON COMMIT: a base publish refreshes without any REFRESH statement
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mtt_c
+        |BUILD IMMEDIATE REFRESH AUTO ON COMMIT
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin)
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_c").as[Long].head() == 1L)
+    ddl.execute("INSERT INTO mtt VALUES ('2024-02-10', 2, 2.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_c").as[Long].head() == 2L,
+      "ON COMMIT must refresh with the publish")
+    // ON SCHEDULE: the base load does NOT refresh; once the interval
+    // elapses, the NEXT statement's entry check does
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mtt_s
+        |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 1 SECOND
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin)
+    ddl.execute("INSERT INTO mtt VALUES ('2024-02-15', 3, 3.0)")
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_s").as[Long].head() >= 2L)
+    Thread.sleep(1100)
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_s").as[Long].head() == 3L,
+      "a due schedule must refresh at statement entry")
+    // SHOW CREATE round-trips the trigger; the text replays
+    val stmt = ddl.sql("SHOW CREATE MATERIALIZED VIEW mtt_s")
+      .head.getString(1)
+    assert(stmt.contains("REFRESH AUTO ON SCHEDULE EVERY 1 SECOND"), stmt)
+    assert(ddl.sql("SHOW CREATE MATERIALIZED VIEW mtt_c").head.getString(1)
+      .contains("REFRESH AUTO ON COMMIT"))
+    ddl.execute("DROP MATERIALIZED VIEW mtt_s")
+    ddl.execute(stmt)
+    Thread.sleep(1100)
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_s").as[Long].head() == 3L)
+    // a STARTS timestamp is accepted; an unknown unit rejects by name
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mtt_s2
+        |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 2 HOUR
+        |  STARTS '2024-01-01 00:00:00'
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin)
+    val e = intercept[RuntimeException](ddl.execute(
+      """CREATE MATERIALIZED VIEW mtt_bad
+        |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 1 FORTNIGHT
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin))
+    assert(e.getMessage.contains("unsupported REFRESH trigger"), e.getMessage)
+  }
+
   // ------------------------------------------------------------ privileges
 
   private def authFixture(): DorisDdl = {
@@ -2723,6 +2782,32 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT count(*) AS n FROM av_v").as[Long].head() == 2L)
     assert(ddl.sql("SHOW CREATE VIEW av_v").head.getString(1)
       .contains("SELECT k, v FROM av_t"))
+  }
+
+  test("session variables: time_zone is LIVE — datetime functions follow " +
+    "the variable per statement, the session restores after, and bad " +
+    "zone names reject by name") {
+    val ddl = fresh()
+    def epochAt(zone: Option[String]): String = {
+      zone.foreach(z => ddl.execute(s"SET time_zone = '$z'"))
+      ddl.sql("SELECT date_format(from_unixtime(0), 'yyyy-MM-dd HH:mm') AS t")
+        .head.getString(0)
+    }
+    assert(epochAt(None) == "1970-01-01 00:00", "default is UTC")
+    assert(epochAt(Some("America/New_York")) == "1969-12-31 19:00")
+    assert(epochAt(Some("+08:00")) == "1970-01-01 08:00")
+    // the statement scope restores the SESSION conf for other consumers
+    assert(spark.conf.get("spark.sql.session.timeZone") != "+08:00")
+    assert(spark.sql(
+      "SELECT date_format(from_unixtime(0), 'yyyy-MM-dd HH:mm') AS t")
+      .head.getString(0) == "1970-01-01 00:00")
+    // string→timestamp casts inside DML follow too: the same wall-clock
+    // text lands at a different instant under a different zone
+    ddl.execute("SET time_zone = DEFAULT")
+    assert(epochAt(None) == "1970-01-01 00:00", "DEFAULT resets to UTC")
+    val e = intercept[IllegalArgumentException](
+      ddl.execute("SET time_zone = 'Mars/Olympus'"))
+    assert(e.getMessage.contains("time zone"), e.getMessage)
   }
 
   test("session variables: negative values reject on unsigned int vars " +
