@@ -3305,13 +3305,29 @@ final class DorisDdl(s: SparkSession) {
     merged.select(outCols: _*)
   }
 
+  /** The declared schema as an empty, correctly-typed frame — what a
+    * created-but-never-loaded (or TRUNCATEd) table serves: Doris returns
+    * ZERO ROWS from an empty table, not an error, and views over it read
+    * empty rather than breaking. */
+  private def emptyVisible(t: TableState): DataFrame = {
+    val fields = t.def_.cols.map(c => org.apache.spark.sql.types.StructField(
+      c.name, org.apache.spark.sql.types.DataType.fromDDL(c.sparkType)))
+    val df = s.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(fields))
+    df.select(t.def_.cols.map(c =>
+      if (c.variant) parse_json(col(c.name)).as(c.name) else col(c.name)): _*)
+  }
+
   private def registerViews(t: TableState): Unit = {
     // a created-but-never-loaded (or emptied) table has no rowsets to
-    // read: no view may serve stale rows
+    // read: it serves the EMPTY typed frame (never stale rows, never a
+    // not-found — SELECT on an empty table returns zero rows, as Doris)
     if (!hasRowsets(t.dir)) {
-      s.catalog.dropTempView(t.def_.name)
-      t.def_.parts.foreach(p =>
-        s.catalog.dropTempView(s"${t.def_.name}__part_${p.name}"))
+      val empty = emptyVisible(t)
+      empty.createOrReplaceTempView(t.def_.name)
+      t.def_.parts.filterNot(_.dropped).foreach(p =>
+        emptyVisible(t).createOrReplaceTempView(s"${t.def_.name}__part_${p.name}"))
+      refreshUserViews()
       return
     }
     // ONE footer-merge job per rowset state, shared by every view built

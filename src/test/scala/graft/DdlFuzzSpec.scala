@@ -467,6 +467,89 @@ class DdlFuzzSpec extends SparkSpec {
     ddl.execute("DROP TABLE cdis")
   }
 
+  // Round-18 alphabet: DDL racing DML. A writer streams INSERTs while a
+  // DDL thread interleaves ADD PARTITION (forward bounds), one light ADD
+  // COLUMN, and CREATE/DROP VIEW churn, and a reader polls both the table
+  // and the churned view. The per-table publish lock plus per-statement
+  // view re-registration must make every SUCCESS durable and every
+  // FAILURE a named rejection — never a torn state, a lost row, or an
+  // unexplained error.
+  test("DDL racing DML: ADD PARTITION + ADD COLUMN + view churn vs " +
+    "INSERT stream vs readers — successes durable, failures named (fuzz)") {
+    import scala.concurrent._
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val ddl = new DorisDdl(spark)
+    ddl.execute(
+      """CREATE TABLE race (d DATE, k BIGINT, v BIGINT)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION p1 VALUES LESS THAN ('2024-02-01'))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    val nRows = 24
+    val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def named(e: Throwable): Boolean = {
+      val m = String.valueOf(e.getMessage)
+      m.contains("not found") || m.contains("NOT_FOUND") ||
+        m.contains("references invalid table") ||
+        m.contains("unknown view") || m.contains("already exists")
+    }
+    val writer = Future {
+      (0 until nRows).foreach { i =>
+        // always inside p1's range: the INSERT itself must never fail,
+        // whatever the DDL thread is doing
+        try ddl.execute(
+          s"INSERT INTO race (d, k, v) VALUES ('2024-01-${i % 28 + 1}', $i, ${i * 3})")
+        catch { case e: Throwable =>
+          unexpected.add(s"writer($i): $e")
+        }
+      }
+    }
+    val ddlThread = Future {
+      (2 to 7).foreach { j =>
+        try {
+          ddl.execute(s"ALTER TABLE race ADD PARTITION p$j " +
+            s"VALUES LESS THAN ('2024-0$j-15')")
+          if (j == 4)
+            ddl.execute("ALTER TABLE race ADD COLUMN w BIGINT DEFAULT '7'")
+          ddl.execute("CREATE VIEW race_v AS SELECT k, v FROM race WHERE k >= 0")
+          Thread.sleep(5)
+          ddl.execute("DROP VIEW race_v")
+        } catch { case e: Throwable =>
+          if (!named(e)) unexpected.add(s"ddl($j): $e")
+        }
+      }
+    }
+    val reader = Future {
+      (0 until 12).foreach { _ =>
+        // the base table must ALWAYS read; the churned view may be absent
+        // (named not-found) but must never poison the statement path
+        try ddl.sql("SELECT count(*) AS n FROM race").head()
+        catch { case e: Throwable => unexpected.add(s"reader(base): $e") }
+        try ddl.sql("SELECT count(*) AS n FROM race_v").head()
+        catch { case e: Throwable =>
+          if (!named(e)) unexpected.add(s"reader(view): $e")
+        }
+        Thread.sleep(3)
+      }
+    }
+    Await.result(writer, 5.minutes)
+    Await.result(ddlThread, 5.minutes)
+    Await.result(reader, 5.minutes)
+    assert(unexpected.isEmpty,
+      s"unexpected failures:\n  ${unexpected.toArray.mkString("\n  ")}")
+    // every successful insert is durable and exact
+    val rows = ddl.sql("SELECT k, v FROM race ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(rows == (0 until nRows).map(i => (i.toLong, i * 3L)))
+    // the light ADD COLUMN surfaced with its default everywhere
+    val ws = ddl.sql("SELECT DISTINCT w FROM race").as[Long].collect().toSeq
+    assert(ws == Seq(7L), ws.toString)
+    // all 6 added partitions landed alongside the original
+    assert(ddl.sql("SHOW PARTITIONS FROM race").count() == 7L)
+    ddl.execute("DROP TABLE race")
+  }
+
   // Round-17 alphabet: the privilege layer fuzzed against a reference ACL
   // model — random grant/revoke (per-object and *), random statements
   // attempted as random users, and SHOW GRANTS listings, each checked

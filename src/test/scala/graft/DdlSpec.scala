@@ -182,8 +182,9 @@ class DdlSpec extends SparkSpec {
     ddl.execute("INSERT INTO tr VALUES (1, 1.0), (2, 2.0)")
     ddl.execute("DELETE FROM tr WHERE k = 1")
     ddl.execute("TRUNCATE TABLE tr")
-    // a truncated table's view is gone (no stale rows can serve)
-    assert(!spark.catalog.tableExists("tr"))
+    // a truncated table reads EMPTY (zero rows, Doris semantics) — never
+    // stale rows, never a not-found
+    assert(ddl.sql("SELECT count(*) AS n FROM tr").head.getLong(0) == 0L)
     // reload after truncate: only the new rows are visible, and the
     // pre-truncate DELETE predicate must NOT apply to them
     ddl.execute("INSERT INTO tr VALUES (1, 9.0), (3, 3.0)")
@@ -891,7 +892,8 @@ class DdlSpec extends SparkSpec {
     val s2 = ddl.sql("SHOW CREATE TABLE lk2")
       .select("create_table").as[String].head()
     assert(s2.replace("lk2", "lk") == s1, s"$s1\n---\n$s2")
-    assert(!spark.catalog.tableExists("lk2"), "LIKE must copy no data")
+    assert(ddl.sql("SELECT count(*) AS n FROM lk2").as[Long].head() == 0L,
+      "LIKE must copy no data (the empty table still reads, as Doris)")
     ddl.execute("INSERT INTO lk2 VALUES ('2024-01-15', 9, 9, 'z')")
     assert(ddl.sql("SELECT count(*) AS n FROM lk2").as[Long].head() == 1L)
     // SHOW COLUMNS is the DESC alias; SHOW DATA reads physical footprint
@@ -958,8 +960,8 @@ class DdlSpec extends SparkSpec {
         |DISTRIBUTED BY HASH(v) BUCKETS 1""".stripMargin)
     ddl2.execute("INSERT INTO lone VALUES (1, 1)")
     ddl2.execute("ALTER TABLE lone DROP PARTITION pa") // the ONLY data
-    assert(!spark.catalog.tableExists("lone"),
-      "a table with no rowsets must not serve a view")
+    assert(ddl2.sql("SELECT count(*) AS n FROM lone").as[Long].head() == 0L,
+      "a table with no rowsets must read EMPTY, never stale rows")
     ddl2.execute("INSERT INTO lone VALUES (20, 2)") // pb still live
     assert(ddl2.sql("SELECT count(*) AS n FROM lone").as[Long].head() == 1L)
   }
