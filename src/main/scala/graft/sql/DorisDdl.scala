@@ -2074,12 +2074,16 @@ final class DorisDdl(s: SparkSession) {
   private val CreateRoutineRe =
     ("""(?is)^CREATE\s+ROUTINE\s+LOAD\s+`?(\w+)`?\s+ON\s+`?(\w+)`?\s+""" +
       """FROM\s+FILE\s*\(\s*'([^']+)'\s*,\s*'(\w+)'\s*\)$""").r
+  // Doris spells the job-state statements `... ROUTINE LOAD FOR job`
+  // ([doris: fe grammar StopRoutineLoadStmt]); FOR is optional here so
+  // both the FE spelling and the bare name work (caught by a round-18
+  // cross-feature probe: a real Doris admin script uses FOR)
   private val StopRoutineRe =
-    """(?is)^STOP\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+    """(?is)^STOP\s+ROUTINE\s+LOAD\s+(?:FOR\s+)?`?(\w+)`?$""".r
   private val PauseRoutineRe =
-    """(?is)^PAUSE\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+    """(?is)^PAUSE\s+ROUTINE\s+LOAD\s+(?:FOR\s+)?`?(\w+)`?$""".r
   private val ResumeRoutineRe =
-    """(?is)^RESUME\s+ROUTINE\s+LOAD\s+`?(\w+)`?$""".r
+    """(?is)^RESUME\s+ROUTINE\s+LOAD\s+(?:FOR\s+)?`?(\w+)`?$""".r
 
   /** `CREATE ROUTINE LOAD job ON t FROM FILE('dir', 'parquet'|'csv')` —
     * continuous ingest ([doris: fe/.../load/routineload/

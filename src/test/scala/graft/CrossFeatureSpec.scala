@@ -1,0 +1,176 @@
+package graft
+
+import graft.sql.DorisDdl
+
+/** Cross-feature adversarial probes (round 18): each test composes
+  * features whose implementations never meet in their own suites —
+  * exactly the seams where round 17 found the view-poisoning bug. Probes
+  * that exposed nothing stay as pins; any that broke something document
+  * the fix they forced.
+  */
+class CrossFeatureSpec extends SparkSpec {
+  import TestSpark.spark.implicits._
+
+  private def fresh() = new DorisDdl(spark)
+
+  test("BACKUP/RESTORE × temporary partitions × NGRAM_BF × versioned " +
+    "deletes: the snapshot excludes staging, keeps delete records and the " +
+    "index DDL, and the restored index prunes again via lazy repair") {
+    val ddl = fresh()
+    val bdir = graft.TempDirs.create("graft_xf_backup")
+    ddl.execute(
+      """CREATE TABLE xb (d DATE, k BIGINT, body VARCHAR(80),
+        |  INDEX xb_ng (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xb VALUES ('2024-01-10', 1, 'alpha beta'), " +
+      "('2024-01-11', 2, 'gamma delta'), ('2024-02-10', 3, 'xylophone song')")
+    ddl.execute("DELETE FROM xb WHERE k = 2")
+    // staged-but-unpublished temp partition: must NOT enter the snapshot
+    ddl.execute("ALTER TABLE xb ADD TEMPORARY PARTITION tpa " +
+      "VALUES LESS THAN ('2024-02-01')")
+    ddl.execute("INSERT INTO xb TEMPORARY PARTITION (tpa) " +
+      "VALUES ('2024-01-20', 9, 'staged ghost')")
+    val visibleAtBackup = ddl.sql("SELECT k, body FROM xb ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(visibleAtBackup.map(_._1) == Seq(1L, 3L)) // delete applied
+    ddl.sql(s"BACKUP SNAPSHOT xs TO '$bdir' ON (xb)").collect()
+    // post-backup mutations must not leak into the restore
+    ddl.execute("INSERT INTO xb VALUES ('2024-02-11', 4, 'later row')")
+    ddl.execute("DROP TABLE xb")
+    ddl.sql(s"RESTORE SNAPSHOT xs FROM '$bdir'").collect()
+    assert(ddl.sql("SELECT k, body FROM xb ORDER BY k")
+      .as[(Long, String)].collect().toSeq == visibleAtBackup,
+      "restore must read EXACTLY the visible state at backup time")
+    // the staging rowset died with the drop: no temp partitions, and the
+    // staged row never surfaces
+    assert(ddl.sql("SHOW TEMPORARY PARTITIONS FROM xb").count() == 0L)
+    // the index DDL round-tripped through the snapshot's create text...
+    assert(ddl.sql("SHOW INDEX FROM xb").as[(String, String, String)]
+      .collect().toSeq.contains(("xb_ng", "body", "NGRAM_BF")))
+    // ...and the restored files (fresh paths, no sidecars) heal lazily:
+    // the first indexed query rebuilds the blooms and PRUNES
+    val df = ddl.sql("SELECT k FROM xb WHERE body LIKE '%xylophone%'")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    val Some((_, surv, total)) = ddl.lastNgramPrune
+    assert(surv < total, s"($surv, $total): restored sidecars must prune")
+    // a delete recorded before the backup is STRUCTURAL in the snapshot:
+    // a post-restore partition rename still amends it by name
+    ddl.execute("ALTER TABLE xb RENAME PARTITION pa paz")
+    assert(ddl.sql("SELECT k FROM xb ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 3L), "renamed partition keeps honoring the delete")
+  }
+
+  test("routine load × light schema change: ADD COLUMN mid-stream — " +
+    "old-schema files keep loading, the new column backfills its default " +
+    "for them, and the job survives") {
+    val ddl = fresh()
+    val rdir = graft.TempDirs.create("graft_xf_routine")
+    spark.range(2).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.execute(
+      """CREATE TABLE xr (k BIGINT, v DOUBLE) UNIQUE KEY(k)
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute(s"CREATE ROUTINE LOAD xj ON xr FROM FILE('$rdir', 'parquet')")
+    assert(ddl.sql("SELECT count(*) AS n FROM xr").as[Long].head() == 2L)
+    // light ADD COLUMN while the job is RUNNING
+    ddl.execute("ALTER TABLE xr ADD COLUMN w BIGINT DEFAULT '5'")
+    // a new OLD-SHAPE file arrives after the schema change
+    spark.range(2, 4).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(rdir)
+    ddl.drainRoutineLoad("xj")
+    val rows = ddl.sql("SELECT k, v, w FROM xr ORDER BY k")
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(rows == (0 until 4).map(i => (i.toLong, i.toDouble, 5L)),
+      s"old-schema stream rows must surface the column default: $rows")
+    val st = ddl.sql("SHOW ROUTINE LOAD").collect().head
+    assert(st.getString(0) == "xj" && st.getString(2) == "RUNNING", st)
+    ddl.execute("STOP ROUTINE LOAD FOR xj")
+    ddl.execute("DROP TABLE xr")
+  }
+
+  test("MTMV × RENAME PARTITION: the rename surfaces as drop+stale on the " +
+    "next refresh — the MV recomputes the renamed slice once and its rows " +
+    "are unchanged") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE xm (d DATE, k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  PARTITION pa VALUES LESS THAN ('2024-02-01'),
+        |  PARTITION pb VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO xm VALUES ('2024-01-10', 1, 1.0), " +
+      "('2024-01-11', 2, 2.0), ('2024-02-10', 3, 3.0)")
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW xm_mv
+        |BUILD IMMEDIATE REFRESH AUTO ON MANUAL
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n, SUM(v) AS sv FROM xm GROUP BY d""".stripMargin)
+    val before = ddl.sql("SELECT d, n, sv FROM xm_mv ORDER BY d").collect()
+      .map(_.toString).toSeq
+    ddl.execute("ALTER TABLE xm RENAME PARTITION pa paz")
+    // the refresh sees pa vanish and paz appear: one stale slice
+    val r = ddl.sql("REFRESH MATERIALIZED VIEW xm_mv")
+      .as[(String, Long)].head()
+    assert(r._2 == 1L, s"rename must cost exactly one slice recompute: $r")
+    assert(ddl.sql("SELECT d, n, sv FROM xm_mv ORDER BY d").collect()
+      .map(_.toString).toSeq == before,
+      "a pure rename must not change the MV's rows")
+    // and a second refresh is a no-op
+    assert(ddl.sql("REFRESH MATERIALIZED VIEW xm_mv")
+      .as[(String, Long)].head()._2 == 0L)
+  }
+
+  test("grants × view-over-view × drop/recreate: authorization precedes " +
+    "resolution, a broken chain errors not-found for the grantee, healing " +
+    "serves the NEW definition, and grants survive recreation by name") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE xg (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xg VALUES (1, 10), (2, 20), (3, 30)")
+    ddl.execute("CREATE VIEW xg_v1 AS SELECT k, v FROM xg WHERE k <= 2")
+    ddl.execute("CREATE VIEW xg_v2 AS SELECT k FROM xg_v1 WHERE k >= 1")
+    ddl.execute("CREATE USER 'vu'")
+    ddl.execute("GRANT SELECT_PRIV ON xg_v2 TO 'vu'")
+    ddl.login("vu")
+    assert(ddl.sql("SELECT count(*) AS n FROM xg_v2").as[Long].head() == 2L)
+    // the inner view and the base stay ungranted
+    for (obj <- Seq("xg_v1", "xg")) {
+      val e = intercept[RuntimeException](ddl.sql(s"SELECT * FROM $obj"))
+      assert(e.getMessage.startsWith("access denied"), e.getMessage)
+    }
+    // root drops the INNER view: the chain breaks
+    ddl.login("root")
+    ddl.execute("DROP VIEW xg_v1")
+    ddl.login("vu")
+    // the grantee's read now fails at RESOLUTION (not access): the grant
+    // is intact, the object is broken — and for a user with NO grant the
+    // same statement must stay access-denied (no existence oracle)
+    val broken = intercept[Exception](
+      ddl.sql("SELECT count(*) AS n FROM xg_v2").collect())
+    assert(!String.valueOf(broken.getMessage).startsWith("access denied") &&
+      (String.valueOf(broken.getMessage).contains("not found") ||
+        String.valueOf(broken.getMessage).contains("NOT_FOUND") ||
+        String.valueOf(broken.getMessage).contains("cannot be found")),
+      broken.getMessage)
+    ddl.login("root")
+    ddl.execute("CREATE USER 'nobody'")
+    ddl.login("nobody")
+    val denied = intercept[RuntimeException](ddl.sql("SELECT * FROM xg_v2"))
+    assert(denied.getMessage.startsWith("access denied"), denied.getMessage)
+    // recreate the inner view WIDER: the chain heals in-statement and the
+    // standing grant serves the NEW rows
+    ddl.login("root")
+    ddl.execute("CREATE VIEW xg_v1 AS SELECT k, v FROM xg")
+    ddl.login("vu")
+    assert(ddl.sql("SELECT count(*) AS n FROM xg_v2").as[Long].head() == 3L,
+      "healed chain must serve the recreated definition")
+    ddl.login("root")
+  }
+}
