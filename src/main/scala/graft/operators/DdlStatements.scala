@@ -1563,12 +1563,15 @@ object DdlStatements {
         |  CAST(sum(CAST(qty * 10 AS BIGINT)) AS BIGINT) AS qty10
         |FROM vis GROUP BY flag ORDER BY flag""".stripMargin),
 
-    // NGRAM_BF index (Doris 2.x n-gram bloom filter): an infix LIKE on
-    // the indexed column rewrites to NARROW-THEN-VERIFY — a constant-
-    // folded gram-hash membership probe (a bloom check: false positives
-    // possible, the exact LIKE catches them) ANDed ahead of the substring
-    // scan. The oracle runs the plain LIKE: the rewrite must be invisible
-    // to results. DdlSpec asserts the plan shape (narrow before verify).
+    // NGRAM_BF index (Doris 2.x n-gram bloom filter): per-rowset-file
+    // gram-bloom sidecars persist at load; an infix LIKE hashes its
+    // CONSTANT needle driver-side, prunes files whose blooms exclude any
+    // gram BEFORE per-row work, and keeps the plain LIKE as the residual
+    // verify. The oracle runs the plain LIKE on both branches: pruning
+    // must be invisible to results. Two statements so each LIKE is its
+    // own prunable top-level conjunct: the common needle survives
+    // everywhere (plain-LIKE residual), the selective needle exercises
+    // the zero/few-survivor fold. DdlSpec asserts files-read < total.
     "sql_ddl_ngram_index" -> QueryDef(
       (s, dir) => {
         Tables.documents(s, dir).createOrReplaceTempView("documents")
@@ -1578,20 +1581,29 @@ object DdlStatements {
             |  body VARCHAR(65533),
             |  src VARCHAR(16),
             |  INDEX ix_body (body) USING NGRAM_BF
-            |    PROPERTIES("gram_size" = "3", "bf_size" = "256")
+            |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
             |) ENGINE=OLAP
             |DUPLICATE KEY(doc_id)
             |DISTRIBUTED BY HASH(doc_id) BUCKETS 8""".stripMargin,
           """INSERT INTO doc_ng
             |SELECT doc_id, text, source FROM documents""".stripMargin))
-        ddl.sql(
+        val common = ddl.sql(
           """SELECT src, count(*) AS n
             |FROM doc_ng WHERE body LIKE '%data%'
-            |GROUP BY src ORDER BY src""".stripMargin)
+            |GROUP BY src""".stripMargin)
+        val selective = ddl.sql(
+          """SELECT 'zz_selective' AS src, count(*) AS n
+            |FROM doc_ng WHERE body LIKE '%zqxv8kq%'""".stripMargin)
+        common.unionByName(selective).orderBy("src")
       },
-      """SELECT source AS src, count(*) AS n
-        |FROM documents WHERE text LIKE '%data%'
-        |GROUP BY source ORDER BY source""".stripMargin),
+      """SELECT src, n FROM (
+        |  SELECT source AS src, count(*) AS n
+        |  FROM documents WHERE text LIKE '%data%'
+        |  GROUP BY source
+        |  UNION ALL
+        |  SELECT 'zz_selective' AS src, count(*) AS n
+        |  FROM documents WHERE text LIKE '%zqxv8kq%'
+        |) ORDER BY src""".stripMargin),
 
     // Doris join hints: `JOIN [broadcast] t` translates to Spark's
     // BROADCAST(t) relation hint (DdlSpec asserts it flips the physical

@@ -1275,6 +1275,10 @@ final class DorisDdl(s: SparkSession) {
       refreshMode: String = "MANUAL",
       schedule: Option[(Int, String)] = None): Unit = {
     val t = state(tableName)
+    // the BUILD IMMEDIATE below analyzes the select against the base's
+    // temp view — make sure it exists even if no statement has read the
+    // (possibly still empty) base yet
+    registerViews(t)
     require(t.def_.partCol.contains(pcol) && t.def_.autoGran.isEmpty,
       s"$mvName: PARTITION BY ($pcol) must name the base table's declared " +
         "range-partition column")
@@ -1368,7 +1372,14 @@ final class DorisDdl(s: SparkSession) {
     * group key, so dropping _p yields exactly the declared SELECT. */
   private def registerMtmvView(m: MtmvState): Unit =
     if (!hasRowsets(m.dir))
-      s.catalog.dropTempView(m.name)
+      // an MTMV over an empty base serves ZERO ROWS like every empty
+      // table: the declared select analyzes against the base's empty
+      // frame (the filter(false) folds the plan to an empty relation)
+      try DorisSqlDialect.sql(s,
+        s"SELECT ${m.selList} FROM `${m.table}` " +
+          s"GROUP BY ${m.keys.mkString(", ")}")
+        .filter(lit(false)).createOrReplaceTempView(m.name)
+      catch { case _: Exception => s.catalog.dropTempView(m.name) }
     else s.read.parquet(m.dir).drop("_p").createOrReplaceTempView(m.name)
 
   /** Per-partition rowset file names — a driver directory listing,

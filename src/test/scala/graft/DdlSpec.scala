@@ -2520,6 +2520,22 @@ class DdlSpec extends SparkSpec {
         |PARTITION BY (d)
         |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin))
     assert(e.getMessage.contains("unsupported REFRESH trigger"), e.getMessage)
+    // an MTMV created over a NEVER-loaded base reads empty (the
+    // empty-table semantics compose), then fills with the first commit
+    ddl.execute(
+      """CREATE TABLE mte (d DATE, k BIGINT)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (PARTITION pa VALUES LESS THAN (MAXVALUE))
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mte_mv
+        |BUILD IMMEDIATE REFRESH AUTO ON COMMIT
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mte GROUP BY d""".stripMargin)
+    assert(ddl.sql("SELECT count(*) AS n FROM mte_mv").as[Long].head() == 0L,
+      "an MTMV over an empty base must read empty, not error")
+    ddl.execute("INSERT INTO mte VALUES ('2024-01-01', 1)")
+    assert(ddl.sql("SELECT n FROM mte_mv").as[Long].head() == 1L)
   }
 
   // ------------------------------------------------------------ privileges
