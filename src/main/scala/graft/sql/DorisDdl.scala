@@ -2749,7 +2749,31 @@ final class DorisDdl(s: SparkSession) {
           keyCols = d.keyCols.map(ren),
           partCol = d.partCol.map(ren),
           hashCol = ren(d.hashCol),
-          seqCol = d.seqCol.map(ren))
+          seqCol = d.seqCol.map(ren),
+          // indexes and bloom columns FOLLOW the rename (Doris attaches
+          // them to the column, not its spelling) — without this the
+          // index went silently inert, MATCH on the new name rejected,
+          // and SHOW CREATE emitted a non-replayable statement (caught
+          // by a round-18 cross-feature probe). NGRAM sidecars under the
+          // old-name dir are orphaned; the first indexed query rebuilds
+          // them under the new name through the priors-coalesce read.
+          indexes = d.indexes.map(ix => ix.copy(col = ren(ix.col))),
+          bloomCols = d.bloomCols.map(ren))
+        // standing versioned deletes amend structurally too: the stored
+        // predicate TEXT names the old column, and while reads usually
+        // still resolve it (old rowsets keep their bytes under the old
+        // name in the mergeSchema union), a delete recorded when NO
+        // rowset carried the old name poisoned every subsequent read
+        // (caught by a round-18 probe). The new name resolves against
+        // the same coalesced read surface, so the predicate's value is
+        // unchanged. Word-boundary outside literals — user literal text
+        // that happens to contain the name is never touched.
+        t.deletes.mapInPlace { rec =>
+          val q = inLiteral(rec.pred)
+          rec.copy(pred = s"(?i)\\b$oldN\\b".r.replaceAllIn(rec.pred, m =>
+            if (q(m.start)) m.matched
+            else java.util.regex.Matcher.quoteReplacement(newN)))
+        }
       }
       registerViews(t)
     case ModifyColRe(name, colDef) =>

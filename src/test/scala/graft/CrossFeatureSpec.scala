@@ -126,6 +126,91 @@ class CrossFeatureSpec extends SparkSpec {
       .as[(String, Long)].head()._2 == 0L)
   }
 
+  test("indexes × RENAME COLUMN: INVERTED and NGRAM_BF indexes (and " +
+    "bloom_filter_columns) FOLLOW the renamed column — MATCH stays legal, " +
+    "pruning resumes under the new name, SHOW CREATE replays") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE xrn (id BIGINT, body VARCHAR(80), note VARCHAR(40),
+        |  INDEX ix_inv (note) USING INVERTED,
+        |  INDEX ix_ng (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2
+        |PROPERTIES("bloom_filter_columns" = "note")""".stripMargin)
+    ddl.execute("INSERT INTO xrn VALUES (1, 'alpha beta', 'red fox'), " +
+      "(2, 'gamma delta', 'blue owl')")
+    ddl.execute("INSERT INTO xrn VALUES (3, 'xylophone here', 'red hen')")
+    // sanity under the ORIGINAL names
+    assert(ddl.sql("SELECT id FROM xrn WHERE note MATCH_ANY 'red'")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    ddl.lastNgramPrune = None
+    assert(ddl.sql("SELECT id FROM xrn WHERE body LIKE '%xylophone%'")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(ddl.lastNgramPrune.exists(p => p._2 < p._3))
+    // rename BOTH indexed columns
+    ddl.execute("ALTER TABLE xrn RENAME COLUMN body content")
+    ddl.execute("ALTER TABLE xrn RENAME COLUMN note tag")
+    // the INVERTED index follows: MATCH on the NEW name stays legal
+    assert(ddl.sql("SELECT id FROM xrn WHERE tag MATCH_ANY 'red'")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 3L))
+    // the NGRAM index follows: pruning fires under the new name (sidecars
+    // rebuild once under the renamed dir, reading through the priors)
+    ddl.lastNgramPrune = None
+    val df = ddl.sql("SELECT id FROM xrn WHERE content LIKE '%xylophone%'")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    assert(ddl.lastNgramPrune.exists(p => p._2 < p._3),
+      s"pruning must resume under the renamed column: ${ddl.lastNgramPrune}")
+    // SHOW CREATE names the NEW columns everywhere and replays
+    val stmt = ddl.sql("SHOW CREATE TABLE xrn").head.getString(1)
+    assert(stmt.contains("(`content`) USING NGRAM_BF") &&
+      stmt.contains("(`tag`) USING INVERTED") &&
+      stmt.contains("\"bloom_filter_columns\" = \"tag\"") &&
+      !"""\bbody\b""".r.findFirstIn(stmt).isDefined &&
+      !"""\bnote\b""".r.findFirstIn(stmt).isDefined, stmt)
+    ddl.execute(stmt.replace("`xrn`", "`xrn2`"))
+    // and a MATCH on the old name now rejects (the column is gone)
+    assertThrows[Exception](
+      ddl.sql("SELECT id FROM xrn WHERE note MATCH_ANY 'red'").collect())
+  }
+
+  test("versioned deletes × RENAME COLUMN: standing delete predicates " +
+    "amend structurally to the new name — reads never poison, the delete " +
+    "keeps applying, post-delete loads survive") {
+    val ddl = fresh()
+    // case 1: the usual shape — old rowsets carry the old-name bytes
+    ddl.execute(
+      """CREATE TABLE xdr (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xdr VALUES (1, 10), (2, 20), (3, 30)")
+    ddl.execute("DELETE FROM xdr WHERE v = 20")
+    ddl.execute("ALTER TABLE xdr RENAME COLUMN v w")
+    assert(ddl.sql("SELECT k FROM xdr ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 3L), "the delete must keep applying post-rename")
+    ddl.execute("INSERT INTO xdr VALUES (4, 20)")
+    assert(ddl.sql("SELECT k FROM xdr ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 3L, 4L), "post-delete loads survive, as versioned")
+    // case 2: the poisoning shape — the delete was recorded while NO
+    // rowset carried the old name, so nothing in the mergeSchema union
+    // could resolve it after the rename (every read errored before the
+    // structural amendment)
+    ddl.execute(
+      """CREATE TABLE xdr2 (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("DELETE FROM xdr2 WHERE v = 20")
+    ddl.execute("ALTER TABLE xdr2 RENAME COLUMN v w")
+    ddl.execute("INSERT INTO xdr2 VALUES (1, 20), (2, 30)")
+    assert(ddl.sql("SELECT k FROM xdr2 ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 2L))
+    // a literal containing the old name is never rewritten
+    ddl.execute(
+      """CREATE TABLE xdr3 (k BIGINT, v BIGINT, s VARCHAR(8))
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xdr3 VALUES (1, 1, 'v'), (2, 2, 'x')")
+    ddl.execute("DELETE FROM xdr3 WHERE s = 'v'")
+    ddl.execute("ALTER TABLE xdr3 RENAME COLUMN v vv")
+    assert(ddl.sql("SELECT k FROM xdr3").as[Long].collect().toSeq == Seq(2L))
+  }
+
   test("grants × view-over-view × drop/recreate: authorization precedes " +
     "resolution, a broken chain errors not-found for the grantee, healing " +
     "serves the NEW definition, and grants survive recreation by name") {
