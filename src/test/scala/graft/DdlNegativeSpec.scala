@@ -85,8 +85,25 @@ class DdlNegativeSpec extends SparkSpec {
       "REVOKE LOAD_PRIV ON nf_u FROM 'nf_user'",
       "SET sql_select_limit = 100",
       "SET GLOBAL query_timeout = DEFAULT",
+      "SET time_zone = 'America/New_York'",
+      "SET time_zone = DEFAULT",
       "SHOW VARIABLES LIKE '%limit%'",
       "SELECT @@query_timeout AS qt",
+      // round-18 families: roles, routine-load FOR forms, MTMV triggers
+      "CREATE ROLE 'nf_role'",
+      "GRANT SELECT_PRIV ON nf_u TO ROLE 'nf_role'",
+      "GRANT 'nf_role' TO 'nf_user'",
+      "SHOW ROLES",
+      "REVOKE SELECT_PRIV ON nf_u FROM ROLE 'nf_role'",
+      "REVOKE 'nf_role' FROM 'nf_user'",
+      "DROP ROLE 'nf_role'",
+      """CREATE MATERIALIZED VIEW nf_mtv
+        |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 5 MINUTE
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM nf_d GROUP BY d""".stripMargin,
+      "SHOW CREATE MATERIALIZED VIEW nf_mtv",
+      "REFRESH MATERIALIZED VIEW nf_mtv",
+      "DROP MATERIALIZED VIEW nf_mtv",
       "DROP USER 'nf_user'",
       "SELECT k, v FROM nf_u ORDER BY k")
     (ddl, statements)
@@ -105,7 +122,9 @@ class DdlNegativeSpec extends SparkSpec {
     "MATERIALIZED", "VIEW", "AS", "SHOW", "DESC", "EXPLAIN", "ANALYZE",
     "PROPERTIES", "ENGINE", "INVERTED", "NGRAM_BF", "DEFAULT", "SUM",
     "STATS", "LOAD", "DYNAMIC", "GRANT", "REVOKE", "TO", "USER", "GRANTS",
-    "VARIABLES", "LIKE", "SESSION", "GLOBAL", "IDENTIFIED")
+    "VARIABLES", "LIKE", "SESSION", "GLOBAL", "IDENTIFIED",
+    "ROLE", "ROLES", "BUILD", "IMMEDIATE", "REFRESH", "SCHEDULE", "EVERY",
+    "MINUTE", "COMMIT", "MANUAL")
 
   private def mutants(st: String): Seq[String] = {
     val toks = st.split("\\s+").toVector
