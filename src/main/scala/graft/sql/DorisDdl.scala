@@ -804,9 +804,7 @@ final class DorisDdl(s: SparkSession) {
     java.nio.file.Paths.get(t.dir, "_ngram_bf",
       s"${ix.col}_g${ix.gramSize}_b${ix.bfSize}")
 
-  private def sha1hex(v: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  private def sha1hex(v: String): String = DorisDdl.sha1hexStatic(v)
 
   /** Current committed rowset files, table-dir-relative — the exact file
     * set the read path serves (`__tmp_` staging and `_`-markers excluded).
@@ -857,10 +855,9 @@ final class DorisDdl(s: SparkSession) {
     * publish, CREATE INDEX on a loaded table backfills everything once,
     * and writers that bypass load() (partition swap, RESTORE) are healed
     * lazily by the first indexed query — steady state is a directory
-    * check only. The collect is INDEX METADATA (≤ bf_size bits + one path
-    * per file, the sidecar content itself), never row data; a cluster
-    * deployment would write each sidecar executor-side — same bytes,
-    * same single pass. */
+    * check only. Sidecars are written EXECUTOR-SIDE (nothing returns to
+    * the driver — a million-file table costs the driver one listing), ≤
+    * bf_size bits per file. */
   private def buildNgramSidecars(t: TableState): Unit = {
     // merge-on-read models can never consume the sidecars (pruning files
     // pre-merge on a content predicate is unsound — a key's winning
@@ -876,7 +873,6 @@ final class DorisDdl(s: SparkSession) {
         java.nio.file.Files.exists(dir.resolve(sha1hex(rel) + ".bf")))
       if (missing.nonEmpty) {
         java.nio.file.Files.createDirectories(dir)
-        val missingSet = missing.toSet
         val read = s.read.option("basePath", t.dir)
           .option("mergeSchema", "true")
           .parquet(missing.map(rel => s"${t.dir}/$rel"): _*)
@@ -888,32 +884,43 @@ final class DorisDdl(s: SparkSession) {
             s"CASE WHEN __ng_c IS NULL OR length(__ng_c) < $g THEN array() " +
               s"ELSE transform(sequence(1, length(__ng_c) - ${g - 1}), " +
               s"i -> pmod(hash(substring(__ng_c, i, $g)), ${ix.bfSize})) END")
-          val rows = read.withColumn("__ng_c", c)
+          // sidecars are written EXECUTOR-SIDE, one per (file, bitset)
+          // group row — nothing returns to the driver, so a million-file
+          // table costs the driver nothing (the table dir is shared
+          // storage by the same contract the rowsets already rely on;
+          // a retried task rewrites identical bytes — idempotent)
+          val (dirStr, rootStr, bfSize) = (dir.toString, t.dir, ix.bfSize)
+          read.withColumn("__ng_c", c)
             .select(input_file_name().as("_f"), explode_outer(grams).as("_h"))
             .distinct()
             .groupBy("_f").agg(collect_set(col("_h")).as("hs"))
-            .collect()
-          val written = mutable.Set[String]()
-          rows.foreach { r =>
-            scala.util.Try {
-              val p = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
-              root.relativize(java.nio.file.Paths.get(p)).toString
-            }.toOption.filter(missingSet.contains).foreach { rel =>
-              val bs = new java.util.BitSet(ix.bfSize)
-              r.getSeq[Int](1).foreach(bs.set)
-              java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
-                bs.toByteArray)
-              written += rel
+            .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+              val rootP = java.nio.file.Paths.get(rootStr)
+              it.foreach { r =>
+                scala.util.Try {
+                  val p = new org.apache.hadoop.fs.Path(r.getString(0))
+                    .toUri.getPath
+                  rootP.relativize(java.nio.file.Paths.get(p)).toString
+                }.toOption.foreach { rel =>
+                  val bs = new java.util.BitSet(bfSize)
+                  r.getSeq[Int](1).foreach(bs.set)
+                  java.nio.file.Files.write(
+                    java.nio.file.Paths.get(dirStr)
+                      .resolve(DorisDdl.sha1hexStatic(rel) + ".bf"),
+                    bs.toByteArray)
+                }
+              }
             }
-          }
-          // a missing file ABSENT from the aggregate has ZERO rows (the
-          // read listed exactly the missing files — an empty bucket
-          // partition's writer leaves such files): no row can ever match
-          // any needle, so an empty bitset is its exact bloom
-          (missingSet -- written).foreach { rel =>
-            java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
-              new java.util.BitSet(ix.bfSize).toByteArray)
-          }
+          // a missing file STILL without a sidecar after the job has ZERO
+          // rows (the read listed exactly the missing files — an empty
+          // bucket partition's writer leaves such files): no row can ever
+          // match any needle, so an empty bitset is its exact bloom
+          missing.filterNot(rel =>
+            java.nio.file.Files.exists(dir.resolve(sha1hex(rel) + ".bf")))
+            .foreach { rel =>
+              java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
+                new java.util.BitSet(ix.bfSize).toByteArray)
+            }
         }
       }
     }
@@ -4330,6 +4337,12 @@ final class DorisDdl(s: SparkSession) {
 }
 
 object DorisDdl {
+  /** Content address of a rowset file's sidecar — in the companion so the
+    * executor-side sidecar writer serializes without the session. */
+  private[sql] def sha1hexStatic(v: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   final case class ColDef(name: String, sparkType: String,
       agg: Option[String], default: Option[String],
       // the rowset version as of which the column exists: only rowsets
