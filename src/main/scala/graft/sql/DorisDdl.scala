@@ -2280,7 +2280,14 @@ final class DorisDdl(s: SparkSession) {
     * EMPTY or the read fails schema inference. Close-safe walk. */
   private def hasRowsets(dir: String): Boolean = {
     val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
-    try walk.anyMatch(f => f.toString.endsWith(".parquet"))
+    // an IN-FLIGHT load's `_temporary` staging files are not committed
+    // rowsets: counting them made a concurrent registerViews attempt a
+    // schema read over a dir whose only readable content was still being
+    // written (UNABLE_TO_INFER_SCHEMA — caught by the DDL-racing-DML
+    // fuzz; Spark's reader ignores `_`-prefixed dirs, so the walk must
+    // ignore them too)
+    try walk.anyMatch(f => f.toString.endsWith(".parquet") &&
+      !f.toString.contains("_temporary"))
     finally walk.close()
   }
 
