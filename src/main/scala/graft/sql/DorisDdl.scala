@@ -2695,7 +2695,26 @@ final class DorisDdl(s: SparkSession) {
       require(t.synchronized(t.mvs.toSeq).forall(mv =>
         !mv.keys.contains(cname) && !mv.columns.keys.exists(_._2 == cname)),
         s"$name: column $cname is referenced by a materialized view")
-      t.synchronized { t.def_ = d.copy(cols = d.cols.filterNot(_.name == cname)) }
+      // a standing versioned DELETE's predicate names the column: dropping
+      // it would leave an unresolvable read filter the moment no rowset
+      // carries the bytes (Doris rejects exactly this — a column with
+      // delete conditions cannot be dropped; caught by a round-18 probe)
+      t.synchronized(t.deletes.toSeq).foreach { rec =>
+        val q = inLiteral(rec.pred)
+        require(!s"(?i)\\b$cname\\b".r.findAllMatchIn(rec.pred)
+          .exists(m => !q(m.start)),
+          s"$name: column $cname is referenced by a delete condition " +
+            s"(${rec.pred}) — it cannot be dropped")
+      }
+      // indexes and the bloom declaration on the column die WITH it
+      // (Doris drops a column's indexes in the same schema change);
+      // leaving them dangling made SHOW CREATE non-replayable
+      t.synchronized {
+        t.def_ = d.copy(
+          cols = d.cols.filterNot(_.name == cname),
+          indexes = d.indexes.filterNot(_.col == cname),
+          bloomCols = d.bloomCols.filterNot(_ == cname))
+      }
       registerViews(t)
     case RenamePartRe(name, oldP, newP) =>
       // `ALTER TABLE t RENAME PARTITION old new` ([doris: fe/.../alter/

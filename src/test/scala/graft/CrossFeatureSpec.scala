@@ -211,6 +211,45 @@ class CrossFeatureSpec extends SparkSpec {
     assert(ddl.sql("SELECT k FROM xdr3").as[Long].collect().toSeq == Seq(2L))
   }
 
+  test("DROP COLUMN × indexes/bloom/deletes: the column's indexes and " +
+    "bloom declaration die with it (SHOW CREATE stays replayable); a " +
+    "column named by a standing delete condition cannot be dropped") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE xdc (k BIGINT, v BIGINT, note VARCHAR(40),
+        |  INDEX xdc_ix (note) USING INVERTED,
+        |  INDEX xdc_ng (note) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "256")
+        |) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES("bloom_filter_columns" = "note")""".stripMargin)
+    ddl.execute("INSERT INTO xdc VALUES (1, 10, 'red fox')")
+    ddl.execute("ALTER TABLE xdc DROP COLUMN note")
+    // nothing dangles: SHOW INDEX is empty, SHOW CREATE replays
+    assert(ddl.sql("SHOW INDEX FROM xdc").count() == 0L)
+    val stmt = ddl.sql("SHOW CREATE TABLE xdc").head.getString(1)
+    assert(!stmt.contains("note") && !stmt.contains("bloom_filter"), stmt)
+    ddl.execute(stmt.replace("`xdc`", "`xdc2`"))
+    // and a MATCH on the dropped column's old index rejects
+    assertThrows[Exception](
+      ddl.sql("SELECT k FROM xdc WHERE note MATCH_ANY 'red'").collect())
+    // a delete-condition column refuses to drop — BEFORE it can poison
+    // reads the moment no rowset carries the old bytes
+    ddl.execute(
+      """CREATE TABLE xdd (k BIGINT, v BIGINT)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("DELETE FROM xdd WHERE v = 5")
+    val e = intercept[IllegalArgumentException](
+      ddl.execute("ALTER TABLE xdd DROP COLUMN v"))
+    assert(e.getMessage.contains("delete condition"), e.getMessage)
+    // the table keeps working; a literal mention of the name elsewhere
+    // does not block an unrelated drop
+    ddl.execute("ALTER TABLE xdd ADD COLUMN s VARCHAR(8) DEFAULT 'v'")
+    ddl.execute("ALTER TABLE xdd DROP COLUMN s")
+    ddl.execute("INSERT INTO xdd VALUES (1, 5), (2, 6)")
+    assert(ddl.sql("SELECT k FROM xdd ORDER BY k").as[Long].collect()
+      .toSeq == Seq(1L, 2L), "post-delete loads survive, versioned")
+  }
+
   test("grants × view-over-view × drop/recreate: authorization precedes " +
     "resolution, a broken chain errors not-found for the grantee, healing " +
     "serves the NEW definition, and grants survive recreation by name") {
