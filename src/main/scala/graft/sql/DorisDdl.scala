@@ -2692,6 +2692,11 @@ final class DorisDdl(s: SparkSession) {
       require(!d.partCol.contains(cname),
         s"$name: cannot drop the partition column")
       require(d.hashCol != cname, s"$name: cannot drop the distribution column")
+      // the sequence column is structural: the UNIQUE merge orders by it,
+      // so dropping it is a latent read poison once no rowset carries the
+      // bytes (Doris rejects dropping function_column.sequence_col)
+      require(!d.seqCol.contains(cname),
+        s"$name: cannot drop the sequence column $cname")
       require(t.synchronized(t.mvs.toSeq).forall(mv =>
         !mv.keys.contains(cname) && !mv.columns.keys.exists(_._2 == cname)),
         s"$name: column $cname is referenced by a materialized view")
@@ -2838,6 +2843,13 @@ final class DorisDdl(s: SparkSession) {
       } else {
         require(!d.keyCols.contains(c.name) && !d.partCol.contains(c.name),
           s"$name: cannot retype key/partition column ${c.name}")
+        // a text index lives on a TEXT column: retyping underneath it
+        // would leave an index SHOW CREATE can emit but never replay
+        // (Doris rejects the change — drop the index first)
+        require(!d.indexes.exists(_.col == c.name),
+          s"$name: column ${c.name} carries an index " +
+            s"(${d.indexes.filter(_.col == c.name).map(_.name).mkString(", ")})" +
+            " — drop the index before retyping")
         val newCols = d.cols.map(x =>
           if (x.name == c.name)
             old.copy(sparkType = c.sparkType, default = c.default)

@@ -248,6 +248,26 @@ class CrossFeatureSpec extends SparkSpec {
     ddl.execute("INSERT INTO xdd VALUES (1, 5), (2, 6)")
     assert(ddl.sql("SELECT k FROM xdd ORDER BY k").as[Long].collect()
       .toSeq == Seq(1L, 2L), "post-delete loads survive, versioned")
+    // retyping an indexed column rejects by name (the index would become
+    // SHOW-CREATE-emittable but never replayable)
+    ddl.execute(
+      """CREATE TABLE xmc (k BIGINT, note VARCHAR(40),
+        |  INDEX xmc_ix (note) USING INVERTED
+        |) DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xmc VALUES (1, '7')")
+    val e2 = intercept[IllegalArgumentException](
+      ddl.execute("ALTER TABLE xmc MODIFY COLUMN note BIGINT"))
+    assert(e2.getMessage.contains("drop the index before retyping"),
+      e2.getMessage)
+    // and the UNIQUE sequence column is structural — it cannot be dropped
+    ddl.execute(
+      """CREATE TABLE xsq (k BIGINT, v BIGINT, seq BIGINT)
+        |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1
+        |PROPERTIES("function_column.sequence_col" = "seq")""".stripMargin)
+    ddl.execute("INSERT INTO xsq VALUES (1, 10, 5)")
+    val e3 = intercept[IllegalArgumentException](
+      ddl.execute("ALTER TABLE xsq DROP COLUMN seq"))
+    assert(e3.getMessage.contains("sequence column"), e3.getMessage)
   }
 
   test("grants × view-over-view × drop/recreate: authorization precedes " +
