@@ -3983,11 +3983,14 @@ final class DorisDdl(s: SparkSession) {
     def hit(pat: String): Boolean =
       s"(?is)\\b$pat\\b".r.findAllMatchIn(text).exists(m => !q(m.start))
     // name-pattern → the privilege scope the reference READS. Tables and
-    // user views are their own scope. A sync MV, an MTMV, or an internal
-    // partition view (`t__part_p`, the FROM t PARTITION(p) spelling) all
+    // user views are their own scope. A sync MV (served transparently in
+    // Doris — no object-level grant exists for it) and an internal
+    // partition view (`t__part_p`, the FROM t PARTITION(p) spelling)
     // serve the BASE table's rows, so referencing one requires the base
     // table's grant — otherwise a zero-grant user could read ungranted
     // data straight through the derived object's registered temp view.
+    // An ASYNC MTMV is its OWN grantable object (Doris 2.1: querying a
+    // materialized view directly needs SELECT_PRIV on the MV itself).
     val cands: Seq[(String, String)] =
       tables.synchronized(tables.values.toSeq).flatMap { t =>
         val n = t.def_.name
@@ -3995,7 +3998,7 @@ final class DorisDdl(s: SparkSession) {
           t.synchronized(t.mvs.toSeq).map(_.name -> n)
       } ++
         viewDefs.synchronized(viewDefs.keys.toSeq).map(v => v -> v) ++
-        mtmvs.synchronized(mtmvs.values.toSeq).map(m => m.name -> m.table)
+        mtmvs.synchronized(mtmvs.keys.toSeq).map(m => m -> m)
     val scopes = cands.collect { case (pat, scope) if hit(pat) => scope }.toSet
     // Internal scratch views (file-TVF results, MTMV build sources) are
     // not grantable objects: a direct reference demands the superuser
@@ -4276,7 +4279,8 @@ final class DorisDdl(s: SparkSession) {
       else obj0.split("\\.").last match { case "*" => "*"; case o => o }
     if (obj != "*")
       require(tables.synchronized(tables.contains(obj)) ||
-        viewDefs.synchronized(viewDefs.contains(obj)),
+        viewDefs.synchronized(viewDefs.contains(obj)) ||
+        mtmvs.synchronized(mtmvs.contains(obj)), // MTMVs are grantable objects
         s"unknown table or view: $obj")
     require(!privs.contains("ADMIN_PRIV") || obj == "*",
       "ADMIN_PRIV is grantable only ON *")
