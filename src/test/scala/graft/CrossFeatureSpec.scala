@@ -270,6 +270,39 @@ class CrossFeatureSpec extends SparkSpec {
     assert(e3.getMessage.contains("sequence column"), e3.getMessage)
   }
 
+  test("NGRAM_BF × AUTO PARTITION: sidecars build per materialized bucket " +
+    "dir and pruning works across auto-created partitions") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE xap (ts DATETIME, k BIGINT, body VARCHAR(80),
+        |  INDEX xap_ng (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(ts, k)
+        |AUTO PARTITION BY RANGE (date_trunc(`ts`, 'day')) ()
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO xap VALUES ('2024-01-10 01:00:00', 1, 'alpha beta')")
+    ddl.execute("INSERT INTO xap VALUES ('2024-01-11 01:00:00', 2, 'gamma delta')")
+    ddl.execute("INSERT INTO xap VALUES ('2024-01-12 01:00:00', 3, 'xylophone day')")
+    ddl.lastNgramPrune = None
+    val df = ddl.sql("SELECT k FROM xap WHERE body LIKE '%xylophone%'")
+    assert(df.as[Long].collect().toSeq == Seq(3L))
+    val Some((_, surv, total)) = ddl.lastNgramPrune
+    assert(total >= 3 && surv < total,
+      s"($surv, $total): per-bucket-dir sidecars must prune")
+    assert(scanFileCountsXap(df).sum == surv)
+    // the pruned read keeps partition-column inference: a partition
+    // predicate composes with the needle
+    assert(ddl.sql("SELECT count(*) AS n FROM xap " +
+      "WHERE body LIKE '%xylophone%' AND ts >= '2024-01-12 00:00:00'")
+      .as[Long].head() == 1L)
+  }
+
+  private def scanFileCountsXap(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.length
+    }
+
   test("grants × view-over-view × drop/recreate: authorization precedes " +
     "resolution, a broken chain errors not-found for the grantee, healing " +
     "serves the NEW definition, and grants survive recreation by name") {
