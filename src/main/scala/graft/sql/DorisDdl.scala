@@ -66,11 +66,22 @@ final class DorisDdl(s: SparkSession) {
     * around one statement pins that statement's datetime semantics to the
     * variable — Doris's live `SET time_zone` — and restores the session
     * for every other consumer. UTC (the default) is a no-op: the zero-
-    * cost path every existing caller stays on. */
+    * cost path every existing caller stays on.
+    *
+    * The set/analyze/restore window is NOT atomic on the shared session
+    * conf, so non-UTC statements serialize on [[tzLock]]: two concurrent
+    * execute() calls would otherwise interleave their set/restore pairs
+    * and one could restore a STALE value, pinning the session to the
+    * variable's zone after both statements finish. (When the variable is
+    * non-UTC every statement of this instance wants the SAME zone — the
+    * variable is connection-scoped — so serializing just the conf window
+    * is exactly the contention the semantics require, and the UTC
+    * default path stays lock-free.) */
+  private val tzLock = new Object
   private def withSessionTz[T](body: => T): T = {
     val tz = sessionVars.synchronized(sessionVars("time_zone"))
     if (tz == "UTC") body
-    else {
+    else tzLock.synchronized {
       val key = "spark.sql.session.timeZone"
       val old = s.conf.get(key)
       s.conf.set(key, tz)
@@ -799,31 +810,38 @@ final class DorisDdl(s: SparkSession) {
     * part of the path, so an index dropped and re-created with different
     * gram/bf sizes can never consult a stale bitset (the old dir is just
     * orphaned bytes). Lives under the table dir behind a `_` prefix,
-    * which Spark's reader ignores — sidecars are never scanned as data. */
-  private def ngramDir(t: TableState, ix: IndexDef): java.nio.file.Path =
-    java.nio.file.Paths.get(t.dir, "_ngram_bf",
-      s"${ix.col}_g${ix.gramSize}_b${ix.bfSize}")
+    * which Spark's reader ignores — sidecars are never scanned as data.
+    * All sidecar IO goes through the Hadoop FS API — the SAME filesystem
+    * the rowset writes use — so on a cluster FS (HDFS/S3) the sidecars
+    * land next to the rowsets instead of on executor-local disk. */
+  private def ngramDir(t: TableState, ix: IndexDef): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(t.dir,
+      s"_ngram_bf/${ix.col}_g${ix.gramSize}_b${ix.bfSize}")
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   private def sha1hex(v: String): String = DorisDdl.sha1hexStatic(v)
 
   /** Current committed rowset files, table-dir-relative — the exact file
     * set the read path serves (`__tmp_` staging and `_`-markers excluded).
-    * Driver directory walk, metadata-sized. */
+    * Driver directory walk through the Hadoop FS, metadata-sized. */
   private def rowsetFiles(t: TableState): Seq[String] = {
-    val root = java.nio.file.Paths.get(t.dir)
-    if (!java.nio.file.Files.isDirectory(root)) return Nil
-    val walk = java.nio.file.Files.walk(root)
-    try {
-      val out = mutable.ArrayBuffer[String]()
-      walk.forEach { p =>
-        if (p.toString.endsWith(".parquet")) {
-          val rel = root.relativize(p).toString
-          if (!rel.startsWith("_ngram_bf") && !rel.contains("_temporary") &&
-            !rel.startsWith("_p=__tmp_")) out += rel
-        }
+    val root = new org.apache.hadoop.fs.Path(t.dir)
+    val fs = hadoopFs(root)
+    if (!fs.exists(root)) return Nil
+    val rootStr = fs.makeQualified(root).toString
+    val it = fs.listFiles(root, true)
+    val out = mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val p = fs.makeQualified(it.next().getPath).toString
+      if (p.endsWith(".parquet") && p.startsWith(rootStr + "/")) {
+        val rel = p.substring(rootStr.length + 1)
+        if (!rel.startsWith("_ngram_bf") && !rel.contains("_temporary") &&
+          !rel.startsWith("_p=__tmp_")) out += rel
       }
-      out.toSeq.sorted
-    } finally walk.close()
+    }
+    out.toSeq.sorted
   }
 
   /** The read-side VALUE of the indexed column, replicated for the
@@ -866,13 +884,13 @@ final class DorisDdl(s: SparkSession) {
     val ixs = t.def_.indexes.filter(_.kind == "NGRAM_BF")
     if (ixs.isEmpty || !hasRowsets(t.dir)) return
     val all = rowsetFiles(t)
-    val root = java.nio.file.Paths.get(t.dir)
     ixs.foreach { ix =>
       val dir = ngramDir(t, ix)
+      val fs = hadoopFs(dir)
       val missing = all.filterNot(rel =>
-        java.nio.file.Files.exists(dir.resolve(sha1hex(rel) + ".bf")))
+        fs.exists(new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf")))
       if (missing.nonEmpty) {
-        java.nio.file.Files.createDirectories(dir)
+        fs.mkdirs(dir)
         val read = s.read.option("basePath", t.dir)
           .option("mergeSchema", "true")
           .parquet(missing.map(rel => s"${t.dir}/$rel"): _*)
@@ -886,28 +904,33 @@ final class DorisDdl(s: SparkSession) {
               s"i -> pmod(hash(substring(__ng_c, i, $g)), ${ix.bfSize})) END")
           // sidecars are written EXECUTOR-SIDE, one per (file, bitset)
           // group row — nothing returns to the driver, so a million-file
-          // table costs the driver nothing (the table dir is shared
-          // storage by the same contract the rowsets already rely on;
-          // a retried task rewrites identical bytes — idempotent)
-          val (dirStr, rootStr, bfSize) = (dir.toString, t.dir, ix.bfSize)
+          // table costs the driver nothing. IO goes through the Hadoop
+          // FileSystem resolved from the serialized job conf, so the
+          // bytes land on the SAME storage as the rowsets on any cluster
+          // FS; overwrite(true) makes a retried task idempotent (it
+          // rewrites identical bytes).
+          val (dirStr, rootQualified, bfSize) =
+            (dir.toString, fs.makeQualified(
+              new org.apache.hadoop.fs.Path(t.dir)).toString, ix.bfSize)
+          val serConf = new org.apache.spark.util.SerializableConfiguration(
+            s.sparkContext.hadoopConfiguration)
           read.withColumn("__ng_c", c)
             .select(input_file_name().as("_f"), explode_outer(grams).as("_h"))
             .distinct()
             .groupBy("_f").agg(collect_set(col("_h")).as("hs"))
             .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
-              val rootP = java.nio.file.Paths.get(rootStr)
+              val dirP = new org.apache.hadoop.fs.Path(dirStr)
+              val efs = dirP.getFileSystem(serConf.value)
               it.foreach { r =>
-                scala.util.Try {
-                  val p = new org.apache.hadoop.fs.Path(r.getString(0))
-                    .toUri.getPath
-                  rootP.relativize(java.nio.file.Paths.get(p)).toString
-                }.toOption.foreach { rel =>
+                val f = efs.makeQualified(
+                  new org.apache.hadoop.fs.Path(r.getString(0))).toString
+                if (f.startsWith(rootQualified + "/")) {
+                  val rel = f.substring(rootQualified.length + 1)
                   val bs = new java.util.BitSet(bfSize)
                   r.getSeq[Int](1).foreach(bs.set)
-                  java.nio.file.Files.write(
-                    java.nio.file.Paths.get(dirStr)
-                      .resolve(DorisDdl.sha1hexStatic(rel) + ".bf"),
-                    bs.toByteArray)
+                  val out = efs.create(new org.apache.hadoop.fs.Path(dirP,
+                    DorisDdl.sha1hexStatic(rel) + ".bf"), true)
+                  try out.write(bs.toByteArray) finally out.close()
                 }
               }
             }
@@ -915,11 +938,13 @@ final class DorisDdl(s: SparkSession) {
           // rows (the read listed exactly the missing files — an empty
           // bucket partition's writer leaves such files): no row can ever
           // match any needle, so an empty bitset is its exact bloom
-          missing.filterNot(rel =>
-            java.nio.file.Files.exists(dir.resolve(sha1hex(rel) + ".bf")))
+          missing.filterNot(rel => fs.exists(
+            new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf")))
             .foreach { rel =>
-              java.nio.file.Files.write(dir.resolve(sha1hex(rel) + ".bf"),
-                new java.util.BitSet(ix.bfSize).toByteArray)
+              val out = fs.create(
+                new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf"), true)
+              try out.write(new java.util.BitSet(ix.bfSize).toByteArray)
+              finally out.close()
             }
         }
       }
@@ -929,17 +954,26 @@ final class DorisDdl(s: SparkSession) {
   /** Driver-side replica of `pmod(hash(substring(needle, i, g)), b)` —
     * the same Murmur3(seed 42) Spark's `hash()` evaluates, applied to the
     * CONSTANT needle only (the row side never hashes: that is the whole
-    * point of the persisted index). Pinned against the SQL function by
-    * DdlSpec — a drift here would prune wrongly. */
+    * point of the persisted index). Grams step by CODEPOINT, because
+    * Spark's substring/length count codepoints while Java's String
+    * indexes UTF-16 units: a needle with supplementary-plane characters
+    * (emoji) segmented by UTF-16 offsets would split surrogate pairs and
+    * hash grams the sidecar build never wrote — wrongly pruning a file
+    * that contains the needle. Pinned against the SQL functions by
+    * DdlSpec (including a supplementary-plane needle). */
   private[graft] def needleGramHashes(needle: String, gramSize: Int,
-      bfSize: Int): Seq[Int] =
-    (0 to needle.length - gramSize).map { i =>
+      bfSize: Int): Seq[Int] = {
+    val n = needle.codePointCount(0, needle.length)
+    (0 to n - gramSize).map { i =>
+      val a = needle.offsetByCodePoints(0, i)
+      val b = needle.offsetByCodePoints(a, gramSize)
       val h = org.apache.spark.sql.catalyst.expressions.Murmur3HashFunction
         .hash(org.apache.spark.unsafe.types.UTF8String
-          .fromString(needle.substring(i, i + gramSize)),
+          .fromString(needle.substring(a, b)),
           org.apache.spark.sql.types.StringType, 42L).toInt
       ((h % bfSize) + bfSize) % bfSize
     }
+  }
 
   /** Consult the sidecars: a file whose bloom is missing some needle gram
     * provably cannot contain the needle and is PRUNED from the scan; a
@@ -951,16 +985,26 @@ final class DorisDdl(s: SparkSession) {
       needle: String): (Seq[String], Int) = {
     val all = rowsetFiles(t)
     val dir = ngramDir(t, ix)
-    val sub = dir.getFileName.toString
+    val fs = hadoopFs(dir)
+    val sub = dir.getName
     val hs = needleGramHashes(needle, ix.gramSize, ix.bfSize)
     val surv = all.filter { rel =>
       val key = sha1hex(rel)
       val bs = t.ngramCache.synchronized(t.ngramCache.get((sub, key)))
         .orElse {
-          val f = dir.resolve(key + ".bf")
-          if (!java.nio.file.Files.exists(f)) None
+          val f = new org.apache.hadoop.fs.Path(dir, key + ".bf")
+          if (!fs.exists(f)) None
           else {
-            val b = java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(f))
+            val in = fs.open(f)
+            val bytes =
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](8192)
+                var n = in.read(chunk)
+                while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+                buf.toByteArray
+              } finally in.close()
+            val b = java.util.BitSet.valueOf(bytes)
             t.ngramCache.synchronized(t.ngramCache((sub, key)) = b)
             Some(b)
           }
@@ -970,13 +1014,8 @@ final class DorisDdl(s: SparkSession) {
     (surv, all.size)
   }
 
-  /** Is text[start,end) a TOP-LEVEL conjunct of the WHERE clause that
-    * encloses it? Splitting the enclosing WHERE on its own-depth ANDs
-    * must yield a conjunct that is exactly this span (modulo wrapping
-    * parens/whitespace). This is the soundness gate for scan pruning: a
-    * predicate under OR/NOT/CASE restricts nothing about the scan, and a
-    * LIKE in a SELECT list or JOIN condition is not a row filter. */
-  private def isTopWhereConjunct(text: String, mStart: Int, mEnd: Int): Boolean = {
+  /** Unquoted paren depth before each character (and one past the end). */
+  private def parenDepths(text: String): Array[Int] = {
     val q = inLiteral(text)
     val depth = new Array[Int](text.length + 1)
     var d = 0
@@ -989,10 +1028,25 @@ final class DorisDdl(s: SparkSession) {
       i += 1
     }
     depth(text.length) = d
+    depth
+  }
+
+  /** Is text[start,end) a TOP-LEVEL conjunct of the WHERE clause that
+    * encloses it? Splitting the enclosing WHERE on its own-depth ANDs
+    * must yield a conjunct that is exactly this span (modulo wrapping
+    * parens/whitespace). This is the soundness gate for scan pruning: a
+    * predicate under OR/NOT/CASE restricts nothing about the scan, and a
+    * LIKE in a SELECT list or JOIN condition is not a row filter.
+    * Returns the enclosing WHERE's start offset on success, so the caller
+    * can additionally check WHICH SELECT block that WHERE governs. */
+  private def topWhereConjunct(text: String, mStart: Int,
+      mEnd: Int): Option[Int] = {
+    val q = inLiteral(text)
+    val depth = parenDepths(text)
     val where = """(?is)\bWHERE\b""".r.findAllMatchIn(text)
       .filter(w => !q(w.start) && w.end <= mStart &&
         depth(w.start) == depth(mStart))
-      .toSeq.lastOption.getOrElse(return false)
+      .toSeq.lastOption.getOrElse(return None)
     val wd = depth(where.start)
     // clause ends where depth drops below the WHERE's, or at the next
     // own-depth clause keyword
@@ -1003,13 +1057,13 @@ final class DorisDdl(s: SparkSession) {
     val parenEnd = (where.end until text.length)
       .find(j => depth(j) < wd).getOrElse(text.length)
     val ce = math.min(kwEnd, parenEnd)
-    if (mEnd > ce) return false
+    if (mEnd > ce) return None
     val andStarts = """(?is)\bAND\b""".r.findAllMatchIn(text)
       .filter(a => !q(a.start) && a.start >= where.end && a.end <= ce &&
         depth(a.start) == wd).toSeq
     val cuts = (where.end +: andStarts.map(_.end)) zip
       (andStarts.map(_.start) :+ ce)
-    cuts.find { case (cs, ceEnd) => cs <= mStart && mEnd <= ceEnd }
+    val ok = cuts.find { case (cs, ceEnd) => cs <= mStart && mEnd <= ceEnd }
       .exists { case (cs, ceEnd) =>
         val pre = text.substring(cs, mStart)
         val post = text.substring(mEnd, ceEnd)
@@ -1017,21 +1071,46 @@ final class DorisDdl(s: SparkSession) {
           post.forall(ch => ch.isWhitespace || ch == ')') &&
           pre.count(_ == '(') == post.count(_ == ')')
       }
+    if (ok) Some(where.start) else None
   }
 
   /** Table referenced exactly once in a FROM/JOIN position, with every
     * other mention a `t.`-qualifier — the only shape where renaming the
-    * table token to a pruned view is a pure scan substitution. */
-  private def tableRefOnce(text: String, n: String): Boolean = {
+    * table token to a pruned view is a pure scan substitution. Returns
+    * the start offset of that single FROM/JOIN occurrence. */
+  private def tableFromPos(text: String, n: String): Option[Int] = {
     val q = inLiteral(text)
     val occ = s"(?is)\\b$n\\b".r.findAllMatchIn(text)
       .filter(m => !q(m.start)).toSeq
-    val fromPos = occ.count { m =>
+    val fromPos = occ.filter { m =>
       val w = text.substring(math.max(0, m.start - 16), m.start)
       """(?is)\b(FROM|JOIN)\s*$""".r.findFirstIn(w).isDefined
     }
     val qual = occ.count(m => m.end < text.length && text(m.end) == '.')
-    fromPos == 1 && occ.size == fromPos + qual
+    if (fromPos.size == 1 && occ.size == 1 + qual) Some(fromPos.head.start)
+    else None
+  }
+
+  /** Does the WHERE at `whereStart` govern the SELECT block whose FROM
+    * holds the table reference at `fromPos`? True only when both sit at
+    * the same unquoted paren depth, the span between them never leaves
+    * that paren group, and no new SELECT block begins between them at
+    * that depth (a set operation's second branch). Without this gate a
+    * LIKE inside a SUBQUERY over a different table that shares the
+    * indexed column name would pass the conjunct/ref-once checks and
+    * prune the indexed table's scan on a predicate that never filters
+    * it — silently wrong results. */
+  private def whereGovernsFrom(text: String, whereStart: Int,
+      fromPos: Int): Boolean = {
+    if (whereStart < fromPos) return false
+    val q = inLiteral(text)
+    val depth = parenDepths(text)
+    val d = depth(fromPos)
+    if (depth(whereStart) != d) return false
+    if ((fromPos to whereStart).exists(j => depth(j) < d)) return false
+    !"""(?is)\bSELECT\b""".r.findAllMatchIn(text).exists(k =>
+      !q(k.start) && k.start > fromPos && k.start < whereStart &&
+        depth(k.start) == d)
   }
 
   private def replaceTableToken(text: String, n: String, repl: String): String = {
@@ -1060,10 +1139,20 @@ final class DorisDdl(s: SparkSession) {
     * merge-on-read must see every version of a key, so a content
     * predicate cannot drop files pre-merge); the LIKE must be a top-level
     * WHERE conjunct (under OR/NOT it restricts nothing); the table must
-    * be referenced exactly once. Zero surviving files folds the predicate
+    * be referenced exactly once; and that WHERE must govern the SAME
+    * SELECT block whose FROM holds the table reference (a LIKE inside a
+    * subquery over a different table sharing the column name must not
+    * prune this table's scan). Zero surviving files folds the predicate
     * to FALSE — Catalyst's PropagateEmptyRelation then erases the whole
-    * scan. */
-  private def rewriteNgramLike(text: String): String = {
+    * scan.
+    *
+    * Returns the rewritten text plus the per-statement pruned-scan view
+    * names it registered: each view name is UNIQUE (two concurrent
+    * statements with different needles must never read each other's
+    * survivor set through a shared name) and the caller drops them once
+    * the statement is analyzed. */
+  private val ngbfCounter = new java.util.concurrent.atomic.AtomicLong
+  private def rewriteNgramLike(text: String): (String, Seq[String]) = {
     val ngram: Map[String, (TableState, IndexDef)] = tables.synchronized {
       val pairs = referencedTables(text).toSeq.flatMap(n =>
         tables(n).def_.indexes.filter(_.kind == "NGRAM_BF")
@@ -1072,7 +1161,7 @@ final class DorisDdl(s: SparkSession) {
       // no rewrite for it
       pairs.groupBy(_._1).collect { case (c, Seq(one)) => c -> one._2 }
     }
-    if (ngram.isEmpty) return text
+    if (ngram.isEmpty) return (text, Nil)
     val quoted = inLiteral(text)
     // per-table intersection of survivors across every prunable LIKE
     val prunes = mutable.LinkedHashMap[String, (TableState, Set[String])]()
@@ -1080,10 +1169,12 @@ final class DorisDdl(s: SparkSession) {
       val (c, needle) = (m.group(1), m.group(2))
       ngram.get(c) match {
         case Some((t, ix)) if !quoted(m.start) &&
-          needle.length >= ix.gramSize && !needle.contains("\\") &&
+          needle.codePointCount(0, needle.length) >= ix.gramSize &&
+          !needle.contains("\\") &&
           t.def_.keysType == "DUPLICATE" &&
-          tableRefOnce(text, t.def_.name) &&
-          isTopWhereConjunct(text, m.start, m.end) =>
+          tableFromPos(text, t.def_.name).exists(fp =>
+            topWhereConjunct(text, m.start, m.end)
+              .exists(ws => whereGovernsFrom(text, ws, fp))) =>
           // lazy repair covers writers that bypass load(); steady-state
           // this is a directory existence check only
           buildNgramSidecars(t)
@@ -1101,22 +1192,25 @@ final class DorisDdl(s: SparkSession) {
         case _ => m.matched
       }
     })
-    prunes.foldLeft(out) { case (acc, (n, (t, surv))) =>
+    val views = mutable.ArrayBuffer[String]()
+    val rewritten = prunes.foldLeft(out) { case (acc, (n, (t, surv))) =>
       // a multi-needle intersection CAN empty out (needle1 only in file A,
       // needle2 only in file B — no one file can satisfy both): a zero-file
       // view has no schema to read, so fall back to the unpruned scan and
       // let the two residual LIKEs return the (empty) result
       if (surv.isEmpty) acc
       else {
-        val pv = s"${n}__ngbf"
+        val pv = s"${n}__ngbf_${ngbfCounter.incrementAndGet()}"
         val mergedSchema =
           s.read.option("mergeSchema", "true").parquet(t.dir).schema
         visible(t, None, schemaHint = Some(mergedSchema),
           files = Some(surv.toSeq.sorted.map(rel => s"${t.dir}/$rel")))
           .createOrReplaceTempView(pv)
+        views += pv
         replaceTableToken(acc, n, pv)
       }
     }
+    (rewritten, views.toSeq)
   }
 
   // ----------------------------------------------- CREATE MATERIALIZED VIEW
@@ -1155,7 +1249,7 @@ final class DorisDdl(s: SparkSession) {
       """PARTITION\s+BY\s*\(\s*`?(\w+)`?\s*\)\s+""" +
       """AS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s+GROUP\s+BY\s+(.*)$""").r
   private val ScheduleRe =
-    """(?is)^SCHEDULE\s+EVERY\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)(?:\s+STARTS\s+'[^']*')?$""".r
+    """(?is)^SCHEDULE\s+EVERY\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK)(?:\s+STARTS\s+'([^']*)')?$""".r
 
   private def createMv(text: String): Unit = text match {
     case MtmvRe(mvName, refreshClause, pcol, selList, tableName, groupBy) =>
@@ -1163,8 +1257,8 @@ final class DorisDdl(s: SparkSession) {
         case "MANUAL" => ("MANUAL", None)
         case "COMMIT" => ("COMMIT", None)
         case _ => refreshClause.trim match {
-          case ScheduleRe(n, unit) =>
-            ("SCHEDULE", Some((n.toInt, unit.toUpperCase)))
+          case ScheduleRe(n, unit, starts) =>
+            ("SCHEDULE", Some((n.toInt, unit.toUpperCase, Option(starts))))
           case other => sys.error(
             s"$mvName: unsupported REFRESH trigger: ON $other " +
               "(MANUAL | COMMIT | SCHEDULE EVERY n SECOND|MINUTE|HOUR|DAY|WEEK)")
@@ -1280,7 +1374,7 @@ final class DorisDdl(s: SparkSession) {
   private def createMtmv(mvName: String, pcol: String, selList: String,
       tableName: String, groupBy: String,
       refreshMode: String = "MANUAL",
-      schedule: Option[(Int, String)] = None): Unit = {
+      schedule: Option[(Int, String, Option[String])] = None): Unit = {
     val t = state(tableName)
     // the BUILD IMMEDIATE below analyzes the select against the base's
     // temp view — make sure it exists even if no statement has read the
@@ -1311,10 +1405,13 @@ final class DorisDdl(s: SparkSession) {
 
   /** ON SCHEDULE triggers, honored at statement entry (no daemon): a due
     * MV runs the normal partition-incremental refresh — if nothing
-    * changed underneath, that is one file-listing diff and no data. */
+    * changed underneath, that is one file-listing diff and no data. A
+    * declared STARTS 'yyyy-MM-dd HH:mm:ss' holds the FIRST scheduled tick
+    * until that wall-clock instant (the BUILD IMMEDIATE still built at
+    * CREATE), matching the FE's job start time. */
   private def maintainScheduledMtmvs(): Unit =
     mtmvs.synchronized(mtmvs.values.toSeq).foreach { m =>
-      m.schedule.foreach { case (n, unit) =>
+      m.schedule.foreach { case (n, unit, starts) =>
         val ms = n.toLong * (unit match {
           case "SECOND" => 1000L
           case "MINUTE" => 60000L
@@ -1322,7 +1419,9 @@ final class DorisDdl(s: SparkSession) {
           case "DAY" => 86400000L
           case "WEEK" => 604800000L
         })
-        if (System.currentTimeMillis() - m.lastRefreshMs >= ms)
+        val startGate = starts.flatMap(DorisDdl.parseStartsMs).forall(
+          _ <= System.currentTimeMillis())
+        if (startGate && System.currentTimeMillis() - m.lastRefreshMs >= ms)
           refreshMtmv(m)
       }
     }
@@ -1456,8 +1555,10 @@ final class DorisDdl(s: SparkSession) {
         sys.error(s"unknown materialized view $name")))
       val trigger = m.refreshMode match {
         case "SCHEDULE" =>
-          val (n, u) = m.schedule.get
-          s"ON SCHEDULE EVERY $n $u"
+          // a declared STARTS round-trips: Doris preserves the user's DDL
+          val (n, u, starts) = m.schedule.get
+          s"ON SCHEDULE EVERY $n $u" +
+            starts.fold("")(v => s" STARTS '$v'")
         case other => s"ON $other"
       }
       val stmt = s"CREATE MATERIALIZED VIEW `${m.name}` BUILD IMMEDIATE " +
@@ -3254,7 +3355,13 @@ final class DorisDdl(s: SparkSession) {
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }
-    DorisSqlDialect.sql(s, rewriteNgramLike(rewriteMatch(rewritten)))
+    val (pruned, ngbfViews) = rewriteNgramLike(rewriteMatch(rewritten))
+    // the pruned-scan views only need to exist through ANALYSIS (the
+    // returned DataFrame's resolved plan holds the file list directly);
+    // dropping them immediately keeps the temp-view namespace free of
+    // per-statement scratch and closes the cross-statement read window
+    try DorisSqlDialect.sql(s, pruned)
+    finally ngbfViews.foreach(s.catalog.dropTempView)
   }
 
   /** Merge-on-read view of the current visible data, per key model; the
@@ -3994,7 +4101,7 @@ final class DorisDdl(s: SparkSession) {
     val cands: Seq[(String, String)] =
       tables.synchronized(tables.values.toSeq).flatMap { t =>
         val n = t.def_.name
-        Seq(n -> n, s"${n}__part_\\w+" -> n, s"${n}__ngbf" -> n) ++
+        Seq(n -> n, s"${n}__part_\\w+" -> n, s"${n}__ngbf\\w*" -> n) ++
           t.synchronized(t.mvs.toSeq).map(_.name -> n)
       } ++
         viewDefs.synchronized(viewDefs.keys.toSeq).map(v => v -> v) ++
@@ -4496,12 +4603,21 @@ object DorisDdl {
   // taken at the last refresh (the staleness "version"); `lastDeletes` the
   // versioned-delete list it absorbed; `lastPlan` the last incremental
   // recompute's physical plan (pruning is spec-asserted against it)
+  /** Parse a `STARTS 'yyyy-MM-dd HH:mm:ss'` instant (UTC) to epoch
+    * millis; None when the text doesn't parse (the value still
+    * round-trips through SHOW CREATE — only the schedule gate ignores
+    * it). */
+  private[sql] def parseStartsMs(v: String): Option[Long] =
+    scala.util.Try(java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+
   final case class MtmvState(name: String, table: String, pcol: String,
       selList: String, keys: Seq[String], dir: String,
       // REFRESH trigger: MANUAL (explicit statement), COMMIT (every base
-      // publish), SCHEDULE (every n units, honored at statement entry)
+      // publish), SCHEDULE (every n units [+ STARTS instant], honored at
+      // statement entry)
       refreshMode: String = "MANUAL",
-      schedule: Option[(Int, String)] = None) {
+      schedule: Option[(Int, String, Option[String])] = None) {
     var lastFiles: Map[String, Set[String]] = Map.empty
     var lastDeletes: List[DeleteRec] = Nil
     var lastPlan: String = ""

@@ -2220,6 +2220,80 @@ class DdlSpec extends SparkSpec {
     assert(scanFileCounts(df).sum == surv)
   }
 
+  test("NGRAM_BF scope + statement isolation + codepoints: a subquery or " +
+    "set-op LIKE over a DIFFERENT table sharing the indexed column name " +
+    "never prunes; pruned-scan views are per-statement, dropped after " +
+    "analysis, and concurrency-safe; supplementary-plane needles hash by " +
+    "codepoint") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ngm (id BIGINT, body VARCHAR(120),
+        |  INDEX ixm (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "65536")
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ngm VALUES (1, 'alpha beta'), (2, 'gamma delta')")
+    ddl.execute("INSERT INTO ngm VALUES (3, 'epsilon zeta')")
+    ddl.execute(
+      """CREATE TABLE ngaux (id BIGINT, body VARCHAR(120))
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO ngaux VALUES (1, 'onlyaux needle'), (9, 'filler')")
+    // the LIKE belongs to the SUBQUERY's WHERE over ngaux: consulting
+    // ngm's blooms for 'onlyaux' (present nowhere in ngm) would fold the
+    // subquery's predicate to FALSE and silently change the result
+    ddl.lastNgramPrune = None
+    val got = ddl.sql("SELECT id FROM ngm WHERE id > " +
+      "(SELECT min(id) FROM ngaux WHERE body LIKE '%onlyaux%')")
+      .as[Long].collect().sorted.toSeq
+    assert(got == Seq(2L, 3L),
+      s"a different block's WHERE must not prune the outer scan: $got")
+    assert(ddl.lastNgramPrune.isEmpty,
+      "no prune decision may fire for a subquery's WHERE over another table")
+    // set operation: the WHERE governs the SECOND branch's block
+    ddl.lastNgramPrune = None
+    assert(ddl.sql("SELECT id FROM ngm UNION ALL " +
+      "SELECT id FROM ngaux WHERE body LIKE '%onlyaux%'").count() == 4L,
+      "folding the second branch's LIKE against ngm's blooms loses its row")
+    assert(ddl.lastNgramPrune.isEmpty, "set-op branch WHERE must not prune")
+    // the same-block positive control still prunes, through a
+    // per-statement view that is DROPPED once the statement analyzes
+    ddl.lastNgramPrune = None
+    assert(ddl.sql("SELECT id FROM ngm WHERE body LIKE '%epsilon%'")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(ddl.lastNgramPrune.exists(p => p._2 < p._3))
+    assert(spark.catalog.listTables().collect()
+      .forall(!_.name.contains("__ngbf")),
+      "pruned-scan views must not outlive their statement")
+    // concurrent different-needle statements: unique per-statement view
+    // names mean neither can scan the other's survivor set
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Seq.fill(6)(
+      ddl.sql("SELECT id FROM ngm WHERE body LIKE '%epsilon%'")
+        .as[Long].collect().toSeq))
+    val fb = Future(Seq.fill(6)(
+      ddl.sql("SELECT id FROM ngm WHERE body LIKE '%alpha%'")
+        .as[Long].collect().toSeq))
+    assert(Await.result(fa, 180.seconds).forall(_ == Seq(3L)),
+      "needle A must never read needle B's survivor set")
+    assert(Await.result(fb, 180.seconds).forall(_ == Seq(1L)),
+      "needle B must never read needle A's survivor set")
+    // supplementary-plane needle: Spark's substring/length count
+    // CODEPOINTS; a UTF-16 segmentation would split surrogate pairs,
+    // hash grams the sidecar never wrote, and wrongly prune the file
+    val needle = "a🦀b🦀c" // a🦀b🦀c
+    val sparkSide = spark.sql(
+      s"SELECT transform(sequence(1, length('$needle') - 2), " +
+        s"i -> pmod(hash(substring('$needle', i, 3)), 65536))")
+      .head.getSeq[Int](0)
+    assert(ddl.needleGramHashes(needle, 3, 65536) == sparkSide,
+      "driver-side grams must step by codepoint like Spark's substring")
+    ddl.execute("INSERT INTO ngm VALUES (7, 'x a🦀b🦀c y')")
+    assert(ddl.sql(s"SELECT id FROM ngm WHERE body LIKE '%$needle%'")
+      .as[Long].collect().toSeq == Seq(7L),
+      "a file containing the emoji needle must survive pruning")
+  }
+
   test("dynamic_partition.end: forward buffer pre-creates empty future " +
     "buckets at SET/load time; SHOW DYNAMIC PARTITION TABLES reports; " +
     "buffered buckets accept loads and never advance data-time") {
@@ -2507,13 +2581,34 @@ class DdlSpec extends SparkSpec {
     ddl.execute(stmt)
     Thread.sleep(1100)
     assert(ddl.sql("SELECT count(*) AS n FROM mtt_s").as[Long].head() == 3L)
-    // a STARTS timestamp is accepted; an unknown unit rejects by name
+    // a STARTS timestamp is accepted AND round-trips through SHOW CREATE
+    // (Doris preserves the user's DDL — dropping the clause would lose
+    // part of the definition on replay)
     ddl.execute(
       """CREATE MATERIALIZED VIEW mtt_s2
         |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 2 HOUR
         |  STARTS '2024-01-01 00:00:00'
         |PARTITION BY (d)
         |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin)
+    val s2 = ddl.sql("SHOW CREATE MATERIALIZED VIEW mtt_s2").head.getString(1)
+    assert(s2.contains(
+      "ON SCHEDULE EVERY 2 HOUR STARTS '2024-01-01 00:00:00'"),
+      s"STARTS must round-trip: $s2")
+    ddl.execute("DROP MATERIALIZED VIEW mtt_s2")
+    ddl.execute(s2) // the emitted text replays, STARTS included
+    // a FUTURE starts holds the scheduled tick: a due interval with the
+    // job not yet started must not refresh
+    ddl.execute(
+      """CREATE MATERIALIZED VIEW mtt_s3
+        |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 1 SECOND
+        |  STARTS '2099-01-01 00:00:00'
+        |PARTITION BY (d)
+        |AS SELECT d, COUNT(*) AS n FROM mtt GROUP BY d""".stripMargin)
+    val atBuild = ddl.sql("SELECT count(*) AS n FROM mtt_s3").as[Long].head()
+    ddl.execute("INSERT INTO mtt VALUES ('2024-03-01', 9, 9.0)")
+    Thread.sleep(1100)
+    assert(ddl.sql("SELECT count(*) AS n FROM mtt_s3").as[Long].head()
+      == atBuild, "a future STARTS must hold the scheduled refresh")
     val e = intercept[RuntimeException](ddl.execute(
       """CREATE MATERIALIZED VIEW mtt_bad
         |BUILD IMMEDIATE REFRESH AUTO ON SCHEDULE EVERY 1 FORTNIGHT
@@ -2826,6 +2921,23 @@ class DdlSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT date_format(from_unixtime(0), 'yyyy-MM-dd HH:mm') AS t")
       .head.getString(0) == "1970-01-01 00:00")
+    // concurrent statements under a non-UTC zone: the set/analyze/restore
+    // window serializes on the tz lock, so every statement analyzes under
+    // the variable's zone and the session conf ALWAYS restores (a stale
+    // interleaved restore would pin the session to the variable's zone)
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    ddl.execute("SET time_zone = '+08:00'")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futs = (1 to 6).map(_ => Future {
+      ddl.sql("SELECT date_format(from_unixtime(0), 'yyyy-MM-dd HH:mm') AS t")
+        .head.getString(0)
+    })
+    val got = futs.map(Await.result(_, 120.seconds))
+    assert(got.forall(_ == "1970-01-01 08:00"), got.toString)
+    assert(spark.conf.get("spark.sql.session.timeZone") == before,
+      "the session conf must restore after concurrent non-UTC statements")
     // string→timestamp casts inside DML follow too: the same wall-clock
     // text lands at a different instant under a different zone
     ddl.execute("SET time_zone = DEFAULT")
