@@ -1470,6 +1470,67 @@ object DdlStatements {
       """SELECT n_nationkey, n_name, 7 AS cap
         |FROM nation ORDER BY n_nationkey LIMIT 7""".stripMargin),
 
+    // DATABASE NAMESPACE ([doris: fe/.../analysis/CreateDbStmt.java];
+    // db-level grants [doris: fe/.../mysql/privilege/Auth.java]) — every
+    // real Doris script's first statements: CREATE DATABASE + USE, then
+    // db.tbl qualification everywhere. The lifecycle creates TWO
+    // databases, loads a table into each (one via USE-relative names, one
+    // fully qualified from outside), grants a user SELECT on ONE database
+    // scope (`mart.*`) plus a single table in the other, and the checked
+    // read is a CROSS-DATABASE join run AS that user from inside `mart` —
+    // proving qualification, current-db resolution and db-scoped
+    // enforcement admit exactly what they should. The drop guard (a
+    // non-empty DROP DATABASE rejects without FORCE) lands as a constant
+    // column the oracle pins. Databases are driver metadata: canonical
+    // names keep every read the same single-shuffle plan it always was.
+    "sql_ddl_database" -> QueryDef(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        Tables.region(s, dir).createOrReplaceTempView("region")
+        val ddl = lifecycle("sql_ddl_database", s, dir)(Seq(
+          "CREATE DATABASE mart",
+          "USE mart",
+          """CREATE TABLE nat (
+            |  n_nationkey BIGINT, n_name VARCHAR(32), n_regionkey BIGINT
+            |) DUPLICATE KEY(n_nationkey)
+            |DISTRIBUTED BY HASH(n_nationkey) BUCKETS 2""".stripMargin,
+          "INSERT INTO nat SELECT n_nationkey, n_name, n_regionkey FROM nation",
+          "CREATE DATABASE ops",
+          """CREATE TABLE ops.reg (r_regionkey BIGINT, r_name VARCHAR(32))
+            |DUPLICATE KEY(r_regionkey)
+            |DISTRIBUTED BY HASH(r_regionkey) BUCKETS 1""".stripMargin,
+          "INSERT INTO ops.reg SELECT r_regionkey, r_name FROM region",
+          "CREATE USER 'dbuser'",
+          "GRANT SELECT_PRIV ON mart.* TO 'dbuser'",
+          "GRANT SELECT_PRIV ON ops.reg TO 'dbuser'"))
+        import s.implicits._
+        import org.apache.spark.sql.functions._
+        ddl.login("dbuser")
+        val res = ddl.sql(
+          """SELECT r.r_name AS r_name, count(*) AS n_nations,
+            |  CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum
+            |FROM nat n JOIN ops.reg r ON n.n_regionkey = r.r_regionkey
+            |GROUP BY r.r_name""".stripMargin)
+        ddl.login("root")
+        val dbs = ddl.sql("SHOW DATABASES")
+          .agg(concat_ws(",", sort_array(collect_list($"database_name")))
+            .as("dbs"))
+        val guard = scala.util.Try(ddl.execute("DROP DATABASE mart")) match {
+          case scala.util.Failure(e)
+            if e.getMessage.contains("not empty") => "not_empty_rejected"
+          case _ => "UNEXPECTED"
+        }
+        res.crossJoin(dbs).withColumn("drop_guard", lit(guard))
+          .orderBy("r_name")
+      },
+      """SELECT r.r_name AS r_name, count(*) AS n_nations,
+        |  CAST(sum(n.n_nationkey) AS BIGINT) AS key_sum,
+        |  'default_db,mart,ops' AS dbs,
+        |  'not_empty_rejected' AS drop_guard
+        |FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |ORDER BY r_name""".stripMargin),
+
     // Doris 2.1 AGG_STATE<fn(type)> GENERIC — the generic aggregation-
     // state column with the _state/_merge combinators. States here are
     // each aggregate's ALGEBRAIC form (sum/count: running value; avg: a

@@ -59,6 +59,153 @@ final class DorisDdl(s: SparkSession) {
 
   private val tables = mutable.LinkedHashMap[String, TableState]()
 
+  // ------------------------------------------------------------- databases
+  // Doris database namespace ([doris: fe/.../analysis/CreateDbStmt.java];
+  // every tutorial's first two statements are CREATE DATABASE + USE):
+  // `CREATE/DROP DATABASE`, `USE db`, `SHOW DATABASES`, and `db.tbl`
+  // qualification in every statement form. The engine's storage stays ONE
+  // flat catalog of canonical names: a table t in database d is the
+  // canonical `d__t` (the default database's tables keep their bare names,
+  // so the engine boots USE'd into `default_db` and every pre-database
+  // script runs untouched). Qualification happens ONCE at statement entry
+  // ([[rewriteDbRefs]]): explicit `db.tbl` spellings and — under a
+  // non-default current database — unqualified identifiers in object
+  // positions rewrite to canonical names, after which parsing, privilege
+  // checks, temp-view registration and every read/write path below see
+  // exactly the flat names they always did. Resolution rule for
+  // unqualified names: the current database when the object exists there,
+  // else the flat default namespace (the compat fallback that keeps old
+  // scripts working after USE). Database names may not contain "__", so
+  // canonical names split unambiguously at the first "__".
+  private[graft] val DefaultDb = "default_db"
+  private val databases = mutable.LinkedHashSet[String](DefaultDb)
+  @volatile private var currentDb: String = DefaultDb
+
+  /** Current database (tests / SELECT DATABASE() stand-in). */
+  def currentDatabase: String = currentDb
+
+  private def canon(db: String, tbl: String): String =
+    if (db == DefaultDb) tbl else s"${db}__${tbl}"
+
+  /** (database, bare name) of a canonical name. Unambiguous: database
+    * names never contain "__", so the owning prefix (if any) ends at the
+    * FIRST "__". */
+  private def splitDb(name: String): (String, String) = {
+    val i = name.indexOf("__")
+    if (i > 0 && name.length > i + 2) {
+      val d = name.substring(0, i)
+      if (d != DefaultDb && databases.synchronized(databases.contains(d)))
+        return (d, name.substring(i + 2))
+    }
+    (DefaultDb, name)
+  }
+
+  private def isCanonical(name: String): Boolean =
+    splitDb(name)._1 != DefaultDb
+
+  private def managed(name: String): Boolean =
+    tables.synchronized(tables.contains(name)) ||
+      viewDefs.synchronized(viewDefs.contains(name)) ||
+      mtmvs.synchronized(mtmvs.contains(name))
+
+  /** Resolve one bare object reference outside the entry rewrite (comma
+    * lists the positional pass cannot see: DELETE ... USING a, b — the
+    * handlers call this per member): current database first, flat default
+    * as the fallback. */
+  private def resolveRef(name: String): String = {
+    val c = canon(currentDb, name)
+    if (c != name && managed(c)) c else name
+  }
+
+  // `db.obj` (db known) — not preceded by an identifier char / dot, not
+  // followed by another dot (no 3-part names here)
+  private val QualifiedRe =
+    """(?s)(?<![\w.`])`?(\w+)`?\s*\.\s*`?(\w+)`?(?!\s*\.)""".r
+  // object-position keywords; INTO TABLE before INTO and TABLE so the
+  // LOAD form matches as one keyword (non-overlapping scan)
+  private val BareObjRe =
+    ("""(?is)\b(INTO\s+TABLE|FROM|JOIN|USING|INTO|UPDATE|TABLE|VIEW|LIKE|""" +
+      """DESC|DESCRIBE)(\s+)`?(\w+)`?(?![\w(]|\s*\.)""").r
+
+  /** Database qualification, applied once at statement entry (before
+    * privilege checks and dispatch). Pass A rewrites explicit `db.obj`
+    * references to canonical names — when the object exists there, or
+    * unconditionally right after an object keyword (CREATE TABLE db.t
+    * creates into db; `alias.col` expressions never sit in those
+    * positions). Pass B (only under a non-default current database)
+    * qualifies unqualified identifiers in object positions: always after
+    * TABLE/VIEW (creation targets), known-object-gated after
+    * FROM/JOIN/USING/INTO/UPDATE/LIKE/DESC (a bare name that is NOT an
+    * object of the current database falls through to the flat default —
+    * the documented fallback — and expression identifiers that merely
+    * follow FROM, e.g. extract(DAY FROM ts), stay untouched unless they
+    * collide with a current-db table name). GRANT/REVOKE scopes resolve
+    * in [[parseGrant]]; statement-head ON positions (indexes, routine
+    * load, sync-MV drop) and ALTER TABLE RENAME get dedicated rules. */
+  private def rewriteDbRefs(text: String): String = {
+    val dbs = databases.synchronized(databases.toSet)
+    var out = text
+    // ---- pass B FIRST: unqualified identifiers under a non-default
+    // current database. Dotted references are skipped by the regexes'
+    // lookaheads, so the later dotted pass can never be double-applied
+    // (and `default_db.t`, which that pass strips to the bare `t`, can
+    // never be re-captured into the current database).
+    if (currentDb != DefaultDb) {
+      val up = out.toUpperCase
+      def bare(ident: String): Boolean =
+        !ident.startsWith("_") && !isCanonical(ident) &&
+          ident.toUpperCase != "OUTFILE"
+      val q2 = inLiteral(out)
+      out = BareObjRe.replaceAllIn(out, m => {
+        val kw = m.group(1).toUpperCase.replaceAll("\\s+", " ")
+        val ident = m.group(3)
+        val always = kw == "TABLE" || kw == "VIEW" || kw == "INTO TABLE"
+        val known = managed(canon(currentDb, ident))
+        if (q2(m.start) || !bare(ident) || !(always || known)) m.matched
+        else m.group(1) + m.group(2) + canon(currentDb, ident)
+      })
+      // `ALTER TABLE t RENAME nn` — the new name lands in the SAME db
+      out = """(?is)^(ALTER\s+TABLE\s+\w+\s+RENAME\s+)`?(\w+)`?$""".r
+        .replaceAllIn(out, m =>
+          if (bare(m.group(2))) m.group(1) + canon(currentDb, m.group(2))
+          else m.matched)
+      // statement-head ON positions (never a join condition at these heads)
+      if ("""(?is)^(?:(?:CREATE|DROP)\s+INDEX|(?:CREATE|STOP|PAUSE|RESUME)\s+ROUTINE\s+LOAD|DROP\s+MATERIALIZED\s+VIEW)\b""".r
+        .findFirstIn(up).isDefined)
+        out = """(?is)\b(ON\s+)`?(\w+)`?(?!\s*\.)""".r.replaceAllIn(out, m =>
+          if (bare(m.group(2)) && managed(canon(currentDb, m.group(2))))
+            m.group(1) + canon(currentDb, m.group(2))
+          else m.matched)
+      // BACKUP/RESTORE `ON (t1, t2, ...)` member lists
+      if (up.startsWith("BACKUP") || up.startsWith("RESTORE"))
+        out = """(?is)\bON\s*\(([^)]*)\)""".r.replaceAllIn(out, m =>
+          java.util.regex.Matcher.quoteReplacement("ON (" +
+            m.group(1).split(",").map(x => resolveRef(stripIdent(x)))
+              .mkString(", ") + ")"))
+      // SHOW COLUMN STATS t (no object keyword in the form)
+      out = """(?is)^(SHOW\s+COLUMN\s+STATS\s+)`?(\w+)`?$""".r
+        .replaceAllIn(out, m =>
+          if (bare(m.group(2))) m.group(1) + resolveRef(m.group(2))
+          else m.matched)
+    }
+    // ---- pass A: explicit `db.obj` references → canonical
+    if (dbs.size > 1 && out.contains(".")) {
+      val q = inLiteral(out)
+      val kwBefore =
+        """(?is)\b(TABLE|VIEW|INTO|UPDATE|FROM|JOIN|USING|LIKE)\s*$""".r
+      out = QualifiedRe.replaceAllIn(out, m => {
+        val (d, o) = (m.group(1), m.group(2))
+        def objPos = kwBefore.findFirstIn(
+          out.substring(math.max(0, m.start - 16), m.start)).isDefined
+        if (q(m.start) || !dbs.contains(d)) m.matched
+        else if (d == DefaultDb) o // default_db.t ≡ t
+        else if (managed(canon(d, o)) || objPos) canon(d, o)
+        else m.matched
+      })
+    }
+    out
+  }
+
   /** Run `body` under the session's `time_zone` variable: Spark's
     * timezone-aware expressions capture their zone at ANALYSIS
     * (ResolveTimeZone reads spark.sql.session.timeZone), and statement
@@ -95,11 +242,18 @@ final class DorisDdl(s: SparkSession) {
     // statement body (INSERT ... SELECT @@x, SET y = @@x, CTAS), exactly
     // MySQL/Doris scope — not just top-level SELECT. Idempotent: resolved
     // values contain no '@@', and literals are protected by inLiteral.
-    val t = rewriteVarReads(sqlText.trim.stripSuffix(";").trim)
+    // Database qualification follows (db.tbl and current-db resolution →
+    // canonical flat names), so authorization and dispatch below see
+    // exactly the names the catalog keys on.
+    val t = rewriteDbRefs(rewriteVarReads(sqlText.trim.stripSuffix(";").trim))
     val up = t.toUpperCase
     authorize(t, up)
     maintainScheduledMtmvs()
-    if (up.startsWith("CREATE TABLE")) { createTable(t); None }
+    if (up.startsWith("CREATE DATABASE")) { createDatabase(t); None }
+    else if (up.startsWith("DROP DATABASE")) { dropDatabase(t); None }
+    else if (up.startsWith("USE ") || up == "USE") { useDatabase(t); None }
+    else if (up.startsWith("SHOW DATABASES")) Some(showDatabases())
+    else if (up.startsWith("CREATE TABLE")) { createTable(t); None }
     else if (up.startsWith("CREATE INDEX")) {
       t match {
         case CreateIndexRe(iname, tname, rest) =>
@@ -1561,7 +1715,8 @@ final class DorisDdl(s: SparkSession) {
             starts.fold("")(v => s" STARTS '$v'")
         case other => s"ON $other"
       }
-      val stmt = s"CREATE MATERIALIZED VIEW `${m.name}` BUILD IMMEDIATE " +
+      val stmt = s"CREATE MATERIALIZED VIEW `${splitDb(m.name)._2}` " +
+        "BUILD IMMEDIATE " +
         s"REFRESH AUTO $trigger PARTITION BY (`${m.pcol}`) " +
         s"AS SELECT ${m.selList} FROM `${m.table}` " +
         s"GROUP BY ${m.keys.mkString(", ")}"
@@ -2508,7 +2663,8 @@ final class DorisDdl(s: SparkSession) {
       }
     }.mkString(", ")
     val updated = DorisSqlDialect.sql(s,
-      s"SELECT $selList FROM `$name`, $fromList WHERE $pred")
+      s"SELECT $selList FROM `$name`, ${resolveListRefs(fromList)} " +
+        s"WHERE $pred")
     load(t, updated)
   }
 
@@ -2596,10 +2752,25 @@ final class DorisDdl(s: SparkSession) {
     val selList = t.def_.cols.filter(_.gen.isEmpty)
       .map(c => s"`$name`.`${c.name}` AS `${c.name}`").mkString(", ")
     val marks = DorisSqlDialect.sql(s,
-      s"SELECT $selList, 1 AS `__DELETE_SIGN__` FROM $target, $usingList " +
-        s"WHERE $pred")
+      s"SELECT $selList, 1 AS `__DELETE_SIGN__` FROM $target, " +
+        s"${resolveListRefs(usingList)} WHERE $pred")
     load(t, marks)
   }
+
+  /** Resolve each member of a comma-separated relation list (USING /
+    * UPDATE-FROM) against the current database; a resolved member keeps
+    * its bare name as the alias so the predicate's references still
+    * bind. Entry qualification cannot see past the FIRST member (the
+    * rest follow commas, not keywords). */
+  private def resolveListRefs(list: String): String =
+    topLevelSplit(list).map { item =>
+      val parts = item.trim.split("\\s+", 2)
+      val bare0 = stripIdent(parts(0))
+      val rn = resolveRef(bare0)
+      if (rn == bare0) item.trim
+      else if (parts.length == 2) s"`$rn` ${parts(1)}"
+      else s"`$rn` AS `$bare0`"
+    }.mkString(", ")
 
   private def deleteFrom(text: String): Unit = {
     val whereAt = topLevelKeywordAt(text, "WHERE")
@@ -3640,7 +3811,8 @@ final class DorisDdl(s: SparkSession) {
       val body = viewDefs.synchronized(viewDefs.get(name)).getOrElse(
         sys.error(s"unknown view: $name"))
       import s.implicits._
-      Seq((name, s"CREATE VIEW `$name` AS $body"))
+      // bare view name — the body keeps canonical refs (db-independent)
+      Seq((name, s"CREATE VIEW `${splitDb(name)._2}` AS $body"))
         .toDF("view", "create_view")
     case _ => sys.error(s"unparseable SHOW CREATE VIEW: ${text.take(80)}")
   }
@@ -3671,12 +3843,93 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable DROP TABLE: ${text.take(80)}")
   }
 
+  // ----------------------------------------------------- database stmts
+
+  private val CreateDbRe =
+    """(?is)^CREATE\s+DATABASE\s+(?:(IF\s+NOT\s+EXISTS)\s+)?`?(\w+)`?$""".r
+  private val DropDbRe =
+    """(?is)^DROP\s+DATABASE\s+(?:(IF\s+EXISTS)\s+)?`?(\w+)`?(?:\s+(FORCE))?$""".r
+  private val UseDbRe = """(?is)^USE\s+`?(\w+)`?$""".r
+
+  /** `CREATE DATABASE [IF NOT EXISTS] d` — driver metadata only. The name
+    * may not contain "__" (canonical-split separator), and no existing
+    * flat object may already spell `d__...` (the canonical split would
+    * silently REPARENT it into the new database). */
+  private def createDatabase(text: String): Unit = text match {
+    case CreateDbRe(ifNot, name) =>
+      require(!name.contains("__"), s"database name may not contain '__' " +
+        s"(reserved for the canonical db__table spelling): $name")
+      val clash = (tables.synchronized(tables.keys.toSeq) ++
+        viewDefs.synchronized(viewDefs.keys.toSeq) ++
+        mtmvs.synchronized(mtmvs.keys.toSeq)).find(_.startsWith(name + "__"))
+      require(clash.isEmpty, s"cannot create database $name: existing " +
+        s"object '${clash.get}' would become ambiguous")
+      databases.synchronized {
+        if (databases.contains(name))
+          require(ifNot != null, s"database $name already exists")
+        else databases += name
+      }
+    case _ => sys.error(s"unparseable CREATE DATABASE: ${text.take(80)}")
+  }
+
+  /** `DROP DATABASE [IF EXISTS] d [FORCE]` — without FORCE a non-empty
+    * database REJECTS (the safety Doris puts behind the same keyword);
+    * FORCE drops every table (routine-load jobs must be stopped, the
+    * per-table drop enforces it), view and MTMV of the database. Dropping
+    * the database in use resets the session to the default. */
+  private def dropDatabase(text: String): Unit = text match {
+    case DropDbRe(ifEx, name, force) =>
+      require(name != DefaultDb, "cannot drop the default database")
+      if (!databases.synchronized(databases.contains(name))) {
+        require(ifEx != null, s"unknown database: $name")
+        return
+      }
+      val dbTables = tables.synchronized(tables.keys.toSeq)
+        .filter(splitDb(_)._1 == name)
+      val dbViews = viewDefs.synchronized(viewDefs.keys.toSeq)
+        .filter(splitDb(_)._1 == name)
+      val dbMtmvs = mtmvs.synchronized(mtmvs.keys.toSeq)
+        .filter(splitDb(_)._1 == name)
+      require(force != null ||
+        (dbTables.isEmpty && dbViews.isEmpty && dbMtmvs.isEmpty),
+        s"database $name is not empty " +
+          s"(${(dbTables ++ dbViews ++ dbMtmvs).size} objects) — " +
+          s"use DROP DATABASE $name FORCE")
+      dbMtmvs.foreach(m => dropMv(s"DROP MATERIALIZED VIEW $m"))
+      dbViews.foreach { v =>
+        viewDefs.synchronized(viewDefs.remove(v))
+        s.catalog.dropTempView(v)
+      }
+      dbTables.foreach(tn => dropTable(s"DROP TABLE $tn"))
+      databases.synchronized { databases -= name }
+      if (currentDb == name) currentDb = DefaultDb
+    case _ => sys.error(s"unparseable DROP DATABASE: ${text.take(80)}")
+  }
+
+  /** `USE d` — switch the session's current database. */
+  private def useDatabase(text: String): Unit = text match {
+    case UseDbRe(name) =>
+      require(databases.synchronized(databases.contains(name)),
+        s"unknown database: $name")
+      currentDb = name
+    case _ => sys.error(s"unparseable USE: ${text.take(80)}")
+  }
+
+  /** `SHOW DATABASES` → one row per database, sorted. */
+  private def showDatabases(): DataFrame = {
+    import s.implicits._
+    databases.synchronized(databases.toSeq).sorted.toDF("database_name")
+  }
+
   // ------------------------------------------------- metadata statements
 
-  /** `SHOW TABLES` → one row per catalog table, creation order. */
+  /** `SHOW TABLES` → one row per CURRENT-database table (bare names),
+    * creation order. */
   private def showTables(): DataFrame = {
     import s.implicits._
-    tables.synchronized(tables.keys.toSeq).toDF("table_name")
+    tables.synchronized(tables.keys.toSeq)
+      .map(splitDb).collect { case (d, bare) if d == currentDb => bare }
+      .toDF("table_name")
   }
 
   private val DescRe = """(?is)^DESC(?:RIBE)?\s+`?(\w+)`?$""".r
@@ -3921,8 +4174,11 @@ final class DorisDdl(s: SparkSession) {
       val propsClause =
         if (propEntries.isEmpty) ""
         else propEntries.mkString("\nPROPERTIES (", ", ", ")")
+      // the BARE name: replaying the text under `USE db` re-qualifies
+      // into the same database (emitting the canonical would double-
+      // qualify on replay)
       val stmt =
-        s"""CREATE TABLE `${d.name}` (
+        s"""CREATE TABLE `${splitDb(d.name)._2}` (
            |$colLines
            |) ENGINE=OLAP
            |${d.keysType} KEY(${d.keyCols.map(k => s"`$k`").mkString(", ")})$partClause
@@ -3932,7 +4188,7 @@ final class DorisDdl(s: SparkSession) {
              if (d.autoBuckets) "AUTO" else d.buckets.toString
            }$propsClause""".stripMargin
       import s.implicits._
-      Seq((d.name, stmt)).toDF("table", "create_table")
+      Seq((splitDb(d.name)._2, stmt)).toDF("table", "create_table")
     case _ => sys.error(s"unparseable SHOW CREATE TABLE: ${text.take(80)}")
   }
 
@@ -4069,7 +4325,9 @@ final class DorisDdl(s: SparkSession) {
       val g = eff(scope)
       g.contains(priv) || (scope == "*" && g.contains("ADMIN_PRIV"))
     }
-    at("*") || (obj != "*" && at(obj))
+    // global, then the object's DATABASE scope (`db.*`), then the object
+    at("*") || (obj != "*" &&
+      (at(splitDb(obj)._1 + ".*") || at(obj)))
   }
 
   /** Check `priv` on every object in `objs` (empty = nothing to check —
@@ -4159,6 +4417,12 @@ final class DorisDdl(s: SparkSession) {
     }
     else if (up.startsWith("BACKUP") || up.startsWith("RESTORE"))
       requirePriv("ADMIN_PRIV", Seq("*"))
+    else if (up.startsWith("CREATE DATABASE"))
+      requirePriv("CREATE_PRIV", Seq("*"))
+    else if (up.startsWith("DROP DATABASE"))
+      requirePriv("DROP_PRIV", Seq("*"))
+    else if (up.startsWith("USE ") || up == "USE" ||
+      up.startsWith("SHOW DATABASES")) () // session navigation, ungated
     else if (up.startsWith("CREATE TABLE") || up.startsWith("CREATE VIEW") ||
       up.startsWith("CREATE OR REPLACE VIEW")) {
       requirePriv("CREATE_PRIV", Seq("*"))
@@ -4304,9 +4568,9 @@ final class DorisDdl(s: SparkSession) {
   private val DropRoleRe = """(?is)^DROP\s+ROLE\s+'?(\w+)'?$""".r
   // `GRANT privs ON scope TO ROLE 'r'` — grants land on the ROLE
   private val GrantToRoleRe =
-    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+ROLE\s+'?(\w+)'?$""".r
+    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?\.\*|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+ROLE\s+'?(\w+)'?$""".r
   private val RevokeFromRoleRe =
-    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+ROLE\s+'?(\w+)'?$""".r
+    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?\.\*|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+ROLE\s+'?(\w+)'?$""".r
   // `GRANT 'r1'[, 'r2'] TO 'user'` — role ASSIGNMENT (no ON clause)
   private val GrantRolesRe =
     """(?is)^GRANT\s+('\w+'(?:\s*,\s*'\w+')*)\s+TO\s+'(\w+)'(?:@'[^']*')?$""".r
@@ -4314,9 +4578,9 @@ final class DorisDdl(s: SparkSession) {
     """(?is)^REVOKE\s+('\w+'(?:\s*,\s*'\w+')*)\s+FROM\s+'(\w+)'(?:@'[^']*')?$""".r
   private val ShowRolesRe = """(?is)^SHOW\s+ROLES$""".r
   private val GrantRe =
-    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
+    """(?is)^GRANT\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?\.\*|`?\w+`?(?:\.`?\w+`?)?)\s+TO\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
   private val RevokeRe =
-    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
+    """(?is)^REVOKE\s+(.+?)\s+ON\s+(\*(?:\.\*)?|`?\w+`?\.\*|`?\w+`?(?:\.`?\w+`?)?)\s+FROM\s+(?:USER\s+)?'(\w+)'(?:@'[^']*')?$""".r
   private val ShowGrantsRe =
     """(?is)^SHOW\s+GRANTS(?:\s+FOR\s+'(\w+)'(?:@'[^']*')?)?$""".r
 
@@ -4374,20 +4638,34 @@ final class DorisDdl(s: SparkSession) {
     case _ => sys.error(s"unparseable DROP USER: ${text.take(80)}")
   }
 
-  /** Parse `priv[, priv] ON scope`, validating names and the object. The
-    * optional `db.` qualifier is accepted and dropped (single-namespace
-    * instance); ADMIN_PRIV is grantable only ON *, per Doris. */
+  /** Parse `priv[, priv] ON scope`, validating names and the object.
+    * Scopes are Doris's three levels ([doris: fe/.../mysql/privilege/
+    * Auth.java] — GLOBAL / DATABASE / TABLE): `*` or `*.*` (global),
+    * `db.*` (every object of db, stored as the literal `db.*` key), and
+    * `[db.]tbl` (one managed object, stored canonical — an unqualified
+    * name resolves against the CURRENT database first, flat default as
+    * the fallback, same as every other object reference). ADMIN_PRIV is
+    * grantable only ON *, per Doris. */
   private def parseGrant(privCsv: String, scope: String): (Set[String], String) = {
     val privs = privCsv.split(",").map(_.trim.toUpperCase).toSet
     val bad = privs -- allPrivs
     require(bad.isEmpty, s"unknown privilege(s): ${bad.toSeq.sorted.mkString(", ")}")
-    val obj0 = scope.replace("`", "")
-    val obj = if (obj0.startsWith("*")) "*"
-      else obj0.split("\\.").last match { case "*" => "*"; case o => o }
-    if (obj != "*")
-      require(tables.synchronized(tables.contains(obj)) ||
-        viewDefs.synchronized(viewDefs.contains(obj)) ||
-        mtmvs.synchronized(mtmvs.contains(obj)), // MTMVs are grantable objects
+    val obj0 = scope.replace("`", "").trim
+    val obj =
+      if (obj0 == "*" || obj0 == "*.*") "*"
+      else if (obj0.endsWith(".*")) {
+        val d = obj0.stripSuffix(".*")
+        require(databases.synchronized(databases.contains(d)),
+          s"unknown database: $d")
+        s"$d.*"
+      } else if (obj0.contains(".")) {
+        val Array(d, o) = obj0.split("\\.", 2)
+        require(databases.synchronized(databases.contains(d)),
+          s"unknown database: $d")
+        canon(d, o)
+      } else resolveRef(obj0)
+    if (obj != "*" && !obj.endsWith(".*"))
+      require(managed(obj), // tables, views AND MTMVs are grantable objects
         s"unknown table or view: $obj")
     require(!privs.contains("ADMIN_PRIV") || obj == "*",
       "ADMIN_PRIV is grantable only ON *")

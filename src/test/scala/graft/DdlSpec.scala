@@ -2962,4 +2962,86 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT k FROM sv_neg").count() == 3L,
       "the rejected SET must leave the cap at its default (uncapped)")
   }
+
+  test("database namespace: CREATE/DROP DATABASE, USE, SHOW DATABASES, " +
+    "db.tbl qualification across statement forms, same bare name in two " +
+    "databases, db-scoped grants, and the non-empty drop guard") {
+    import spark.implicits._
+    val ddl = fresh()
+    ddl.execute("CREATE DATABASE sales")
+    ddl.execute("CREATE DATABASE IF NOT EXISTS sales")
+    assertThrows[IllegalArgumentException](ddl.execute("CREATE DATABASE sales"))
+    assert(ddl.sql("SHOW DATABASES").as[String].collect().toSeq ==
+      Seq("default_db", "sales"))
+    // qualified creation + DML from the default database
+    ddl.execute(
+      """CREATE TABLE sales.orders (id BIGINT, amt BIGINT)
+        |UNIQUE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO sales.orders VALUES (1, 10), (2, 20)")
+    assert(ddl.sql("SELECT sum(amt) AS sa FROM sales.orders")
+      .as[Long].head() == 30L)
+    // the SAME bare name in the default database stays independent
+    ddl.execute(
+      """CREATE TABLE orders (id BIGINT, amt BIGINT)
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO orders VALUES (9, 900)")
+    ddl.execute("USE sales")
+    assert(ddl.currentDatabase == "sales")
+    assert(ddl.sql("SHOW TABLES").as[String].collect().toSeq == Seq("orders"))
+    // unqualified names resolve in the CURRENT database
+    assert(ddl.sql("SELECT sum(amt) AS sa FROM orders").as[Long].head() == 30L)
+    ddl.execute("INSERT INTO orders VALUES (3, 30)")
+    assert(ddl.sql("SELECT count(*) AS c FROM orders").as[Long].head() == 3L)
+    ddl.execute("UPDATE orders SET amt = 11 WHERE id = 1")
+    assert(ddl.sql("SELECT amt FROM orders WHERE id = 1").as[Long].head() == 11L)
+    ddl.execute("DELETE FROM orders WHERE id = 3")
+    assert(ddl.sql("SELECT count(*) AS c FROM orders").as[Long].head() == 2L)
+    // cross-database reads and joins, default_db.t ≡ the flat namespace
+    assert(ddl.sql("SELECT amt FROM default_db.orders").as[Long].head() == 900L)
+    assert(ddl.sql("SELECT count(*) AS c FROM orders o " +
+      "JOIN default_db.orders d ON o.id < d.id").as[Long].head() == 2L)
+    // DESC + SHOW CREATE emit the BARE name; the text replays under USE
+    assert(ddl.sql("DESC orders").count() == 2L)
+    val ct = ddl.sql("SHOW CREATE TABLE orders").head.getString(1)
+    assert(ct.startsWith("CREATE TABLE `orders`"), ct)
+    ddl.execute("DROP TABLE orders")
+    ddl.execute(ct)
+    assert(ddl.sql("SELECT count(*) AS c FROM orders").as[Long].head() == 0L)
+    assert(ddl.sql("SELECT count(*) AS c FROM default_db.orders")
+      .as[Long].head() == 1L, "the default-db table must be untouched")
+    ddl.execute("USE default_db")
+    assert(ddl.sql("SELECT count(*) AS c FROM orders").as[Long].head() == 1L)
+    assert(ddl.sql("SHOW TABLES").as[String].collect().toSeq == Seq("orders"))
+    // db-scoped grants: SELECT on sales.* reads sales tables, nothing else
+    ddl.execute("CREATE USER 'ana'")
+    ddl.execute("GRANT SELECT_PRIV ON sales.* TO 'ana'")
+    ddl.login("ana")
+    assert(ddl.sql("SELECT count(*) AS c FROM sales.orders")
+      .as[Long].head() == 0L)
+    val denied = intercept[RuntimeException](ddl.sql("SELECT * FROM orders"))
+    assert(denied.getMessage.contains("access denied"), denied.getMessage)
+    ddl.login("root")
+    // non-empty drop REJECTS; FORCE drops contents; current db resets
+    ddl.execute("USE sales")
+    val ne = intercept[IllegalArgumentException](
+      ddl.execute("DROP DATABASE sales"))
+    assert(ne.getMessage.contains("not empty"), ne.getMessage)
+    ddl.execute("DROP DATABASE sales FORCE")
+    assert(ddl.currentDatabase == ddl.DefaultDb,
+      "dropping the database in use resets the session to the default")
+    assert(ddl.sql("SHOW DATABASES").as[String].collect().toSeq ==
+      Seq("default_db"))
+    assertThrows[IllegalArgumentException](ddl.execute("USE sales"))
+    ddl.execute("DROP DATABASE IF EXISTS sales")
+    assert(ddl.sql("SELECT count(*) AS c FROM orders").as[Long].head() == 1L,
+      "FORCE must only drop the named database's objects")
+    // guards: '__' reserved; an existing flat `d__x` object blocks
+    // CREATE DATABASE d (the canonical split would reparent it)
+    assertThrows[IllegalArgumentException](ddl.execute("CREATE DATABASE a__b"))
+    ddl.execute("CREATE TABLE marts__t (id BIGINT) DUPLICATE KEY(id) " +
+      "DISTRIBUTED BY HASH(id) BUCKETS 1")
+    val cl = intercept[IllegalArgumentException](
+      ddl.execute("CREATE DATABASE marts"))
+    assert(cl.getMessage.contains("ambiguous"), cl.getMessage)
+  }
 }

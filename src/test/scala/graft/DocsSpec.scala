@@ -40,14 +40,18 @@ class DocsSpec extends AnyFunSuite {
     java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
     java.nio.charset.StandardCharsets.UTF_8)
 
-  // the live counts the prose claims: test registrations and suite files
+  // the live counts the prose claims: test registrations and CONCRETE
+  // suites (sbt's "Suites: completed N" — an abstract base like SparkSpec
+  // is a file but never a suite, the round-18 verdict's 20-vs-19 drift)
   private lazy val (liveTests, liveSuites) = {
     val dir = java.nio.file.Paths.get("src/test/scala/graft")
     val files = java.nio.file.Files.list(dir).toArray.map(_.toString)
       .filter(_.endsWith("Spec.scala"))
     val tests = files.map(f =>
       """(?m)^\s*test\(""".r.findAllIn(read(f)).size).sum
-    (tests, files.length)
+    val suites = files.count(f =>
+      """(?m)^class\s+\w+Spec\s+extends""".r.findFirstIn(read(f)).isDefined)
+    (tests, suites)
   }
 
   test("SURVEY.md §8 BODY counters match the code (the round-17 verdict " +

@@ -53,6 +53,8 @@ class PlanAuditSpec extends SparkSpec {
   //                           llm_knn baseline shape)
   //   sql_ddl_grant         — 1-row data aggregate × 1-row SHOW GRANTS
   //                           summary crossJoin (metadata, not data)
+  //   sql_ddl_database      — grouped join result × 1-row SHOW DATABASES
+  //                           summary crossJoin (metadata, not data)
   private val bnljAllowed = Set(
     "join_cross", "llm_knn",
     "llm_dedup_minhash", "llm_dedup_minhash_incr",
@@ -61,7 +63,8 @@ class PlanAuditSpec extends SparkSpec {
     "llm_bigram_logprob", "llm_tfidf",
     "llm_bm25", "llm_match_phrase", "llm_match_phrase_prefix",
     "llm_match_phrase_edge", "llm_match_regexp",
-    "llm_dsir", "llm_rrf_fusion", "llm_perplexity_bucket", "sql_ddl_grant")
+    "llm_dsir", "llm_rrf_fusion", "llm_perplexity_bucket", "sql_ddl_grant",
+    "sql_ddl_database")
 
   test("no batch key plans a cartesian product or an undeclared nested-loop join") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
