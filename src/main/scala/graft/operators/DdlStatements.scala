@@ -162,7 +162,10 @@ object DdlStatements {
     // last bound would fail the load); DROP PARTITION removes the oldest
     // as the O(1) directory op; the final SELECT unions the full table
     // with a `PARTITION (p_mid)` selection — the latter a physically
-    // partition-PRUNED scan.
+    // partition-PRUNED scan. A second table exercises Doris's BATCH
+    // partition spelling (`FROM ("lo") TO ("hi") INTERVAL n unit`,
+    // production DDL's multi-partition form) mixed with an explicit
+    // MAXVALUE tail; its checked read selects ONE generated partition.
     "sql_ddl_partition" -> QueryDef(
       (s, dir) => {
         Tables.orders(s, dir).createOrReplaceTempView("orders")
@@ -182,7 +185,21 @@ object DdlStatements {
           """INSERT INTO ord_part
             |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
             |FROM orders""".stripMargin,
-          "ALTER TABLE ord_part DROP PARTITION p_old"))
+          "ALTER TABLE ord_part DROP PARTITION p_old",
+          """CREATE TABLE ord_batch (
+            |  o_orderdate DATE,
+            |  o_orderkey BIGINT,
+            |  o_totalprice DOUBLE
+            |) ENGINE=OLAP
+            |DUPLICATE KEY(o_orderdate, o_orderkey)
+            |PARTITION BY RANGE(o_orderdate) (
+            |  FROM ("1992-01-01") TO ("1998-01-01") INTERVAL 2 YEAR,
+            |  PARTITION p_tail VALUES LESS THAN (MAXVALUE)
+            |)
+            |DISTRIBUTED BY HASH(o_orderkey) BUCKETS 4""".stripMargin,
+          """INSERT INTO ord_batch
+            |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
+            |FROM orders""".stripMargin))
         ddl.sql(
           """SELECT 'all' AS scope, count(*) AS n,
             |  round(sum(o_totalprice), 2) AS total
@@ -191,6 +208,10 @@ object DdlStatements {
             |SELECT 'mid' AS scope, count(*) AS n,
             |  round(sum(o_totalprice), 2) AS total
             |FROM ord_part PARTITION (p_mid)
+            |UNION ALL
+            |SELECT 'batch94' AS scope, count(*) AS n,
+            |  round(sum(o_totalprice), 2) AS total
+            |FROM ord_batch PARTITION (p_19940101)
             |ORDER BY scope""".stripMargin)
       },
       """SELECT 'all' AS scope, count(*) AS n,
@@ -200,6 +221,10 @@ object DdlStatements {
         |SELECT 'mid', count(*), round(sum(o_totalprice), 2)
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         |  AND o_orderdate < DATE '1999-01-01'
+        |UNION ALL
+        |SELECT 'batch94', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderdate >= DATE '1994-01-01'
+        |  AND o_orderdate < DATE '1996-01-01'
         |ORDER BY scope""".stripMargin),
 
     // INSERT ... VALUES + cross-source join: a literal-row dimension table

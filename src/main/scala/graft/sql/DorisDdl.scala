@@ -481,7 +481,7 @@ final class DorisDdl(s: SparkSession) {
           val specs = clauseParen(rest.substring(up.indexOf("PARTITION BY RANGE")),
             """(?is)RANGE\s*\([^)]*\)\s*\(""")
             .getOrElse(sys.error(s"$name: PARTITION BY RANGE needs partition specs"))
-          (pc, topLevelSplit(specs).map(parsePartition))
+          (pc, topLevelSplit(specs).flatMap(parsePartitionSpecs))
         }
       // PARTITION BY LIST(col): each partition owns an explicit value set
       val listSpec =
@@ -492,7 +492,7 @@ final class DorisDdl(s: SparkSession) {
           val specs = clauseParen(rest.substring(up.indexOf("PARTITION BY LIST")),
             """(?is)LIST\s*\([^)]*\)\s*\(""")
             .getOrElse(sys.error(s"$name: PARTITION BY LIST needs partition specs"))
-          (pc, topLevelSplit(specs).map(parsePartition))
+          (pc, topLevelSplit(specs).flatMap(parsePartitionSpecs))
         }
       listSpec.foreach { case (_, specs) =>
         specs.foreach(p => require(p.inValues.isDefined,
@@ -762,6 +762,79 @@ final class DorisDdl(s: SparkSession) {
       require(vs.nonEmpty, s"partition $name: VALUES IN needs at least one value")
       PartDef(requireNotReserved(name), None, inValues = Some(vs))
     case _ => sys.error(s"unparseable partition spec: $text")
+  }
+
+  // Doris BATCH partition creation ([doris: fe/.../analysis/PartitionDesc
+  // .java] — the multi-partition spelling production DDL uses): `FROM
+  // ("lo") TO ("hi") INTERVAL n [HOUR|DAY|WEEK|MONTH|YEAR]` (dates /
+  // datetimes; unit-less = numeric stepping). Expands at PARSE time onto
+  // the SAME PartDef machinery as an explicit list — each generated
+  // partition owns [start, start+step) in fixed-range form, so SHOW
+  // CREATE TABLE round-trips the expansion as explicit bounds and a later
+  // DROP PARTITION leaves the same rejecting hole every other range
+  // partition does. A batch segment composes freely with explicit
+  // PARTITION items in the same spec list.
+  private val BatchPartRe =
+    ("""(?is)^\s*FROM\s*\(\s*["']?([^'")]+?)["']?\s*\)\s*TO\s*\(\s*["']?""" +
+      """([^'")]+?)["']?\s*\)\s*INTERVAL\s+(\d+)(?:\s+(HOUR|DAY|WEEK|MONTH|YEAR))?\s*$""").r
+
+  private def parsePartitionSpecs(text: String): Seq[PartDef] = text match {
+    case BatchPartRe(lo, hi, n, unit) =>
+      expandBatchPartition(lo.trim, hi.trim, n.toInt, Option(unit))
+    case _ => Seq(parsePartition(text))
+  }
+
+  private def expandBatchPartition(lo: String, hi: String, n: Int,
+      unit: Option[String]): Seq[PartDef] = {
+    require(n >= 1, s"batch partition INTERVAL must be >= 1, got $n")
+    val out = mutable.ArrayBuffer[PartDef]()
+    def emit(name: String, a: String, b: String): Unit = {
+      require(out.size < 4096,
+        s"batch partition FROM ($lo) TO ($hi) INTERVAL $n expands to more " +
+          "than 4096 partitions")
+      out += PartDef(requireNotReserved(name), Some(b), lower = Some(a))
+    }
+    unit.map(_.toUpperCase) match {
+      case None => // numeric stepping: FROM (1) TO (100) INTERVAL 10
+        val (a, b) = (lo.toLong, hi.toLong)
+        require(a < b, s"batch partition FROM ($a) must be below TO ($b)")
+        var cur = a
+        while (cur < b) {
+          val nxt = math.min(cur + n, b)
+          emit(s"p_$cur", cur.toString, nxt.toString)
+          cur = nxt
+        }
+      case Some(u) =>
+        val isDt = lo.contains(":") || u == "HOUR"
+        val fmt = java.time.format.DateTimeFormatter
+          .ofPattern(if (isDt) "yyyy-MM-dd HH:mm:ss" else "yyyy-MM-dd")
+        def parse(v: String): java.time.LocalDateTime =
+          if (isDt) java.time.LocalDateTime.parse(v, fmt)
+          else java.time.LocalDate.parse(v, fmt).atStartOfDay()
+        val (a, b) = (parse(lo), parse(hi))
+        require(a.isBefore(b), s"batch partition FROM ($lo) must be below TO ($hi)")
+        require(u != "HOUR" || isDt,
+          "INTERVAL n HOUR needs DATETIME bounds ('yyyy-MM-dd HH:mm:ss')")
+        def step(d: java.time.LocalDateTime) = u match {
+          case "HOUR" => d.plusHours(n)
+          case "DAY" => d.plusDays(n)
+          case "WEEK" => d.plusWeeks(n)
+          case "MONTH" => d.plusMonths(n)
+          case "YEAR" => d.plusYears(n)
+        }
+        def fmtOut(d: java.time.LocalDateTime): String = d.format(fmt)
+        def pname(d: java.time.LocalDateTime): String =
+          "p_" + d.format(java.time.format.DateTimeFormatter.ofPattern(
+            if (isDt) "yyyyMMddHH" else "yyyyMMdd"))
+        var cur = a
+        while (cur.isBefore(b)) {
+          val nxt0 = step(cur)
+          val nxt = if (nxt0.isAfter(b)) b else nxt0
+          emit(pname(cur), fmtOut(cur), fmtOut(nxt))
+          cur = nxt
+        }
+    }
+    out.toSeq
   }
 
   // ----------------------------------------------------- inverted indexes
@@ -3394,9 +3467,15 @@ final class DorisDdl(s: SparkSession) {
       require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
       registerViews(t)
       import s.implicits._
-      val counts = visible(t, None, keepPart = true)
-        .groupBy(col("_p").as("partition_name"))
-        .agg(count(lit(1)).as("n_rows"))
+      // a created-but-never-loaded table still LISTS its declared
+      // partitions (all zero rows, as Doris) — there is no rowset dir to
+      // scan for counts yet
+      val counts =
+        if (!hasRowsets(t.dir))
+          Seq.empty[(String, Long)].toDF("partition_name", "n_rows")
+        else visible(t, None, keepPart = true)
+          .groupBy(col("_p").as("partition_name"))
+          .agg(count(lit(1)).as("n_rows"))
       val out = t.def_.autoGran match {
         case Some(g) =>
           // anchor on the directory listing, not the data scan: forward-

@@ -2963,6 +2963,62 @@ class DdlSpec extends SparkSpec {
       "the rejected SET must leave the cap at its default (uncapped)")
   }
 
+  test("batch partition creation: FROM/TO/INTERVAL expands onto the range " +
+    "machinery — month + numeric stepping, SHOW CREATE round-trip, " +
+    "partition pruning, the post-DROP hole, and beyond-bound rejection") {
+    import spark.implicits._
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE bp (d DATE, k BIGINT)
+        |DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (
+        |  FROM ("2024-01-01") TO ("2024-04-01") INTERVAL 1 MONTH,
+        |  PARTITION p_rest VALUES LESS THAN ('2024-06-01')
+        |)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO bp VALUES ('2024-01-15', 1), ('2024-02-15', 2), " +
+      "('2024-03-15', 3), ('2024-04-15', 4)")
+    assert(ddl.sql("SHOW PARTITIONS FROM bp").select("partition_name")
+      .as[String].collect().sorted.toSeq ==
+      Seq("p_20240101", "p_20240201", "p_20240301", "p_rest"))
+    // a generated partition is selectable (partition-pruned scan)
+    assert(ddl.sql("SELECT k FROM bp PARTITION (p_20240201)")
+      .as[Long].collect().toSeq == Seq(2L))
+    // beyond the declared end: rejected like any uncovered range
+    assertThrows[Exception](
+      ddl.execute("INSERT INTO bp VALUES ('2024-07-01', 9)"))
+    // SHOW CREATE emits the expansion as explicit bounds and replays
+    val ct = ddl.sql("SHOW CREATE TABLE bp").head.getString(1)
+    assert(ct.contains("PARTITION p_20240201 VALUES"), ct)
+    ddl.execute("DROP TABLE bp")
+    ddl.execute(ct)
+    ddl.execute("INSERT INTO bp VALUES ('2024-02-20', 5)")
+    assert(ddl.sql("SELECT k FROM bp PARTITION (p_20240201)")
+      .as[Long].collect().toSeq == Seq(5L))
+    // DROP of a generated partition leaves the same rejecting hole
+    ddl.execute("ALTER TABLE bp DROP PARTITION p_20240201")
+    assertThrows[Exception](
+      ddl.execute("INSERT INTO bp VALUES ('2024-02-21', 6)"))
+    // numeric stepping, unit-less; partial last step clamps to TO
+    ddl.execute(
+      """CREATE TABLE bn (b BIGINT, k BIGINT)
+        |DUPLICATE KEY(b, k)
+        |PARTITION BY RANGE(b) (FROM (0) TO (25) INTERVAL 10)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)
+    assert(ddl.sql("SHOW PARTITIONS FROM bn").select("partition_name")
+      .as[String].collect().sorted.toSeq == Seq("p_0", "p_10", "p_20"))
+    ddl.execute("INSERT INTO bn VALUES (5, 1), (24, 2)")
+    assert(ddl.sql("SELECT k FROM bn PARTITION (p_20)")
+      .as[Long].collect().toSeq == Seq(2L))
+    assertThrows[Exception](ddl.execute("INSERT INTO bn VALUES (25, 9)"))
+    // guard: a runaway expansion rejects by name
+    val big = intercept[IllegalArgumentException](ddl.execute(
+      """CREATE TABLE bx (d DATE, k BIGINT) DUPLICATE KEY(d, k)
+        |PARTITION BY RANGE(d) (FROM ("1900-01-01") TO ("2100-01-01") INTERVAL 1 DAY)
+        |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin))
+    assert(big.getMessage.contains("4096"), big.getMessage)
+  }
+
   test("database namespace: CREATE/DROP DATABASE, USE, SHOW DATABASES, " +
     "db.tbl qualification across statement forms, same bare name in two " +
     "databases, db-scoped grants, and the non-empty drop guard") {
