@@ -84,6 +84,36 @@ final class DorisDdl(s: SparkSession) {
   /** Current database (tests / SELECT DATABASE() stand-in). */
   def currentDatabase: String = currentDb
 
+  /** Every temp view the ENGINE registers goes through here, so the
+    * namespace audit ([[auditTempViews]]) can enumerate engine-owned
+    * views. Caller-registered views are not managed objects and are
+    * never gated — they stay outside this set. */
+  private val engineViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registerTemp(df: DataFrame, name: String): Unit = {
+    df.createOrReplaceTempView(name)
+    engineViews.add(name)
+  }
+
+  /** Test hook — the r17 MV/partition-view privilege bypass class,
+    * generalized into a standing invariant: every LIVE temp view this
+    * engine registered must resolve to at least one grant scope through
+    * [[directRefs]]'s candidate patterns (managed objects, derived
+    * `__part_`/`__ngbf`/sync-MV names that bill to their base, or the
+    * `*`-gated internal prefixes). Returns the unaccounted names — any
+    * FUTURE derived-view shape that reaches the session catalog without
+    * a scope mapping fails CLOSED here instead of open (an ungated read
+    * path) in production. */
+  private[graft] def ownsEngineView(name: String): Boolean =
+    engineViews.contains(name)
+  private[graft] def mapsToScope(name: String): Boolean =
+    directRefs(name).nonEmpty
+  private[graft] def auditTempViews(): Seq[String] = {
+    val live = s.catalog.listTables().collect().map(_.name)
+      .filter(engineViews.contains).toSeq
+    live.filterNot(mapsToScope).sorted
+  }
+
   private def canon(db: String, tbl: String): String =
     if (db == DefaultDb) tbl else s"${db}__${tbl}"
 
@@ -1052,23 +1082,44 @@ final class DorisDdl(s: SparkSession) {
 
   /** Current committed rowset files, table-dir-relative — the exact file
     * set the read path serves (`__tmp_` staging and `_`-markers excluded).
-    * Driver directory walk through the Hadoop FS, metadata-sized. */
+    * Driver directory walk through the Hadoop FS, metadata-sized.
+    * Non-committed subtrees (`_temporary`, `_ngram_bf`, `_p=__tmp_*`) are
+    * pruned BEFORE descending: a concurrent load's attempt dirs appear
+    * and vanish mid-walk, and stat'ing a vanished entry throws. A race
+    * that still reaches the walk (e.g. `_temporary` itself vanishing
+    * while the root is being listed) retries the whole walk — returning
+    * a partial listing instead would silently drop COMMITTED files from
+    * an NGRAM-pruned scan. */
   private def rowsetFiles(t: TableState): Seq[String] = {
     val root = new org.apache.hadoop.fs.Path(t.dir)
     val fs = hadoopFs(root)
-    if (!fs.exists(root)) return Nil
     val rootStr = fs.makeQualified(root).toString
-    val it = fs.listFiles(root, true)
-    val out = mutable.ArrayBuffer[String]()
-    while (it.hasNext) {
-      val p = fs.makeQualified(it.next().getPath).toString
-      if (p.endsWith(".parquet") && p.startsWith(rootStr + "/")) {
-        val rel = p.substring(rootStr.length + 1)
-        if (!rel.startsWith("_ngram_bf") && !rel.contains("_temporary") &&
-          !rel.startsWith("_p=__tmp_")) out += rel
+    def walk(dir: org.apache.hadoop.fs.Path,
+        out: mutable.ArrayBuffer[String]): Unit =
+      fs.listStatus(dir).foreach { st =>
+        val name = st.getPath.getName
+        if (st.isDirectory) {
+          if (name != "_temporary" && name != "_ngram_bf" &&
+            !name.startsWith("_p=__tmp_")) walk(st.getPath, out)
+        } else if (name.endsWith(".parquet")) {
+          val p = fs.makeQualified(st.getPath).toString
+          if (p.startsWith(rootStr + "/")) out += p.substring(rootStr.length + 1)
+        }
+      }
+    var attempt = 0
+    while (true) {
+      if (!fs.exists(root)) return Nil
+      val out = mutable.ArrayBuffer[String]()
+      try {
+        walk(root, out)
+        return out.toSeq.sorted
+      } catch {
+        case e @ (_: java.io.FileNotFoundException | _: RuntimeException) =>
+          attempt += 1
+          if (attempt >= 5) throw e
       }
     }
-    out.toSeq.sorted
+    Nil // unreachable
   }
 
   /** The read-side VALUE of the indexed column, replicated for the
@@ -1155,9 +1206,10 @@ final class DorisDdl(s: SparkSession) {
                   val rel = f.substring(rootQualified.length + 1)
                   val bs = new java.util.BitSet(bfSize)
                   r.getSeq[Int](1).foreach(bs.set)
-                  val out = efs.create(new org.apache.hadoop.fs.Path(dirP,
-                    DorisDdl.sha1hexStatic(rel) + ".bf"), true)
-                  try out.write(bs.toByteArray) finally out.close()
+                  DorisDdl.writeSidecarAtomic(efs,
+                    new org.apache.hadoop.fs.Path(dirP,
+                      DorisDdl.sha1hexStatic(rel) + ".bf"),
+                    bs.toByteArray)
                 }
               }
             }
@@ -1168,10 +1220,9 @@ final class DorisDdl(s: SparkSession) {
           missing.filterNot(rel => fs.exists(
             new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf")))
             .foreach { rel =>
-              val out = fs.create(
-                new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf"), true)
-              try out.write(new java.util.BitSet(ix.bfSize).toByteArray)
-              finally out.close()
+              DorisDdl.writeSidecarAtomic(fs,
+                new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".bf"),
+                new java.util.BitSet(ix.bfSize).toByteArray)
             }
         }
       }
@@ -1430,9 +1481,8 @@ final class DorisDdl(s: SparkSession) {
         val pv = s"${n}__ngbf_${ngbfCounter.incrementAndGet()}"
         val mergedSchema =
           s.read.option("mergeSchema", "true").parquet(t.dir).schema
-        visible(t, None, schemaHint = Some(mergedSchema),
-          files = Some(surv.toSeq.sorted.map(rel => s"${t.dir}/$rel")))
-          .createOrReplaceTempView(pv)
+        registerTemp(visible(t, None, schemaHint = Some(mergedSchema),
+          files = Some(surv.toSeq.sorted.map(rel => s"${t.dir}/$rel"))), pv)
         views += pv
         replaceTableToken(acc, n, pv)
       }
@@ -1681,7 +1731,7 @@ final class DorisDdl(s: SparkSession) {
       // every recompute scan is partition-pruned to its stale directory
       val slice = stale.map(p => visible(t, Some(p), keepPart = true))
         .reduce(_.unionByName(_))
-      slice.createOrReplaceTempView(s"__mtmv_src_${m.name}")
+      registerTemp(slice, s"__mtmv_src_${m.name}")
       val df = DorisSqlDialect.sql(s,
         s"SELECT ${m.selList}, _p FROM __mtmv_src_${m.name} " +
           s"GROUP BY ${m.keys.mkString(", ")}, _p")
@@ -1708,12 +1758,12 @@ final class DorisDdl(s: SparkSession) {
       // an MTMV over an empty base serves ZERO ROWS like every empty
       // table: the declared select analyzes against the base's empty
       // frame (the filter(false) folds the plan to an empty relation)
-      try DorisSqlDialect.sql(s,
+      try registerTemp(DorisSqlDialect.sql(s,
         s"SELECT ${m.selList} FROM `${m.table}` " +
           s"GROUP BY ${m.keys.mkString(", ")}")
-        .filter(lit(false)).createOrReplaceTempView(m.name)
+        .filter(lit(false)), m.name)
       catch { case _: Exception => s.catalog.dropTempView(m.name) }
-    else s.read.parquet(m.dir).drop("_p").createOrReplaceTempView(m.name)
+    else registerTemp(s.read.parquet(m.dir).drop("_p"), m.name)
 
   /** Per-partition rowset file names — a driver directory listing,
     * O(files) metadata, zero data IO. */
@@ -2479,14 +2529,39 @@ final class DorisDdl(s: SparkSession) {
     }
     st.query = src.writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
-        if (!b.isEmpty) {
-          load(state(st.table), b, None, Some(s"${st.name}_$id"))
+        val t = state(st.table)
+        val lbl = s"${st.name}_$id"
+        // crash-replay window: a batch that PUBLISHED (rowset + label
+        // live) but whose checkpoint commit never landed is re-executed
+        // by the resumed query with the SAME batch id. Its label is
+        // already consumed, so the data is already visible — acknowledge
+        // the replay without re-loading (Doris's label-based
+        // exactly-once on transaction replay). Loading again would abort
+        // on the duplicate label and wedge the job.
+        if (t.synchronized(t.labels.contains(lbl))) ()
+        else if (!b.isEmpty) {
+          load(t, b, None, Some(lbl))
           st.synchronized { st.batches += 1 }
         }
       }
       .option("checkpointLocation", st.ckpt)
       .queryName(s"graft_routine_${st.name}")
       .start()
+  }
+
+  /** Test hook: a routine job's standing checkpoint dir (the crash-resume
+    * probe manufactures the publish-without-commit on-disk state in it). */
+  private[graft] def routineCheckpoint(job: String): String =
+    routines.synchronized(routines(job).ckpt)
+
+  /** Test hook: stop a routine job's query WITHOUT the graceful
+    * processAllAvailable drain — the in-JVM analogue of a crash while a
+    * backlog is in flight. */
+  private[graft] def killRoutineQuery(job: String): Unit = {
+    val st = routines.synchronized(routines.getOrElse(job,
+      sys.error(s"unknown routine load job $job")))
+    st.query.stop()
+    st.state = "PAUSED"
   }
 
   private def stopRoutineLoad(text: String): Unit = text match {
@@ -3591,7 +3666,7 @@ final class DorisDdl(s: SparkSession) {
         case other => sys.error(s"FILE(): unsupported format $other")
       }
       val v = s"__file_tvf_${tvfCounter.incrementAndGet()}"
-      df.createOrReplaceTempView(v)
+      registerTemp(df, v)
       v
     })
 
@@ -3765,9 +3840,9 @@ final class DorisDdl(s: SparkSession) {
     // not-found — SELECT on an empty table returns zero rows, as Doris)
     if (!hasRowsets(t.dir)) {
       val empty = emptyVisible(t)
-      empty.createOrReplaceTempView(t.def_.name)
+      registerTemp(empty, t.def_.name)
       t.def_.parts.filterNot(_.dropped).foreach(p =>
-        emptyVisible(t).createOrReplaceTempView(s"${t.def_.name}__part_${p.name}"))
+        registerTemp(emptyVisible(t), s"${t.def_.name}__part_${p.name}"))
       refreshUserViews()
       return
     }
@@ -3777,11 +3852,11 @@ final class DorisDdl(s: SparkSession) {
     // sql_ddl_auto_partition 13 s wall at cpus=32)
     val mergedSchema =
       s.read.option("mergeSchema", "true").parquet(t.dir).schema
-    visible(t, None, schemaHint = Some(mergedSchema))
-      .createOrReplaceTempView(t.def_.name)
+    registerTemp(visible(t, None, schemaHint = Some(mergedSchema)),
+      t.def_.name)
     partitionNames(t).foreach { p =>
-      visible(t, Some(p), schemaHint = Some(mergedSchema))
-        .createOrReplaceTempView(s"${t.def_.name}__part_$p")
+      registerTemp(visible(t, Some(p), schemaHint = Some(mergedSchema)),
+        s"${t.def_.name}__part_$p")
     }
     refreshUserViews()
   }
@@ -3831,7 +3906,7 @@ final class DorisDdl(s: SparkSession) {
     var progress = true
     while (pending.nonEmpty && progress) {
       val failed = pending.filter { case (name, body) =>
-        try { DorisSqlDialect.sql(s, body).createOrReplaceTempView(name); false }
+        try { registerTemp(DorisSqlDialect.sql(s, body), name); false }
         catch { case _: Exception => true }
       }
       progress = failed.size < pending.size
@@ -4848,6 +4923,24 @@ object DorisDdl {
   private[sql] def sha1hexStatic(v: String): String =
     java.security.MessageDigest.getInstance("SHA-1")
       .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Publish one sidecar ATOMICALLY: write to a temp name, rename into
+    * place. `fs.create` alone is not atomic — a concurrent reader (a
+    * query lazily healing the same index, or racing the load-time build)
+    * could consult a HALF-WRITTEN bitset whose missing bits read as
+    * "needle absent" and wrongly prune a file that contains it. Readers
+    * probe exact final names, so they only ever see complete bitsets; a
+    * lost rename race means an identical-bytes sidecar already landed
+    * (the build is deterministic per immutable rowset file) and the temp
+    * is dropped. */
+  private[sql] def writeSidecarAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
+      dst.getName + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
+  }
 
   final case class ColDef(name: String, sparkType: String,
       agg: Option[String], default: Option[String],

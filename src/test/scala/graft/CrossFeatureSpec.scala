@@ -11,7 +11,7 @@ import graft.sql.DorisDdl
 class CrossFeatureSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
-  private def fresh() = new DorisDdl(spark)
+  private def fresh() = track(new DorisDdl(spark))
 
   test("BACKUP/RESTORE × temporary partitions × NGRAM_BF × versioned " +
     "deletes: the snapshot excludes staging, keeps delete records and the " +
@@ -349,5 +349,107 @@ class CrossFeatureSpec extends SparkSpec {
     assert(ddl.sql("SELECT count(*) AS n FROM xg_v2").as[Long].head() == 3L,
       "healed chain must serve the recreated definition")
     ddl.login("root")
+  }
+
+  test("routine load crash-resume: a batch PUBLISHED but not checkpoint-" +
+    "committed (the crash window) replays on RESUME under its consumed " +
+    "label and stays exactly-once; an abrupt kill mid-backlog resumes " +
+    "from the next unconsumed file") {
+    val ddl = fresh()
+    val src = graft.TempDirs.create("graft_xf_crash_src")
+    ddl.execute(
+      """CREATE TABLE cr (k BIGINT, v DOUBLE)
+        |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
+    spark.range(0, 100).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(src)
+    ddl.execute(s"CREATE ROUTINE LOAD crj ON cr FROM FILE('$src', 'parquet')")
+    assert(ddl.sql("SELECT count(*) AS n FROM cr").as[Long].head() == 100L)
+    ddl.execute("PAUSE ROUTINE LOAD FOR crj")
+    // manufacture the crash window ON DISK: the latest batch published
+    // (rowset + label live) but its checkpoint COMMIT record is gone —
+    // exactly the state a driver crash between the sink write and the
+    // commit-log append leaves. The resumed query MUST replay that batch.
+    val commits = java.nio.file.Paths.get(
+      ddl.routineCheckpoint("crj"), "commits")
+    val latest = java.nio.file.Files.list(commits).toArray.map(_.toString)
+      .filterNot(_.endsWith(".crc")).sorted.last
+    java.nio.file.Files.delete(java.nio.file.Paths.get(latest))
+    // the ChecksumFileSystem sidecar too — a lingering .crc makes the
+    // replayed commit write read as "already exists"
+    val crc = java.nio.file.Paths.get(commits.toString,
+      "." + java.nio.file.Paths.get(latest).getFileName.toString + ".crc")
+    java.nio.file.Files.deleteIfExists(crc)
+    ddl.execute("RESUME ROUTINE LOAD FOR crj")
+    assert(ddl.sql("SELECT count(*) AS n FROM cr").as[Long].head() == 100L,
+      "the replayed batch must be acknowledged by its consumed label, " +
+        "not re-applied")
+    assert(ddl.sql("SELECT count(*) AS n FROM (SELECT k FROM cr " +
+      "GROUP BY k HAVING count(*) > 1) d").as[Long].head() == 0L,
+      "no key may be ingested twice")
+    // SHOW LOAD: every published load carries a DISTINCT label
+    val labels = ddl.sql("SHOW LOAD FROM cr").select("label")
+      .as[String].collect().toSeq
+    assert(labels.distinct.size == labels.size, labels.toString)
+    // abrupt-kill half: drop a fresh backlog, kill WITHOUT drain (the
+    // in-JVM crash analogue — the batch may or may not have started),
+    // resume and prove the catch-up lands everything exactly once
+    spark.range(100, 150).selectExpr("id AS k", "CAST(id AS DOUBLE) AS v")
+      .coalesce(1).write.mode("append").parquet(src)
+    ddl.killRoutineQuery("crj")
+    ddl.execute("RESUME ROUTINE LOAD FOR crj")
+    assert(ddl.sql("SELECT count(*) AS n FROM cr").as[Long].head() == 150L,
+      "post-crash resume must land the backlog exactly once")
+    assert(ddl.sql("SELECT count(*) AS n FROM (SELECT k FROM cr " +
+      "GROUP BY k HAVING count(*) > 1) d").as[Long].head() == 0L)
+    ddl.execute("STOP ROUTINE LOAD FOR crj")
+  }
+
+  test("NGRAM_BF sidecar-build race: concurrent loads (publishing rowsets " +
+    "+ building sidecars) and indexed LIKE readers (lazily healing) never " +
+    "consult a torn bitset — every read is exact for the rows it saw") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE ngr2 (id BIGINT, body VARCHAR(120),
+        |  INDEX ixr2 (body) USING NGRAM_BF
+        |    PROPERTIES("gram_size" = "3", "bf_size" = "4096")
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO ngr2 VALUES (0, 'xylophone zero')")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val rounds = 12
+    val writer = Future {
+      (1 to rounds).foreach { i =>
+        // odd ids carry the needle; each insert publishes a rowset and
+        // builds its sidecars while readers are mid-flight
+        val body = if (i % 2 == 1) s"xylophone row $i" else s"plain row $i"
+        ddl.execute(s"INSERT INTO ngr2 VALUES ($i, '$body')")
+      }
+    }
+    val reader = Future {
+      (1 to rounds * 2).map { _ =>
+        // soundness: a read may see any committed prefix of versions, but
+        // every returned id must genuinely match and NO matching visible
+        // row may be pruned away — torn bitsets would lose odd ids
+        ddl.sql("SELECT id FROM ngr2 WHERE body LIKE '%xylophone%'")
+          .as[Long].collect().sorted.toSeq
+      }
+    }
+    Await.result(writer, 300.seconds)
+    val reads = Await.result(reader, 300.seconds)
+    reads.foreach { got =>
+      assert(got.forall(id => id == 0L || id % 2 == 1),
+        s"non-matching id in result: $got")
+      // monotone prefix property: results only grow as rowsets publish
+      assert(got.contains(0L), s"the first committed match must never vanish: $got")
+    }
+    val finalIds = ddl.sql("SELECT id FROM ngr2 WHERE body LIKE '%xylophone%'")
+      .as[Long].collect().sorted.toSeq
+    assert(finalIds == (0L +: (1 to rounds).filter(_ % 2 == 1).map(_.toLong)),
+      s"final read must be exact: $finalIds")
+    // no torn temp files linger as consulted sidecars
+    val Some((_, surv, total)) = ddl.lastNgramPrune
+    assert(surv <= total && total >= rounds,
+      s"($surv, $total): per-rowset sidecars must cover every publish")
   }
 }

@@ -25,7 +25,7 @@ class DdlFuzzSpec extends SparkSpec {
   test("UNIQUE-key statement sequences match the reference model (fuzz)") {
     val rnd = new scala.util.Random(29)
     for (seqNo <- 1 to nSeqs) {
-      val ddl = new DorisDdl(spark)
+      val ddl = track(new DorisDdl(spark))
       ddl.execute(
         """CREATE TABLE fz (k BIGINT, v DOUBLE, tag VARCHAR(4))
           |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
@@ -123,7 +123,7 @@ class DdlFuzzSpec extends SparkSpec {
       ("pc", 16L until 24L))
     def rangeOf(k: Long): String = parts.find(_._2.contains(k)).get._1
     for (seqNo <- 1 to math.max(12, nSeqs)) {
-      val ddl = new DorisDdl(spark)
+      val ddl = track(new DorisDdl(spark))
       ddl.execute(
         """CREATE TABLE fz2 (k BIGINT, v DOUBLE)
           |UNIQUE KEY(k)
@@ -297,7 +297,7 @@ class DdlFuzzSpec extends SparkSpec {
     val rnd = new scala.util.Random(37)
     val partsInit = Map("pa" -> Set("a"), "pb" -> Set("b"), "pc" -> Set("c", "d"))
     for (seqNo <- 1 to nSeqs) {
-      val ddl = new DorisDdl(spark)
+      val ddl = track(new DorisDdl(spark))
       ddl.execute(
         """CREATE TABLE fz3 (
           |  seg VARCHAR(4), k BIGINT, v DOUBLE,
@@ -390,7 +390,7 @@ class DdlFuzzSpec extends SparkSpec {
     import scala.concurrent._
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val ddl = new DorisDdl(spark)
+    val ddl = track(new DorisDdl(spark))
     ddl.execute(
       """CREATE TABLE clab (k BIGINT, v BIGINT, src VARCHAR(2))
         |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
@@ -442,7 +442,7 @@ class DdlFuzzSpec extends SparkSpec {
     import scala.concurrent._
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val ddl = new DorisDdl(spark)
+    val ddl = track(new DorisDdl(spark))
     ddl.execute(
       """CREATE TABLE cdis (k BIGINT, v BIGINT)
         |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin)
@@ -479,7 +479,7 @@ class DdlFuzzSpec extends SparkSpec {
     import scala.concurrent._
     import scala.concurrent.duration._
     implicit val ec: ExecutionContext = ExecutionContext.global
-    val ddl = new DorisDdl(spark)
+    val ddl = track(new DorisDdl(spark))
     ddl.execute(
       """CREATE TABLE race (d DATE, k BIGINT, v BIGINT)
         |DUPLICATE KEY(d, k)
@@ -563,7 +563,7 @@ class DdlFuzzSpec extends SparkSpec {
     val privs = Vector("SELECT_PRIV", "LOAD_PRIV", "ALTER_PRIV", "DROP_PRIV")
     val who = Vector("u1", "u2")
     for (seqNo <- 1 to 25) {
-      val ddl = new DorisDdl(spark)
+      val ddl = track(new DorisDdl(spark))
       ddl.execute(
         """CREATE TABLE az (k BIGINT, v DOUBLE)
           |DUPLICATE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)

@@ -17,7 +17,7 @@ import graft.sql.DorisDdl
 class DdlNegativeSpec extends SparkSpec {
 
   private def freshContext(): (DorisDdl, Seq[String]) = {
-    val ddl = new DorisDdl(TestSpark.spark)
+    val ddl = track(new DorisDdl(TestSpark.spark))
     val statements = Seq(
       """CREATE TABLE nf_u (k BIGINT, v DOUBLE, note VARCHAR(20))
         |UNIQUE KEY(k) DISTRIBUTED BY HASH(k) BUCKETS 2""".stripMargin,
@@ -178,7 +178,7 @@ class DdlNegativeSpec extends SparkSpec {
 
   test("dispatch probes: bare prefixes, half-statements, garbage, and the " +
     "empty string all reject with named errors (never crash classes)") {
-    val ddl = new DorisDdl(TestSpark.spark)
+    val ddl = track(new DorisDdl(TestSpark.spark))
     ddl.execute(
       """CREATE TABLE np (k BIGINT, v DOUBLE) UNIQUE KEY(k)
         |DISTRIBUTED BY HASH(k) BUCKETS 1""".stripMargin)

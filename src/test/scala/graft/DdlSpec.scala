@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
 class DdlSpec extends SparkSpec {
   import TestSpark.spark.implicits._
 
-  private def fresh() = new DorisDdl(spark)
+  private def fresh() = track(new DorisDdl(spark))
 
   test("create/insert values/select round-trips types and defaults") {
     val ddl = fresh()
@@ -3099,5 +3099,9 @@ class DdlSpec extends SparkSpec {
     val cl = intercept[IllegalArgumentException](
       ddl.execute("CREATE DATABASE marts"))
     assert(cl.getMessage.contains("ambiguous"), cl.getMessage)
+    // the namespace audit: everything this lifecycle registered into the
+    // session catalog maps to a grant scope (the suite-wide afterAll
+    // audits every instance; this pins the invariant visibly)
+    assert(ddl.auditTempViews().isEmpty, ddl.auditTempViews().toString)
   }
 }
