@@ -45,14 +45,18 @@ object LlmDedup {
 
   private def oneShotFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
+    // `sizes` is one row PER DOCUMENT — corpus-proportional, so its joins
+    // are pinned to sort-merge (spill-capable at any heap): a broadcast
+    // chosen from its small-at-test-scale measured size dies under memory
+    // pressure (the 2 GiB spill probe) and is wrong at 100 TB outright.
     val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .agg(count(lit(1)).as("common"))
     pairs
-      .join(sizes.as("x"), $"i" === $"x.doc_id")
-      .join(sizes.as("y"), $"j" === $"y.doc_id")
+      .join(sizes.as("x").hint("merge"), $"i" === $"x.doc_id")
+      .join(sizes.as("y").hint("merge"), $"j" === $"y.doc_id")
       .select($"i", $"j",
         round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
       .filter($"jaccard" >= t)
@@ -73,24 +77,37 @@ object LlmDedup {
 
   private def prefixFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
+    // `sizes` (one row per document) and `dfreq` (one row per distinct
+    // shingle — the corpus VOCABULARY) both scale with the corpus: every
+    // join against them is pinned to sort-merge. At test scale AQE's
+    // measured sizes look broadcastable, but the broadcast build dies
+    // under memory pressure (the 2 GiB spill probe found exactly this)
+    // and at 100 TB a vocabulary broadcast is impossible. Only `cand`
+    // (output-proportional, bounded by the prefix lemma) may broadcast.
     val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val dfreq = docs.groupBy($"s").agg(count(lit(1)).as("df"))
-    val pref = docs.join(dfreq, "s").join(sizes, "doc_id")
+    val pref = docs.join(dfreq.hint("merge"), "s")
+      .join(sizes.hint("merge"), "doc_id")
       .withColumn("rn", row_number().over(
         expressions.Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
       .filter($"rn" <= $"n" - ceil($"n" * t) + 1)
       .select($"doc_id", $"s")
-    val cand = pref.as("a").join(pref.as("b"), Seq("s"))
+    // the prefix set itself is corpus-proportional (≈ (1-t)·|shingles| +
+    // one per doc), and `cand` is output-proportional — still unbounded
+    // at 100 TB. Every join below stays sort-merge: fully spill-capable
+    // at any heap, no broadcast build to die under pressure.
+    val cand = pref.as("a").join(pref.as("b").hint("merge"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
     val common = cand
-      .join(docs.as("da"), $"i" === $"da.doc_id")
-      .join(docs.as("db"), $"j" === $"db.doc_id" && $"da.s" === $"db.s")
+      .join(docs.as("da").hint("merge"), $"i" === $"da.doc_id")
+      .join(docs.as("db").hint("merge"),
+        $"j" === $"db.doc_id" && $"da.s" === $"db.s")
       .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.as("x"), $"i" === $"x.doc_id")
-      .join(sizes.as("y"), $"j" === $"y.doc_id")
+      .join(sizes.as("x").hint("merge"), $"i" === $"x.doc_id")
+      .join(sizes.as("y").hint("merge"), $"j" === $"y.doc_id")
       .select($"i", $"j",
         round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
       .filter($"jaccard" >= t)

@@ -35,4 +35,34 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.divert(1.0, Some(1.9), Some(1.25)))
     assert(!Bench.divert(1.0, Some(1.9), Some(1.26)))
   }
+
+  test("spill-path evidence stands: the committed 2 GiB probe record has " +
+    "per-key spill bytes, zero errors, and the spilling keys' row counts " +
+    "equal the exact sf1 oracle counts (round-19 verdict task 3)") {
+    // bench_spill_probe.json = the round-19 memory-pressure run: the
+    // bench's heaviest shuffle keys at data/sf1 under SPARK_DRIVER_MEM=2g
+    // (vs the normal 8g). The 100 TB story leans on Spark's spill
+    // machinery; this is the standing local evidence the plans DEGRADE
+    // (spill, stay exact) instead of OOM. The probe also forced a real
+    // fix: jaccard's corpus-scaled sizes/dfreq/prefix joins are pinned to
+    // sort-merge — the AQE-elected broadcast of a vocabulary-sized side
+    // died here and is impossible at 100 TB.
+    val txt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("bench_spill_probe.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(txt.contains("\"errors\":[]"),
+      "the probe run must complete every key (degrade, not OOM)")
+    // the harness records spill bytes per key (the field this pin guards)
+    val spill = """"spill":(\d+)""".r.findAllMatchIn(txt)
+      .map(_.group(1).toLong).toSeq
+    assert(spill.nonEmpty && spill.exists(_ > 100000000L),
+      s"at least one heavy key must show real spill under 2g: $spill")
+    // exactness under pressure: both jaccard variants spilled AND still
+    // produced the exact sf1 pair count (oracle-PASSed in BASELINE.md)
+    for (k <- Seq("llm_dedup_jaccard", "llm_dedup_jaccard_prefix")) {
+      val rec = (s""""$k":\\{"sec":[^}]*}""").r.findFirstIn(txt)
+        .getOrElse(fail(s"probe record missing $k"))
+      assert(rec.contains("\"rows\":2560"), s"$k must stay exact: $rec")
+    }
+  }
 }
