@@ -200,29 +200,38 @@ object DdlStatements {
           """INSERT INTO ord_batch
             |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice
             |FROM orders""".stripMargin))
+        // checked sums in integer 1/80-dollar units (×80 is halfway-free
+        // on exact cents): a rounded DOUBLE sum reaches ~2.6e12 at sf10,
+        // past the documented >=1e11 order-drift fragility
         ddl.sql(
           """SELECT 'all' AS scope, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents80
             |FROM ord_part
             |UNION ALL
             |SELECT 'mid' AS scope, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents80
             |FROM ord_part PARTITION (p_mid)
             |UNION ALL
             |SELECT 'batch94' AS scope, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS cents80
             |FROM ord_batch PARTITION (p_19940101)
             |ORDER BY scope""".stripMargin)
       },
       """SELECT 'all' AS scope, count(*) AS n,
-        |  round(sum(o_totalprice), 2) AS total
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents80
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         |UNION ALL
-        |SELECT 'mid', count(*), round(sum(o_totalprice), 2)
+        |SELECT 'mid', count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE o_orderdate >= DATE '1997-01-01'
         |  AND o_orderdate < DATE '1999-01-01'
         |UNION ALL
-        |SELECT 'batch94', count(*), round(sum(o_totalprice), 2)
+        |SELECT 'batch94', count(*),
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
         |FROM orders WHERE o_orderdate >= DATE '1994-01-01'
         |  AND o_orderdate < DATE '1996-01-01'
         |ORDER BY scope""".stripMargin),

@@ -147,10 +147,15 @@ object Joins {
           .select(expr("nullif(o_orderstatus, 'P')").as("st2"))
           .distinct()
           .withColumn("label", coalesce($"st2", lit("NULLKEY")))
+        // checked sum in integer 1/80-dollar units: a rounded DOUBLE sum
+        // reaches ~1.2e12 at sf10, where Spark-vs-DuckDB summation-order
+        // drift exceeds the 12-sig-digit compare (the documented ≥1e11
+        // float-sum fragility class) — ×80 maps exact cent amounts to
+        // integers with no halfway rounding
         l.join(broadcast(r), $"st" <=> $"st2")
           .groupBy($"label")
           .agg(count(lit(1)).as("n"),
-            round(sum($"o_totalprice"), 2).as("total"))
+            sum(round($"o_totalprice" * 80).cast("long")).as("cents80"))
           .orderBy($"label")
       },
       """WITH l AS (SELECT nullif(o_orderstatus, 'P') AS st, o_totalprice
@@ -158,7 +163,9 @@ object Joins {
         |r AS (SELECT DISTINCT nullif(o_orderstatus, 'P') AS st2,
         |        coalesce(nullif(o_orderstatus, 'P'), 'NULLKEY') AS label
         |      FROM orders)
-        |SELECT label, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |SELECT label, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents80
         |FROM l JOIN r ON l.st IS NOT DISTINCT FROM r.st2
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 

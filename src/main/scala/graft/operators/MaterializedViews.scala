@@ -67,7 +67,12 @@ object MaterializedViews {
     s.read.parquet(basePath)
       .filter($"o_year".isin(years: _*))
       .groupBy($"o_year", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("sum_price"))
+      .agg(count(lit(1)).as("n"), sum($"o_totalprice").as("sum_price"),
+        // integer-cents partial (×80 — halfway-free on exact cent
+        // amounts): double partials re-aggregated across partitions hit
+        // the >=1e11 summation-order drift at sf10; the BIGINT partial
+        // re-aggregates exactly at any scale
+        sum(round($"o_totalprice" * 80).cast("long")).as("cents80"))
   }
 
   /** Version-diff refresh: recompute exactly the stale partitions.
@@ -190,11 +195,12 @@ object MaterializedViews {
         s.read.parquet(st.mvPath)
           .groupBy($"o_orderpriority")
           .agg(sum($"n").as("n_orders"),
-            round(sum($"sum_price"), 2).as("sum_price"))
+            sum($"cents80").as("cents80"))
           .orderBy($"o_orderpriority")
       },
       """SELECT o_orderpriority, count(*) AS n_orders,
-        |  round(sum(o_totalprice), 2) AS sum_price
+        |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+        |    AS cents80
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

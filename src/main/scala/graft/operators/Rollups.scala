@@ -103,11 +103,17 @@ object Rollups {
         import s.implicits._
         ensureRollup(s, dir)
         RollupRewrite.install(s)
+        // checked columns are the QUANTITY family: quantities are
+        // integer-valued, so every partial sum is double-exact in any
+        // summation order at any SF — while sum(l_extendedprice) crosses
+        // the >=1e11 cross-engine order-drift line at sf10 (its merge
+        // stays rollup-STORED and is plan+value-asserted engine-side in
+        // RollupSpec; the coverage here is the served MERGE of
+        // sum/min/max/count/avg across rollup partials)
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
           .agg(
-            round(sum($"l_quantity"), 2).as("sum_qty"),
-            round(sum($"l_extendedprice"), 2).as("sum_price"),
+            sum($"l_quantity").cast("long").as("sum_qty"),
             round(min($"l_quantity"), 2).as("min_qty"),
             round(max($"l_quantity"), 2).as("max_qty"),
             count(lit(1)).as("n"),
@@ -115,8 +121,7 @@ object Rollups {
           .orderBy($"l_returnflag")
       },
       """SELECT l_returnflag,
-        |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice), 2) AS sum_price,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
         |  round(min(l_quantity), 2) AS min_qty,
         |  round(max(l_quantity), 2) AS max_qty,
         |  count(*) AS n,
@@ -181,9 +186,14 @@ object Rollups {
           df.select(lit(scope).as("scope"), $"l_returnflag", $"metric", $"n",
             lit(servedBy(df, coarse, fine)).as("served_from"))
         }
+        // branch metrics are drift-free at every SF: sums of
+        // integer-valued doubles and a min — b_minq needs min_qty, which
+        // only the FINE rollup stores (the coverage discriminator
+        // sum_price used to provide), and c_linenum aggregates a column
+        // in NEITHER rollup
         branch("a_qty", sum($"l_quantity"))
-          .unionByName(branch("b_price", sum($"l_extendedprice")))
-          .unionByName(branch("c_discount", sum($"l_discount")))
+          .unionByName(branch("b_minq", min($"l_quantity")))
+          .unionByName(branch("c_linenum", sum($"l_linenumber")))
           .orderBy($"scope", $"l_returnflag")
       },
       """SELECT scope, l_returnflag, metric, n, served_from FROM (
@@ -192,12 +202,12 @@ object Rollups {
         |    'coarse' AS served_from
         |  FROM lineitem GROUP BY l_returnflag
         |  UNION ALL
-        |  SELECT 'b_price', l_returnflag,
-        |    round(sum(l_extendedprice), 2), count(*), 'fine'
+        |  SELECT 'b_minq', l_returnflag,
+        |    round(min(l_quantity), 2), count(*), 'fine'
         |  FROM lineitem GROUP BY l_returnflag
         |  UNION ALL
-        |  SELECT 'c_discount', l_returnflag,
-        |    round(sum(l_discount), 2), count(*), 'base'
+        |  SELECT 'c_linenum', l_returnflag,
+        |    round(sum(l_linenumber), 2), count(*), 'base'
         |  FROM lineitem GROUP BY l_returnflag)
         |ORDER BY scope, l_returnflag""".stripMargin),
 

@@ -154,8 +154,8 @@ final class DorisDdl(s: SparkSession) {
   // object-position keywords; INTO TABLE before INTO and TABLE so the
   // LOAD form matches as one keyword (non-overlapping scan)
   private val BareObjRe =
-    ("""(?is)\b(INTO\s+TABLE|FROM|JOIN|USING|INTO|UPDATE|TABLE|VIEW|LIKE|""" +
-      """DESC|DESCRIBE)(\s+)`?(\w+)`?(?![\w(]|\s*\.)""").r
+    ("""(?is)\b(INTO\s+TABLE|OVERWRITE\s+TABLE|OVERWRITE|FROM|JOIN|USING|""" +
+      """INTO|UPDATE|TABLE|VIEW|LIKE|DESC|DESCRIBE)(\s+)`?(\w+)`?(?![\w(]|\s*\.)""").r
 
   /** Database qualification, applied once at statement entry (before
     * privilege checks and dispatch). Pass A rewrites explicit `db.obj`
@@ -189,7 +189,10 @@ final class DorisDdl(s: SparkSession) {
       out = BareObjRe.replaceAllIn(out, m => {
         val kw = m.group(1).toUpperCase.replaceAll("\\s+", " ")
         val ident = m.group(3)
-        val always = kw == "TABLE" || kw == "VIEW" || kw == "INTO TABLE"
+        val always = kw == "TABLE" || kw == "VIEW" || kw == "INTO TABLE" ||
+          kw == "OVERWRITE TABLE"
+        // bare OVERWRITE (INSERT OVERWRITE t) is an object position too,
+        // but known-gated: OVERWRITE also precedes non-identifiers
         val known = managed(canon(currentDb, ident))
         if (q2(m.start) || !bare(ident) || !(always || known)) m.matched
         else m.group(1) + m.group(2) + canon(currentDb, ident)
@@ -201,11 +204,14 @@ final class DorisDdl(s: SparkSession) {
           else m.matched)
       // statement-head ON positions (never a join condition at these heads)
       if ("""(?is)^(?:(?:CREATE|DROP)\s+INDEX|(?:CREATE|STOP|PAUSE|RESUME)\s+ROUTINE\s+LOAD|DROP\s+MATERIALIZED\s+VIEW)\b""".r
-        .findFirstIn(up).isDefined)
+        .findFirstIn(up).isDefined) {
+        val qOn = inLiteral(out)
         out = """(?is)\b(ON\s+)`?(\w+)`?(?!\s*\.)""".r.replaceAllIn(out, m =>
-          if (bare(m.group(2)) && managed(canon(currentDb, m.group(2))))
+          if (!qOn(m.start) && bare(m.group(2)) &&
+            managed(canon(currentDb, m.group(2))))
             m.group(1) + canon(currentDb, m.group(2))
           else m.matched)
+      }
       // BACKUP/RESTORE `ON (t1, t2, ...)` member lists
       if (up.startsWith("BACKUP") || up.startsWith("RESTORE"))
         out = """(?is)\bON\s*\(([^)]*)\)""".r.replaceAllIn(out, m =>
@@ -4049,6 +4055,13 @@ final class DorisDdl(s: SparkSession) {
         s"database $name is not empty " +
           s"(${(dbTables ++ dbViews ++ dbMtmvs).size} objects) — " +
           s"use DROP DATABASE $name FORCE")
+      // check the whole drop is legal BEFORE mutating anything: a running
+      // routine-load job on any member table would otherwise abort the
+      // FORCE midway, leaving the database half-dropped
+      dbTables.foreach(tn =>
+        require(routines.synchronized(routines.values.toSeq)
+          .forall(r => r.table != tn || r.state == "STOPPED"),
+          s"$name: stop routine load jobs on $tn before DROP DATABASE FORCE"))
       dbMtmvs.foreach(m => dropMv(s"DROP MATERIALIZED VIEW $m"))
       dbViews.foreach { v =>
         viewDefs.synchronized(viewDefs.remove(v))

@@ -3056,6 +3056,11 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SELECT amt FROM default_db.orders").as[Long].head() == 900L)
     assert(ddl.sql("SELECT count(*) AS c FROM orders o " +
       "JOIN default_db.orders d ON o.id < d.id").as[Long].head() == 2L)
+    // INSERT OVERWRITE TABLE resolves its bare target in the CURRENT db
+    ddl.execute("INSERT OVERWRITE TABLE orders SELECT 7, 70")
+    assert(ddl.sql("SELECT sum(amt) AS sa FROM orders").as[Long].head() == 70L)
+    assert(ddl.sql("SELECT amt FROM default_db.orders").as[Long].head() == 900L,
+      "the overwrite must hit the current db's table only")
     // DESC + SHOW CREATE emit the BARE name; the text replays under USE
     assert(ddl.sql("DESC orders").count() == 2L)
     val ct = ddl.sql("SHOW CREATE TABLE orders").head.getString(1)

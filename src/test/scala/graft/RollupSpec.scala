@@ -31,14 +31,26 @@ class RollupSpec extends SparkSpec {
       .filter($"l_orderkey" >= 0)
       .groupBy($"l_returnflag")
       .agg(
-        round(sum($"l_quantity"), 2).as("sum_qty"),
-        round(sum($"l_extendedprice"), 2).as("sum_price"),
+        sum($"l_quantity").cast("long").as("sum_qty"),
         round(min($"l_quantity"), 2).as("min_qty"),
         round(max($"l_quantity"), 2).as("max_qty"),
         count(lit(1)).as("n"),
         round(avg($"l_quantity"), 4).as("avg_qty"))
       .orderBy($"l_returnflag").collect().toSeq
     assert(viaRollup == base)
+    // the PRICE-sum merge (sf10-fragile cross-engine, so kept out of the
+    // oracle hash) is asserted ENGINE-side: rollup-served == base recompute
+    val priceServed = Tables.lineitem(spark, sf)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_returnflag").collect().toSeq
+    val priceBase = Tables.lineitem(spark, sf)
+      .filter($"l_orderkey" >= 0)
+      .groupBy($"l_returnflag")
+      .agg(round(sum($"l_extendedprice"), 2).as("sum_price"))
+      .orderBy($"l_returnflag").collect().toSeq
+    assert(priceServed == priceBase,
+      "rollup-served sum_price must equal the base recompute")
   }
 
   test("avg on the base table rewrites to the sum/count merge over the rollup") {
@@ -500,7 +512,7 @@ class RollupSpec extends SparkSpec {
     val full = Tables.orders(spark, sf)
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n_orders"),
-        round(sum($"o_totalprice"), 2).as("sum_price"))
+        sum(round($"o_totalprice" * 80).cast("long")).as("cents80"))
       .orderBy($"o_orderpriority").collect().toSeq
     assert(viaMv == full, s"MV serve drifted from base:\n$viaMv\nvs\n$full")
     // versions all caught up → refresh is a metadata no-op
