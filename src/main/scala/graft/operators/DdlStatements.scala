@@ -1565,6 +1565,112 @@ object DdlStatements {
         |GROUP BY r.r_name
         |ORDER BY r_name""".stripMargin),
 
+    // AUTO_INCREMENT key columns (Doris 2.1 [doris: fe/.../catalog/
+    // Column.java — auto-increment]): rows that do not supply the column
+    // (omitted from the load's column list, or NULL) get driver-claimed
+    // contiguous id blocks at load time — unique forever (persistent
+    // per-table counter sidecar, forward-only), exactly-once under label
+    // replay (a replayed label rejects BEFORE any claim, so no block is
+    // burned). The lifecycle loads one batch with the column omitted, one
+    // labeled batch, one explicit-NULL row, then REPLAYS the consumed
+    // label (rejected). The checked read proves global uniqueness AND
+    // continuity in one row: count(*) = count(DISTINCT id) = max(id),
+    // min(id) = 1. Per-row id assignment is order-nondeterministic
+    // (distributed block offsets), so the oracle pins the id-SET
+    // invariants plus a data sum, never a row→id mapping.
+    "sql_ddl_auto_increment" -> QueryDef(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        Tables.region(s, dir).createOrReplaceTempView("region")
+        val ddl = lifecycle("sql_ddl_auto_increment", s, dir)(Seq(
+          """CREATE TABLE ai (
+            |  id BIGINT AUTO_INCREMENT,
+            |  name VARCHAR(32), k BIGINT
+            |) DUPLICATE KEY(id)
+            |DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin,
+          "INSERT INTO ai (name, k) SELECT n_name, n_nationkey FROM nation",
+          """INSERT INTO ai WITH LABEL ai_l1 (name, k)
+            |SELECT r_name, r_regionkey FROM region""".stripMargin,
+          "INSERT INTO ai (id, name, k) VALUES (NULL, 'manual', 99)"))
+        val replay = scala.util.Try(ddl.execute(
+          """INSERT INTO ai WITH LABEL ai_l1 (name, k)
+            |SELECT r_name, r_regionkey FROM region""".stripMargin)) match {
+          case scala.util.Failure(e)
+            if e.getMessage.contains("already exists") => "label_rejected"
+          case _ => "UNEXPECTED"
+        }
+        import org.apache.spark.sql.functions._
+        ddl.sql(
+          """SELECT count(*) AS n, count(DISTINCT id) AS n_ids,
+            |  CAST(min(id) AS BIGINT) AS min_id,
+            |  CAST(max(id) AS BIGINT) AS max_id,
+            |  CAST(sum(k) AS BIGINT) AS k_sum
+            |FROM ai""".stripMargin).withColumn("replay", lit(replay))
+      },
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id,
+        |  CAST(count(*) AS BIGINT) AS max_id,
+        |  CAST(sum(k) AS BIGINT) AS k_sum,
+        |  'label_rejected' AS replay
+        |FROM (SELECT n_nationkey AS k FROM nation
+        |      UNION ALL SELECT r_regionkey FROM region
+        |      UNION ALL SELECT 99)""".stripMargin),
+
+    // BITMAP index (Doris's low-cardinality value index [doris:
+    // be/.../olap/bitmap_index]): per-rowset-file EXACT distinct-value-set
+    // sidecars (the file stands in for the rowid range — the engine's
+    // skip unit is the rowset file, as Doris's is the rowset), consulted
+    // by top-level equality/IN conjuncts to prune files whose set misses
+    // every literal, riding the same atomic-sidecar/file-prune/FALSE-fold
+    // machinery as NGRAM_BF. The lifecycle loads the nation table as two
+    // region-disjoint rowsets so the per-file sets are provably disjoint;
+    // the checked read proves the data (an IN aggregate + an equality
+    // count) and pins the index behavior as booleans the oracle can
+    // assert: files_pruned (the equality scan listed fewer files than the
+    // table holds) and zero_survivor_fold (a value no file contains
+    // folded the predicate to FALSE — zero rows, zero survivors). */
+    "sql_ddl_bitmap_index" -> QueryDef(
+      (s, dir) => {
+        Tables.nation(s, dir).createOrReplaceTempView("nation")
+        val ddl = lifecycle("sql_ddl_bitmap_index", s, dir)(Seq(
+          """CREATE TABLE bmx (
+            |  n_nationkey BIGINT, n_name VARCHAR(32), n_regionkey BIGINT,
+            |  INDEX ix_reg (n_regionkey) USING BITMAP
+            |) DUPLICATE KEY(n_nationkey)
+            |DISTRIBUTED BY HASH(n_nationkey) BUCKETS 2""".stripMargin,
+          """INSERT INTO bmx SELECT n_nationkey, n_name, n_regionkey
+            |FROM nation WHERE n_regionkey <= 1""".stripMargin,
+          """INSERT INTO bmx SELECT n_nationkey, n_name, n_regionkey
+            |FROM nation WHERE n_regionkey > 1""".stripMargin))
+        import org.apache.spark.sql.functions._
+        val res = ddl.sql(
+          """SELECT n_regionkey, count(*) AS n,
+            |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+            |FROM bmx WHERE n_regionkey IN (0, 3)
+            |GROUP BY n_regionkey""".stripMargin)
+        ddl.lastBitmapPrune = None
+        val eq = ddl.sql(
+          "SELECT count(*) AS n FROM bmx WHERE n_regionkey = 0")
+          .head().getLong(0)
+        val pruned = ddl.lastBitmapPrune.exists(p => p._2 < p._3)
+        ddl.lastBitmapPrune = None
+        val zero = ddl.sql(
+          "SELECT count(*) AS n FROM bmx WHERE n_regionkey = 99")
+          .head().getLong(0)
+        val folded = zero == 0L && ddl.lastBitmapPrune.exists(_._2 == 0)
+        res.withColumn("eq_n", lit(eq))
+          .withColumn("files_pruned", lit(pruned))
+          .withColumn("zero_survivor_fold", lit(folded))
+          .orderBy("n_regionkey")
+      },
+      """SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  (SELECT count(*) FROM nation WHERE n_regionkey = 0) AS eq_n,
+        |  true AS files_pruned, true AS zero_survivor_fold
+        |FROM nation WHERE n_regionkey IN (0, 3)
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin),
+
     // Doris 2.1 AGG_STATE<fn(type)> GENERIC — the generic aggregation-
     // state column with the _state/_merge combinators. States here are
     // each aggregate's ALGEBRAIC form (sum/count: running value; avg: a

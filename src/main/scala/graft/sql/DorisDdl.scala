@@ -114,6 +114,34 @@ final class DorisDdl(s: SparkSession) {
     live.filterNot(mapsToScope).sorted
   }
 
+  /** TEST-ONLY: manufacture the r19 orphan shape — an engine-registered
+    * live temp view with NO catalog def (so no grant scope) — to pin the
+    * fail-closed read path without having to win the (now closed) race. */
+  private[graft] def injectOrphanViewForTest(name: String): Unit = {
+    import s.implicits._
+    registerTemp(Seq(1).toDF("one"), name)
+  }
+
+  /** Fail CLOSED on scope-less engine views, at statement entry and for
+    * EVERY user (root included): a live engine-registered temp view that
+    * [[directRefs]] maps to no grant scope is a catalog-integrity
+    * violation (the r19 orphan-view class — dropped-view data readable
+    * with no privilege demanded), not a privilege question, so any
+    * statement that NAMES one refuses outright instead of skipping the
+    * check. Cost: one word scan over the statement + O(1) set lookups;
+    * the (rare) candidate hits pay one scope resolution each. */
+  private def failOrphanViews(t: String): Unit = {
+    val q = inLiteral(t)
+    val hits = """\b\w+\b""".r.findAllMatchIn(t)
+      .filter(m => !q(m.start)).map(_.group(0)).toSeq.distinct
+      .filter(n => engineViews.contains(n) && !mapsToScope(n) &&
+        s.catalog.tableExists(n)).sorted
+    if (hits.nonEmpty) sys.error(
+      s"orphaned engine view(s) with no grant scope: ${hits.mkString(", ")}" +
+        " — refusing statement (fail-closed); drop the view or recreate" +
+        " its backing object")
+  }
+
   private def canon(db: String, tbl: String): String =
     if (db == DefaultDb) tbl else s"${db}__${tbl}"
 
@@ -155,7 +183,11 @@ final class DorisDdl(s: SparkSession) {
   // LOAD form matches as one keyword (non-overlapping scan)
   private val BareObjRe =
     ("""(?is)\b(INTO\s+TABLE|OVERWRITE\s+TABLE|OVERWRITE|FROM|JOIN|USING|""" +
-      """INTO|UPDATE|TABLE|VIEW|LIKE|DESC|DESCRIBE)(\s+)`?(\w+)`?(?![\w(]|\s*\.)""").r
+      // an ident directly followed by '(' IS an object in these positions
+      // (INSERT INTO t(a,b), CREATE TABLE t(a INT) — never a function
+      // call: the known-object gate below protects expression positions
+      // like `extract(DAY FROM ts)`), so only \w and '.' block the match
+      """INTO|UPDATE|TABLE|VIEW|LIKE|DESC|DESCRIBE)(\s+)`?(\w+)`?(?!\w|\s*\.)""").r
 
   /** Database qualification, applied once at statement entry (before
     * privilege checks and dispatch). Pass A rewrites explicit `db.obj`
@@ -261,6 +293,11 @@ final class DorisDdl(s: SparkSession) {
     * is exactly the contention the semantics require, and the UTC
     * default path stays lock-free.) */
   private val tzLock = new Object
+  /** The session `time_zone` variable as a ZoneId (UTC, ±HH:MM offsets
+    * and region ids all parse); statement-time datetime semantics and the
+    * MTMV STARTS schedule gate both read it. */
+  private def sessionZone: java.time.ZoneId =
+    java.time.ZoneId.of(sessionVars.synchronized(sessionVars("time_zone")))
   private def withSessionTz[T](body: => T): T = {
     val tz = sessionVars.synchronized(sessionVars("time_zone"))
     if (tz == "UTC") body
@@ -281,8 +318,14 @@ final class DorisDdl(s: SparkSession) {
     // Database qualification follows (db.tbl and current-db resolution →
     // canonical flat names), so authorization and dispatch below see
     // exactly the names the catalog keys on.
+    guardReservedCreateName(sqlText.trim)
     val t = rewriteDbRefs(rewriteVarReads(sqlText.trim.stripSuffix(";").trim))
     val up = t.toUpperCase
+    // fail CLOSED on scope-less orphan views for every reading/writing
+    // statement; DROP (retract) and CREATE (re-scope) heads are the
+    // remediation paths and stay allowed
+    if (!up.startsWith("DROP ") && !up.startsWith("CREATE "))
+      failOrphanViews(t)
     authorize(t, up)
     maintainScheduledMtmvs()
     if (up.startsWith("CREATE DATABASE")) { createDatabase(t); None }
@@ -501,6 +544,8 @@ final class DorisDdl(s: SparkSession) {
       cols.filter(_.variant).foreach(c =>
         require(!keyCols.contains(c.name),
           s"$name: VARIANT column ${c.name} cannot be a key column"))
+      require(cols.count(_.autoInc.isDefined) <= 1,
+        s"$name: at most one AUTO_INCREMENT column per table")
       // AUTO PARTITION (Doris 2.1): no declared specs — partitions
       // materialize per date_trunc bucket as loads arrive
       val autoSpec = AutoPartRe.findFirstMatchIn(rest).map { m =>
@@ -719,8 +764,21 @@ final class DorisDdl(s: SparkSession) {
       agg.foreach(a => require(a.startsWith("REPLACE"),
         s"${m.group(1)}: a VARIANT value column only aggregates as REPLACE"))
     }
+    // AUTO_INCREMENT [(start)] — BIGINT only, no DEFAULT / generated /
+    // aggregate marker (Doris's constraints on the auto column)
+    val autoInc = """(?is)\bAUTO_INCREMENT(?:\s*\(\s*(\d+)\s*\))?""".r
+      .findFirstMatchIn(rest)
+      .map(mm => Option(mm.group(1)).map(_.toLong).getOrElse(1L))
+    autoInc.foreach { _ =>
+      require(sparkType(m.group(2)).equalsIgnoreCase("BIGINT"),
+        s"${m.group(1)}: AUTO_INCREMENT needs a BIGINT column, " +
+          s"got ${m.group(2)}")
+      require(default.isEmpty && gen.isEmpty && agg.isEmpty && !isVariant,
+        s"${m.group(1)}: AUTO_INCREMENT takes no DEFAULT, generated " +
+          "expression or aggregate marker")
+    }
     ColDef(m.group(1), if (isVariant) "STRING" else sparkType(m.group(2)),
-      agg, default, gen = gen, variant = isVariant)
+      agg, default, gen = gen, variant = isVariant, autoInc = autoInc)
   }
 
   /** Doris type name → Spark SQL DDL type (SURVEY §1.2 mapping);
@@ -895,9 +953,7 @@ final class DorisDdl(s: SparkSession) {
             require(b >= 64 && b <= 65536,
               s"$table: NGRAM_BF bf_size must be in [64, 65536], got $b")
             IndexDef(iname, icol, kind = "NGRAM_BF", gramSize = g, bfSize = b)
-          case "BITMAP" => sys.error(s"$table: USING BITMAP is not " +
-            "supported; use PROPERTIES(\"bloom_filter_columns\") for " +
-            "equality skip indexes")
+          case "BITMAP" => IndexDef(iname, icol, kind = "BITMAP")
           case other => sys.error(s"$table: unsupported index type $other")
         }
       case _ => sys.error(s"$table: unparseable index def: $text")
@@ -906,7 +962,15 @@ final class DorisDdl(s: SparkSession) {
   private def validateIndex(table: String, cols: Seq[ColDef], ix: IndexDef): Unit = {
     val c = cols.find(_.name == ix.col)
       .getOrElse(sys.error(s"$table: unknown index column ${ix.col}"))
-    require(c.sparkType.toUpperCase == "STRING",
+    if (ix.kind == "BITMAP")
+      // Doris's low-cardinality equality/IN index: integer, date and text
+      // columns have exact value identity; float/double equality is
+      // ill-defined and VARIANT has no stable value text
+      require(!c.variant && Set("TINYINT", "SMALLINT", "INT", "BIGINT",
+        "DATE", "STRING")(c.sparkType.toUpperCase),
+        s"$table: BITMAP index needs an integer/date/text column, " +
+          s"${ix.col} is ${c.sparkType}")
+    else require(c.sparkType.toUpperCase == "STRING",
       s"$table: ${ix.kind} index needs a text column, ${ix.col} is ${c.sparkType}")
   }
 
@@ -928,10 +992,11 @@ final class DorisDdl(s: SparkSession) {
     require(!d.indexes.exists(_.name == ix.name),
       s"$tname: index ${ix.name} already exists")
     t.synchronized { t.def_ = d.copy(indexes = d.indexes :+ ix) }
-    // NGRAM_BF on a loaded table: backfill the gram-bloom sidecars over
-    // every existing rowset file NOW (Doris's ADD INDEX build job), so
-    // the first query already prunes
+    // NGRAM_BF/BITMAP on a loaded table: backfill the per-file sidecars
+    // over every existing rowset file NOW (Doris's ADD INDEX build job),
+    // so the first query already prunes
     if (ix.kind == "NGRAM_BF") buildNgramSidecars(t)
+    if (ix.kind == "BITMAP") buildBitmapSidecars(t)
   }
 
   private def dropIndex(tname: String, iname: String): Unit = {
@@ -1106,6 +1171,7 @@ final class DorisDdl(s: SparkSession) {
         val name = st.getPath.getName
         if (st.isDirectory) {
           if (name != "_temporary" && name != "_ngram_bf" &&
+            name != "_bitmap_ix" &&
             !name.startsWith("_p=__tmp_")) walk(st.getPath, out)
         } else if (name.endsWith(".parquet")) {
           val p = fs.makeQualified(st.getPath).toString
@@ -1120,7 +1186,12 @@ final class DorisDdl(s: SparkSession) {
         walk(root, out)
         return out.toSeq.sorted
       } catch {
-        case e @ (_: java.io.FileNotFoundException | _: RuntimeException) =>
+        // ONLY the vanishing-listing race retries (a concurrent publish's
+        // _temporary cleanup deleting a dir between listStatus and the
+        // descent); deterministic failures — permission errors, corrupt-FS
+        // RuntimeExceptions — surface immediately instead of masking the
+        // root cause behind 5 full re-walks
+        case e: java.io.FileNotFoundException =>
           attempt += 1
           if (attempt >= 5) throw e
       }
@@ -1296,6 +1367,213 @@ final class DorisDdl(s: SparkSession) {
       bs.forall(b => hs.forall(b.get))
     }
     (surv, all.size)
+  }
+
+  // ------------------------------------------- BITMAP equality sidecars
+  // Doris's third index kind ([doris: be/.../olap/bitmap_index — the
+  // low-cardinality value→rowid index]): here, per-rowset-file DISTINCT
+  // VALUE SET sidecars under `_bitmap_ix/<col>/` — exact, not a bloom —
+  // consulted by top-level equality/IN conjuncts to PRUNE files whose set
+  // provably misses every literal, the same atomic-publish/file-prune/
+  // FALSE-fold machinery as NGRAM_BF. File granularity stands in for the
+  // rowid bitmap: the scan unit this engine can skip is the rowset file
+  // (as Doris's is the rowset), and within a surviving file the residual
+  // codegen'd equality is cheaper than any per-row index probe.
+
+  /** Distinct-count / value-length caps past which a file's sidecar is
+    * written as OVERFLOW (consulted as "always survives" — unprunable,
+    * never unsound): the bitmap index is the LOW-cardinality index, and
+    * the caps keep a mis-declared high-cardinality column from building
+    * multi-MB value lists per file. */
+  private val BitmapNdvCap = 4096
+  private val BitmapLenCap = 256
+
+  private def bitmapDir(t: TableState, ix: IndexDef): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(t.dir, s"_bitmap_ix/${ix.col}")
+
+  /** Build missing per-rowset-file value-set sidecars for every BITMAP
+    * index on `t` — same triggers as the NGRAM build (per publish, at
+    * CREATE INDEX, lazily healed by the first indexed query), same
+    * executor-side atomic writes through the Hadoop FS, same
+    * DUPLICATE-only gate (pruning files pre-merge on a content predicate
+    * is unsound for merge-on-read models). */
+  private def buildBitmapSidecars(t: TableState): Unit = {
+    if (t.def_.keysType != "DUPLICATE") return
+    val ixs = t.def_.indexes.filter(_.kind == "BITMAP")
+    if (ixs.isEmpty || !hasRowsets(t.dir)) return
+    val all = rowsetFiles(t)
+    ixs.foreach { ix =>
+      val dir = bitmapDir(t, ix)
+      val fs = hadoopFs(dir)
+      val missing = all.filterNot(rel =>
+        fs.exists(new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".vs")))
+      if (missing.nonEmpty) {
+        fs.mkdirs(dir)
+        val read = s.read.option("basePath", t.dir)
+          .option("mergeSchema", "true")
+          .parquet(missing.map(rel => s"${t.dir}/$rel"): _*)
+        ngramReadCol(t, read, ix).foreach { c =>
+          val (dirStr, rootQualified) = (dir.toString, fs.makeQualified(
+            new org.apache.hadoop.fs.Path(t.dir)).toString)
+          val serConf = new org.apache.spark.util.SerializableConfiguration(
+            s.sparkContext.hadoopConfiguration)
+          val (ndvCap, lenCap) = (BitmapNdvCap, BitmapLenCap)
+          // one distinct (file, value) pair stream: map-side partial
+          // distinct, then a file-keyed shuffle of ≤ files × NDV values;
+          // sidecars are written EXECUTOR-SIDE — nothing returns to the
+          // driver
+          read.withColumn("__bm_c", c)
+            .select(input_file_name().as("_f"), col("__bm_c").as("_v"))
+            .where(col("_v").isNotNull)
+            .distinct()
+            .groupBy("_f").agg(collect_set(col("_v")).as("vs"))
+            .foreachPartition { it: Iterator[org.apache.spark.sql.Row] =>
+              val dirP = new org.apache.hadoop.fs.Path(dirStr)
+              val efs = dirP.getFileSystem(serConf.value)
+              it.foreach { r =>
+                val f = efs.makeQualified(
+                  new org.apache.hadoop.fs.Path(r.getString(0))).toString
+                if (f.startsWith(rootQualified + "/")) {
+                  val rel = f.substring(rootQualified.length + 1)
+                  DorisDdl.writeSidecarAtomic(efs,
+                    new org.apache.hadoop.fs.Path(dirP,
+                      DorisDdl.sha1hexStatic(rel) + ".vs"),
+                    DorisDdl.encodeValueSet(r.getSeq[String](1),
+                      ndvCap, lenCap))
+                }
+              }
+            }
+          // a file the job produced no row for has zero non-null values:
+          // the EMPTY set is its exact sidecar (no literal ever matches)
+          missing.filterNot(rel => fs.exists(
+            new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".vs")))
+            .foreach { rel =>
+              DorisDdl.writeSidecarAtomic(fs,
+                new org.apache.hadoop.fs.Path(dir, sha1hex(rel) + ".vs"),
+                DorisDdl.encodeValueSet(Nil, ndvCap, lenCap))
+            }
+        }
+      }
+    }
+  }
+
+  /** Consult the value-set sidecars: a file whose exact distinct set
+    * misses EVERY literal provably holds no matching row and is pruned;
+    * a missing or OVERFLOW sidecar always survives — best-effort, never
+    * unsound. Sets cache per content-addressed name (rowset files are
+    * immutable). Returns (survivors, total). */
+  private def bitmapSurvivors(t: TableState, ix: IndexDef,
+      lits: Set[String]): (Seq[String], Int) = {
+    val all = rowsetFiles(t)
+    val dir = bitmapDir(t, ix)
+    val fs = hadoopFs(dir)
+    val sub = ix.col
+    val surv = all.filter { rel =>
+      val key = sha1hex(rel)
+      val vs = t.bitmapCache.synchronized(t.bitmapCache.get((sub, key)))
+        .orElse {
+          val f = new org.apache.hadoop.fs.Path(dir, key + ".vs")
+          if (!fs.exists(f)) None
+          else {
+            val in = fs.open(f)
+            val bytes =
+              try {
+                val buf = new java.io.ByteArrayOutputStream()
+                val chunk = new Array[Byte](8192)
+                var n = in.read(chunk)
+                while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+                buf.toByteArray
+              } finally in.close()
+            val v = DorisDdl.decodeValueSet(bytes)
+            t.bitmapCache.synchronized(t.bitmapCache((sub, key)) = v)
+            Some(v)
+          }
+        }
+      vs match {
+        case Some(Some(set)) => lits.exists(set.contains)
+        case _ => true // no sidecar yet, or OVERFLOW: never prune
+      }
+    }
+    (surv, all.size)
+  }
+
+  /** Last BITMAP prune decision — (table, survivors, total) — for tests
+    * and plan review. */
+  @volatile var lastBitmapPrune: Option[(String, Int, Int)] = None
+
+  // `[alias.]col = lit` / `[alias.]col IN (lit, ...)` with every literal
+  // a quoted string or integer — the predicate shapes a BITMAP index
+  // accelerates. The optional qualifier is INSIDE the match so a
+  // zero-survivor fold replaces the whole predicate with FALSE.
+  private val BitmapPredRe =
+    ("""(?is)(?:`?(\w+)`?\s*\.\s*)?`?(\w+)`?\s*""" +
+      """(=\s*(?:'[^']*'|-?\d+)(?![\w.])|""" +
+      """IN\s*\(\s*(?:'[^']*'|-?\d+)(?:\s*,\s*(?:'[^']*'|-?\d+))*\s*\))""").r
+  private val BitmapLitRe = """'([^']*)'|(-?\d+)""".r
+
+  /** BITMAP read path: a top-level equality/IN conjunct on an indexed
+    * column consults the persisted per-file value sets and prunes files
+    * that provably cannot match BEFORE any per-row work; the scan reads
+    * only survivors and the codegen'd equality is the residual verify.
+    * Same soundness gates as [[rewriteNgramLike]] (DUPLICATE only,
+    * top-level WHERE conjunct, table referenced once, WHERE governs the
+    * table's own SELECT block), plus: a qualified `alias.col` only
+    * prunes when the qualifier IS the table name (an alias over some
+    * other relation sharing the column name must not prune this one).
+    * Zero survivors fold the predicate to FALSE; the pruned-scan views
+    * (`t__bmix_N`, billing to the base table's grant scope like
+    * `t__ngbf_*`) are per-statement and dropped after analysis. */
+  private val bmixCounter = new java.util.concurrent.atomic.AtomicLong
+  private def rewriteBitmapEq(text: String): (String, Seq[String]) = {
+    val bmx: Map[String, (TableState, IndexDef)] = tables.synchronized {
+      val pairs = referencedTables(text).toSeq.flatMap(n =>
+        tables(n).def_.indexes.filter(_.kind == "BITMAP")
+          .map(ix => ix.col -> ((tables(n), ix))))
+      pairs.groupBy(_._1).collect { case (c, Seq(one)) => c -> one._2 }
+    }
+    if (bmx.isEmpty) return (text, Nil)
+    val quoted = inLiteral(text)
+    val prunes = mutable.LinkedHashMap[String, (TableState, Set[String])]()
+    val out = BitmapPredRe.replaceAllIn(text, m => {
+      val (qual, c) = (Option(m.group(1)), m.group(2))
+      bmx.get(c) match {
+        case Some((t, ix)) if !quoted(m.start) &&
+          qual.forall(_ == t.def_.name) &&
+          t.def_.keysType == "DUPLICATE" &&
+          tableFromPos(text, t.def_.name).exists(fp =>
+            topWhereConjunct(text, m.start, m.end)
+              .exists(ws => whereGovernsFrom(text, ws, fp))) =>
+          val lits = BitmapLitRe.findAllMatchIn(m.group(3)).map(mm =>
+            Option(mm.group(1)).getOrElse(mm.group(2))).toSet
+          buildBitmapSidecars(t) // lazy repair; steady state = dir check
+          val (surv, total) = bitmapSurvivors(t, ix, lits)
+          lastBitmapPrune = Some((t.def_.name, surv.size, total))
+          if (surv.isEmpty) "FALSE" // conjunct position: NULL ≡ FALSE
+          else {
+            if (surv.size < total) {
+              val n = t.def_.name
+              val cur = prunes.get(n).map(_._2).getOrElse(surv.toSet)
+              prunes(n) = (t, cur intersect surv.toSet)
+            }
+            m.matched
+          }
+        case _ => m.matched
+      }
+    })
+    val views = mutable.ArrayBuffer[String]()
+    val rewritten = prunes.foldLeft(out) { case (acc, (n, (t, surv))) =>
+      if (surv.isEmpty) acc // multi-predicate intersection emptied: no view
+      else {
+        val pv = s"${n}__bmix_${bmixCounter.incrementAndGet()}"
+        val mergedSchema =
+          s.read.option("mergeSchema", "true").parquet(t.dir).schema
+        registerTemp(visible(t, None, schemaHint = Some(mergedSchema),
+          files = Some(surv.toSeq.sorted.map(rel => s"${t.dir}/$rel"))), pv)
+        views += pv
+        replaceTableToken(acc, n, pv)
+      }
+    }
+    (rewritten, views.toSeq)
   }
 
   /** Unquoted paren depth before each character (and one past the end). */
@@ -1647,8 +1925,19 @@ final class DorisDdl(s: SparkSession) {
     // partition's file set changed)
     mtmvs.synchronized(mtmvs.values.toSeq)
       .filter(m => m.table == t.def_.name && m.refreshMode == "COMMIT")
-      .foreach(refreshMtmv)
+      .foreach(refreshMtmvUnlessDropped)
   }
+
+  /** A DROP MATERIALIZED VIEW racing an engine-triggered refresh (ON
+    * COMMIT publish, ON SCHEDULE tick) deletes the MV dir mid-refresh;
+    * the triggering statement (an INSERT) must not fail for it — the
+    * DROP wins, the publish stands. A refresh failure on a LIVE MTMV
+    * still surfaces. */
+  private def refreshMtmvUnlessDropped(m: MtmvState): Unit =
+    try { refreshMtmv(m); () }
+    catch { case e: Exception =>
+      if (mtmvs.synchronized(mtmvs.contains(m.name))) throw e
+    }
 
   // ------------------------------------------------------------ async MTMV
 
@@ -1702,10 +1991,11 @@ final class DorisDdl(s: SparkSession) {
           case "DAY" => 86400000L
           case "WEEK" => 604800000L
         })
-        val startGate = starts.flatMap(DorisDdl.parseStartsMs).forall(
+        val startGate = starts.flatMap(
+          DorisDdl.parseStartsMs(_, sessionZone)).forall(
           _ <= System.currentTimeMillis())
         if (startGate && System.currentTimeMillis() - m.lastRefreshMs >= ms)
-          refreshMtmv(m)
+          refreshMtmvUnlessDropped(m)
       }
     }
 
@@ -1719,8 +2009,16 @@ final class DorisDdl(s: SparkSession) {
     * change in the standing versioned-delete list invalidates everything
     * (delete predicates are not partition-scoped). Returns the number of
     * partitions recomputed — at 100 TB the steady-state refresh touches
-    * "today", never the table. */
-  private def refreshMtmv(m: MtmvState): Int = {
+    * "today", never the table.
+    *
+    * Refreshes of ONE MTMV serialize on its state monitor (Doris: one
+    * refresh job per MV at a time): an explicit REFRESH (or the BUILD
+    * IMMEDIATE) racing a publish-triggered ON COMMIT refresh would
+    * otherwise interleave two dynamic-overwrite writes into the same MV
+    * dir — one deleting partition files the other is reading (the r20
+    * churn probe's footer-read FileNotFound). Distinct MTMVs still
+    * refresh concurrently. */
+  private def refreshMtmv(m: MtmvState): Int = m.synchronized {
     val t = state(m.table)
     val cur = partFileSnapshot(t)
     val delSig = t.synchronized(t.deletes.toList)
@@ -1759,7 +2057,7 @@ final class DorisDdl(s: SparkSession) {
     * serve transparently): register its current snapshot. Grouping by
     * (keys, _p) equals grouping by keys because the partition column is a
     * group key, so dropping _p yields exactly the declared SELECT. */
-  private def registerMtmvView(m: MtmvState): Unit =
+  private def registerMtmvView(m: MtmvState): Unit = {
     if (!hasRowsets(m.dir))
       // an MTMV over an empty base serves ZERO ROWS like every empty
       // table: the declared select analyzes against the base's empty
@@ -1770,6 +2068,12 @@ final class DorisDdl(s: SparkSession) {
         .filter(lit(false)), m.name)
       catch { case _: Exception => s.catalog.dropTempView(m.name) }
     else registerTemp(s.read.parquet(m.dir).drop("_p"), m.name)
+    // drop-aware (same race class as the r19 user-view orphan): a DROP
+    // MATERIALIZED VIEW landing between this refresh's snapshot and the
+    // registerTemp above must not leave a live, scope-less temp view
+    if (!mtmvs.synchronized(mtmvs.contains(m.name)))
+      s.catalog.dropTempView(m.name)
+  }
 
   /** Per-partition rowset file names — a driver directory listing,
     * O(files) metadata, zero data IO. */
@@ -1800,9 +2104,14 @@ final class DorisDdl(s: SparkSession) {
           t.synchronized { t.mvs.filterInPlace(_.name != mvName) }
           graft.plans.RollupRewrite.deregister(t.dir, mvName)
         case None =>
-          val m = mtmvs.synchronized(mtmvs.remove(mvName))
-            .getOrElse(sys.error(s"unknown materialized view $mvName"))
-          s.catalog.dropTempView(m.name)
+          // remove + temp-view drop atomic under the mtmvs monitor, so
+          // registerMtmvView's drop-aware re-check observes them as one
+          val m = mtmvs.synchronized {
+            val r = mtmvs.remove(mvName)
+              .getOrElse(sys.error(s"unknown materialized view $mvName"))
+            s.catalog.dropTempView(r.name)
+            r
+          }
           graft.TempDirs.deleteTree(java.nio.file.Paths.get(m.dir))
       }
     case _ => sys.error(s"unparseable DROP MATERIALIZED VIEW: ${text.take(80)}")
@@ -1909,7 +2218,11 @@ final class DorisDdl(s: SparkSession) {
     * every column cast to its declared type, range-partition name assigned
     * (or the load rejected), version stamped, bucketed by the distribution
     * column. */
-  private def rowset(t: TableState, src: DataFrame, ver: Long): DataFrame = {
+  private def rowset(t: TableState, src0: DataFrame, ver: Long): DataFrame = {
+    // AUTO_INCREMENT fill first, so the alignment below sees the column
+    // populated like any other supplied value
+    val src = t.def_.cols.find(_.autoInc.isDefined)
+      .map(c => fillAutoInc(t, src0, c)).getOrElse(src0)
     val present = src.columns.toSet
     // GENERATED columns are computed, never loaded: a source frame naming
     // one (an explicit INSERT column list) rejects, Doris's rule
@@ -1979,6 +2292,61 @@ final class DorisDdl(s: SparkSession) {
       .sortWithinPartitions(sortCols: _*)
   }
 
+  /** Claim a contiguous AUTO_INCREMENT id block [returned, returned+n)
+    * for one load — a driver-side, metadata-sized operation: the counter
+    * persists per table (`_auto_inc` sidecar, atomic tmp+rename, the
+    * `_`-prefix keeps it invisible to every parquet read) and only moves
+    * forward, so ids are unique forever; a failed load burns its block
+    * (Doris also guarantees uniqueness, not continuity). A missing
+    * sidecar over standing rowsets (a RESTORE) re-seeds from max(id)+1 —
+    * one column-pruned scan answered mostly from footer stats. */
+  private def claimAutoIds(t: TableState, c: ColDef, n: Long): Long =
+    t.synchronized {
+      val f = java.nio.file.Paths.get(t.dir, "_auto_inc")
+      val cur =
+        if (java.nio.file.Files.exists(f))
+          new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        else if (hasRowsets(t.dir)) {
+          val r = s.read.parquet(t.dir).agg(max(col(c.name))).head()
+          if (r.isNullAt(0)) c.autoInc.get else r.getLong(0) + 1L
+        } else c.autoInc.get
+      val tmp = java.nio.file.Paths.get(t.dir, "_auto_inc.tmp")
+      java.nio.file.Files.write(tmp, (cur + n).toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      cur
+    }
+
+  /** Fill the AUTO_INCREMENT column for one load: rows that do not
+    * supply it (column absent from the load, or NULL) get ids from ONE
+    * driver-claimed contiguous block, assigned DISTRIBUTED via
+    * zipWithIndex (per-partition counts + cumulative offsets — no
+    * single-task funnel, no global sort; linear at any load size). Rows
+    * that DO supply a value keep it, Doris's rule. Label dedup upstream
+    * makes replays exactly-once: a replayed label rejects before any
+    * claim, so no id is ever allocated twice for one logical load. */
+  private def fillAutoInc(t: TableState, src: DataFrame,
+      c: ColDef): DataFrame = {
+    val df =
+      if (src.columns.contains(c.name))
+        src.withColumn(c.name, col(c.name).cast("bigint"))
+      else src.withColumn(c.name, lit(null).cast("bigint"))
+    val need = df.filter(col(c.name).isNull)
+    val n = need.count()
+    if (n == 0L) return df
+    val base = claimAutoIds(t, c, n)
+    val schema = need.schema
+    val idx = schema.fieldIndex(c.name)
+    val filled = s.createDataFrame(
+      need.rdd.zipWithIndex().map { case (row, i) =>
+        org.apache.spark.sql.Row.fromSeq(row.toSeq.updated(idx, base + i))
+      }, schema)
+    df.filter(col(c.name).isNotNull).unionByName(filled)
+  }
+
   /** Apply the table's declared distribution to one rowset frame: HASH =
     * repartition on the distribution column (key-hash tablet locality),
     * RANDOM = round-robin repartition. BUCKETS AUTO derives the count PER
@@ -2044,10 +2412,11 @@ final class DorisDdl(s: SparkSession) {
     dynamicPartitionMaintain(t)
     registerViews(t)
     refreshMvs(t)
-    // NGRAM_BF load-time index build: the new rowset's files get their
-    // gram-bloom sidecars here (one pass over the new files only — the
-    // _ver filter's parquet stats skip every older rowset)
+    // NGRAM_BF/BITMAP load-time index build: the new rowset's files get
+    // their sidecars here (one pass over the new files only — the _ver
+    // filter's parquet stats skip every older rowset)
     buildNgramSidecars(t)
+    buildBitmapSidecars(t)
   }
 
   /** Dynamic-partition maintenance (AUTO tables) — runs at load time and
@@ -3686,13 +4055,14 @@ final class DorisDdl(s: SparkSession) {
         (s"""(?is)\\b$name\\s+PARTITIONS?\\s*\\(\\s*`?(\\w+)`?\\s*\\)""").r
           .replaceAllIn(acc, m => s"${name}__part_${m.group(1)}")
     }
-    val (pruned, ngbfViews) = rewriteNgramLike(rewriteMatch(rewritten))
+    val (pruned0, ngbfViews) = rewriteNgramLike(rewriteMatch(rewritten))
+    val (pruned, bmixViews) = rewriteBitmapEq(pruned0)
     // the pruned-scan views only need to exist through ANALYSIS (the
     // returned DataFrame's resolved plan holds the file list directly);
     // dropping them immediately keeps the temp-view namespace free of
     // per-statement scratch and closes the cross-statement read window
     try DorisSqlDialect.sql(s, pruned)
-    finally ngbfViews.foreach(s.catalog.dropTempView)
+    finally (ngbfViews ++ bmixViews).foreach(s.catalog.dropTempView)
   }
 
   /** Merge-on-read view of the current visible data, per key model; the
@@ -3840,17 +4210,62 @@ final class DorisDdl(s: SparkSession) {
       if (c.variant) parse_json(col(c.name)).as(c.name) else col(c.name)): _*)
   }
 
+  /** Register the table's views, DROP-AWARE (the same race class as the
+    * r19 user-view orphan, generalized): a DROP TABLE landing between a
+    * publish and its view re-registration would otherwise leave live
+    * `t` / `t__part_*` temp views whose table no longer exists in the
+    * catalog — serving dropped data with NO grant scope (directRefs maps
+    * those names through `tables`). After registering, re-check the
+    * catalog entry: vanished → drop exactly what was just registered;
+    * replaced by a NEW TableState (drop + recreate) → re-register from
+    * the live state so readers never stick on the dead snapshot. */
   private def registerViews(t: TableState): Unit = {
+    var cur = t
+    var settled = false
+    while (!settled) {
+      // a DROP TABLE can delete the rowset tree mid-pass (schema read /
+      // partition listing): that's the dropped case, not an error — the
+      // names the pass DID register are retracted below either way
+      val names =
+        try doRegisterViews(cur)
+        catch {
+          case e: Exception =>
+            if (tables.synchronized(tables.contains(cur.def_.name))) throw e
+            Seq(cur.def_.name) ++ partitionNames(cur).map(p =>
+              s"${cur.def_.name}__part_$p")
+        }
+      tables.synchronized(tables.get(cur.def_.name)) match {
+        case None =>
+          names.foreach(s.catalog.dropTempView)
+          settled = true
+        case Some(live) if !(live eq cur) => cur = live
+        case Some(live) =>
+          // partition-level drop-awareness: a DROP PARTITION landing
+          // mid-pass (after this pass listed partitions, before it
+          // registered them) must not leave that partition's view alive
+          // from the stale listing — retract anything this pass
+          // registered that the CURRENT state no longer declares
+          val nowLive = (live.def_.name +: partitionNames(live)
+            .map(p => s"${live.def_.name}__part_$p")).toSet
+          (names.toSet -- nowLive).foreach(s.catalog.dropTempView)
+          settled = true
+      }
+    }
+    refreshUserViews()
+  }
+
+  /** One registration pass; returns every temp-view name registered so
+    * [[registerViews]] can retract a stale pass exactly. */
+  private def doRegisterViews(t: TableState): Seq[String] = {
     // a created-but-never-loaded (or emptied) table has no rowsets to
     // read: it serves the EMPTY typed frame (never stale rows, never a
     // not-found — SELECT on an empty table returns zero rows, as Doris)
     if (!hasRowsets(t.dir)) {
-      val empty = emptyVisible(t)
-      registerTemp(empty, t.def_.name)
-      t.def_.parts.filterNot(_.dropped).foreach(p =>
-        registerTemp(emptyVisible(t), s"${t.def_.name}__part_${p.name}"))
-      refreshUserViews()
-      return
+      registerTemp(emptyVisible(t), t.def_.name)
+      val parts = t.def_.parts.filterNot(_.dropped).map(_.name)
+      parts.foreach(p =>
+        registerTemp(emptyVisible(t), s"${t.def_.name}__part_$p"))
+      return t.def_.name +: parts.map(p => s"${t.def_.name}__part_$p")
     }
     // ONE footer-merge job per rowset state, shared by every view built
     // below (an auto-partitioned table registers ~1 view per materialized
@@ -3860,11 +4275,12 @@ final class DorisDdl(s: SparkSession) {
       s.read.option("mergeSchema", "true").parquet(t.dir).schema
     registerTemp(visible(t, None, schemaHint = Some(mergedSchema)),
       t.def_.name)
-    partitionNames(t).foreach { p =>
+    val parts = partitionNames(t)
+    parts.foreach { p =>
       registerTemp(visible(t, Some(p), schemaHint = Some(mergedSchema)),
         s"${t.def_.name}__part_$p")
     }
-    refreshUserViews()
+    t.def_.name +: parts.map(p => s"${t.def_.name}__part_$p")
   }
 
   /** Declared partitions, or (AUTO mode) the materialized bucket dirs —
@@ -3879,6 +4295,14 @@ final class DorisDdl(s: SparkSession) {
 
   private val viewDefs = mutable.LinkedHashMap[String, String]()
 
+  /** Bumped under the `viewDefs` monitor on EVERY view-catalog mutation
+    * (create/alter/drop). [[refreshUserViews]] snapshots the epoch with
+    * the defs and re-snapshots when it moved mid-registration — the r19
+    * race: DROP VIEW between a refresh's snapshot and its re-register
+    * left a LIVE temp view with no `viewDefs` entry, i.e. no grant scope
+    * (dropped-view data stayed readable, ungated). */
+  private val viewEpoch = new java.util.concurrent.atomic.AtomicLong(0)
+
   private val CreateViewRe =
     """(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+`?(\w+)`?\s+AS\s+(SELECT\s+.*)$""".r
 
@@ -3891,7 +4315,7 @@ final class DorisDdl(s: SparkSession) {
     case CreateViewRe(name, body) =>
       require(!tables.synchronized(tables.contains(name)),
         s"$name already names a table")
-      viewDefs.synchronized { viewDefs(name) = body }
+      viewDefs.synchronized { viewDefs(name) = body; viewEpoch.incrementAndGet() }
       refreshUserViews()
     case _ => sys.error(s"unparseable CREATE VIEW: ${text.take(80)}")
   }
@@ -3902,23 +4326,43 @@ final class DorisDdl(s: SparkSession) {
     * dropped so reads fail with a named not-found, but the TEXT stays in
     * the catalog — recreating the base heals the view on the next refresh,
     * exactly Doris's behavior. */
-  private def refreshUserViews(): Unit = {
+  private val refreshViewsLock = new Object
+  private def refreshUserViews(): Unit = refreshViewsLock.synchronized {
     // Fixpoint over the registration order: a view over a view re-created
     // LATER in catalog order (drop v1, recreate v1 — it re-enters the
     // LinkedHashMap after its dependents) would otherwise stay broken for
     // one extra statement. Passes are bounded by the longest dependency
     // chain; each pass only retries what failed.
-    var pending = viewDefs.synchronized(viewDefs.toSeq)
-    var progress = true
-    while (pending.nonEmpty && progress) {
-      val failed = pending.filter { case (name, body) =>
-        try { registerTemp(DorisSqlDialect.sql(s, body), name); false }
-        catch { case _: Exception => true }
+    //
+    // Drop-aware (r19 race fix): the snapshot carries the [[viewEpoch]];
+    // if a concurrent CREATE/ALTER/DROP VIEW moved it mid-registration,
+    // re-snapshot and re-register, first dropping any temp view this
+    // refresh registered from the stale snapshot whose def has vanished
+    // (a DROP VIEW that landed between snapshot and re-register would
+    // otherwise leave a live, scope-less view — the r19 `race_v` orphan).
+    // Refreshes serialize on [[refreshViewsLock]], so the only writer a
+    // stale registration can race is a catalog mutation, and those bump
+    // the epoch under the `viewDefs` monitor.
+    var prevNames = Set.empty[String]
+    var stable = false
+    while (!stable) {
+      val (snapshot, epoch) =
+        viewDefs.synchronized((viewDefs.toSeq, viewEpoch.get))
+      (prevNames -- snapshot.map(_._1)).foreach(s.catalog.dropTempView)
+      var pending = snapshot
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        val failed = pending.filter { case (name, body) =>
+          try { registerTemp(DorisSqlDialect.sql(s, body), name); false }
+          catch { case _: Exception => true }
+        }
+        progress = failed.size < pending.size
+        pending = failed
       }
-      progress = failed.size < pending.size
-      pending = failed
+      pending.foreach { case (name, _) => s.catalog.dropTempView(name) }
+      prevNames = snapshot.map(_._1).toSet
+      stable = viewDefs.synchronized(viewEpoch.get == epoch)
     }
-    pending.foreach { case (name, _) => s.catalog.dropTempView(name) }
   }
 
   private val AlterViewRe =
@@ -3939,7 +4383,7 @@ final class DorisDdl(s: SparkSession) {
         sys.error(s"ALTER VIEW $name: invalid view definition: " +
           s"${Option(e.getMessage).getOrElse(e.toString).linesIterator.next()}")
       }
-      viewDefs.synchronized { viewDefs(name) = body }
+      viewDefs.synchronized { viewDefs(name) = body; viewEpoch.incrementAndGet() }
       refreshUserViews()
     case _ => sys.error(s"unparseable ALTER VIEW: ${text.take(80)}")
   }
@@ -3954,10 +4398,28 @@ final class DorisDdl(s: SparkSession) {
     case DropViewRe(ifEx, name) =>
       require(!tables.synchronized(tables.contains(name)),
         s"$name is a table, not a view (use DROP TABLE)")
-      if (viewDefs.synchronized(viewDefs.contains(name))) {
-        viewDefs.synchronized { viewDefs.remove(name) }
-        s.catalog.dropTempView(name)
-      } else require(ifEx != null, s"unknown view: $name")
+      // def removal + epoch bump + temp-view drop are ONE atomic step
+      // w.r.t. refreshUserViews' epoch check: a concurrent refresh either
+      // snapshotted before this drop (sees the epoch move → re-snapshots
+      // and drops its stale registration) or after (never re-registers).
+      val existed = viewDefs.synchronized {
+        viewDefs.remove(name) match {
+          case Some(_) =>
+            viewEpoch.incrementAndGet()
+            s.catalog.dropTempView(name)
+            true
+          case None => false
+        }
+      }
+      if (!existed) {
+        // an ORPHANED engine temp view (its def vanished in the r19 race
+        // class before this fix, or via any future window): DROP VIEW is
+        // the sanctioned remediation — retract the scope-less temp view.
+        // Scoped engine views (t__part_*, MVs) never take this path.
+        if (ownsEngineView(name) && !mapsToScope(name) &&
+          s.catalog.tableExists(name)) s.catalog.dropTempView(name)
+        else require(ifEx != null, s"unknown view: $name")
+      }
     case _ => sys.error(s"unparseable DROP VIEW: ${text.take(80)}")
   }
 
@@ -4010,6 +4472,30 @@ final class DorisDdl(s: SparkSession) {
   private val DropDbRe =
     """(?is)^DROP\s+DATABASE\s+(?:(IF\s+EXISTS)\s+)?`?(\w+)`?(?:\s+(FORCE))?$""".r
   private val UseDbRe = """(?is)^USE\s+`?(\w+)`?$""".r
+
+  private val CreateObjNameRe =
+    ("""(?is)^CREATE\s+(?:OR\s+REPLACE\s+)?(?:TABLE|VIEW|""" +
+      """(?:ASYNC\s+)?MATERIALIZED\s+VIEW)\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+      """`?(\w+)`?""").r
+
+  /** A RAW (pre-qualification) creation target spelled `<db>__x` for an
+    * existing database would silently REPARENT into that database via the
+    * canonical `db__name` split — SHOW TABLES lists it under db,
+    * `GRANT ON db.*` covers it, DROP DATABASE db FORCE drops it. Mirror
+    * of [[createDatabase]]'s clash guard, in the other direction: reject
+    * the spelling; `db.x` is the statement that means it. Runs on the raw
+    * text BEFORE [[rewriteDbRefs]], which is the only legitimate producer
+    * of canonical names. */
+  private def guardReservedCreateName(raw: String): Unit =
+    CreateObjNameRe.findFirstMatchIn(raw).map(_.group(1))
+      .filter(_.contains("__")).foreach { n =>
+        val d = n.substring(0, n.indexOf("__"))
+        require(d == DefaultDb ||
+          !databases.synchronized(databases.contains(d)),
+          s"cannot create '$n': the name would reparent into database " +
+            s"'$d' via the canonical db__name split — spell it " +
+            s"$d.${n.substring(n.indexOf("__") + 2)}")
+      }
 
   /** `CREATE DATABASE [IF NOT EXISTS] d` — driver metadata only. The name
     * may not contain "__" (canonical-split separator), and no existing
@@ -4064,8 +4550,11 @@ final class DorisDdl(s: SparkSession) {
           s"$name: stop routine load jobs on $tn before DROP DATABASE FORCE"))
       dbMtmvs.foreach(m => dropMv(s"DROP MATERIALIZED VIEW $m"))
       dbViews.foreach { v =>
-        viewDefs.synchronized(viewDefs.remove(v))
-        s.catalog.dropTempView(v)
+        viewDefs.synchronized {
+          viewDefs.remove(v)
+          viewEpoch.incrementAndGet()
+          s.catalog.dropTempView(v)
+        }
       }
       dbTables.foreach(tn => dropTable(s"DROP TABLE $tn"))
       databases.synchronized { databases -= name }
@@ -4285,7 +4774,9 @@ final class DorisDdl(s: SparkSession) {
       val d = state(name).def_
       val colLines = (d.cols.map { c =>
         val gen = c.gen.map(g => s" AS ($g)").getOrElse("")
-        val agg = c.agg.map(" " + _).getOrElse("")
+        val agg = c.agg.map(" " + _).getOrElse("") + c.autoInc.map(st =>
+          if (st == 1L) " AUTO_INCREMENT" else s" AUTO_INCREMENT($st)")
+          .getOrElse("")
         val dflt = c.default.map(v => s""" DEFAULT "$v"""").getOrElse("")
         val typ =
           if (c.variant) "VARIANT"
@@ -4299,7 +4790,7 @@ final class DorisDdl(s: SparkSession) {
           s"  INDEX ${ix.name} (`${ix.col}`) USING NGRAM_BF " +
             s"""PROPERTIES("gram_size" = "${ix.gramSize}", """ +
             s""""bf_size" = "${ix.bfSize}")"""
-        else s"  INDEX ${ix.name} (`${ix.col}`) USING INVERTED"))
+        else s"  INDEX ${ix.name} (`${ix.col}`) USING ${ix.kind}"))
         .mkString(",\n")
       val partClause = (d.autoGran, d.partCol) match {
         case (Some(g), Some(pc)) =>
@@ -4526,7 +5017,8 @@ final class DorisDdl(s: SparkSession) {
     val cands: Seq[(String, String)] =
       tables.synchronized(tables.values.toSeq).flatMap { t =>
         val n = t.def_.name
-        Seq(n -> n, s"${n}__part_\\w+" -> n, s"${n}__ngbf\\w*" -> n) ++
+        Seq(n -> n, s"${n}__part_\\w+" -> n, s"${n}__ngbf\\w*" -> n,
+          s"${n}__bmix\\w*" -> n) ++
           t.synchronized(t.mvs.toSeq).map(_.name -> n)
       } ++
         viewDefs.synchronized(viewDefs.keys.toSeq).map(v => v -> v) ++
@@ -4946,6 +5438,26 @@ object DorisDdl {
     * lost rename race means an identical-bytes sidecar already landed
     * (the build is deterministic per immutable rowset file) and the temp
     * is dropped. */
+  /** BITMAP value-set sidecar encoding: count then writeUTF values, or
+    * -1 = OVERFLOW (the file declared unprunable at build time). */
+  private[sql] def encodeValueSet(vs: Seq[String], ndvCap: Int,
+      lenCap: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    if (vs.size > ndvCap || vs.exists(_.length > lenCap)) out.writeInt(-1)
+    else { out.writeInt(vs.size); vs.foreach(out.writeUTF) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  /** None = OVERFLOW (never prune); Some(set) = exact distinct values. */
+  private[sql] def decodeValueSet(bytes: Array[Byte]): Option[Set[String]] = {
+    val in = new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    if (n < 0) None else Some((0 until n).map(_ => in.readUTF()).toSet)
+  }
+
   private[sql] def writeSidecarAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dst: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dst.getParent,
@@ -4980,7 +5492,15 @@ object DorisDdl {
       // min/max: the extremum) loaded via the `_state` combinator, merged
       // by the AGGREGATE model with the state-union, finalized at query
       // time by `_merge`. agg carries "GENERIC" as the marker.
-      aggState: Option[(String, String)] = None)
+      aggState: Option[(String, String)] = None,
+      // AUTO_INCREMENT [(start)] (Doris 2.1 [doris: fe/.../catalog/
+      // Column.java — auto-increment]): Some(start) = rows that do not
+      // supply the column (absent from the load, or NULL) get
+      // driver-claimed contiguous id blocks at load time. Unique forever
+      // (the claim counter persists per table and only moves forward);
+      // a failed load burns its block — Doris also guarantees
+      // uniqueness, not continuity.
+      autoInc: Option[Long] = None)
   // bound None = MAXVALUE; a dropped partition keeps its PartDef (marked)
   // so the vacated range keeps REJECTING loads — Doris rejects rows with
   // no covering partition, and a drop leaves a hole, not a merged range.
@@ -5066,13 +5586,17 @@ object DorisDdl {
   // taken at the last refresh (the staleness "version"); `lastDeletes` the
   // versioned-delete list it absorbed; `lastPlan` the last incremental
   // recompute's physical plan (pruning is spec-asserted against it)
-  /** Parse a `STARTS 'yyyy-MM-dd HH:mm:ss'` instant (UTC) to epoch
-    * millis; None when the text doesn't parse (the value still
-    * round-trips through SHOW CREATE — only the schedule gate ignores
-    * it). */
-  private[sql] def parseStartsMs(v: String): Option[Long] =
+  /** Parse a `STARTS 'yyyy-MM-dd HH:mm:ss'` instant to epoch millis, in
+    * `zone` — the SESSION time_zone, not a pinned UTC: Doris interprets
+    * job start wall-clocks in the FE/session zone, and this engine honors
+    * the `time_zone` variable for every other statement's datetime
+    * semantics, so the schedule gate must agree with them. None when the
+    * text doesn't parse (the value still round-trips through SHOW
+    * CREATE — only the schedule gate ignores it). */
+  private[sql] def parseStartsMs(v: String,
+      zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Option[Long] =
     scala.util.Try(java.time.LocalDateTime.parse(v.trim.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli).toOption
+      .atZone(zone).toInstant.toEpochMilli).toOption
 
   final case class MtmvState(name: String, table: String, pcol: String,
       selList: String, keys: Seq[String], dir: String,
@@ -5129,6 +5653,11 @@ object DorisDdl {
     // files are immutable, so entries never invalidate; dead files' entries
     // are just unreferenced
     val ngramCache: mutable.Map[(String, String), java.util.BitSet] =
+      mutable.Map()
+    // BITMAP index value sets, keyed (col, sha1(relpath)); None = the
+    // sidecar declared OVERFLOW at build (never prune). Immutable files,
+    // so entries never invalidate.
+    val bitmapCache: mutable.Map[(String, String), Option[Set[String]]] =
       mutable.Map()
   }
 }

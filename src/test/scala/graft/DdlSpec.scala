@@ -3109,4 +3109,139 @@ class DdlSpec extends SparkSpec {
     // audits every instance; this pins the invariant visibly)
     assert(ddl.auditTempViews().isEmpty, ddl.auditTempViews().toString)
   }
+
+  test("BITMAP index: persisted per-rowset value sets PRUNE FILES on " +
+    "equality/IN before any per-row work; zero survivors fold; soundness " +
+    "gates never prune wrongly; SHOW surfaces it; round-trips") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE bm (id BIGINT, cat VARCHAR(16), k BIGINT,
+        |  INDEX ix_bm (cat) USING BITMAP
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    // two loads = two rowset file sets with disjoint category vocabulary
+    ddl.execute("INSERT INTO bm VALUES (1, 'fruit', 10), (2, 'veg', 20), " +
+      "(3, 'fruit', 30)")
+    ddl.execute("INSERT INTO bm VALUES (10, 'metal', 40), (11, 'gas', 50)")
+    val df = ddl.sql("SELECT id FROM bm WHERE cat = 'metal'")
+    assert(df.as[Long].collect().toSeq == Seq(10L))
+    val Some((tn, surv, total)) = ddl.lastBitmapPrune
+    assert(tn == "bm" && surv < total && surv >= 1, s"($tn, $surv, $total)")
+    // the SCAN lists only surviving files — storage skipping, not a filter
+    assert(scanFileCounts(df).sum == surv, df.queryExecution.executedPlan)
+    // a table-name qualifier is the same predicate
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT bm.id FROM bm WHERE bm.cat = 'metal'")
+      .as[Long].collect().toSeq == Seq(10L))
+    assert(ddl.lastBitmapPrune.exists(p => p._2 < p._3))
+    // IN list: a file survives when its set meets ANY literal
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT id FROM bm WHERE cat IN ('gas', 'nothere')")
+      .as[Long].collect().toSeq == Seq(11L))
+    assert(ddl.lastBitmapPrune.exists(p => p._2 < p._3))
+    // a value NO file contains folds to an empty relation: zero files read
+    val none = ddl.sql("SELECT id FROM bm WHERE cat = 'plasma'")
+    assert(none.count() == 0L)
+    assert(scanFileCounts(none).sum == 0, none.queryExecution.executedPlan)
+    // CREATE INDEX on a loaded INTEGER column backfills: first query prunes
+    ddl.execute("CREATE INDEX ix_k ON bm (k) USING BITMAP")
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT id FROM bm WHERE k = 40")
+      .as[Long].collect().toSeq == Seq(10L))
+    assert(ddl.lastBitmapPrune.exists(p => p._2 < p._3),
+      ddl.lastBitmapPrune.toString)
+    // gates: OR / SELECT-list positions restrict nothing — never prune
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT id FROM bm WHERE cat = 'metal' OR id = 1")
+      .as[Long].collect().sorted.toSeq == Seq(1L, 10L))
+    assert(ddl.lastBitmapPrune.isEmpty, "OR-position must not prune")
+    assert(ddl.sql("SELECT id, (cat = 'gas') AS hit FROM bm ORDER BY id")
+      .count() == 5L)
+    assert(ddl.lastBitmapPrune.isEmpty, "SELECT-list position must not prune")
+    // merge-on-read models never prune on content (pre-merge file drops
+    // could hide a key's winning version)
+    ddl.execute(
+      """CREATE TABLE bmu (id BIGINT, cat VARCHAR(16))
+        |UNIQUE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("CREATE INDEX bx ON bmu (cat) USING BITMAP")
+    ddl.execute("INSERT INTO bmu VALUES (1, 'old')")
+    ddl.execute("INSERT INTO bmu VALUES (1, 'new')")
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT cat FROM bmu WHERE cat = 'new'")
+      .as[String].collect().toSeq == Seq("new"))
+    assert(ddl.lastBitmapPrune.isEmpty, "merge-on-read must not prune")
+    // SHOW INDEX lists the kind; SHOW CREATE round-trips the index
+    assert(ddl.sql("SHOW INDEX FROM bm").as[(String, String, String)]
+      .collect().toSeq.contains(("ix_bm", "cat", "BITMAP")))
+    val stmt = ddl.sql("SHOW CREATE TABLE bm").collect().head.getString(1)
+    assert(stmt.contains("USING BITMAP"), stmt)
+    ddl.execute(stmt.replace("`bm`", "`bm2`"))
+    assert(ddl.sql("SHOW CREATE TABLE bm2").collect().head.getString(1)
+      .replace("bm2", "bm") == stmt)
+    // guards: float columns have no exact value identity — reject
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE TABLE bmf (id BIGINT, v DOUBLE, INDEX fx (v) USING BITMAP) " +
+        "DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1"))
+  }
+
+  test("AUTO_INCREMENT: block allocation, NULL fill, label replay " +
+    "exactly-once, start value, SHOW CREATE round-trip, guards") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE aid (
+        |  id BIGINT AUTO_INCREMENT,
+        |  name VARCHAR(16), k BIGINT
+        |) DUPLICATE KEY(id)
+        |DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    // batch 1: column omitted → all rows allocated from one block
+    ddl.execute("INSERT INTO aid (name, k) VALUES ('a', 1), ('b', 2), " +
+      "('c', 3)")
+    // batch 2: explicit NULLs fill, explicit values keep (Doris's rule)
+    ddl.execute(
+      "INSERT INTO aid (id, name, k) VALUES (NULL, 'd', 4), (100, 'e', 5)")
+    val got = ddl.sql("SELECT id, name FROM aid ORDER BY id")
+      .as[(Long, String)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 100L), got.toString)
+    assert(got.filter(_._1 <= 3L).map(_._2).toSet == Set("a", "b", "c"))
+    assert(got.find(_._1 == 4L).map(_._2).contains("d"))
+    // batch 3: a labeled load, then its replay — the label is consumed,
+    // the replay rejects BEFORE any claim, so the NEXT allocation is
+    // exactly contiguous (no burned block, no duplicate ids)
+    ddl.execute("INSERT INTO aid WITH LABEL aid_l (name, k) VALUES ('f', 6)")
+    val rep = intercept[IllegalArgumentException](ddl.execute(
+      "INSERT INTO aid WITH LABEL aid_l (name, k) VALUES ('f', 6)"))
+    assert(rep.getMessage.contains("already exists"), rep.getMessage)
+    ddl.execute("INSERT INTO aid (name, k) VALUES ('g', 7)")
+    val ids = ddl.sql("SELECT id FROM aid ORDER BY id").as[Long]
+      .collect().toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L, 6L, 100L),
+      s"replay must not burn or duplicate ids: $ids")
+    // SHOW CREATE round-trips the flag (and a start value round-trips)
+    val ct = ddl.sql("SHOW CREATE TABLE aid").select("create_table")
+      .as[String].head()
+    assert(ct.contains("AUTO_INCREMENT"), ct)
+    ddl.execute("DROP TABLE aid")
+    ddl.execute(ct)
+    assert(ddl.sql("SHOW CREATE TABLE aid").select("create_table")
+      .as[String].head().contains("AUTO_INCREMENT"))
+    ddl.execute("DROP TABLE aid")
+    ddl.execute(
+      """CREATE TABLE aid2 (id BIGINT AUTO_INCREMENT(1000), v BIGINT)
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1""".stripMargin)
+    ddl.execute("INSERT INTO aid2 (v) VALUES (1), (2)")
+    assert(ddl.sql("SELECT id FROM aid2 ORDER BY id").as[Long]
+      .collect().toSeq == Seq(1000L, 1001L))
+    // the DECLARED start round-trips (the live counter is load state,
+    // not declaration)
+    assert(ddl.sql("SHOW CREATE TABLE aid2").select("create_table")
+      .as[String].head().contains("AUTO_INCREMENT(1000)"))
+    ddl.execute("DROP TABLE aid2")
+    // guards: non-BIGINT rejects; two auto columns reject
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE TABLE bad1 (id INT AUTO_INCREMENT, v BIGINT) " +
+        "DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1"))
+    assertThrows[IllegalArgumentException](ddl.execute(
+      "CREATE TABLE bad2 (a BIGINT AUTO_INCREMENT, b BIGINT " +
+        "AUTO_INCREMENT, v BIGINT) DUPLICATE KEY(a) " +
+        "DISTRIBUTED BY HASH(a) BUCKETS 1"))
+  }
 }
