@@ -11,6 +11,7 @@ Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
 import decimal
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -67,14 +68,39 @@ def table_key(rows, cols, flags):
         for r in rows)
 
 
+
+def sweep_stale(out_dir, name):
+    """r19 stale-dump trap, mechanical: a FULL graft.Verify sweep writes
+    _sweep_started before dumping its first key, so a key dir whose mtime
+    predates the stamp is a LEFTOVER from an earlier run (the
+    /tmp/verify_sf10 persistence trap), not part of this sweep."""
+    stamp = os.path.join(out_dir, "_sweep_started")
+    if not os.path.exists(stamp):
+        return False  # pre-stamp dump; warned at startup
+    d = os.path.join(out_dir, name)
+    return os.path.exists(d) and os.path.getmtime(d) < os.path.getmtime(stamp)
+
+
+def warn_if_unstamped(out_dir):
+    if not os.path.exists(os.path.join(out_dir, "_sweep_started")):
+        print("WARNING: no _sweep_started stamp in dump dir -- dump "
+              "freshness CANNOT be verified (pre-r20 dump?); stale key "
+              "dirs from earlier runs would pass silently", flush=True)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    warn_if_unstamped(out_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
+        if sweep_stale(out_dir, name):
+            print(f"FAIL {name}: STALE dump dir (predates _sweep_started)")
+            n_fail += 1
+            continue
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")

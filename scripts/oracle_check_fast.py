@@ -14,6 +14,7 @@ acting on it (hash-sum collisions are negligible but the normalization
 corners differ slightly, e.g. list rendering).
 """
 import json
+import os
 import sys
 
 import duckdb
@@ -36,11 +37,36 @@ def fresh_con(sf_dir):
     return con
 
 
+
+def sweep_stale(out_dir, name):
+    """r19 stale-dump trap, mechanical: a FULL graft.Verify sweep writes
+    _sweep_started before dumping its first key, so a key dir whose mtime
+    predates the stamp is a LEFTOVER from an earlier run (the
+    /tmp/verify_sf10 persistence trap), not part of this sweep."""
+    stamp = os.path.join(out_dir, "_sweep_started")
+    if not os.path.exists(stamp):
+        return False  # pre-stamp dump; warned at startup
+    d = os.path.join(out_dir, name)
+    return os.path.exists(d) and os.path.getmtime(d) < os.path.getmtime(stamp)
+
+
+def warn_if_unstamped(out_dir):
+    if not os.path.exists(os.path.join(out_dir, "_sweep_started")):
+        print("WARNING: no _sweep_started stamp in dump dir -- dump "
+              "freshness CANNOT be verified (pre-r20 dump?); stale key "
+              "dirs from earlier runs would pass silently", flush=True)
+
+
 def main(sf_dir, out_dir, only=None):
+    warn_if_unstamped(out_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
+            continue
+        if sweep_stale(out_dir, name):
+            print(f"FAIL {name}: STALE dump dir (predates _sweep_started)")
+            n_fail += 1
             continue
         try:
             con = fresh_con(sf_dir)

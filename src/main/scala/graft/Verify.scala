@@ -19,6 +19,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Stale-dump trap, mechanical (r19: /tmp/verify_sf10 persisted key
+    // dirs from an EARLIER run and a partial check silently compared
+    // them): a FULL sweep stamps its start time before the first key;
+    // the oracle_check scripts refuse key dirs whose mtime predates the
+    // stamp. Partial (filtered, dev-only) runs leave the standing stamp
+    // untouched — they add keys to the existing sweep.
+    if (only.isEmpty)
+      Files.writeString(Paths.get(s"$outDir/_sweep_started"),
+        System.currentTimeMillis().toString)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
