@@ -3183,6 +3183,49 @@ class DdlSpec extends SparkSpec {
         "DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 1"))
   }
 
+  test("BITMAP pruning survives a light column RENAME: the IndexDef " +
+    "follows and the sidecars rebuild lazily under the new name, reading " +
+    "through the priors coalesce") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE bmr (id BIGINT, cat VARCHAR(16),
+        |  INDEX rix (cat) USING BITMAP
+        |) DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO bmr VALUES (1, 'aa'), (2, 'bb')")
+    ddl.execute("INSERT INTO bmr VALUES (3, 'cc')")
+    ddl.execute("ALTER TABLE bmr RENAME COLUMN cat category")
+    ddl.lastBitmapPrune = None
+    assert(ddl.sql("SELECT id FROM bmr WHERE category = 'cc'")
+      .as[Long].collect().toSeq == Seq(3L))
+    assert(ddl.lastBitmapPrune.exists(p => p._2 < p._3),
+      s"pruning must resume under the renamed column: ${ddl.lastBitmapPrune}")
+    // SHOW CREATE names the new column in the index and replays
+    val stmt = ddl.sql("SHOW CREATE TABLE bmr").head.getString(1)
+    assert(stmt.contains("(`category`) USING BITMAP"), stmt)
+    ddl.execute("DROP TABLE bmr")
+  }
+
+  test("AUTO_INCREMENT across BACKUP/RESTORE: the counter sidecar does " +
+    "not travel, so the restored table re-seeds from max(id)+1 — ids " +
+    "stay unique and contiguous across the restore boundary") {
+    val ddl = fresh()
+    ddl.execute(
+      """CREATE TABLE aib (id BIGINT AUTO_INCREMENT, v BIGINT)
+        |DUPLICATE KEY(id) DISTRIBUTED BY HASH(id) BUCKETS 2""".stripMargin)
+    ddl.execute("INSERT INTO aib (v) VALUES (1), (2), (3)")
+    val repo = TempDirs.create("graft_test_aib_repo")
+    ddl.sql(s"BACKUP SNAPSHOT s1 TO '$repo' ON (aib)").collect()
+    ddl.execute("DROP TABLE aib")
+    ddl.sql(s"RESTORE SNAPSHOT s1 FROM '$repo'").collect()
+    // the restored dir has rowsets but no _auto_inc sidecar: the next
+    // claim re-seeds from max(id)+1, never re-issuing a live id
+    ddl.execute("INSERT INTO aib (v) VALUES (4), (5)")
+    val ids = ddl.sql("SELECT id FROM aib ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids == Seq(1L, 2L, 3L, 4L, 5L), ids.toString)
+    ddl.execute("DROP TABLE aib")
+  }
+
   test("AUTO_INCREMENT: block allocation, NULL fill, label replay " +
     "exactly-once, start value, SHOW CREATE round-trip, guards") {
     val ddl = fresh()
