@@ -1154,11 +1154,12 @@ class DdlSpec extends SparkSpec {
     assert(ddl.sql("SHOW INDEX FROM mtx")
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
       .toSeq == Seq(("body_ix", "body", "INVERTED")))
-    // guards: non-text column, BITMAP index type, duplicate name
+    // guards: non-text column, unknown index type, duplicate name
+    // (USING BITMAP is a real index since r20 — its own test covers it)
     assertThrows[IllegalArgumentException](
       ddl.execute("CREATE INDEX id_ix ON mtx (`id`) USING INVERTED"))
     assertThrows[RuntimeException](
-      ddl.execute("CREATE INDEX b_ix ON mtx (`body`) USING BITMAP"))
+      ddl.execute("CREATE INDEX b_ix ON mtx (`body`) USING QUUX"))
     assertThrows[IllegalArgumentException](
       ddl.execute("CREATE INDEX body_ix ON mtx (`note`) USING INVERTED"))
     // the index contract is per (table, column): an index on a SAME-NAMED
