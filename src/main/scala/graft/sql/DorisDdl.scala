@@ -1936,7 +1936,10 @@ final class DorisDdl(s: SparkSession) {
   private def refreshMtmvUnlessDropped(m: MtmvState): Unit =
     try { refreshMtmv(m); () }
     catch { case e: Exception =>
-      if (mtmvs.synchronized(mtmvs.contains(m.name))) throw e
+      // identity check, not name: a DROP + recreate under the same name
+      // (a NEW MtmvState, NEW dir) must not resurrect THIS instance's
+      // failure — the old dir is legitimately gone (run-A churn probe)
+      if (mtmvs.synchronized(mtmvs.get(m.name).exists(_ eq m))) throw e
     }
 
   // ------------------------------------------------------------ async MTMV
@@ -2070,9 +2073,14 @@ final class DorisDdl(s: SparkSession) {
     else registerTemp(s.read.parquet(m.dir).drop("_p"), m.name)
     // drop-aware (same race class as the r19 user-view orphan): a DROP
     // MATERIALIZED VIEW landing between this refresh's snapshot and the
-    // registerTemp above must not leave a live, scope-less temp view
-    if (!mtmvs.synchronized(mtmvs.contains(m.name)))
-      s.catalog.dropTempView(m.name)
+    // registerTemp above must not leave a live, scope-less temp view —
+    // and a drop + RECREATE under the same name must end with the LIVE
+    // instance's registration, not this stale one's
+    mtmvs.synchronized(mtmvs.get(m.name)) match {
+      case None => s.catalog.dropTempView(m.name)
+      case Some(live) if !(live eq m) => registerMtmvView(live)
+      case _ => ()
+    }
   }
 
   /** Per-partition rowset file names — a driver directory listing,
