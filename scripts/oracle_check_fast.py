@@ -31,6 +31,12 @@ def fresh_con(sf_dir):
     # a per-key connection: one oracle query OOMing must not poison the
     # rest of the sweep; spill to disk instead of dying where possible
     con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    # list-heavy vector oracles (knn/pq families) OOM'd DuckDB's 100 GiB
+    # budget at sf10 under the default 32 threads (per-thread buffers on
+    # list-native plans amplify peak memory); 8 threads + relaxed ordering
+    # complete the same queries comfortably (r20 probe)
+    con.execute("SET threads=8")
+    con.execute("SET preserve_insertion_order=false")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")

@@ -498,22 +498,32 @@ object DdlStatements {
           """INSERT OVERWRITE TABLE ord_ow PARTITION (p_old)
             |SELECT CAST(o_orderdate AS DATE), o_orderkey, o_totalprice / 2
             |FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'""".stripMargin))
+        // checked sum in integer 1/80-dollar units (the r19 sf10 lesson:
+        // round(sum(double),2) at >=1e12 drifts by summation order across
+        // engines; x80 of a 2-decimal price — and x40 of its exact /2 —
+        // is never a .5 halfway, so per-row BIGINT rounding is exact and
+        // the BIGINT sum is order-independent). Plan shape unchanged:
+        // the same partition-pruned scans and aggregate.
         ddl.sql(
           """SELECT 'old' AS scope, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS total80
             |FROM ord_ow PARTITION (p_old)
             |UNION ALL
             |SELECT 'new' AS scope, count(*) AS n,
-            |  round(sum(o_totalprice), 2) AS total
+            |  CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
+            |    AS total80
             |FROM ord_ow PARTITION (p_new)
             |ORDER BY scope""".stripMargin)
       },
       """SELECT * FROM (
         |  SELECT 'old' AS scope, count(*) AS n,
-        |    round(sum(o_totalprice / 2), 2) AS total
+        |    CAST(sum(CAST(round(o_totalprice / 2 * 80) AS BIGINT))
+        |      AS BIGINT) AS total80
         |  FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
         |  UNION ALL
-        |  SELECT 'new', count(*), round(sum(o_totalprice), 2)
+        |  SELECT 'new', count(*),
+        |    CAST(sum(CAST(round(o_totalprice * 80) AS BIGINT)) AS BIGINT)
         |  FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |) ORDER BY scope""".stripMargin),
 
