@@ -29,10 +29,23 @@ object LlmDedup {
 
   import org.apache.spark.sql.{DataFrame, expressions}
 
+  /** Exploded shingle view carrying each doc's distinct-shingle COUNT on
+    * every row: (doc_id, n, s). `n` rides along from the UDF's array size so
+    * no downstream consumer ever needs a separate per-doc size aggregation
+    * or a pairs×sizes join — r20 optimization (guide §2.4 "remove shuffles
+    * outright"): the old shape aggregated a corpus-proportional `sizes`
+    * table and sort-merge-joined it back TWICE per variant (pinned merge for
+    * spill-safety after the r19 2 GiB probe); carrying 4 bytes per exploded
+    * row deletes those joins — and their 100 TB spill-risk surface — from
+    * the plan entirely. The pre-explode size()+explode() pair evaluates the
+    * shingle UDF twice per doc; that is 2× over |docs| rows (cheap, and the
+    * jaccardPairsAuto checkpoint materializes the exploded view once
+    * anyway), versus the extra full shuffle the size aggregation cost. */
   private def shingleDocs(s: SparkSession, dir: String, w: Int = 3): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
-      .select($"doc_id", explode(TextOps.shinglesUdf(w)($"text")).as("s"))
+      .select($"doc_id", TextOps.shinglesUdf(w)($"text").as("arr"))
+      .select($"doc_id", size($"arr").as("n"), explode($"arr").as("s"))
   }
 
   /** One-shot inverted-index Jaccard pairs: self-join every posting list.
@@ -45,20 +58,17 @@ object LlmDedup {
 
   private def oneShotFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
-    // `sizes` is one row PER DOCUMENT — corpus-proportional, so its joins
-    // are pinned to sort-merge (spill-capable at any heap): a broadcast
-    // chosen from its small-at-test-scale measured size dies under memory
-    // pressure (the 2 GiB spill probe) and is wrong at 100 TB outright.
-    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val pairs = docs.as("a").join(docs.as("b"), Seq("s"))
+    // Set sizes ride the exploded rows (see shingleDocs): the aggregate is
+    // max(n) — n is functionally determined by doc_id (max = the value;
+    // `first` would be order-nondeterministic) — so the old corpus-
+    // proportional sizes table and its two merge-pinned joins are gone.
+    docs.as("a").join(docs.as("b"), Seq("s"))
       .filter($"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.as("x").hint("merge"), $"i" === $"x.doc_id")
-      .join(sizes.as("y").hint("merge"), $"j" === $"y.doc_id")
+      .agg(count(lit(1)).as("common"),
+        max($"a.n").as("na"), max($"b.n").as("nb"))
       .select($"i", $"j",
-        round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
+        round($"common" / ($"na" + $"nb" - $"common"), 3).as("jaccard"))
       .filter($"jaccard" >= t)
       .orderBy($"i", $"j")
   }
@@ -77,17 +87,17 @@ object LlmDedup {
 
   private def prefixFrom(s: SparkSession, docs: DataFrame, t: Double): DataFrame = {
     import s.implicits._
-    // `sizes` (one row per document) and `dfreq` (one row per distinct
-    // shingle — the corpus VOCABULARY) both scale with the corpus: every
-    // join against them is pinned to sort-merge. At test scale AQE's
+    // `dfreq` (one row per distinct shingle — the corpus VOCABULARY) scales
+    // with the corpus: its join is pinned to sort-merge. At test scale AQE's
     // measured sizes look broadcastable, but the broadcast build dies
     // under memory pressure (the 2 GiB spill probe found exactly this)
     // and at 100 TB a vocabulary broadcast is impossible. Only `cand`
     // (output-proportional, bounded by the prefix lemma) may broadcast.
-    val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // The old per-doc `sizes` table and its THREE merge joins (prefix rank
+    // filter + the two final jaccard joins) are gone — set sizes ride the
+    // exploded rows as `n` (see shingleDocs), r20 guide §2.4.
     val dfreq = docs.groupBy($"s").agg(count(lit(1)).as("df"))
     val pref = docs.join(dfreq.hint("merge"), "s")
-      .join(sizes.hint("merge"), "doc_id")
       .withColumn("rn", row_number().over(
         expressions.Window.partitionBy($"doc_id").orderBy($"df".asc, $"s".asc)))
       .filter($"rn" <= $"n" - ceil($"n" * t) + 1)
@@ -100,16 +110,14 @@ object LlmDedup {
       .filter($"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("i"), $"b.doc_id".as("j"))
       .distinct()
-    val common = cand
+    cand
       .join(docs.as("da").hint("merge"), $"i" === $"da.doc_id")
       .join(docs.as("db").hint("merge"),
         $"j" === $"db.doc_id" && $"da.s" === $"db.s")
-      .groupBy($"i", $"j").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.as("x").hint("merge"), $"i" === $"x.doc_id")
-      .join(sizes.as("y").hint("merge"), $"j" === $"y.doc_id")
+      .groupBy($"i", $"j").agg(count(lit(1)).as("common"),
+        max($"da.n").as("na"), max($"db.n").as("nb"))
       .select($"i", $"j",
-        round($"common" / ($"x.n" + $"y.n" - $"common"), 3).as("jaccard"))
+        round($"common" / ($"na" + $"nb" - $"common"), 3).as("jaccard"))
       .filter($"jaccard" >= t)
       .orderBy($"i", $"j")
   }
@@ -563,17 +571,17 @@ object LlmDedup {
     "llm_dedup_containment" -> QueryDef(
       (s, dir) => {
         import s.implicits._
+        // set sizes ride the exploded rows (shingleDocs `n`): no separate
+        // sizes aggregation, no pairs×sizes joins — r20 guide §2.4
         val docs = shingleDocs(s, dir, 5)
-        val sizes = docs.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-        val common = docs.as("a").join(docs.as("b"), Seq("s"))
+        docs.as("a").join(docs.as("b"), Seq("s"))
           .filter($"a.doc_id" < $"b.doc_id")
           .groupBy($"a.doc_id".as("i"), $"b.doc_id".as("j"))
-          .agg(count(lit(1)).as("common"))
-        common.join(sizes.as("x"), $"i" === $"x.doc_id")
-          .join(sizes.as("y"), $"j" === $"y.doc_id")
+          .agg(count(lit(1)).as("common"),
+            max($"a.n").as("na"), max($"b.n").as("nb"))
           .select($"i", $"j",
-            round($"common" / $"x.n" + lit(1e-9), 3).as("c_ij"),
-            round($"common" / $"y.n" + lit(1e-9), 3).as("c_ji"))
+            round($"common" / $"na" + lit(1e-9), 3).as("c_ij"),
+            round($"common" / $"nb" + lit(1e-9), 3).as("c_ji"))
           .filter($"c_ij" >= 0.8 || $"c_ji" >= 0.8)
           .orderBy($"i", $"j")
       },
@@ -612,16 +620,24 @@ object LlmDedup {
       (s, dir) => {
         import s.implicits._
         val w = 15
-        val t = TextOps.tokens($"text")
-        // same short-doc convention as the jaccard shingles: a doc with
-        // fewer than w tokens contributes its whole text as one span
+        // r20 optimization (guide §1.2/§2.4): the old declarative spelling
+        // (explode(transform(sequence(...))) + md5 + frame-level distinct)
+        // cost (a) an interpreted HOF lambda per span, (b) a full exchange
+        // on (doc_id, h) just to dedup within-doc repeats, and (c) — because
+        // `spans` feeds both the dup detection AND the join-back — Spark
+        // re-executed the whole scan+explode+md5 subtree TWICE. Now: one
+        // imperative UDF pass emits the per-doc distinct span digests
+        // (dedup moved into the row, exchange gone), and the tiny exploded
+        // result (|distinct spans| ≈ 16 B + ids per row) is
+        // localCheckpointed so both consumers read the materialized rows —
+        // one scan, one span pass. At 100 TB the checkpoint is the persisted
+        // span-fingerprint table every substring-dedup pipeline keeps.
+        // Same short-doc convention as the jaccard shingles: a doc with
+        // fewer than w tokens contributes its whole text as one span.
         val spans = Tables.documents(s, dir)
-          .select($"doc_id", explode(when(size(t) >= w,
-            transform(sequence(lit(0), size(t) - w),
-              i => array_join(slice(t, i + 1, lit(w)), " ")))
-            .otherwise(array(array_join(t, " ")))).as("s"))
-          .select($"doc_id", unhex(md5($"s")).as("h"))
-          .distinct()
+          .select($"doc_id",
+            explode(TextOps.spanHashSetUdf(w)($"text")).as("h"))
+          .localCheckpoint(true)
         val dup = spans.groupBy($"h")
           .agg(count(lit(1)).as("ndocs")).filter($"ndocs" > 1)
         spans.join(dup, Seq("h"), "left")
@@ -667,13 +683,15 @@ object LlmDedup {
         val w = 15
         val t = TextOps.tokens($"text")
         val base = Tables.documents(s, dir).select($"doc_id", t.as("toks"))
-        val spans = base.select($"doc_id", posexplode(
-            when(size($"toks") >= w,
-              transform(sequence(lit(0), size($"toks") - w),
-                i => array_join(slice($"toks", i + 1, lit(w)), " ")))
-              .otherwise(array(array_join($"toks", " "))))
-            .as(Seq("i0", "sp")))
-          .select($"doc_id", $"i0", unhex(md5($"sp")).as("h"))
+        // r20: positional span digests from the imperative UDF (index =
+        // span start), checkpointed once — the old declarative HOF chain
+        // re-ran interpreted per span AND re-executed for each of the two
+        // consumers below (dup detection, start-set join-back). See
+        // llm_dedup_substring for the full rationale.
+        val spans = Tables.documents(s, dir)
+          .select($"doc_id",
+            posexplode(TextOps.spanHashesUdf(w)($"text")).as(Seq("i0", "h")))
+          .localCheckpoint(true)
         val dup = spans.select($"doc_id", $"h").distinct()
           .groupBy($"h").agg(count(lit(1)).as("nd"))
           .filter($"nd" > 1).select($"h")

@@ -47,6 +47,42 @@ object TextOps {
     else Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" ")).distinct
   }
 
+  /** md5 digests of the w-token spans of a document, in span order (index =
+    * span start i0) — the substring-dedup hot path (llm_dedup_substring*).
+    * Same values as the declarative
+    * `unhex(md5(array_join(slice(tokens, i+1, w), ' ')))` chain over
+    * `transform(sequence(...))` (pinned in LlmSpec), but ONE imperative pass:
+    * the HOF lambda tree never enters whole-stage codegen and re-evaluates
+    * interpreted per element (the shinglesUdf/minhashBandsUdf rationale).
+    * A doc shorter than w tokens contributes its whole text as one span. */
+  def spanHashesUdf(w: Int) = udf { text: String => spanHashesFor(text, w) }
+
+  /** DISTINCT span md5s per document (order of first occurrence) — the
+    * detection half of llm_dedup_substring needs only the per-doc span SET,
+    * so deduping inside the UDF replaces a whole-frame distinct() — i.e. an
+    * exchange on (doc_id, h) — with per-row work. Equality/dedup key is the
+    * digest bytes (wrapped for value equality), matching the old
+    * frame-level distinct over the unhex(md5(...)) column exactly. */
+  def spanHashSetUdf(w: Int) = udf { text: String =>
+    val all = spanHashesFor(text, w)
+    val seen = scala.collection.mutable.LinkedHashSet
+      .empty[scala.collection.immutable.ArraySeq[Byte]]
+    all.foreach(a =>
+      seen += scala.collection.immutable.ArraySeq.unsafeWrapArray(a))
+    seen.iterator.map(_.unsafeArray.asInstanceOf[Array[Byte]]).toArray
+  }
+
+  /** Shared imperative body of the two span-hash UDFs above. */
+  private def spanHashesFor(text: String, w: Int): Array[Array[Byte]] = {
+    val toks = text.toLowerCase.split("\\s+")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Array[Byte] =
+      md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (toks.length < w) Array(h(toks.mkString(" ")))
+    else Array.tabulate(toks.length - w + 1)(i =>
+      h(toks.slice(i, i + w).mkString(" ")))
+  }
+
   /** MinHash LSH band keys in ONE pass over the shingle set: for each of
     * bands*rows seeded hash functions take the min over shingles, then fold
     * each band's `rows` minima into one band key. Returns array<long> of

@@ -155,6 +155,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("imperative span-hash UDFs equal the declarative md5 chain") {
+    // spanHashesUdf/spanHashSetUdf are the r20 hot-path spellings behind
+    // llm_dedup_substring(_clip); the declarative chain below is the exact
+    // pre-r20 production expression (explode(transform(sequence)) + md5 +
+    // distinct). Pin positional values AND the per-doc distinct set.
+    import graft.text.TextOps
+    val w = 15
+    val t = TextOps.tokens($"text")
+    val decl = when(size(t) >= w,
+      transform(sequence(lit(0), size(t) - w),
+        i => unhex(md5(array_join(slice(t, i + 1, lit(w)), " ")))))
+      .otherwise(array(unhex(md5(array_join(t, " ")))))
+    val posMismatch = Tables.documents(spark, sf)
+      .select(decl.as("hof"), TextOps.spanHashesUdf(w)($"text").as("imp"))
+      .filter($"hof" =!= $"imp").count()
+    assert(posMismatch == 0, s"$posMismatch docs differ positionally")
+    val setMismatch = Tables.documents(spark, sf)
+      .select(array_distinct(decl).as("hof"),
+        TextOps.spanHashSetUdf(w)($"text").as("imp"))
+      .filter($"hof" =!= $"imp").count()
+    assert(setMismatch == 0, s"$setMismatch docs differ as distinct sets")
+  }
+
   test("repetition fractions equal brute force") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
