@@ -160,6 +160,19 @@ object LlmSimilarity {
       })._2
   }
 
+  /** Bench warm-up staging entry: force-build the ANN ingest-time standing
+    * artifacts (PQ codebook/codes, label-centroid cell ranking, trained
+    * cell ranking) so the llm_knn_* keys time SERVING, not the one-time
+    * ingest build — the same staged-artifact rule termStats/langProfile/
+    * winnowFps already follow (r20; recorded in the bench JSON's staged[]).
+    * Cold paths (Verify, a fresh session) still build from parquet. */
+  private[graft] def stageAnnArtifacts(s: SparkSession, dir: String): Unit = {
+    graft.functions.CosineSim.register(s) // cellRanked scores via cosine_sim
+    pqParts(s, dir)
+    cellRanked(s, dir)
+    trainedCellRanked(s, dir)
+  }
+
   private def buildPqParts(s: SparkSession, dir: String): PqParts = {
     import s.implicits._
     val M = 8

@@ -141,21 +141,38 @@ object LlmText {
     df
   }
 
+  /** Adjacent token pairs of a doc, one imperative pass — replaces the old
+    * posexplode + lead-over-(doc_id ORDER BY pos) window spelling, whose
+    * sort exchange ran TWICE (the bigram stream fed both the c2 count and
+    * the scoring join with no checkpoint in between). Bigrams are a pure
+    * per-row function of the token array, so no shuffle is needed at all
+    * (r20, guide §2.4); same (w1, w2) multiset and order. */
+  private val bigramsUdf = udf { text: String =>
+    val toks = text.toLowerCase.split("\\s+")
+    Array.tabulate(math.max(toks.length - 1, 0))(i => (toks(i), toks(i + 1)))
+  }
+
   private def bigramDocScoreBuild(
       s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
-    val toks = Tables.documents(s, dir)
-      .select($"doc_id",
-        posexplode(TextOps.tokens($"text")).as(Seq("pos", "w")))
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    val bg = toks
-      .select($"doc_id", $"w".as("w1"), lead($"w", 1).over(win).as("w2"))
-      .filter($"w2".isNotNull)
-    val c1 = toks.groupBy($"w".as("cw")).agg(count(lit(1)).as("c"))
+    // r20 restructure (guide §1.2/§2.4): the old build re-executed the
+    // tokenize+explode subtree ~5× (c1, tot, and the window-sorted bigram
+    // stream twice) and paid two window sort exchanges. Now: the bigram
+    // stream is map-only (bigramsUdf) and checkpointed once for its two
+    // consumers; c1 is checkpointed (vocabulary-sized standing stat, the
+    // termStats economics) and reused for both token joins AND the corpus
+    // total (tot = Σ c1.c — saves a third scan). Two document scans total.
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", explode(bigramsUdf($"text")).as("b"))
+      .select($"doc_id", $"b._1".as("w1"), $"b._2".as("w2"))
+      .localCheckpoint(true)
+    val c1 = Tables.documents(s, dir)
+      .select(explode(TextOps.tokens($"text")).as("w"))
+      .groupBy($"w".as("cw")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val c2 = bg.groupBy($"w1".as("aw1"), $"w2".as("aw2"))
       .agg(count(lit(1)).as("c2"))
-    val tot = toks.agg(count(lit(1)).as("n_total"))
+    val tot = c1.agg(sum($"c").as("n_total"))
     bg.join(c2, $"w1" === $"aw1" && $"w2" === $"aw2")
       .join(c1.toDF("j1", "ca"), $"w1" === $"j1")
       .join(c1.toDF("j2", "cb"), $"w2" === $"j2")
