@@ -154,6 +154,13 @@ object LlmDedup {
       // statistic and the chosen join, so the chooser costs one cheap
       // aggregate, not a second explode pass. (At cluster scale the same idea
       // is a persisted shingle table / cache, not a driver-local checkpoint.)
+      // r20 NOTE (measured, rejected): repartition($"s") before the
+      // checkpoint — hoping consumers (self-join, dfreq, density stat)
+      // would reuse the partitioning per guide §2.4 — REGRESSED
+      // (shuffle_read 34→47 MB, CPU +27%): a localCheckpoint's LogicalRDD
+      // does not advertise outputPartitioning to EnsureRequirements here,
+      // so every consumer re-exchanged anyway and the repartition was a
+      // pure extra shuffle. Kept scan-partitioned.
       val docs = shingleDocs(s, dir, w).localCheckpoint(true)
       val avgDf = docs.groupBy($"s").agg(count(lit(1)).as("df"))
         .agg(avg($"df")).as[Double].head()
