@@ -37,15 +37,17 @@ object LlmDedup {
     * table and sort-merge-joined it back TWICE per variant (pinned merge for
     * spill-safety after the r19 2 GiB probe); carrying 4 bytes per exploded
     * row deletes those joins — and their 100 TB spill-risk surface — from
-    * the plan entirely. The pre-explode size()+explode() pair evaluates the
-    * shingle UDF twice per doc; that is 2× over |docs| rows (cheap, and the
-    * jaccardPairsAuto checkpoint materializes the exploded view once
-    * anyway), versus the extra full shuffle the size aggregation cost. */
+    * the plan entirely. The count is emitted INSIDE each exploded element
+    * (shinglesWithNUdf) so the UDF runs exactly once per row. */
   private def shingleDocs(s: SparkSession, dir: String, w: Int = 3): DataFrame = {
     import s.implicits._
+    // one UDF evaluation per row: the (n, s) pairs come out of the UDF
+    // itself — the earlier size(arr) + explode(arr) spelling re-ran the
+    // shingle UDF twice per doc (CollapseProject inlines deterministic
+    // exprs into every consumer)
     Tables.documents(s, dir)
-      .select($"doc_id", TextOps.shinglesUdf(w)($"text").as("arr"))
-      .select($"doc_id", size($"arr").as("n"), explode($"arr").as("s"))
+      .select($"doc_id", explode(TextOps.shinglesWithNUdf(w)($"text")).as("z"))
+      .select($"doc_id", $"z._1".as("n"), $"z._2".as("s"))
   }
 
   /** One-shot inverted-index Jaccard pairs: self-join every posting list.

@@ -57,6 +57,23 @@ object TextOps {
     * A doc shorter than w tokens contributes its whole text as one span. */
   def spanHashesUdf(w: Int) = udf { text: String => spanHashesFor(text, w) }
 
+  /** Distinct w-token shingles PAIRED with the doc's distinct-shingle count:
+    * one UDF evaluation yields both the set-size `n` and the exploded
+    * shingle rows (element = (n, shingle)). The r20 shingleDocs spelling
+    * `size(arr) + explode(arr)` re-evaluated the shingle UDF twice per row
+    * (CollapseProject inlines it into both consumers); emitting the count
+    * inside each element removes the second evaluation. Values = exactly
+    * [[shinglesUdf]] zipped with its length (pinned in LlmSpec). */
+  def shinglesWithNUdf(w: Int) = udf { text: String =>
+    val toks = text.toLowerCase.split("\\s+")
+    val arr =
+      if (toks.length < w) Array(toks.mkString(" ")).distinct
+      else Array.tabulate(toks.length - w + 1)(i =>
+        toks.slice(i, i + w).mkString(" ")).distinct
+    val n = arr.length
+    arr.map(s => (n, s))
+  }
+
   /** DISTINCT span md5s per document (order of first occurrence) — the
     * detection half of llm_dedup_substring needs only the per-doc span SET,
     * so deduping inside the UDF replaces a whole-frame distinct() — i.e. an

@@ -153,6 +153,17 @@ class LlmSpec extends SparkSpec {
         .count()
       assert(mismatch == 0, s"w=$w: $mismatch docs differ")
     }
+    // and the (n, shingle)-paired variant behind shingleDocs (r20): values
+    // = shinglesUdf zipped with its own length, for the widths in use
+    Seq(3, 5).foreach { w =>
+      val mismatch = Tables.documents(spark, sf)
+        .select(TextOps.shinglesUdf(w)($"text").as("plain"),
+          TextOps.shinglesWithNUdf(w)($"text").as("paired"))
+        .filter(transform($"paired", z => z.getField("_2")) =!= $"plain" ||
+          exists($"paired", z => z.getField("_1") =!= size($"plain")))
+        .count()
+      assert(mismatch == 0, s"w=$w: $mismatch docs differ in paired variant")
+    }
   }
 
   test("imperative span-hash UDFs equal the declarative md5 chain") {
