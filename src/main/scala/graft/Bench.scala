@@ -180,11 +180,14 @@ object Bench {
         }
       }
       // same rule for the trained BPE tokenizer model (r20): a standing
-      // vocabulary-sized artifact rebuilt only when the corpus changes —
-      // the 6-round training loop (13 driver-synchronized jobs) was landing
-      // on whichever llm_bpe_* key ran first
+      // vocabulary-sized artifact rebuilt only when the corpus changes.
+      // Staged for the CONSUMER keys only (encode/fertility serve the
+      // artifact); llm_bpe_train is deliberately NOT staged — the training
+      // loop IS that key's demonstrated operator, and its QueryDef calls
+      // the uncached bpeTrainRun so the timed run always pays the build
+      // (ADVICE r20: staging the trainer hollowed the key out).
       locally {
-        val bpeKeys = Set("llm_bpe_train", "llm_bpe_encode", "llm_bpe_fertility")
+        val bpeKeys = Set("llm_bpe_encode", "llm_bpe_fertility")
         if (selected.keys.exists(bpeKeys)) {
           operators.LlmText.bpeLearned(spark, sfDir)
           staged ++= selected.keys.filter(bpeKeys)
@@ -434,6 +437,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] round-stamped record write failed: $e") }
     println(json)
+    // COMPACT contract line, printed LAST: the full line above (~40 KB
+    // with work{}) exceeds the driver's stdout tail window — BENCH
+    // r17-r20 all read parsed=null and PERF went blind (r20 verdict #1).
+    // Same shape minus work{}, per-key seconds rounded to 3 dp, so the
+    // driver's tail scan finds a parseable line. The full line and the
+    // repo files keep the unrounded values and the work{} bytes.
+    val qsCompact = results.map { case (k, v) =>
+      "\"" + k + "\":" + BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${
+      BigDecimal(total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+    },"unit":"sec","queries":$qsCompact,"errors":$errJson,"staged":$stagedJson,"load_start":$loadStart,"load_end":$loadEnd,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

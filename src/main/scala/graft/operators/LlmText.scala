@@ -147,8 +147,10 @@ object LlmText {
     * the scoring join with no checkpoint in between). Bigrams are a pure
     * per-row function of the token array, so no shuffle is needed at all
     * (r20, guide §2.4); same (w1, w2) multiset and order. */
-  private val bigramsUdf = udf { text: String =>
-    val toks = text.toLowerCase.split("\\s+")
+  private[graft] val bigramsUdf = udf { text: String =>
+    // -1 keeps trailing empty tokens, matching Spark's split in c1 below
+    // and the oracle's string_split (TextOps.shinglesUdf rationale)
+    val toks = text.toLowerCase.split("\\s+", -1)
     Array.tabulate(math.max(toks.length - 1, 0))(i => (toks(i), toks(i + 1)))
   }
 
@@ -288,13 +290,14 @@ object LlmText {
     // score(doc) = avg over bigram instances of
     // ln(0.8·c2(w1,w2)/c1(w1) + 0.2·c1(w2)/N) — the interpolation keeps
     // docs with corpus-unseen continuations finite, which is what makes
-    // the score a usable filter threshold. The c1/c2 count tables are
-    // corpus standing artifacts (one groupBy shuffle each, linear in
-    // tokens); scoring is three hash joins on token keys plus one per-doc
-    // aggregate. Bigrams come from posexplode + a per-doc lead() window —
-    // NOT explode-over-transform, which re-evaluates the HOF array per
-    // element (the llm_winnow_pairs trap, measured 300×). The 1-row corpus
-    // total broadcasts map-side onto the instance stream.
+    // the score a usable filter threshold. Plan shape (r20, see
+    // bigramDocScoreBuild): bigrams come from the map-only bigramsUdf
+    // (one imperative pass per row — no posexplode, no per-doc window
+    // sort), the bigram stream and the vocabulary-sized c1 table are each
+    // checkpointed once for their consumers, the corpus total derives
+    // from c1 (Σc — no third document scan), and scoring is three hash
+    // joins on token keys plus one per-doc aggregate with the 1-row
+    // corpus total broadcast map-side.
     "llm_bigram_logprob" -> QueryDef(
       (s, dir) => bigramDocScore(s, dir)
         .orderBy(org.apache.spark.sql.functions.col("doc_id")),
@@ -1705,10 +1708,14 @@ object LlmText {
     // integers, so the oracle — which replays the same fold in DuckDB via
     // list_reduce on '|'-joined symbols (corpus tokens are [a-z0-9], so '|'
     // is free as a separator) — hash-compares exactly, no float anywhere.
+    // This key TIMES THE TRAINING LOOP on every run (bpeTrainRun,
+    // uncached): the iteration IS the demonstrated operator, so it is
+    // never staged into warm-up — only the consumer keys (encode,
+    // fertility) serve the cached standing artifact (ADVICE r20).
     "llm_bpe_train" -> QueryDef(
       (s, dir) => {
         import s.implicits._
-        bpeLearned(s, dir).merges
+        bpeTrainRun(s, dir).merges
           .toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
           .orderBy($"merge_rank")
       },
@@ -1858,11 +1865,21 @@ object LlmText {
     * a rewritten documents table retrains instead of serving stale merges,
     * and a checkpointed word table from a dead session is rebuilt. */
   private[graft] def bpeLearned(s: SparkSession, dir: String): BpeModel = {
-    import s.implicits._
     val srcMtime = graft.Freshness.mtime(s"$dir/documents.parquet")
     val e = bpeCache.get(dir)
     if (e != null && e.mtime == srcMtime && (e.model.words.sparkSession eq s))
       return e.model
+    val model = bpeTrainRun(s, dir)
+    bpeCache.put(dir, BpeEntry(srcMtime, model))
+    model
+  }
+
+  /** The training loop itself, UNCACHED — llm_bpe_train calls this
+    * directly so the trainer key always times the build it demonstrates
+    * (ADVICE r20: staging the trainer hollowed the key out; only the
+    * consumers encode/fertility serve the standing artifact). */
+  private[graft] def bpeTrainRun(s: SparkSession, dir: String): BpeModel = {
+    import s.implicits._
     var w = Tables.documents(s, dir)
       .select(explode(TextOps.tokens($"text")).as("word"))
       .groupBy($"word").agg(count(lit(1)).as("cnt"))
@@ -1886,9 +1903,7 @@ object LlmText {
       w = w.select($"word", $"cnt", expr(bpeFoldExpr(a, b)).as("syms"))
         .localCheckpoint(true)
     }
-    val model = BpeModel(merges.result(), w)
-    bpeCache.put(dir, BpeEntry(srcMtime, model))
-    model
+    BpeModel(merges.result(), w)
   }
 
   /** One BPE merge application as a Spark SQL aggregate-HOF left fold:

@@ -42,7 +42,13 @@ object TextOps {
     * table.
     */
   def shinglesUdf(w: Int) = udf { text: String =>
-    val toks = text.toLowerCase.split("\\s+")
+    // split limit -1 keeps trailing empty tokens — Spark's split (the
+    // declarative reference and the DuckDB oracles' string_split) keeps
+    // them, Java's default split drops them; without -1 a document with
+    // trailing whitespace would shingle differently between the two
+    // spellings (ADVICE r20 — latent divergence, pinned in LlmSpec on
+    // adversarial whitespace docs)
+    val toks = text.toLowerCase.split("\\s+", -1)
     if (toks.length < w) Array(toks.mkString(" ")).distinct
     else Array.tabulate(toks.length - w + 1)(i => toks.slice(i, i + w).mkString(" ")).distinct
   }
@@ -65,7 +71,7 @@ object TextOps {
     * inside each element removes the second evaluation. Values = exactly
     * [[shinglesUdf]] zipped with its length (pinned in LlmSpec). */
   def shinglesWithNUdf(w: Int) = udf { text: String =>
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase.split("\\s+", -1) // -1: see shinglesUdf
     val arr =
       if (toks.length < w) Array(toks.mkString(" ")).distinct
       else Array.tabulate(toks.length - w + 1)(i =>
@@ -91,7 +97,7 @@ object TextOps {
 
   /** Shared imperative body of the two span-hash UDFs above. */
   private def spanHashesFor(text: String, w: Int): Array[Array[Byte]] = {
-    val toks = text.toLowerCase.split("\\s+")
+    val toks = text.toLowerCase.split("\\s+", -1) // -1: see shinglesUdf
     val md = java.security.MessageDigest.getInstance("MD5")
     def h(s: String): Array[Byte] =
       md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

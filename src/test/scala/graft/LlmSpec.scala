@@ -189,6 +189,64 @@ class LlmSpec extends SparkSpec {
     assert(setMismatch == 0, s"$setMismatch docs differ as distinct sets")
   }
 
+  test("imperative tokenizers equal declarative split on adversarial whitespace") {
+    // ADVICE r20 / r20 verdict #4: the imperative UDFs tokenize with Java
+    // String.split, which (without limit -1) DROPS trailing empty tokens,
+    // while the declarative reference (Spark split) and the DuckDB
+    // oracles' string_split KEEP them. The corpus never exercises this;
+    // these adversarial docs do — leading / trailing / double whitespace —
+    // closing the divergence class for every imperative tokenizer
+    // (shinglesUdf, shinglesWithNUdf, spanHashesUdf/spanHashSetUdf,
+    // LlmText.bigramsUdf).
+    import graft.text.TextOps
+    val docs = Seq(
+      "plain text with no edge cases at all",
+      "trailing space ",
+      " leading space",
+      "  both  and double  gaps  ",
+      "tab\tand newline\nseparators mixed \t ",
+      "x", "x ", " ", "a b").toDF("text")
+    for (w <- Seq(3, 5)) {
+      val m1 = docs.select(TextOps.shingles($"text", w).as("hof"),
+        TextOps.shinglesUdf(w)($"text").as("imp"))
+        .filter($"hof" =!= $"imp").count()
+      assert(m1 == 0, s"shinglesUdf w=$w diverges on whitespace docs")
+      val m2 = docs.select(TextOps.shinglesUdf(w)($"text").as("plain"),
+        TextOps.shinglesWithNUdf(w)($"text").as("paired"))
+        .filter(transform($"paired", z => z.getField("_2")) =!= $"plain" ||
+          exists($"paired", z => z.getField("_1") =!= size($"plain")))
+        .count()
+      assert(m2 == 0, s"shinglesWithNUdf w=$w diverges on whitespace docs")
+    }
+    val w = 15
+    val t = TextOps.tokens($"text")
+    val decl = when(size(t) >= w,
+      transform(sequence(lit(0), size(t) - w),
+        i => unhex(md5(array_join(slice(t, i + 1, lit(w)), " ")))))
+      .otherwise(array(unhex(md5(array_join(t, " ")))))
+    val m3 = docs.select(decl.as("hof"),
+      TextOps.spanHashesUdf(w)($"text").as("imp"))
+      .filter($"hof" =!= $"imp").count()
+    assert(m3 == 0, "spanHashesUdf diverges on whitespace docs")
+    val m4 = docs.select(array_distinct(decl).as("hof"),
+      TextOps.spanHashSetUdf(w)($"text").as("imp"))
+      .filter($"hof" =!= $"imp").count()
+    assert(m4 == 0, "spanHashSetUdf diverges on whitespace docs")
+    // bigramsUdf vs the declarative adjacent-pair spelling over Spark split
+    // greatest(...,1) + null-_2 filter instead of sequence(1, size-1)
+    // directly: sequence(1, 0) DESCENDS in Spark, it is not empty
+    val declBg = expr(
+      "filter(transform(sequence(1, greatest(size(tks) - 1, 1)), " +
+        "i -> struct(try_element_at(tks, i) as _1, " +
+        "try_element_at(tks, i + 1) as _2)), " +
+        "p -> p._2 IS NOT NULL)")
+    val m5 = docs.select(TextOps.tokens($"text").as("tks"), $"text")
+      .select(declBg.as("hof"),
+        graft.operators.LlmText.bigramsUdf($"text").as("imp"))
+      .filter($"hof" =!= $"imp").count()
+    assert(m5 == 0, "bigramsUdf diverges on whitespace docs")
+  }
+
   test("repetition fractions equal brute force") {
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
