@@ -317,24 +317,46 @@ object LlmSimilarity {
         val dim = stats.length
         val nVecs = stats(0).getAs[Long]("cnt")
         val mu = stats.map(r => r.getAs[Double]("sx") / nVecs)
-        val muCol = array(mu.map(lit).toIndexedSeq: _*)
-        val centered = zip_with($"e", muCol, (x, m) => x - m)
-        // Covariance via MLlib's BLAS-backed distributed Gram matrix — the
-        // one deliberate RDD use in the similarity family (same exception
-        // class as the native Expressions over interpreted HOFs): the first
-        // spelling here was a per-row outer-product HOF explode, correct
-        // and byte-flat but interpreted — N·dim² row-ops measured 219 s at
-        // sf10 (200 k × 4096) where the dense syrk accumulation does the
-        // identical math in seconds. Sample→population denominator fixed up
-        // driver-side; the trace is cross-checked below against an
-        // independent per-column moment computation (tolerance boolean).
-        val covS = new org.apache.spark.mllib.linalg.distributed.RowMatrix(
-          emb.select($"e").rdd.map(r =>
-            org.apache.spark.mllib.linalg.Vectors.dense(
-              r.getSeq[Double](0).toArray)))
-          .computeCovariance()
-        val f = (nVecs - 1).toDouble / nVecs
-        val cov = Array.tabulate(dim, dim)((i, j) => covS(i, j) * f)
+        // Covariance via ONE distributed Gram pass — a deliberate RDD use
+        // (same exception class as the native Expressions over interpreted
+        // HOFs): the first spelling here was a per-row outer-product HOF
+        // explode, correct and byte-flat but interpreted — N·dim² row-ops
+        // measured 219 s at sf10 (200 k × 4096) where dense accumulation
+        // does the identical math in seconds. r21 (guide §2.4 one-pass):
+        // the earlier RowMatrix.computeCovariance cost TWO passes over the
+        // vectors (column means, then the Gram treeAggregate); the raw
+        // second-moment Gram here is one treeAggregate, and the mean comes
+        // from the stats pass above. cov = G/n − μμᵀ is numerically safe
+        // at these magnitudes (|x| ~ O(1), dim 64), and every output
+        // column below is an integer or a tolerance boolean, so
+        // accumulation-order float drift cannot flip the result. The
+        // trace is still cross-checked against the INDEPENDENT per-column
+        // SQL moment computation (tolerance boolean).
+        val tri = dim * (dim + 1) / 2
+        val gram = emb.select($"e").as[Array[Double]].rdd
+          .treeAggregate(new Array[Double](tri))(
+            seqOp = (acc, v) => {
+              var idx = 0
+              var i = 0
+              while (i < dim) {
+                val vi = v(i)
+                var j = i
+                while (j < dim) { acc(idx) += vi * v(j); j += 1; idx += 1 }
+                i += 1
+              }
+              acc
+            },
+            combOp = (a, b) => {
+              var i = 0
+              while (i < tri) { a(i) += b(i); i += 1 }
+              a
+            })
+        def triAt(i: Int, j: Int): Double = {
+          val (lo, hi) = if (i <= j) (i, j) else (j, i)
+          gram(lo * dim - lo * (lo - 1) / 2 + (hi - lo))
+        }
+        val cov = Array.tabulate(dim, dim)((i, j) =>
+          triAt(i, j) / nVecs - mu(i) * mu(j))
         val (eig, vecs) = jacobiEigen(cov)
         val trace = (0 until dim).map(i => cov(i)(i)).sum
         // Independent trace from the per-column uncentered moments (the
@@ -359,15 +381,34 @@ object LlmSimilarity {
           }
         }
         val varConserved = math.abs(eig.sum - trace) < 1e-8 * math.max(1.0, trace)
-        // distributed projection onto the top-k components
-        val vk = typedlit(vecs.take(k).map(_.toSeq).toSeq)
-        val projected = emb.select($"vec_id",
-          transform(vk, row => aggregate(
-            zip_with(centered, row, (x, w) => x * w),
-            lit(0.0), (acc, x) => acc + x)).as("proj"))
-        val projEnergy = projected.select(
-          avg(aggregate(transform($"proj", x => x * x),
-            lit(0.0), (acc, x) => acc + x))).as[Double].head()
+        // distributed projection onto the top-k components — still a full
+        // distributed pass over the vectors (that is the point of the
+        // energy identity: it exercises the same executor-side projection
+        // the reduced index would run), but imperative per-row math (r21):
+        // the previous transform/zip_with/aggregate HOF chain ran the
+        // lambda interpreter per element AND re-evaluated the centering
+        // subexpression once per component (k×dim interpreted ops per row,
+        // the TextOps.minhashBandsUdf rationale).
+        val vkArr = vecs.take(k)
+        val (eSum, eCnt) = emb.select($"e").as[Array[Double]].rdd
+          .mapPartitions { it =>
+            var sum = 0.0
+            var n = 0L
+            it.foreach { x =>
+              var ki = 0
+              while (ki < k) {
+                val row = vkArr(ki)
+                var d = 0.0
+                var p = 0
+                while (p < dim) { d += row(p) * (x(p) - mu(p)); p += 1 }
+                sum += d * d
+                ki += 1
+              }
+              n += 1
+            }
+            Iterator((sum, n))
+          }.reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+        val projEnergy = eSum / eCnt
         val topkSum = eig.take(k).sum
         val energyOk = math.abs(projEnergy - topkSum) <
           1e-6 * math.max(1.0, topkSum)

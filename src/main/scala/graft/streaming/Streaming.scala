@@ -181,6 +181,37 @@ object Streaming {
       }.toDF("user_id", "funnel_level")
   }
 
+  /** Multiset equality of two DataFrames over `cols` in ONE Spark job:
+    * per-key counts from each side full-outer-joined, any missing or
+    * unequal count falsifies. Same truth value as
+    * `a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty` (exceptAll is
+    * multiset-aware), which cost TWO driver actions each executing a
+    * two-sided shuffle plan — four effective side-scans instead of two
+    * (r21, guide §2.4: remove duplicate passes). */
+  private def multisetEqual(
+      a: DataFrame, b: DataFrame, cols: Seq[String]): Boolean = {
+    val ka = a.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__ca"))
+    val kb = b.groupBy(cols.map(col): _*).agg(count(lit(1)).as("__cb"))
+    ka.join(kb, cols, "full_outer")
+      .filter(col("__ca").isNull || col("__cb").isNull ||
+        col("__ca") =!= col("__cb"))
+      .isEmpty
+  }
+
+  /** Scope for streams that need NO post-data flush batch: disables the
+    * no-data micro-batch Spark otherwise appends after the last data batch
+    * to advance watermark-dependent state. Only applied where the result
+    * is provably identical without it — update-mode / immediate-emission
+    * operators whose no-data batch can only EVICT state, never emit:
+    * inner stream-stream joins (matches emit in the data batch), bounded
+    * dropDuplicatesWithinWatermark (a filter — emission is immediate),
+    * and update-mode flatMapGroupsWithState (timeouts emit nothing here).
+    * Append-mode / sentinel-flush keys (stream_session, stream_watermark,
+    * stream_stream_left/full) NEED the flush batch and never use this. */
+  private def withoutFlushBatch[T](s: SparkSession)(body: => T): T =
+    Confs.withConf(s,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")(body)
+
   /** Every streaming key runs under a 4-partition state cap: the stream's
     * state-store instance count per stateful operator per micro-batch is
     * frozen at `.start()` from `spark.sql.shuffle.partitions`, and at the
@@ -674,12 +705,19 @@ object Streaming {
           $"event_id" === $"eid2" &&
             $"ts2" >= $"ts" - expr("interval 1 minute") &&
             $"ts2" <= $"ts" + expr("interval 1 minute"))
+          // project to the read-back's columns BEFORE the sink write
+          // (guide §2.3): the matched event_id/ts/ts2 never leave the join
+          .select($"event_type", $"value")
         val out = graft.TempDirs.create("graft_ssj")
-        val q = joined.writeStream.foreachBatch {
-          (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        // inner join: matches emit in the data batch itself; the trailing
+        // no-data flush batch only evicts state — skip it (r21)
+        withoutFlushBatch(s) {
+          val q = joined.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.read.parquet(out)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
@@ -730,6 +768,9 @@ object Streaming {
             $"ts2" >= $"ts" - expr("interval 1 minute") &&
             $"ts2" <= $"ts" + expr("interval 1 minute"),
           "left_outer")
+          // project to the read-back's columns before the sink (§2.3);
+          // the flush batch stays ON — unmatched rows emit there
+          .select($"event_id", $"event_type", $"value", $"eid2")
         val out = graft.TempDirs.create("graft_ssjl")
         val q = joined.writeStream.foreachBatch {
           (batch: DataFrame, _: Long) =>
@@ -776,6 +817,9 @@ object Streaming {
             $"ts2" >= $"ts" - expr("interval 1 minute") &&
             $"ts2" <= $"ts" + expr("interval 1 minute"),
           "full_outer")
+          // project to the read-back's columns before the sink (§2.3);
+          // the flush batch stays ON — null-extensions emit there
+          .select($"event_id", $"event_type", $"value", $"eid2")
         val out = graft.TempDirs.create("graft_ssjf")
         val q = joined.writeStream.foreachBatch {
           (batch: DataFrame, _: Long) =>
@@ -890,11 +934,16 @@ object Streaming {
           .dropDuplicatesWithinWatermark("event_id")
           .select($"event_type", $"value")
         val out = graft.TempDirs.create("graft_dedup_out")
-        val q = deduped.writeStream.foreachBatch {
-          (batch: DataFrame, _: Long) =>
-            batch.write.mode("append").parquet(out)
-        }.start()
-        try q.processAllAvailable() finally q.stop()
+        // dropDuplicatesWithinWatermark is a row filter — every surviving
+        // row emits in its own data batch; the no-data flush batch only
+        // evicts dedup state, so it is skipped (r21)
+        withoutFlushBatch(s) {
+          val q = deduped.writeStream.foreachBatch {
+            (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(out)
+          }.start()
+          try q.processAllAvailable() finally q.stop()
+        }
         s.read.parquet(out)
           .groupBy($"event_type")
           .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
@@ -965,7 +1014,9 @@ object Streaming {
               .when($"event_type" === "click", 2).otherwise(3).as("step"))
           .as[(Long, java.sql.Timestamp, Long, Int)]
         val levels = funnelLevels(ev)
-        runUpsertSink(s, levels, Seq("user_id"))
+        // update-mode fMGWS: levels emit in data batches; the no-data
+        // flush batch only fires timeouts (which emit nothing here) (r21)
+        withoutFlushBatch(s)(runUpsertSink(s, levels, Seq("user_id")))
           .groupBy($"funnel_level")
           .agg(count(lit(1)).as("n_users"))
           .orderBy($"funnel_level")
@@ -1103,18 +1154,20 @@ object Streaming {
       (s, dir) => {
         import s.implicits._
         val (indexPath, candsDir) = streamDedupIndexIngest(s, dir)
+        // r21: each equality is ONE job (multisetEqual) instead of two
+        // exceptAll actions per comparison, and the batch-built reference
+        // band table serves from the shared checkpoint (bandSigsCached —
+        // the jaccard pair-table economics) instead of re-running the
+        // banding UDF pass twice more here
         val streamedCands =
           s.read.parquet(candsDir).select($"i", $"j").distinct()
         val batchCands = graft.operators.LlmDedup.minhashCandidates(s, dir)
-        val candsEqual =
-          streamedCands.exceptAll(batchCands).isEmpty &&
-          batchCands.exceptAll(streamedCands).isEmpty
+        val candsEqual = multisetEqual(streamedCands, batchCands, Seq("i", "j"))
         val streamedIndex =
           s.read.parquet(indexPath).select($"doc_id", $"band", $"key")
-        val batchIndex = graft.operators.LlmDedup.bandSigs(s, dir)
+        val batchIndex = graft.operators.LlmDedup.bandSigsCached(s, dir)
         val indexEqual =
-          streamedIndex.exceptAll(batchIndex).isEmpty &&
-          batchIndex.exceptAll(streamedIndex).isEmpty
+          multisetEqual(streamedIndex, batchIndex, Seq("doc_id", "band", "key"))
         val truth = graft.operators.LlmDedup.jaccardPairsAuto(s, dir, 0.6)
           .filter($"jaccard" >= 0.9).select($"i", $"j", $"jaccard")
         val marked = truth
