@@ -33,9 +33,31 @@ object Tables {
   private val versionChecked =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  // Schema cache (r21, guide §6): spark.read.parquet infers the schema
+  // with a footer-read Spark JOB on every call — one ~30-100 ms job per
+  // Tables.* call, paid by nearly every key (measured via ProfileDdl: the
+  // `Tables.raw` job shows up inside each warm timed run). The schema of
+  // an unchanged file is immutable, so cache it by (dir, name, mtime) and
+  // hand it to the reader explicitly. Each call still returns a FRESH
+  // DataFrame (new exprIds) — the self-join hazard that forbids caching
+  // the DataFrame itself does not apply to the schema.
+  private case class SchemaEntry(mtime: Long, schema: org.apache.spark.sql.types.StructType)
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), SchemaEntry]()
+
   private def raw(spark: SparkSession, dir: String, name: String): DataFrame = {
     if (versionChecked.add(dir)) GenScale.assertVersion(dir)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val m = Freshness.mtime(path)
+    val e = schemaCache.get((dir, name))
+    val schema =
+      if (e != null && e.mtime == m) e.schema
+      else {
+        val sc = spark.read.parquet(path).schema
+        schemaCache.put((dir, name), SchemaEntry(m, sc))
+        sc
+      }
+    spark.read.schema(schema).parquet(path)
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "lineitem")
