@@ -47,7 +47,17 @@ object LlmDedup {
     // exprs into every consumer)
     Tables.documents(s, dir)
       .select($"doc_id", explode(TextOps.shinglesWithNUdf(w)($"text")).as("z"))
-      .select($"doc_id", $"z._1".as("n"), $"z._2".as("s"))
+      // 128-bit md5 interning (r21, guide §2.3 shuffle fewer bytes): every
+      // downstream consumer joins/groups/sorts on the shingle only as an
+      // OPAQUE key — the text never reaches any output — so ship 16 bytes
+      // instead of the ~20-40-byte shingle string through the dfreq join,
+      // the posting self-join and the candidate re-count. Same trick (and
+      // same collision argument) as the substring span digests: an md5
+      // collision would change a count and fail the string-grouped DuckDB
+      // oracle loudly. Binary sort order is consistent across docs, which
+      // is all the prefix lemma's tie-break needs. Native md5/unhex
+      // expressions, map-side, inside the existing projection.
+      .select($"doc_id", $"z._1".as("n"), unhex(md5($"z._2")).as("s"))
   }
 
   /** One-shot inverted-index Jaccard pairs: self-join every posting list.

@@ -3942,7 +3942,11 @@ final class DorisDdl(s: SparkSession) {
     case ShowPartsRe(name) =>
       val t = state(name)
       require(t.def_.partCol.isDefined, s"$name: table is not partitioned")
-      registerViews(t)
+      // freshness-aware like selectPlain (r21): the unconditional pass
+      // re-analyzed every partition view per SHOW — ~31 views for the
+      // auto-partitioned table, the bulk of sql_ddl_auto_partition's
+      // warm 1.3 s wall
+      if (!viewsFresh(t)) registerViews(t)
       import s.implicits._
       // a created-but-never-loaded table still LISTS its declared
       // partitions (all zero rows, as Doris) — there is no rowset dir to
@@ -4083,18 +4087,19 @@ final class DorisDdl(s: SparkSession) {
     // name it registered (viewOwners — another instance on the shared
     // session namespace may have taken them). Anything else re-registers
     // exactly as before; mutation paths always re-register.
-    locally {
-      val curEpoch = mutationEpoch.get
-      tables.synchronized(tables.values.toSeq).foreach { t =>
-        val name = t.def_.name
-        val st = tableViewStamp.get(name)
-        val fresh = st != null && st.longValue == curEpoch &&
-          (viewOwners.get((s, name)) eq this) &&
-          partitionNames(t).forall(p =>
-            viewOwners.get((s, s"${name}__part_$p")) eq this)
-        if (!fresh) registerViews(t)
-      }
+    tables.synchronized(tables.values.toSeq).foreach { t =>
+      if (!viewsFresh(t)) registerViews(t)
     }
+    // User-view derivations must be as current as the table views this
+    // select just validated: pre-skip, every select's registerViews call
+    // SERIALIZED on refreshViewsLock, so a reader arriving during a
+    // mutation's user-view re-derivation waited for it (and re-derived
+    // itself) instead of resolving a stale view — the fuzz caught a raw
+    // UNRESOLVED_COLUMN from exactly that lost wait. The epoch stamp
+    // restores it: warm read-only statements skip (stamp current), any
+    // statement after a mutation refreshes once — and, crucially, BLOCKS
+    // on the lock behind an in-flight refresh.
+    if (userViewsStamp.get != mutationEpoch.get) refreshUserViews()
     // Doris partition selection: FROM t PARTITION (p) → the partition-
     // restricted view (a partition-PRUNED scan, filtered before the merge
     // window — sound because the partition column is part of the key)
@@ -4138,6 +4143,10 @@ final class DorisDdl(s: SparkSession) {
       val r0 = files.fold(s.read)(_ => s.read.option("basePath", t.dir))
       val r = schemaHint match {
         case Some(sc) => r0.schema(sc)
+        // whole-tree read with no hint: the epoch-keyed cache serves the
+        // same merged schema the footer job would produce (r21). A FILE
+        // SUBSET without a hint still merges over exactly those files.
+        case None if files.isEmpty => r0.schema(mergedSchemaOf(t))
         case None => r0.option("mergeSchema", "true")
       }
       files match {
@@ -4283,6 +4292,39 @@ final class DorisDdl(s: SparkSession) {
   private val registerLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** `t`'s views are provably current: stamped at the current mutation
+    * epoch and every registered temp-view name still owned by this
+    * instance on the shared session namespace. Used by [[selectPlain]]
+    * and [[showPartitions]] to skip re-registration on warm reads. */
+  private def viewsFresh(t: TableState): Boolean = {
+    val name = t.def_.name
+    val st = tableViewStamp.get(name)
+    st != null && st.longValue == mutationEpoch.get &&
+      (viewOwners.get((s, name)) eq this) &&
+      partitionNames(t).forall(p =>
+        viewOwners.get((s, s"${name}__part_$p")) eq this)
+  }
+
+  /** Merged parquet schema of `t`'s rowset tree, cached per mutation
+    * epoch (r21, guide §6): the eager footer-merge inference is a Spark
+    * job; between mutations the file set cannot change (every rowset
+    * writer runs under an epoch-bumping statement; MTMV refresh writes
+    * only the MV's own dir and re-registers its view itself), so warm
+    * reads reuse the schema instead of re-reading every footer. */
+  private val mergedSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, org.apache.spark.sql.types.StructType)]()
+  private def mergedSchemaOf(t: TableState)
+      : org.apache.spark.sql.types.StructType = {
+    val cur = mutationEpoch.get
+    val e = mergedSchemaCache.get(t.def_.name)
+    if (e != null && e._1 == cur) e._2
+    else {
+      val sc = s.read.option("mergeSchema", "true").parquet(t.dir).schema
+      mergedSchemaCache.put(t.def_.name, (cur, sc))
+      sc
+    }
+  }
+
   private def registerViews(t: TableState): Unit = {
     val lock = registerLocks.computeIfAbsent(t.def_.name, _ => new Object)
     lock.synchronized {
@@ -4340,8 +4382,12 @@ final class DorisDdl(s: SparkSession) {
     // below (an auto-partitioned table registers ~1 view per materialized
     // day — 31 eager inference jobs per statement before this, the
     // sql_ddl_auto_partition 13 s wall at cpus=32)
-    val mergedSchema =
-      s.read.option("mergeSchema", "true").parquet(t.dir).schema
+    // drop any same-epoch cache entry first: a visible() call earlier in
+    // this statement (before its write published) may have cached the
+    // pre-write schema under the current epoch — registration must
+    // re-read the footers it is publishing views for
+    mergedSchemaCache.remove(t.def_.name)
+    val mergedSchema = mergedSchemaOf(t)
     registerTemp(visible(t, None, schemaHint = Some(mergedSchema)),
       t.def_.name)
     val parts = partitionNames(t)
@@ -4396,7 +4442,14 @@ final class DorisDdl(s: SparkSession) {
     * the catalog — recreating the base heals the view on the next refresh,
     * exactly Doris's behavior. */
   private val refreshViewsLock = new Object
+  /** Mutation epoch at which user views were last fully re-derived —
+    * set to the epoch captured at refresh ENTRY (conservative: a bump
+    * mid-refresh leaves the stamp behind, and the next select refreshes
+    * again). selectPlain consults it to keep warm reads refresh-free
+    * without losing the wait-for-in-flight-refresh semantics. */
+  private val userViewsStamp = new java.util.concurrent.atomic.AtomicLong(-1L)
   private def refreshUserViews(): Unit = refreshViewsLock.synchronized {
+    val epochAtEntry = mutationEpoch.get
     // Fixpoint over the registration order: a view over a view re-created
     // LATER in catalog order (drop v1, recreate v1 — it re-enters the
     // LinkedHashMap after its dependents) would otherwise stay broken for
@@ -4432,6 +4485,7 @@ final class DorisDdl(s: SparkSession) {
       prevNames = snapshot.map(_._1).toSet
       stable = viewDefs.synchronized(viewEpoch.get == epoch)
     }
+    userViewsStamp.set(epochAtEntry)
   }
 
   private val AlterViewRe =
