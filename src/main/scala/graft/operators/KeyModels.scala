@@ -81,10 +81,16 @@ object KeyModels {
       // three-valued logic and would vanish from BOTH loads; <=> pins the
       // split total-exhaustive, so null-day rows ride load 2
       val isEarly = $"p_day".isin(early.toSeq: _*) <=> lit(true)
-      ev.filter(isEarly)
+      // repartition by the partition column before each partitioned write
+      // (r21, guide §6 output file sizing): without it every write task
+      // emits one small file into EVERY day it holds (~tasks × days files)
+      // and the key's timed read pays the listing + footer count forever;
+      // with it each load lands one right-sized rowset per partition —
+      // the per-load-per-partition layout the Doris rowset model implies
+      ev.filter(isEarly).repartition($"p_day")
         .write.mode("overwrite").partitionBy("p_day").parquet(out)
       val before = nParts
-      ev.filter(!isEarly)
+      ev.filter(!isEarly).repartition($"p_day")
         .write.mode("append").partitionBy("p_day").parquet(out)
       AutoPartState(out, before, nParts)
     })
@@ -386,6 +392,12 @@ object KeyModels {
       (s, dir) => {
         import s.implicits._
         val out = graft.TempDirs.create("graft_pdrop")
+        // r21 NOTE (measured, rejected): repartition($"l_returnflag")
+        // before this write — one rowset per partition — ADDED a timed
+        // 600 k-row shuffle and serialized the write into 3 tasks for no
+        // read-side gain (the scan side is a handful of files either way:
+        // the lineitem read is few-task, so tasks×partitions is already
+        // small). Guide §1: the write stays task-parallel.
         Tables.lineitem(s, dir)
           .select($"l_orderkey", $"l_quantity", $"l_returnflag")
           .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)

@@ -38,12 +38,18 @@ object LlmSimilarity {
     def dist2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
+    // argmin as a HASH AGGREGATE, not a row_number window (r21, guide §2):
+    // min over struct(d2, cid, e) compares d2 first, ties on cid — the
+    // same argmin + tie-break the window's orderBy(d2, cid) gave (e is
+    // constant within a vec_id group, so it never reaches the compare) —
+    // but with map-side PARTIAL aggregation the k-way fan-out collapses
+    // before the exchange and the per-partition sort disappears.
     vecs.crossJoin(broadcast(cents))
       .withColumn("d2", dist2(col("e"), col("c")))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2").asc, col("cid").asc)))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("e"), col("cid"), col("d2"))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("d2"), col("cid"), col("e"))).as("m"))
+      .select(col("vec_id"), col("m.e").as("e"),
+        col("m.cid").as("cid"), col("m.d2").as("d2"))
   }
 
   /** Product-quantization building blocks shared by llm_knn_pq and
@@ -872,8 +878,14 @@ object LlmSimilarity {
           .select((row_number().over(Window.orderBy($"vec_id")) - 1)
             .cast("int").as("cid"), $"e".as("c"))
         var assigned = assign(cents)
-        val inertias = scala.collection.mutable.ArrayBuffer(
-          assigned.agg(sum($"d2")).as[Double].head())
+        // r21 (guide §5 driver round-trips): the monotonicity probe only
+        // needs the inertias AT THE END — each iteration's sum(d2) is a
+        // 1-row aggregate over the already-checkpointed assignment, so
+        // defer them and collect ALL of them in ONE action instead of one
+        // driver-synchronized .head() per iteration (the control loop
+        // itself never branches on the value)
+        val inertiaAggs = scala.collection.mutable.ArrayBuffer(
+          assigned.agg(sum($"d2").as("inertia")))
         for (_ <- 1 to iters) {
           cents = assigned
             .select($"cid", posexplode($"e").as(Seq("pos", "v")))
@@ -882,8 +894,12 @@ object LlmSimilarity {
             .agg(transform(array_sort(collect_list(struct($"pos", $"m"))),
               x => x.getField("m")).as("c"))
           assigned = assign(cents)
-          inertias += assigned.agg(sum($"d2")).as[Double].head()
+          inertiaAggs += assigned.agg(sum($"d2").as("inertia"))
         }
+        val inertias = inertiaAggs.zipWithIndex
+          .map { case (df, i) => df.select(lit(i).as("it"), $"inertia") }
+          .reduce(_.unionAll(_))
+          .orderBy($"it").select($"inertia").as[Double].collect().toSeq
         val monotone = inertias.iterator.sliding(2).forall {
           case Seq(a, b) => b <= a * (1 + 1e-9)
           case _ => true

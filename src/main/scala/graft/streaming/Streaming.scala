@@ -255,6 +255,12 @@ object Streaming {
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("append")
       .option("createTableColumnTypes", "event_type VARCHAR(32)")
+      // r21 sink tuning (guide §6): 10k-row executeBatch round-trips
+      // instead of the writer's 1000 default. NOTE (measured, rejected):
+      // isolationLevel=NONE — autocommit — was 7× SLOWER on embedded
+      // Derby (2.7 → 20 s: a log force per commit); the per-partition
+      // transaction stays.
+      .option("batchsize", "10000")
       .jdbc(url, "events_sink", new java.util.Properties)
   }
 

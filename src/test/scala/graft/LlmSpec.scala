@@ -584,7 +584,7 @@ class LlmSpec extends SparkSpec {
     // assignment join is audited here at its source: the non-equi argmin
     // join must BROADCAST the k-row centroid side, and the corpus side must
     // reach it without any exchange (the only shuffle is the per-vector
-    // argmin window AFTER the join).
+    // argmin aggregate AFTER the join — r21: min(struct), not a window).
     import org.apache.spark.sql.expressions.Window
     val vecs = Tables.embeddings(spark, sf)
       .select($"vec_id", transform($"embedding", _.cast("double")).as("e"))
